@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Protocol (BASELINE.md): 1 warm-up run per query (discarded), then N timed
+runs, median wall-clock per query; `value` is the sum of medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trembita_spark import contract  # noqa: E402
+from trembita_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Headline set: one representative per operator family (SURVEY.md §7).
+HEADLINE = [
+    "q_flagship_q1",       # scan+filter+hash agg
+    "q_agg_rollup",        # grouping-sets / Expand
+    "q_join_inner",        # broadcast-dim equi join
+    "q_join_asof",         # union+window as-of
+    "q_window_rank",       # partitioned window
+    "q_topk",              # TakeOrderedAndProject
+    "q_distinct_by",       # dedup w/ window
+    "q_agg_product",       # high-cardinality groupBy
+]
+
+
+def main() -> None:
+    contract.load_all()
+    keys = [k for k in HEADLINE if k in contract.QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    if extra:
+        keys = [k.strip() for k in extra.split(",") if k.strip() in contract.QUERIES]
+    spark = get_session(app_name="trembita_spark_bench")
+    timings: dict[str, float] = {}
+    for key in keys:
+        fn = contract.QUERIES[key]
+        fn(spark, SF_DIR).collect()  # warm-up (JIT, file listing, broadcast)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(samples), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "runs": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Driver-contract registry: every implemented operator registers a
+(PySpark query, DuckDB oracle SQL) pair here; ``__spark_entry__.py``
+re-exports the registry as ``queries()`` / ``oracle_sql()``.
+
+Discipline for checkable pairs (refined from FIXTURES.md after probing
+the data — value-hash matching needs BIT-EXACT values, so rounding is a
+last resort, not a default):
+
+1. alias every computed column IDENTICALLY in Spark and SQL (the driver
+   sorts columns by name before hashing);
+2. per-row IEEE arithmetic on identical inputs is bit-deterministic
+   across engines — do NOT round it (each engine's ``round`` can differ
+   by 1 ulp on the same input; rounding ADDS risk);
+3. float sums whose inputs are integral doubles (l_quantity) are exact
+   in any order — no rounding;
+4. money sums (2-decimal doubles): use the DECIMAL trick —
+   ``CAST(sum(CAST(x AS DECIMAL(18,s)) AS DOUBLE)`` on both sides; the
+   decimal sum is exact and order-independent, the final double cast is
+   correctly rounded in both engines → bit-identical, no rounding;
+   express avg as ``decimal_sum_as_double / count`` (identical division);
+5. genuinely order-sensitive float aggregates (stddev/var merge order):
+   ``round(x, 6)`` both sides — order error (~1e-12) ≪ half-grid (5e-7);
+6. sort collected arrays; never use nondeterministic aggs in checked
+   queries; anchor order-sensitive ops (take/offset/zip/rank) to explicit
+   UNIQUE total orders;
+7. timestamps: Spark session is UTC; events.ts is µs-precision in both
+   engines (verified) — safe to return raw.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(key: str, oracle: Optional[str] = None):
+    """Register a contract query; ``oracle=None`` → rows-only check
+    (genuinely non-SQL-expressible ops only)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        assert key not in QUERIES, f"duplicate contract key {key}"
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table (see TESTDATA.md)."""
+    from trembita_spark.io import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(expr, scale: int = 2):
+    """Exact, order-independent float sum via decimal (discipline rule 4).
+
+    Sums ``expr`` as DECIMAL(18, scale) (exact integer arithmetic under
+    the hood — deterministic under Spark's nondeterministic partial-agg
+    merge order) and returns a correctly-rounded DOUBLE, bit-identical
+    to DuckDB's ``CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``.
+    Spark keeps partial aggregation: decimal sum is still a monoid.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(expr, str):
+        expr = F.col(expr)
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(sql_expr: str, scale: int = 2) -> str:
+    """DuckDB side of :func:`dsum`."""
+    return f"CAST(sum(CAST({sql_expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def load_all() -> None:
+    """Import every contract module so registration side effects run."""
+    from trembita_spark.contract import (  # noqa: F401
+        aggregates,
+        joins,
+        llm,
+        relational,
+        scalar_fns,
+        streaming_batch,
+        windows,
+    )

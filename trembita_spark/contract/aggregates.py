@@ -1,0 +1,311 @@
+"""Aggregation contract queries — the trembita-QL core
+(reference: kernel/src/main/scala/trembita/ql/{QueryBuilder,AggFunc,
+QueryResult}.scala — unverified; SURVEY.md §3.4).
+
+All aggregates are commutative-monoid-shaped → Spark partial+final
+HashAggregate with map-side combine; the QL's nested grouping tree with
+per-level totals maps to rollup/cube + grouping_id (Catalyst Expand —
+one shuffle, not n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trembita_spark.contract import dsum, dsum_sql, register, table
+from trembita_spark.query import Query, agg
+
+
+@register(
+    "q_agg_basic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)            AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*)                                                            AS cnt
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # QL shape: where → groupBy(expr as name) → aggregate(sum/avg/count).
+    return (
+        Query(table(spark, sf_dir, "orders"))
+        .where(F.col("o_totalprice") > 1000)
+        .group_by(o_orderpriority="o_orderpriority")
+        .aggregate(
+            total=dsum("o_totalprice", 2),
+            avg_price=dsum("o_totalprice", 2) / F.count(F.lit(1)),
+            cnt=F.count(F.lit(1)),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_minmax",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           min(l_shipdate)                AS first_ship,
+           max(l_shipdate)                AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_returnflag="l_returnflag")
+        .aggregate(
+            min_price=F.min("l_extendedprice"),
+            max_price=F.max("l_extendedprice"),
+            first_ship=F.min("l_shipdate"),
+            last_ship=F.max("l_shipdate"),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_product",
+    oracle="""
+    SELECT l_orderkey, product(l_quantity) AS qty_product
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `.product` AggFunc (reference: ql/AggFunc.scala instances, unverified).
+    # Quantities are small integral doubles → products stay exact in f64.
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_orderkey="l_orderkey")
+        .aggregate(qty_product=F.product("l_quantity"))
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS names, count(*) AS cnt
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `.arr` AggFunc — collect group values; sorted for determinism.
+    return (
+        Query(table(spark, sf_dir, "nation"))
+        .group_by(n_regionkey="n_regionkey")
+        .aggregate_cols(agg.arr("n_name", "names"), agg.count("cnt"))
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_custkey < 40
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String-monoid sum (concat) — deterministic via sorted order.
+    return (
+        Query(table(spark, sf_dir, "customer"))
+        .where(F.col("c_custkey") < 40)
+        .group_by(c_mktsegment="c_mktsegment")
+        .aggregate_cols(agg.string_agg("c_name", "names"))
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_stddev",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6)    AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_returnflag="l_returnflag")
+        .aggregate(
+            sd_qty=F.round(F.stddev_samp("l_quantity"), 6),
+            var_qty=F.round(F.var_samp("l_quantity"), 6),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_rms",
+    oracle="""
+    SELECT l_linestatus, sqrt(avg(l_quantity * l_quantity)) AS rms_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_agg_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `.rms` AggFunc as an expression composition — keeps codegen +
+    # partial agg (no custom UDAF).
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_linestatus="l_linestatus")
+        .aggregate_cols(agg.rms("l_quantity", "rms_qty"))
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) > 5 AND sum(l_quantity) > 50
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # having = post-agg filter on DECLARED aggregate names (the builder
+    # validates eagerly; Catalyst folds the filter into the agg).
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_partkey="l_partkey")
+        .aggregate(
+            total_qty=F.sum("l_quantity"),
+            cnt=F.count(F.lit(1)),
+        )
+        .having((F.col("cnt") > 5) & (F.col("total_qty") > 50))
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_ordered",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           count(*) AS cnt,
+           row_number() OVER (
+             ORDER BY sum(CAST(c_acctbal AS DECIMAL(18,2))) DESC, c_mktsegment) AS pos
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # QL `ordered` — materialize the rank so the order is hash-visible.
+    from pyspark.sql.window import Window
+
+    out = (
+        Query(table(spark, sf_dir, "customer"))
+        .group_by(c_mktsegment="c_mktsegment")
+        .aggregate(
+            total_bal_dec=F.sum(F.col("c_acctbal").cast("decimal(18,2)")),
+            cnt=F.count(F.lit(1)),
+        )
+        .to_df()
+    )
+    w = Window.orderBy(F.col("total_bal_dec").desc(), F.col("c_mktsegment"))
+    return out.select(
+        "c_mktsegment",
+        F.col("total_bal_dec").cast("double").alias("total_bal"),
+        "cnt",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_returnflag="l_returnflag")
+        .aggregate(
+            n_parts=F.countDistinct("l_partkey"),
+            n_supps=F.countDistinct("l_suppkey"),
+        )
+        .to_df()
+    )
+
+
+@register("q_agg_approx_distinct")  # no oracle: HLL sketches differ per engine
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB default for distinct counts: HLL++ sketch, one pass, no
+    # per-key state explosion. Rows-only check (sketch values are
+    # engine-specific); exactness is covered by q_agg_distinct.
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_returnflag="l_returnflag")
+        .aggregate_cols(
+            agg.approx_count_distinct("l_partkey", "approx_parts", rsd=0.02)
+        )
+        .to_df()
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested grouping tree with per-level totals (QueryResult) → rollup/cube +
+# grouping_id. One Expand + one shuffle, not one pass per level.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+           l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(*)        AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .rollup(l_returnflag="l_returnflag", l_linestatus="l_linestatus")
+        .with_grouping_id("gid")
+        .aggregate(
+            sum_qty=F.sum("l_quantity"),
+            cnt=F.count(F.lit(1)),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+           l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .cube(l_returnflag="l_returnflag", l_linestatus="l_linestatus")
+        .with_grouping_id("gid")
+        .aggregate(
+            sum_price=dsum("l_extendedprice", 2),
+            cnt=F.count(F.lit(1)),
+        )
+        .to_df()
+    )

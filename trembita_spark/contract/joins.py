@@ -1,0 +1,222 @@
+"""Join contract queries (reference: CanJoin theta-join/joinLeft/joinRight —
+kernel/src/main/scala/trembita/operations/CanJoin.scala, unverified;
+SURVEY.md §3.3; semi/anti/full/range/as-of are engine extensions).
+
+The reference executes joins as cartesian+filter; here every join is
+declarative and Catalyst selects broadcast-hash / shuffled-hash /
+sort-merge / BNLJ, with AQE fixing skew and misestimates at runtime.
+Dimension tables are explicitly broadcast — the 100 TB-correct call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trembita_spark.contract import dsum, register, table
+from trembita_spark.pipeline import Pipeline
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT n_name, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, count(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broadcast the dimension: nation is constant-size (25 rows) at every
+    # scale factor — at 100 TB this is the difference between a hash probe
+    # and a giant shuffle.
+    c = Pipeline(table(spark, sf_dir, "customer"))
+    n = table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    joined = c.join(n, on="c_nationkey", how="inner", broadcast_other=True)
+    return (
+        joined.df.groupBy("n_name")
+        .agg(
+            dsum("c_acctbal", 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders LEFT JOIN customer
+      ON o_custkey = c_custkey AND c_acctbal > 9000
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # joinLeft → Option[B] becomes a nullable right side.
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (c.c_acctbal > 9000)
+    return o.join(c, cond, "left").select("o_orderkey", "o_totalprice", "c_name")
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_totalprice > 300000
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 300000)
+    return o.join(c, cond, "right").select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH big_cust AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000),
+         big_ord  AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                      WHERE o_totalprice > 100000 GROUP BY o_custkey)
+    SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
+    FROM big_cust FULL JOIN big_ord ON c_custkey = o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_name", "n_orders"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS — no row duplication, right side never materialized in output.
+    c = Pipeline(table(spark, sf_dir, "customer"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, on="c_custkey", how="left_semi").select("c_custkey", "c_name").df
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT EXISTS — customers with no orders.
+    c = Pipeline(table(spark, sf_dir, "customer"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name").df
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation
+      ON s_nationkey <> n_nationkey AND n_regionkey = 0 AND s_acctbal > 5000
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary-predicate join — the reference's CanJoin shape
+    # (cartesian+filter there; BroadcastNestedLoopJoin here, with the tiny
+    # side broadcast so the big side never moves).
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0))
+    cond = (s.s_nationkey != n.n_nationkey) & (s.s_acctbal > 5000)
+    return s.join(n, cond, "inner").select("s_suppkey", "s_name", "n_name")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 20000.0), ('mid', 20000.0, 60000.0),
+             ('large', 60000.0, 1e18)
+    )
+    SELECT band, count(*) AS cnt, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range/interval join: non-equi condition against a broadcast interval
+    # table. At scale: broadcast the (small) interval side; if both sides
+    # are big, bucketize the range key into an equi-join prefilter.
+    li = table(spark, sf_dir, "lineitem")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("large", 60000.0, 1e18)],
+            "band string, lo double, hi double",
+        )
+    )
+    cond = (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi)
+    return (
+        li.join(bands, cond, "inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("l_extendedprice", 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join (most recent click at or before each purchase), built as
+    # a union + running `last(...) ignorenulls` window — one shuffle on
+    # (user_id), no range explosion, no per-key loop; this is the scalable
+    # pattern for 100 TB (vs merge_asof per group, which needs bounded
+    # groups). Ties (click.ts == purchase.ts) count, matching ASOF >=.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts"), F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    unioned = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts (side 0 < 1) → >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts"))
+    out = unioned.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+    return out.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )

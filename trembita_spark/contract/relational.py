@@ -1,0 +1,496 @@
+"""Core relational contract queries: scans, projections, filters,
+per-element transforms, sort/limit/distinct, set ops, zip, global folds.
+
+Covers the reference's per-element and collection operators
+(reference: kernel/src/main/scala/trembita/DataPipelineT.scala and
+kernel/src/main/scala/trembita/operations/{CanSort,CanTake,CanDrop,
+CanSlice,CanDistinct,CanZip,CanFold,CanReduce}.scala — unverified;
+see SURVEY.md §3.1, §3.2, §3.6).
+
+Every query here is expression-only (whole-stage codegen, pushdown) and
+deterministic under the driver's order-insensitive hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trembita_spark.contract import dsum, dsum_sql, register, table
+from trembita_spark.pipeline import Pipeline
+from trembita_spark.query import Query
+
+# --------------------------------------------------------------------------
+# Flagship: trembita-QL-shaped pricing summary (TPC-H Q1 analogue).
+# Exercises scan → filter (pushed to parquet) → computed projection →
+# partial+final hash aggregation → sort. At 100 TB this is a single
+# shuffle on two low-cardinality keys; AQE coalesces the 6-group output.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_flagship_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                                      AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)}                                     AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}                  AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}    AS sum_charge,
+           avg(l_quantity)                                                      AS avg_qty,
+           {dsum_sql('l_extendedprice', 2)} / count(*)                          AS avg_price,
+           {dsum_sql('l_discount', 2)} / count(*)                               AS avg_disc,
+           count(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_flagship_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    tax = F.col("l_tax")
+    cnt = F.count(F.lit(1))
+    return (
+        Query(li)
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .group_by(l_returnflag="l_returnflag", l_linestatus="l_linestatus")
+        .aggregate(
+            # sum_qty/avg_qty: quantities are integral doubles → FP-exact
+            # in any merge order, no stabilization needed (rule 3).
+            sum_qty=F.sum("l_quantity"),
+            # money sums: decimal trick (rule 4) — exact + order-free.
+            sum_base_price=dsum(price, 2),
+            sum_disc_price=dsum(price * (1 - disc), 4),
+            sum_charge=dsum(price * (1 - disc) * (1 + tax), 6),
+            avg_qty=F.avg("l_quantity"),
+            avg_price=dsum(price, 2) / cnt,
+            avg_disc=dsum(disc, 2) / cnt,
+            count_order=cnt,
+        )
+        .order_by("l_returnflag", "l_linestatus")
+        .to_df()
+    )
+
+
+# --------------------------------------------------------------------------
+# Scan with projection + predicate (checks pushdown path end-to-end).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Narrow select + filter: Catalyst pushes both into the parquet scan
+    # (PushedFilters + 2-column ReadSchema) — the pattern that matters at
+    # 100 TB where scanning unneeded columns dominates cost.
+    return (
+        Pipeline(table(spark, sf_dir, "orders"))
+        .filter_((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000))
+        .select("o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# map / projection with computed expressions (reference: DataPipelineT#map).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_map_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_quantity * l_extendedprice       AS gross,
+           upper(l_returnflag)                AS flag
+    FROM lineitem
+    """,
+)
+def q_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row IEEE arithmetic is bit-deterministic across engines — raw
+    # doubles, no rounding (discipline rule 2).
+    li = Pipeline(table(spark, sf_dir, "lineitem"))
+    return li.map_(
+        {
+            "l_orderkey": F.col("l_orderkey"),
+            "l_linenumber": F.col("l_linenumber"),
+            "net_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "gross": F.col("l_quantity") * F.col("l_extendedprice"),
+            "flag": F.upper("l_returnflag"),
+        }
+    ).df
+
+
+# --------------------------------------------------------------------------
+# filter with compound predicates (reference: DataPipelineT#filter).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 10000 AND 200000)
+       OR (o_orderpriority LIKE '1-%' AND NOT o_orderstatus = 'O')
+    """,
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Pipeline(table(spark, sf_dir, "orders"))
+    cond = (
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(10000, 200000)
+    ) | (F.col("o_orderpriority").like("1-%") & ~(F.col("o_orderstatus") == "O"))
+    return o.filter_(cond).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    ).df
+
+
+# --------------------------------------------------------------------------
+# collect(partialFunction) = filter + map (reference: DataPipelineT#collect).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_collect_case",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 100 THEN 'big'
+                WHEN value >= 10  THEN 'mid'
+                ELSE 'small' END AS bucket,
+           value * 2             AS doubled
+    FROM events
+    WHERE event_type IN ('click','purchase')
+    """,
+)
+def q_collect_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Pipeline(table(spark, sf_dir, "events"))
+    return ev.collect_case(
+        F.col("event_type").isin("click", "purchase"),
+        {
+            "event_id": F.col("event_id"),
+            "bucket": F.when(F.col("value") >= 100, "big")
+            .when(F.col("value") >= 10, "mid")
+            .otherwise("small"),
+            "doubled": F.col("value") * 2,
+        },
+    ).df
+
+
+# --------------------------------------------------------------------------
+# handleError / recover → try_* expressions (reference:
+# DataPipelineT#handleError, unverified; SURVEY.md §3.2).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_try_safe_div",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(l_extendedprice / nullif(l_quantity - 1, 0), -1.0) AS unit_price_m1
+    FROM lineitem
+    """,
+)
+def q_try_safe_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Pipeline(table(spark, sf_dir, "lineitem"))
+    return (
+        li.handle_error(
+            "unit_price_m1",
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 1),
+            fallback=F.lit(-1.0),
+        )
+        .select("l_orderkey", "l_linenumber", "unit_price_m1")
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# flatMap / mapConcat → explode (reference: DataPipelineT#mapConcat).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_flatmap_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def q_flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Pipeline(table(spark, sf_dir, "documents"))
+    return (
+        docs.filter_(F.col("lang") == "en")
+        .flat_map(F.split(F.col("text"), " "), alias="token", keep=["doc_id"])
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / take / drop / slice (CanSort, CanTake, CanDrop, CanSlice).
+# Order-sensitive ops are anchored to a UNIQUE total order so the
+# order-insensitive hash still checks them deterministically.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+    FROM orders
+    """,
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sort itself is order-invisible to the hash; materialize the rank
+    # so the total order IS part of the checked values. Spark plans a
+    # range-partitioned sort — no single-node bottleneck.
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+@register(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Pipeline(table(spark, sf_dir, "orders"))
+    return o.select("o_orderkey", "o_totalprice").sorted_by("o_orderkey").take(50).df
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy().limit() → Spark plans TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge — no global sort, scales to any input size.
+    o = Pipeline(table(spark, sf_dir, "orders"))
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .sorted_by(F.col("o_totalprice").desc(), "o_orderkey")
+        .take(25)
+        .df
+    )
+
+
+@register(
+    "q_offset_slice",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+)
+def q_offset_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Pipeline(table(spark, sf_dir, "orders"))
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .sorted_by("o_orderkey")
+        .slice_(100, 120)
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct / distinctBy (CanDistinct).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Pipeline(table(spark, sf_dir, "lineitem"))
+    return li.select("l_returnflag", "l_linestatus").distinct().df
+
+
+@register(
+    "q_distinct_by",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_distinct_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic representative: cheapest line per part (full tiebreak).
+    li = Pipeline(
+        table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+    )
+    return li.distinct_by(
+        "l_partkey",
+        tiebreak=F.struct("l_extendedprice", "l_orderkey", "l_linenumber"),
+    ).df
+
+
+# --------------------------------------------------------------------------
+# set ops: ++ (UNION ALL), union-distinct, intersect, except (SURVEY §3.6).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT c_custkey AS key, c_acctbal AS bal FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey AS key, c_acctbal AS bal FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = Pipeline(c).filter_(F.col("c_mktsegment") == "BUILDING").map_(
+        {"key": F.col("c_custkey"), "bal": F.col("c_acctbal")}
+    )
+    b = Pipeline(c).filter_(F.col("c_acctbal") > 5000).map_(
+        {"key": F.col("c_custkey"), "bal": F.col("c_acctbal")}
+    )
+    return a.concat(b).df
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = Pipeline(c).filter_(F.col("c_mktsegment") == "BUILDING").map_(
+        {"key": F.col("c_custkey")}
+    )
+    b = Pipeline(c).filter_(F.col("c_acctbal") > 5000).map_({"key": F.col("c_custkey")})
+    return a.union_distinct(b).df
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 2000
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = Pipeline(c).filter_(F.col("c_mktsegment") == "BUILDING").map_(
+        {"key": F.col("c_custkey")}
+    )
+    b = Pipeline(c).filter_(F.col("c_acctbal") > 2000).map_({"key": F.col("c_custkey")})
+    return a.intersect(b).df
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 2000
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = Pipeline(c).filter_(F.col("c_mktsegment") == "BUILDING").map_(
+        {"key": F.col("c_custkey")}
+    )
+    b = Pipeline(c).filter_(F.col("c_acctbal") > 2000).map_({"key": F.col("c_custkey")})
+    return a.except_(b).df
+
+
+# --------------------------------------------------------------------------
+# size / global folds (HasSize, CanFold, CanReduce).
+# --------------------------------------------------------------------------
+
+
+@register("q_count", oracle="SELECT count(*) AS n FROM lineitem")
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Pipeline(table(spark, sf_dir, "lineitem")).fold({"n": F.count(F.lit(1))}).df
+
+
+@register(
+    "q_fold_global",
+    oracle="""
+    SELECT sum(l_quantity)            AS total_qty,
+           min(l_extendedprice)       AS min_price,
+           max(l_extendedprice)       AS max_price,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_fold_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integral sum + min/max are FP-exact → no stabilization needed.
+    li = Pipeline(table(spark, sf_dir, "lineitem"))
+    return li.fold(
+        {
+            "total_qty": F.sum("l_quantity"),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+            "n_orders": F.countDistinct("l_orderkey"),
+        }
+    ).df
+
+
+# --------------------------------------------------------------------------
+# physical groupBy → (K, Iterable[A]) (CanGroupBy; SURVEY §3.4 first row).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_groupby_collect",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names")
+    )
+
+
+# --------------------------------------------------------------------------
+# zipWithIndex under explicit order (CanZip; SURVEY §3.2).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_zip_index",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           row_number() OVER (ORDER BY n_name, n_nationkey) - 1 AS idx
+    FROM nation
+    """,
+)
+def q_zip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = Pipeline(table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return n.zip_with_index(order_by=["n_name", "n_nationkey"], name="idx").df

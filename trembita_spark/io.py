@@ -1,0 +1,91 @@
+"""Sources and sinks.
+
+The reference's ``Input.*`` / ``Output.*`` objects (reference:
+kernel/src/main/scala/trembita/Input.scala and Output.scala, unverified)
+lift collections / files / connectors into pipelines and materialize them
+back out. Spark-first, these collapse into ``spark.read.*`` / ``df.write.*``
+plus ``createDataFrame`` for in-memory lifts; Catalyst gives projection and
+predicate pushdown on the columnar formats for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region
+# and nation are constant-size; supplier/part/customer grow with sf but
+# stay several orders of magnitude below lineitem — broadcast them at
+# local scale, bucket them at 100 TB).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Columnar scan: Catalyst prunes columns and
+    pushes predicates into the parquet reader (verify with
+    ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects by
+    default: read nanos as long (runtime conf) and floor-truncate to a
+    µs TimestampType — the exact semantics DuckDB applies when it reads
+    the same file (verified: ns payloads are not µs-aligned). Integer
+    ``div`` is load-bearing: ns epochs exceed 2^53, float division would
+    corrupt low bits.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def from_collection(
+    spark: SparkSession, rows: Iterable[Any], schema: Any = None
+) -> DataFrame:
+    """``Input.sequential`` / ``Input.parallel`` equivalent: lift an
+    in-memory collection. Parallelism is Spark's default — the
+    sequential/parallel environment split in the reference is a no-op
+    here (one engine, partitioned execution)."""
+    return spark.createDataFrame(list(rows), schema=schema)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """``Input.file`` equivalent: text file as a `value: string` column."""
+    return spark.read.text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. At 100 TB: always ``partition_by`` a low-cardinality
+    key (e.g. a date) so downstream scans prune partitions; target
+    file sizes of 128MB-1GB via upstream ``repartition``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM with N executor threads; on a real cluster the
+same settings (AQE, skew-join handling, UTC session timezone, Arrow) are the
+ones you want at 100 TB. Shuffle partitions default to a local-friendly
+value; at cluster scale AQE coalesces / splits them at runtime, so the
+static number is a starting hint, not a hard layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "trembita_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Settings rationale (100 TB posture):
+
+    - ``spark.sql.adaptive.enabled`` + coalesce + skewJoin: runtime re-plan
+      fixes both over-partitioned small shuffles and skewed joins without
+      hand-tuning per query.
+    - ``spark.sql.session.timeZone=UTC``: deterministic timestamp semantics,
+      matches the DuckDB oracle (UTC-naive).
+    - Arrow on: vectorized Python interop for the Pandas-UDF slow path.
+    - shuffle partitions ~= cores locally; on a cluster you'd size this to
+      ~2-3x total executor cores and let AQE coalesce.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
