@@ -1,0 +1,143 @@
+"""Unit tests for custom operators (FSM, as-of join, pipeline ops) on
+tiny in-memory frames — mirrors the reference's per-operator scalatest
+specs (SURVEY.md §6): nulls, empty input, single row, ties."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trembita_spark.operators.fsm import fsm_scan, sessionize
+from trembita_spark.operators.joins import asof_join
+from trembita_spark.pipeline import Pipeline
+
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, ts(0), 0.0),
+            (1, 2, ts(29), 0.0),   # 29 min gap → same session
+            (1, 3, ts(59), 0.0),   # 30 min gap exactly → same (strict >)
+            (1, 4, ts(59) + dt.timedelta(minutes=30, seconds=1), 0.0),  # new
+            (2, 5, ts(5), 0.0),    # other user independent
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_fsm_scan_emits_on_transition(spark):
+    # FSM: count consecutive 'error' events, emit run length on recovery.
+    df = spark.createDataFrame(
+        [
+            (1, 1, ts(0), "error"),
+            (1, 2, ts(1), "error"),
+            (1, 3, ts(2), "click"),
+            (1, 4, ts(3), "error"),
+            (2, 5, ts(0), "click"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+    def transition(state, row):
+        if row["event_type"] == "error":
+            return state + 1, None
+        if state > 0:
+            return 0, {"user_id": row["user_id"], "run_len": state}
+        return 0, None
+
+    out = fsm_scan(
+        df,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        transition=transition,
+        initial_state=lambda: 0,
+        output_schema="user_id long, run_len long",
+    ).collect()
+    assert [(r.user_id, r.run_len) for r in out] == [(1, 2)]
+
+
+def test_fsm_scan_empty_input(spark):
+    df = spark.createDataFrame([], "user_id long, ts timestamp, x long")
+    out = fsm_scan(
+        df, ["user_id"], ["ts"], lambda s, r: (s, None), lambda: 0, "user_id long, y long"
+    )
+    assert out.count() == 0
+
+
+def test_asof_join_backward_and_ties(spark):
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(10), 11.0), (2, ts(5), 20.0)],
+        "sym long, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(5), 100), (1, ts(10), 200), (1, ts(20), 300), (2, ts(0), 400), (3, ts(1), 500)],
+        "sym long, ts timestamp, qty long",
+    )
+    out = {
+        r.qty: r.px_asof
+        for r in asof_join(trades, quotes, on="sym", ts="ts", right_value_cols=["px"]).collect()
+    }
+    # tie at ts(10) matches (>= semantics); no earlier quote → null
+    assert out == {100: 10.0, 200: 11.0, 300: 11.0, 400: None, 500: None}
+
+
+def test_asof_join_forward(spark):
+    quotes = spark.createDataFrame(
+        [(1, ts(10), 11.0)], "sym long, ts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(5), 100), (1, ts(15), 200)], "sym long, ts timestamp, qty long"
+    )
+    out = {
+        r.qty: r.px_asof
+        for r in asof_join(
+            trades, quotes, on="sym", ts="ts", right_value_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert out == {100: 11.0, 200: None}
+
+
+def test_pipeline_zip_with_index_dense(spark):
+    df = spark.createDataFrame([(c,) for c in "edcba"], "c string")
+    out = Pipeline(df).zip_with_index(order_by=["c"], name="i").collect()
+    assert sorted((r.c, r.i) for r in out) == [
+        ("a", 0), ("b", 1), ("c", 2), ("d", 3), ("e", 4)
+    ]
+
+
+def test_pipeline_distinct_by_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (1, "y", 3.0), (2, "z", 9.0)], "k long, v string, p double"
+    )
+    out = Pipeline(df).distinct_by("k", tiebreak=F.col("p")).collect()
+    assert sorted((r.k, r.v) for r in out) == [(1, "y"), (2, "z")]
+
+
+def test_exp_ln_engine_vs_python(spark):
+    # exp/ln are engine features excluded from bit-exact oracle checks
+    # (JVM vs glibc 1-ulp); assert against Python libm with tolerance.
+    rows = spark.range(1, 50).select(
+        F.exp(F.col("id") / 50).alias("e"), F.log(F.col("id").cast("double")).alias("l"), "id"
+    ).collect()
+    for r in rows:
+        assert math.isclose(r.e, math.exp(r.id / 50), rel_tol=1e-12)
+        assert math.isclose(r.l, math.log(r.id), rel_tol=1e-12)
+
+
+def test_handle_error_try_divide(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (4.0, 2.0)], "a double, b double")
+    out = (
+        Pipeline(df)
+        .handle_error("r", F.try_divide("a", "b"), fallback=F.lit(-1.0))
+        .collect()
+    )
+    assert sorted(r.r for r in out) == [-1.0, 2.0]

@@ -1,0 +1,92 @@
+"""Structured Streaming smoke tests: watermark + append mode, stateful
+FSM sessionization (applyInPandasWithState), stream-static join —
+semantics the reference lacks entirely (SURVEY.md §3.8); not
+oracle-checkable, so verified here against batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMALL
+from trembita_spark.io import load_table
+from trembita_spark.operators.fsm import sessionize
+from trembita_spark.streaming.sources import events_stream, run_to_completion
+from trembita_spark.streaming.stateful import sessionize_stream
+from trembita_spark.streaming.windows import tumbling_window_agg
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream_out = run_to_completion(
+        tumbling_window_agg(events_stream(spark, SF_DIR_SMALL)),
+        "t_stream_tumbling_eq",
+        output_mode="complete",
+    ).collect()
+    batch_out = tumbling_window_agg(load_table(spark, SF_DIR_SMALL, "events")).collect()
+    assert sorted(map(tuple, stream_out)) == sorted(map(tuple, batch_out))
+
+
+def test_stream_watermark_append(spark):
+    # Append-mode windowed agg requires a watermark; over a finite fixture
+    # with availableNow, all windows finalize once the source is drained +
+    # watermark passes — Spark emits them in the final batch.
+    ev = events_stream(spark, SF_DIR_SMALL).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = run_to_completion(agg, "t_stream_wm", output_mode="append")
+    batch = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # watermark may hold back the last open window(s); everything emitted
+    # must match batch, and most windows must have closed.
+    emitted = {(r.ws, r.n) for r in out.collect()}
+    full = {(r.w.start, r.n) for r in batch.collect()}
+    assert emitted <= full
+    assert len(emitted) >= len(full) - 1
+
+
+def test_stream_stateful_sessionize_matches_batch(spark):
+    out = run_to_completion(
+        sessionize_stream(events_stream(spark, SF_DIR_SMALL), gap_minutes=30),
+        "t_stream_sessions",
+        output_mode="append",
+    ).collect()
+    # batch sessions via the expression path
+    batch = (
+        sessionize(load_table(spark, SF_DIR_SMALL, "events"), gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .collect()
+    )
+    batch_set = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    emitted = {(r.user_id, r.session_start, r.n_events) for r in out}
+    # every emitted (closed) session must be a real batch session; the
+    # final open session per user may be withheld by the event-time
+    # timeout at end-of-stream.
+    assert emitted <= batch_set
+    n_users = len({r.user_id for r in batch})
+    assert len(emitted) >= len(batch_set) - n_users
+
+
+def test_stream_static_join(spark):
+    # stream-static join: enrich the event stream with a static dimension.
+    ev = events_stream(spark, SF_DIR_SMALL)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue")], "event_type string, category string"
+    )
+    joined = ev.join(F.broadcast(dim), "event_type", "inner").select(
+        "event_id", "event_type", "category"
+    )
+    out = run_to_completion(joined, "t_stream_static", output_mode="append")
+    n = out.count()
+    batch_n = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .count()
+    )
+    assert n == batch_n

@@ -91,5 +91,6 @@ def load_all() -> None:
         relational,
         scalar_fns,
         streaming_batch,
+        udfs,
         windows,
     )

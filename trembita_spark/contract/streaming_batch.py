@@ -1,1 +1,166 @@
-"""Contract queries: streaming_batch (filled in by later milestones — see SURVEY.md §8)."""
+"""Streaming + FSM contract queries (SURVEY.md §3.8).
+
+Window aggregations run in their batch-equivalent form for the oracle,
+AND ``q_stream_tumbling`` executes the same plan as a REAL streaming
+query (file source → micro-batches → memory sink) whose output is
+checked against the same DuckDB SQL — streaming correctness inside the
+correctness gate, not just a smoke test.
+
+Sessionization (the FSM flagship) ships twice on purpose:
+- ``q_fsm_sessionize``: the scalable expression path (lag + island sum);
+- ``q_fsm_applyinpandas``: the general FSM path (arbitrary Python state
+  via applyInPandas) — SAME oracle, proving the two paths agree.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trembita_spark.contract import register, table
+from trembita_spark.operators.fsm import sessionize, sessionize_fsm
+from trembita_spark.streaming.sources import events_stream, run_to_completion
+from trembita_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register("q_window_tumbling", oracle=_TUMBLING_ORACLE)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_window_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS wstart, value
+      FROM events
+    )
+    SELECT wstart, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY wstart
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1h windows every 30min: each event belongs to exactly 2 windows;
+    # the oracle enumerates both window-starts per event explicitly.
+    return sliding_window_agg(table(spark, sf_dir, "events"))
+
+
+_SESSION_ISLANDS = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+"""
+
+
+@register(
+    "q_window_session",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000)
+    + """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's native session_window (merging state windows); the oracle
+    # derives the same sessions via gap-islands SQL.
+    return session_window_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_fsm_sessionize",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000)
+    + """
+    SELECT user_id,
+           CAST(session_id AS INT)                       AS session_id,
+           count(*)                                      AS n_events,
+           min(ts)                                       AS session_start,
+           max(ts)                                       AS session_end,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_fsm_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expression-only FSM path: lag + island sum, one shuffle, codegen.
+    ev = sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
+    return ev.groupBy("user_id", F.col("session_id").cast("int").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+    )
+
+
+@register(
+    "q_fsm_applyinpandas",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000)
+    + """
+    SELECT user_id,
+           CAST(session_id AS INT) AS session_id,
+           count(*)                AS n_events,
+           min(ts)                 AS session_start,
+           max(ts)                 AS session_end,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_fsm_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # General FSM path (arbitrary Python transition state) — same oracle
+    # as q_fsm_sessionize: the two implementations must agree exactly.
+    return sessionize_fsm(table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+_STREAM_SEQ = itertools.count()
+
+
+@register("q_stream_tumbling", oracle=_TUMBLING_ORACLE)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL streaming execution of the tumbling plan: file-source
+    # micro-batches → stateful agg → memory sink, run to completion over
+    # the finite fixture; output must hash-match the batch oracle.
+    name = f"stream_tumbling_{next(_STREAM_SEQ)}"
+    agg = tumbling_window_agg(events_stream(spark, sf_dir))
+    return run_to_completion(agg, name, output_mode="complete")
+
+
+@register("q_stream_stateless")  # rows-only: unbounded-source smoke
+def q_stream_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stateless stream ops (the reference's whole streaming surface):
+    # map/filter on an unbounded source, appended to a sink.
+    name = f"stream_stateless_{next(_STREAM_SEQ)}"
+    ev = events_stream(spark, sf_dir)
+    out = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", (F.col("value") * 2).alias("doubled")
+    )
+    return run_to_completion(out, name, output_mode="append")

@@ -1,0 +1,109 @@
+"""UDF/UDAF/UDTF contract queries (SURVEY.md §3.9).
+
+In the reference EVERYTHING is a UDF (arbitrary Scala closures in
+map/mapM/flatMap, arbitrary monoids in AggFunc, arbitrary state in FSM).
+Here the contract is inverted — expressions first — and these queries
+demonstrate the three Arrow-vectorized escape hatches for when Python is
+genuinely needed:
+
+- scalar ``pandas_udf`` (reference ``map(f)``),
+- ``mapInPandas`` 1→N iterator (reference ``mapConcat``),
+- grouped-agg ``pandas_udf`` (reference custom ``AggFunc`` monoid).
+
+Each is written to be bit-deterministic (IEEE per-row math / exact
+integer-cent sums) so even the Python paths are oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trembita_spark.contract import register, table
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vectorized scalar pandas_udf (Arrow batches, ~10-100x faster than
+    # row-at-a-time udf). Same IEEE double ops as the expression → same
+    # bits; in production this slot is for logic expressions CAN'T say.
+    @F.pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "q_udtf_mapinpandas",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '), (t, i) -> t))          AS token,
+           unnest(list_transform(string_split(text, ' '), (t, i) -> CAST(i AS INT))) AS pos,
+           unnest(list_transform(string_split(text, ' '), (t, i) -> CAST(length(t) AS INT))) AS tok_len
+    FROM documents
+    WHERE lang = 'fr'
+    """,
+)
+def q_udtf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UDTF-shaped 1→N: per-partition Arrow batch iterator exploding each
+    # doc into (token, 1-based position, length) rows in pure Python.
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+
+    def explode_tokens(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, tok in enumerate(text.split(" ")):
+                    out.append((doc_id, tok, i + 1, len(tok)))
+            yield pd.DataFrame(out, columns=["doc_id", "token", "pos", "tok_len"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        explode_tokens, "doc_id long, token string, pos int, tok_len int"
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) AS BIGINT) AS gross_cents,
+           CAST(sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / sum(l_quantity) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom AggFunc monoid as a grouped-agg pandas UDF: quantity-weighted
+    # mean price. Accumulates exact integer cents (order-independent in
+    # f64) so the Python aggregation is still hash-checkable. NOTE: a
+    # pandas UDAF loses Catalyst partial aggregation — all group rows
+    # move to one task; prefer expression aggs at 100 TB (this exists for
+    # reference parity of arbitrary monoids).
+    @F.pandas_udf("long")
+    def gross_cents_udaf(price: pd.Series, qty: pd.Series) -> int:
+        return int((price * qty * 100).round().sum())
+
+    @F.pandas_udf("double")
+    def wavg_udaf(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * qty * 100).round().sum()
+        return float(cents) / 100 / float(qty.sum())
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        gross_cents_udaf("l_extendedprice", "l_quantity").alias("gross_cents"),
+        wavg_udaf("l_extendedprice", "l_quantity").alias("weighted_avg_price"),
+    )

@@ -69,6 +69,8 @@ class Pipeline:
         """``Output.vector`` equivalent — materialize to the driver."""
         return self._df.collect()
 
+    collect = run
+
     def foreach(self, f: Callable[[Any], None]) -> None:
         """``Output.foreach`` equivalent (runs distributed, per element)."""
         self._df.foreach(f)

@@ -1,0 +1,73 @@
+"""Stateful stream processing — the FSM operator on unbounded input.
+
+Port of the reference's FSM (kernel/src/main/scala/trembita/fsm/,
+unverified) onto ``applyInPandasWithState``: per-key arbitrary Python
+state with timeout-based finalization. The batch analogue (identical
+transition semantics) is :func:`trembita_spark.operators.fsm.fsm_scan`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: emits one row per CLOSED session
+    (user_id, n_events, session_start, session_end). A session closes
+    when the event-time state timeout (gap) fires.
+
+    State per user: (start, last_ts, count). At 100 TB this state is
+    O(active users), spread across the state store — never materialized
+    on one node.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, session_start timestamp, session_end timestamp"
+    )
+    state_schema = "start timestamp, last timestamp, n long"
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "session_start": start, "session_end": last}]
+            )
+            return
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        for t in rows["ts"]:
+            t = t.to_pydatetime()
+            if last is not None and (t - last).total_seconds() > gap_s:
+                closed.append(
+                    {"user_id": key[0], "n_events": n, "session_start": start, "session_end": last}
+                )
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_s * 1000)
+        yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
