@@ -1,0 +1,125 @@
+"""Unit tests for the LLM-data operators on constructed corpora where the
+right answers are known (dup pairs planted, similarity geometry known) —
+the parity suite checks engine-vs-oracle; these check engine-vs-truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trembita_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from trembita_spark.operators.multimodal import attach_payload, decode_image, extract_features
+from trembita_spark.operators.similarity import cosine_topk, ivf_topk
+from trembita_spark.operators.text import lang_id, quality_features, tf_idf_ratio
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    other = "completely different words about spark query engines and distributed shuffles here"
+    return spark.createDataFrame(
+        [(0, base, "en"), (1, base, "en"), (2, near, "en"), (3, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_exact_dedup_finds_planted_dup(corpus):
+    dups = {r.keep_id: r.n_copies for r in exact_dedup(corpus).collect()}
+    assert dups[0] == 2  # docs 0 and 1 identical
+    assert dups[2] == 1 and dups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(corpus):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(corpus, bands=8, k=3).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # 1-word-off doc shares minima
+    assert (0, 3) not in pairs and (2, 3) not in pairs  # unrelated doc doesn't
+
+
+def test_minhash_short_docs_skipped(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "x")], "doc_id long, text string")
+    assert minhash_lsh_candidates(df).count() == 0
+
+
+def test_simhash_near_dups_close(corpus):
+    fp = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_scores(corpus):
+    rows = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, k=3, sample_prefix="8", min_jaccard=0.0).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    assert 0.0 < rows[(0, 2)] < 1.0
+
+
+def test_cosine_topk_known_geometry(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].cos == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5)
+
+
+def test_ivf_topk_routes_to_cell(spark):
+    vecs = [
+        (0, 0, [1.0, 0.0]), (1, 0, [0.95, 0.05]), (2, 0, [0.9, 0.1]),
+        (10, 1, [0.0, 1.0]), (11, 1, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, label int, embedding array<float>")
+    out = ivf_topk(df, df.filter(F.col("vec_id") == 0), k=2, nprobe=1).collect()
+    assert {r.cell for r in out} == {0}          # probed only its own cell
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_tfidf_rare_term_scores_higher(corpus):
+    rows = tf_idf_ratio(corpus).collect()
+    by = {(r.doc_id, r.token): r.tfidf for r in rows}
+    # equal tf=1: 'shuffles' is unique to doc 3 (df=1), 'quick' appears
+    # in three docs (df=3) → rarer term scores higher
+    assert by[(3, "shuffles")] > by[(0, "quick")]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat of doom", "en"),
+            (2, "der hund und die katze ist hier", "de"),
+            (3, "zzz qqq www", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_bounds(corpus):
+    for r in quality_features(corpus).collect():
+        assert 0.0 <= r.quality <= 1.0
+        assert r.n_tokens > 0
+
+
+def test_multimodal_stub_and_features(spark, corpus):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    docs = attach_payload(corpus)
+    feats = {r.doc_id: r for r in extract_features(docs).collect()}
+    assert len(feats[0].features) == 8
+    assert feats[0].features == [float(b) for b in "the quic".encode()]
+    assert feats[0].byte_sum == sum(corpus.collect()[0].text.encode())

@@ -1,1 +1,388 @@
-"""Contract queries: llm (filled in by later milestones — see SURVEY.md §8)."""
+"""LLM-data-pipeline contract queries (SURVEY.md §3.10 — north-star
+extensions over the `documents` and `embeddings` fixtures): dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + IVF), text analysis (word counts,
+tf-idf, language-ID, quality, token counting, fingerprints), multimodal
+binary columns, and file sinks.
+
+Oracle notes: every hash is md5 (identical across engines); 60-bit
+integers come from the first 15 hex chars — Spark ``conv(…,16,10)``,
+DuckDB a character fold (no ``conv`` there); all float similarity math
+is sequential double folds (``F.aggregate`` ↔ ``list_reduce``), which
+both engines evaluate left-to-right → bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trembita_spark.contract import register, table
+from trembita_spark.operators import dedup as D
+from trembita_spark.operators import multimodal as M
+from trembita_spark.operators import similarity as S
+from trembita_spark.operators import text as TX
+
+# DuckDB fragment: 60-bit int from the first 15 hex chars of an md5 str.
+_HEX60 = (
+    "list_reduce(list_transform(string_split_regex(substr({md5}, 1, 15), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+# DuckDB fragment: word k-shingles (1-based list indexing).
+def _sh_sql(k: int) -> str:
+    parts = ", ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return (
+        f"CASE WHEN len(t) >= {k} THEN list_transform(generate_series(1, len(t) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
+    sig AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash+LSH candidate pairs: 4 bands over word-trigram shingles.
+    return D.minhash_lsh_candidates(table(spark, sf_dir, "documents"), bands=4, k=3)
+
+
+_SIMHASH_BITS = 16
+_simhash_sums = ",\n      ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_simhash_fp = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), h AS (
+      SELECT doc_id, {_HEX60.format(md5="md5(token)")} AS h FROM ex
+    ), s AS (
+      SELECT doc_id,
+      {_simhash_sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_simhash_fp} AS BIGINT) AS simhash FROM s
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shl AS (SELECT doc_id, {_sh_sql(4)} AS shingles FROM tok),
+    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shl),
+    dsf AS (SELECT doc_id, sh FROM ds WHERE md5(sh) < '2'),
+    sz AS (SELECT doc_id, count(*) AS sz FROM dsf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM dsf a JOIN dsf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, jaccard FROM (
+      SELECT doc_a, doc_b, inter,
+             inter / (sa.sz + sb.sz - inter) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact Jaccard on a deterministic 1/8 content-keyed shingle sample.
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=4, sample_prefix="2", min_jaccard=0.2
+    )
+
+
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(a, b) -> a + b))"
+)
+_PAIR_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, label, embedding, {_NORM_SQL} AS norm FROM embeddings)
+    SELECT vec_a, vec_b, cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding near-dup pairs, blocked by the label column (the bucket
+    # key stands in for an LSH cell: pair work is per-bucket-squared,
+    # never corpus-squared).
+    return S.cosine_pairs_within(table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brute-force exact cosine top-3 for 8 query vectors (broadcast
+    # queries; corpus never shuffles).
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+
+
+@register("q_similarity_ivf")  # rows-only: centroid avgs are float-order-dependent
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF scale path: centroid routing + in-cell exact rerank. The
+    # centroid means make it non-bit-reproducible across engines → the
+    # driver records the rows-only check; q_similarity_topk is the
+    # hash-checked exact baseline.
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_wordcount",
+    oracle="""
+    SELECT lang, token, count(*) AS n FROM (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY lang, token
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.word_counts(table(spark, sf_dir, "documents"), by=["lang"])
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tfc AS (
+      SELECT doc_id, token, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY 1, 2
+    ),
+    dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, tf * (n_docs + 1) / (df + 1) AS tfidf
+    FROM tfc JOIN dfc USING (token) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tf_idf_ratio(table(spark, sf_dir, "documents"))
+
+
+_MARKER_SQL = ",\n           ".join(
+    f"CAST(len(list_intersect(vocab, {mk})) AS INT) AS hits_{lang}"
+    for lang, mk in TX.LANG_MARKERS.items()
+)
+_LANGS = list(TX.LANG_MARKERS)
+_GREATEST = "greatest(" + ", ".join(f"hits_{l}" for l in _LANGS) + ")"
+_PRED_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN hits_{l} > 0 AND hits_{l} = {_GREATEST} THEN '{l}'" for l in _LANGS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, lang AS lang_true,
+             list_distinct(string_split(text, ' ')) AS vocab
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang_true,
+           {_MARKER_SQL}
+      FROM v
+    )
+    SELECT doc_id, lang_true, {", ".join(f"hits_{l}" for l in _LANGS)},
+           {_PRED_SQL} AS lang_pred
+    FROM s
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Marker-word language-ID heuristic (argmax with declaration-order
+    # ties). The fixture's synthetic vocabulary mostly reads as 'en' —
+    # the CHECK is that both engines agree on the whole feature+argmax
+    # pipeline; real profiles drop into LANG_MARKERS unchanged.
+    return TX.lang_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(length(text) AS INT)                 AS n_chars,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                  {[m for ms in TX.LANG_MARKERS.values() for m in ms]})) AS INT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars,
+           (n_chars - (n_tokens - 1)) / n_tokens AS mean_tok_len,
+           n_distinct / n_tokens                 AS distinct_ratio,
+           stop_hits,
+           least(n_tokens / 50.0, 1.0) * 0.4
+             + (n_distinct / n_tokens) * 0.4
+             + least(stop_hits / 3.0, 1.0) * 0.2 AS quality,
+           (least(n_tokens / 50.0, 1.0) * 0.4
+             + (n_distinct / n_tokens) * 0.4
+             + least(stop_hits / 3.0, 1.0) * 0.2) >= 0.5 AS keep
+    FROM f
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_features(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS INT) AS bpe_tokens,
+           length(text) / len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS chars_per_chunk
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint, {_HEX60.format(md5="fingerprint")} AS fp_bucket FROM fp
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT source,
+           sum(octet_length(encode(text)))  AS total_bytes,
+           count(*)                         AS n_assets,
+           count(DISTINCT md5(text))        AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Metadata-only analytics over binary payloads: prune/aggregate on
+    # the cheap struct BEFORE any decode touches bytes.
+    docs = M.attach_payload(table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.sum(F.col("meta.n_bytes").cast("bigint")).alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_assets"),
+        F.countDistinct("meta.checksum").alias("n_unique"),
+    )
+
+
+@register("q_multimodal_features")  # rows-only: mapInPandas byte features
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_payload(table(spark, sf_dir, "documents"))
+    return M.extract_features(docs)
+
+
+@register("q_scan_text")  # rows-only: Input.file / text-lines source
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-trip the reference's text-file source (Input.file): write the
+    # corpus as text, scan it back as lines.
+    path = "/tmp/trembita_spark_text_demo"
+    docs = table(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@register("q_sink_parquet")  # rows-only: partitioned parquet sink round-trip
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned sink layout (100 TB posture: partition by a
+    # low-cardinality pruning key) + read-back.
+    path = "/tmp/trembita_spark_sink_demo"
+    out = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    out.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    return spark.read.parquet(path)

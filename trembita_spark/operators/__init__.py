@@ -6,7 +6,44 @@ Arrow-batched Pandas UDFs only where per-group imperative logic is
 irreducible (FSM).
 """
 
+from trembita_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from trembita_spark.operators.fsm import fsm_scan, sessionize, sessionize_fsm
 from trembita_spark.operators.joins import asof_join, range_join
+from trembita_spark.operators.multimodal import attach_payload, extract_features
+from trembita_spark.operators.similarity import cosine_pairs_within, cosine_topk, ivf_topk
+from trembita_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    tf_idf_ratio,
+    token_counts,
+    word_counts,
+)
 
-__all__ = ["fsm_scan", "sessionize", "sessionize_fsm", "asof_join", "range_join"]
+__all__ = [
+    "fsm_scan",
+    "sessionize",
+    "sessionize_fsm",
+    "asof_join",
+    "range_join",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "cosine_pairs_within",
+    "ivf_topk",
+    "word_counts",
+    "tf_idf_ratio",
+    "lang_id",
+    "quality_features",
+    "token_counts",
+    "fingerprint",
+    "attach_payload",
+    "extract_features",
+]

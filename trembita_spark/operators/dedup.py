@@ -1,0 +1,168 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star extensions (BASELINE.json): the reference has only element
+``distinct`` (operations/CanDistinct.scala, unverified); a training-data
+pipeline needs content-level dedup that scales to 100 TB:
+
+- exact: content-hash groupBy — one shuffle on a 128-bit key, no text
+  comparison; keep the min-id representative.
+- MinHash+LSH: shingle → per-band minhash signature → bucket-join.
+  Candidate generation is linear + one shuffle per band; NEVER the O(n²)
+  all-pairs compare. Only same-bucket pairs are compared.
+- SimHash: 16-bit sign-sum fingerprint; hamming-close fingerprints ≈
+  similar docs. One explode + one agg.
+- n-gram Jaccard: deterministic shingle SAMPLE (md5 prefix threshold —
+  no RNG, reproducible across engines/runs) → pairs sharing a sampled
+  shingle → exact Jaccard on the samples.
+
+All hashing is md5 (standard algorithm → identical across engines),
+which keeps every operator oracle-checkable; engine-specific murmur3
+(``F.hash``/``F.xxhash64``) would be faster at scale — swap
+``_HASH_EXPR`` if cross-engine checkability is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: (content_hash, keep_id,
+    n_copies). Filter ``n_copies > 1`` for the dup report; anti-join
+    ``keep_id`` back for the deduplicated corpus."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingles_expr(text_col: str, k: int = 3):
+    """Word k-shingles as an array column (0-based Spark array indexing).
+    Guarded for docs shorter than k tokens (Spark ``sequence(0, -1)``
+    would DESCEND, not return empty)."""
+    toks = f"split({text_col}, ' ')"
+    parts = ", ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(0, size({toks}) - {k}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
+) -> DataFrame:
+    """(id, band, sig): per-band minhash = lexicographic min of salted
+    md5 over the doc's k-shingles. Docs with < k tokens are skipped."""
+    sh = shingles_expr(text_col, k)
+    base = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    def salted(b: int):
+        # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
+        # as (element, index), so `lambda s, b=b: ...` would silently
+        # receive the array index as the salt.
+        return lambda s: F.md5(F.concat(F.lit(f"b{b}|"), s))
+
+    per_band = [
+        base.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.array_min(F.transform("sh", salted(b))).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing any band
+    signature. Work is proportional to bucket sizes, not n² — the LSH
+    property that makes near-dup feasible at 100 TB."""
+    sig = minhash_signatures(df, text_col, id_col, bands, k)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# 60-bit integer from the first 15 hex chars of md5 — cross-engine
+# (DuckDB mirrors it with a char fold; see contract/llm.py).
+def _md5_int60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc ``bits``-bit SimHash over word tokens: bit j is the sign of
+    sum(±1 per token by token-hash bit j). Near-identical docs differ in
+    few bits (compare via hamming distance on the fingerprint)."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).withColumn("h", _md5_int60(F.col("token")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    sample_prefix: str = "2",
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over a DETERMINISTIC sample of k-shingles
+    (``md5(shingle) < sample_prefix`` keeps ~prefix/16 of shingles — a
+    content-keyed sample, reproducible with no RNG). Pairs come from the
+    sampled-shingle inverted index (shared-shingle join), never all-pairs."""
+    sh = shingles_expr(text_col, k)
+    doc_sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
+        .filter(F.md5("sh") < sample_prefix)
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+    return out

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension (BASELINE.json). Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus; one pass, no shuffle of the corpus.
+  Correct baseline at any scale where |queries| is modest; cost is
+  O(|corpus|·|queries|·dim) scan-local work.
+- :func:`ivf_topk` — IVF-style pruning: partition the corpus into
+  cells (here: a provided/derived cluster id), compute cell centroids,
+  probe only the closest cell(s) per query, exact-rerank inside. This
+  is the 100 TB shape: the full corpus is never scanned per query —
+  only matching cells move.
+
+All arithmetic is sequential double folds (``F.aggregate`` left fold),
+which DuckDB mirrors bit-exactly with ``list_reduce`` — keeping even
+floating-point similarity oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in float64 (deterministic)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector: (query_id, vec_id,
+    cos, rank). Ties broken by vec_id for determinism. The query side is
+    broadcast — the corpus never shuffles."""
+    q = F.broadcast(
+        with_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), F.col("norm").alias("c_norm")
+    )
+    scored = (
+        c.join(q, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+        .select("query_id", "vec_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs_within(
+    df: DataFrame,
+    group_col: str = "label",
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all pairs WITHIN a bucketing column
+    (cluster/LSH cell/label) with cosine >= threshold. The group column
+    is the blocking key that avoids the all-pairs O(n²) — pair work is
+    sum of per-bucket squares."""
+    n = with_norm(df, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(group_col).alias("g"), F.col(vec_col).alias("v"), "norm"
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn(
+            "cos",
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: centroids per cell → route each query to its
+    ``nprobe`` nearest centroids → exact cosine rerank INSIDE those cells
+    only. At 100 TB the corpus is stored partitioned by cell, so a probe
+    prunes partitions at the scan (only matching cells are read)."""
+    dim_vals = corpus.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x")
+    )
+    centroids = (
+        dim_vals.groupBy("cell", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+        .select("cell", F.transform("pairs", lambda p: p.getField("m")).alias("centroid"))
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("norm").alias("q_norm")
+    )
+    routed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_norm", _norm(F.col("centroid")))
+        .withColumn("cos_c", _dot(F.col("q_vec"), F.col("centroid")) / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cell"))
+    probe = routed.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= nprobe).select(
+        "query_id", "q_vec", "q_norm", "cell"
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cell", "cos", "rank")
+    )

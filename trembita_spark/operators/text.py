@@ -1,0 +1,141 @@
+"""Text-analysis operators: tokenization, word counts, tf-idf,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+North-star extensions (BASELINE.json). All pure expressions — no Python
+in the hot path; every operator is one or two shuffles at most and every
+formula is integer/rational arithmetic so results stay bit-deterministic
+(ln-based idf is available via ``idf_log`` but excluded from oracle
+checks — libm; see contract/scalar_fns.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+# Greedy BPE-ish chunker: ≤4-char letter runs, ≤3-digit runs, other glyphs.
+BPE_ISH_PATTERN = "[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"
+
+# Tiny per-language marker-word profiles (language-ID heuristic — a real
+# deployment ships n-gram profiles; the shape of the computation is the
+# same: per-language evidence score → argmax with deterministic ties).
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), TOKEN_SPLIT)
+
+
+def word_counts(df: DataFrame, text_col: str = "text", by: list[str] | None = None) -> DataFrame:
+    """Corpus word counts, optionally keyed (e.g. per language)."""
+    keys = by or []
+    ex = df.select(*keys, F.explode(tokens(text_col)).alias("token"))
+    return ex.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def tf_idf_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per (doc, token): tf, df, and ratio-idf tfidf = tf·(N+1)/(df+1).
+
+    Two aggregations + one broadcast join — the classic two-pass shape;
+    at 100 TB the token→df side is the small one (vocabulary), so it
+    broadcasts. Rational idf keeps it oracle-exact; multiply by
+    ``ln`` downstream if you need the log-scaled variant."""
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1))
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Per-language marker-hit counts over the doc's distinct tokens."""
+    vocab = F.array_distinct(tokens(text_col))
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lit_arr = F.array(*[F.lit(m) for m in markers])
+        cols.append(F.size(F.array_intersect(vocab, lit_arr)).alias(f"hits_{lang}"))
+    return cols
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of marker scores, deterministic
+    tie order = declaration order, 'und' (undetermined) when all zero."""
+    scored = df.select(F.col(id_col).alias("doc_id"), F.col("lang").alias("lang_true"), *lang_scores(text_col))
+    langs = list(LANG_MARKERS)
+    greatest_all = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    # ordered CASE chain: first declared language wins score ties
+    pred = None
+    for lang in langs:
+        cond = (F.col(f"hits_{lang}") > 0) & (F.col(f"hits_{lang}") == greatest_all)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scored.withColumn("lang_pred", pred.otherwise(F.lit("und")))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + score in [0,1]:
+    token count, char count, mean token length, distinct-token ratio,
+    marker-stopword ratio; score = blend, flag = score threshold."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    all_markers = F.array(
+        *[F.lit(m) for ms in LANG_MARKERS.values() for m in ms]
+    )
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), all_markers))
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + F.least(stop_hits / F.lit(3.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        mean_tok_len.alias("mean_tok_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_hits.alias("stop_hits"),
+        score.alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex chunks (a cheap proxy for
+    LLM-token budgeting) + chars-per-chunk."""
+    ws = F.size(tokens(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.length(text_col) / bpe).alias("chars_per_chunk"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (the classic 'fingerprint clustering' key), plus
+    a 60-bit integer bucket for partitioned storage/joins."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
+    fp = F.md5(canon)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_bucket"),
+    )
