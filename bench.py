@@ -32,6 +32,10 @@ HEADLINE = [
     "q_topk",              # TakeOrderedAndProject
     "q_distinct_by",       # dedup w/ window
     "q_agg_product",       # high-cardinality groupBy
+    "q_fsm_sessionize",    # stateful expression path
+    "q_dedup_near",        # MinHash LSH
+    "q_similarity_topk",   # cosine top-k
+    "q_text_tfidf",        # two-pass text agg
 ]
 
 

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for algebraic laws the reference
+guarantees by construction (SURVEY.md §6): AggFunc monoid laws (split →
+aggregate parts → combine ≡ aggregate whole — the partial-aggregation
+contract), filter composition, union cardinality."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # key
+        st.integers(min_value=-1000, max_value=1000),   # int value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "k int, v long") if data else spark.createDataFrame(
+        [], "k int, v long"
+    )
+
+
+@given(data=rows, split=st.integers(min_value=0, max_value=40))
+@settings(**SETTINGS)
+def test_agg_monoid_partition_invariance(spark, data, split):
+    """sum/count/min/max over (part1 ++ part2) == over whole — the
+    commutative-monoid property Spark's partial aggregation relies on."""
+    split = min(split, len(data))
+    whole = _df(spark, data)
+    parts = _df(spark, data[:split]).unionByName(_df(spark, data[split:]))
+    aggs = [
+        F.sum("v").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ]
+    a = {tuple(r) for r in whole.groupBy("k").agg(*aggs).collect()}
+    b = {tuple(r) for r in parts.groupBy("k").agg(*aggs).collect()}
+    assert a == b
+
+
+@given(data=rows, t1=st.integers(-1000, 1000), t2=st.integers(-1000, 1000))
+@settings(**SETTINGS)
+def test_filter_composition(spark, data, t1, t2):
+    """filter(p).filter(q) ≡ filter(p & q) — the law behind predicate
+    pushdown/reordering."""
+    df = _df(spark, data)
+    a = df.filter(F.col("v") > t1).filter(F.col("v") <= t2)
+    b = df.filter((F.col("v") > t1) & (F.col("v") <= t2))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_union_count_additive(spark, data):
+    df = _df(spark, data)
+    assert df.unionByName(df).count() == 2 * df.count()
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_distinct_idempotent(spark, data):
+    df = _df(spark, data)
+    once = sorted(map(tuple, df.distinct().collect()))
+    twice = sorted(map(tuple, df.distinct().distinct().collect()))
+    assert once == twice

