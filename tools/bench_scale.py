@@ -1,0 +1,124 @@
+"""Scaling experiment: synthesize an 8x replica of sf0.1 lineitem/events
+into /tmp and measure headline queries at 1x vs 8x. The point is the
+RATIO — a plan that holds at 100 TB grows ~linearly with input here
+(hash agg, broadcast join, window after one shuffle); a plan that
+wouldn't (cartesian, driver collect of raw data, per-key Python loops)
+shows super-linear growth immediately.
+
+Usage: python tools/bench_scale.py  → one JSON line with 1x/8x medians
+and ratios. Writes only under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from trembita_spark.io import load_table
+from trembita_spark.session import get_session
+
+SF_DIR = "/root/testdata/sf0.1"
+SCALE = 8
+BASE = "/tmp/trembita_scale8"
+
+
+def build_scaled(spark) -> None:
+    if os.path.exists(f"{BASE}/lineitem.parquet/_SUCCESS"):
+        return
+    reps = spark.range(SCALE).withColumnRenamed("id", "rep")
+    li = load_table(spark, SF_DIR, "lineitem")
+    # perturb the keys so cardinalities scale too (not just row counts)
+    (
+        li.crossJoin(F.broadcast(reps))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * 10_000_000)
+        .withColumn("l_partkey", F.col("l_partkey") + (F.col("rep") % 4) * 1_000_000)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{BASE}/lineitem.parquet")
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 1_000_000)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{BASE}/events.parquet")
+    )
+
+
+def q_flagship(li):
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_product(li):
+    return li.groupBy("l_orderkey").agg(F.product("l_quantity").alias("p"))
+
+
+def q_sessionize(ev):
+    from trembita_spark.operators.fsm import sessionize
+
+    return (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_topk(li):
+    return li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber").limit(25)
+
+
+def median_time(fn, runs=3):
+    fn()  # warm
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main():
+    spark = get_session(app_name="trembita_scale_bench")
+    build_scaled(spark)
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    ev1 = load_table(spark, SF_DIR, "events")
+    li8 = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    ev8 = spark.read.parquet(f"{BASE}/events.parquet")
+    # events written back via load_table has µs ts already; raw read OK.
+    cases = {
+        "flagship_agg": (lambda: q_flagship(li1).collect(), lambda: q_flagship(li8).collect()),
+        "orderkey_product": (lambda: q_product(li1).count(), lambda: q_product(li8).count()),
+        "sessionize": (lambda: q_sessionize(ev1).count(), lambda: q_sessionize(ev8).count()),
+        "topk": (lambda: q_topk(li1).collect(), lambda: q_topk(li8).collect()),
+    }
+    out = {}
+    for name, (f1, f8) in cases.items():
+        t1 = median_time(f1)
+        t8 = median_time(f8)
+        out[name] = {
+            "sec_1x": round(t1, 3),
+            "sec_8x": round(t8, 3),
+            "ratio": round(t8 / t1, 2),
+        }
+    print(json.dumps({"scale": SCALE, "rows_8x": li8.count(), "cases": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,15 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, name, output_mode="complete")
 
 
+@register("q_stream_source")  # rows-only: unbounded source smoke (SURVEY §3.1)
+def q_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Akka-Source/DStream input analogue: raw unbounded read driven
+    # to completion; proves the source itself (schema, ns normalization,
+    # micro-batch discovery) independent of any transformation.
+    name = f"stream_source_{next(_STREAM_SEQ)}"
+    return run_to_completion(events_stream(spark, sf_dir), name, output_mode="append")
+
+
 @register("q_stream_stateless")  # rows-only: unbounded-source smoke
 def q_stream_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stateless stream ops (the reference's whole streaming surface):
