@@ -98,3 +98,39 @@ def test_lsh_no_cartesian(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
         "pair expansion must be bucket-local (groupBy+explode), not a self-join"
     )
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketing both sides on the join key co-locates them: the join
+    plans with ZERO Exchange operators — the 100 TB recipe for repeated
+    large-large joins (bucket once, join shuffle-free forever)."""
+    from trembita_spark.contract import table
+
+    import shutil
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    # the in-memory catalog forgets tables across sessions but their files
+    # persist — clear both catalog entries AND locations
+    for t in ("li_bucketed", "o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/trembita_spark_warehouse/{t}", ignore_errors=True)
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_bucketed"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("o_bucketed"))
+    # at test scale the planner would just broadcast the small side —
+    # disable it so the plan must rely on bucket co-location (the
+    # large-large case bucketing exists for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb = spark.table("li_bucketed")
+        ob = spark.table("o_bucketed")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey, "inner")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed equi-join must not shuffle"
+        assert joined.count() == table(spark, SF_DIR, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

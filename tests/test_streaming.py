@@ -90,3 +90,31 @@ def test_stream_static_join(spark):
         .count()
     )
     assert n == batch_n
+
+
+def test_stream_tws_sessionize_matches_batch(spark):
+    # Spark 4.x transformWithStateInPandas port of the FSM — same
+    # subset-vs-batch contract as the applyInPandasWithState version.
+    # The TWS python worker needs google.protobuf, which this container
+    # ships broken — skip (not xfail: the operator is exercised on any
+    # normal Spark 4 install; applyInPandasWithState covers CI here).
+    pytest.importorskip("google.protobuf.descriptor")
+    from trembita_spark.streaming.stateful import sessionize_tws
+
+    out = run_to_completion(
+        sessionize_tws(events_stream(spark, SF_DIR_SMALL), gap_minutes=30),
+        "t_stream_tws_sessions",
+        output_mode="append",
+    ).collect()
+    batch = (
+        sessionize(load_table(spark, SF_DIR_SMALL, "events"), gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .collect()
+    )
+    batch_set = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    emitted = {(r.user_id, r.session_start, r.n_events) for r in out}
+    assert emitted, "TWS must emit closed sessions over the fixture"
+    assert emitted <= batch_set
+    n_users = len({r.user_id for r in batch})
+    assert len(emitted) >= len(batch_set) - n_users

@@ -90,6 +90,7 @@ def load_all() -> None:
         llm,
         relational,
         scalar_fns,
+        sql_api,
         streaming_batch,
         udfs,
         windows,

@@ -309,3 +309,122 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS median_price,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.5, 0.75]) AS price_quartiles,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.9)      AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
+    # `quantile_cont`, same index = p·(n-1) linear-interpolation
+    # definition). Exact percentile requires per-group sorted values —
+    # at 100 TB prefer q_agg_approx_percentile (sketch) below.
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_returnflag="l_returnflag")
+        .aggregate(
+            median_price=F.percentile("l_extendedprice", F.lit(0.5)),
+            price_quartiles=F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ),
+            p90_qty=F.percentile("l_quantity", F.lit(0.9)),
+        )
+        .to_df()
+    )
+
+
+@register("q_agg_approx_percentile")  # rows-only: sketch values are engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KLL/GK-style sketch percentile — one pass, bounded memory, the
+    # 100 TB default (exact percentile must materialize sorted groups).
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_returnflag="l_returnflag")
+        .aggregate(
+            p50=F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)),
+            p95=F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bivariate moments: engines use different merge formulas → rounded
+    # (discipline rule 5; covar magnitude ~1e4 → 2dp, corr ∈ [-1,1] → 6dp).
+    return (
+        Query(table(spark, sf_dir, "lineitem"))
+        .group_by(l_returnflag="l_returnflag")
+        .aggregate(
+            qty_price_corr=F.round(F.corr("l_quantity", "l_extendedprice"), 6),
+            qty_price_covar=F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_F,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_O,
+           count(*)        FILTER (WHERE l_linestatus = 'F') AS n_F,
+           count(*)        FILTER (WHERE l_linestatus = 'O') AS n_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot with EXPLICIT values — at scale never let Spark run the
+    # extra distinct-values job (and plans stay deterministic).
+    out = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value FROM orders
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unpivot/melt: wide measures → (key, measure, value) rows.
+    o = table(spark, sf_dir, "orders").withColumn(
+        "custkey_d", F.col("o_custkey").cast("double")
+    )
+    return (
+        o.unpivot(
+            "o_orderkey",
+            [F.col("o_totalprice").alias("totalprice"), F.col("custkey_d").alias("custkey")],
+            "measure",
+            "value",
+        )
+    )

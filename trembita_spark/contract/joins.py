@@ -220,3 +220,27 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("side") == 1).select(
         "event_id", "user_id", "ts", "last_click_ts"
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salted skew join: the salt spreads each (possibly hot) orderkey
+    # over 8 partitions; the ORACLE IS THE PLAIN JOIN — salting must not
+    # change results, and the driver verifies exactly that.
+    from trembita_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("total_qty")
+    )

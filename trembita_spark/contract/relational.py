@@ -494,3 +494,25 @@ def q_groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = Pipeline(table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
     return n.zip_with_index(order_by=["n_name", "n_nationkey"], name="idx").df
+
+
+@register(
+    "q_try_error_column",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - 1, 0) AS value,
+           CASE WHEN l_quantity - 1 = 0 THEN 'division by zero' END AS err
+    FROM lineitem
+    """,
+)
+def q_try_error_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's handleError ERROR-CHANNEL shape: failed elements
+    # keep flowing with a null value + a populated error column (vs
+    # q_try_safe_div's recover-with-fallback shape).
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.col("l_quantity") - 1).alias("value"),
+        F.when(F.col("l_quantity") - 1 == 0, F.lit("division by zero")).alias("err"),
+    )

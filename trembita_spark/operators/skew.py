@@ -1,0 +1,40 @@
+"""Skew handling: salted equi-join.
+
+AQE's skew-join split handles most skew at runtime
+(``spark.sql.adaptive.skewJoin.enabled``, on in our session factory),
+but a pathologically hot key inside ONE task still needs salting: the
+build side is replicated per salt, the probe side spreads the hot key
+across ``n_salts`` tasks. Results are IDENTICAL to the plain join — the
+contract checks exactly that (q_join_salted's oracle is the plain join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``left`` (big, possibly skewed) with ``right`` (smaller)
+    on column ``on``, spreading each left key over ``n_salts`` join
+    partitions.
+
+    The left salt must be DETERMINISTIC per row (a hash of the full row,
+    not ``rand()``) so retried/speculated tasks reproduce the same salt —
+    nondeterministic salting breaks exactly-once under retries. The right
+    side is replicated ``n_salts``× via a broadcast-range cross join.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("__salt", salt)
+    salts = F.broadcast(
+        left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    )
+    r_rep = right.crossJoin(salts)
+    out = l_salted.join(r_rep, [on, "__salt"], how)
+    return out.drop("__salt")

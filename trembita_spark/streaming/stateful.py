@@ -71,3 +71,85 @@ def sessionize_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def sessionize_tws(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization on the Spark 4.x arbitrary-state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` + event-time
+    timers) — the modern engine-managed-state port of the reference's
+    FSM (SURVEY.md §3.8 maps FSM → transformWithStateInPandas on 4.x).
+    Emits one row per CLOSED session; a session closes on an observed
+    gap or when its event-time timer (last_ts + gap) fires."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        "user_id long, n_events long, session_start timestamp, session_end timestamp"
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState(
+                "session", "start timestamp, last timestamp, n long"
+            )
+
+        def _emit(self, key, start, last, n):
+            return pd.DataFrame(
+                [{
+                    "user_id": key[0],
+                    "n_events": n,
+                    "session_start": start,
+                    "session_end": last,
+                }]
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = pd.concat(list(rows)).sort_values("ts")
+            if self.state.exists():
+                start, last, n = self.state.get()
+            else:
+                start = last = None
+                n = 0
+            for t in batch["ts"]:
+                t = t.to_pydatetime()
+                if last is not None and (t - last).total_seconds() > gap_s:
+                    yield self._emit(key, start, last, n)
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+            self.state.update((start, last, n))
+            # event-time timer: close the session gap_s after its last event
+            for old in self.handle.listTimers():
+                self.handle.deleteTimer(old)
+            self.handle.registerTimer(int(last.timestamp() * 1000) + gap_s * 1000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.state.exists():
+                start, last, n = self.state.get()
+                self.state.clear()
+                yield self._emit(key, start, last, n)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
