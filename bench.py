@@ -36,6 +36,8 @@ HEADLINE = [
     "q_dedup_near",        # MinHash LSH
     "q_similarity_topk",   # cosine top-k
     "q_text_tfidf",        # two-pass text agg
+    "q_sql_q5",            # 6-table star join (SQL front door)
+    "q_join_salted",       # salted skew join
 ]
 
 

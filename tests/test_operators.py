@@ -141,3 +141,71 @@ def test_handle_error_try_divide(spark):
         .collect()
     )
     assert sorted(r.r for r in out) == [-1.0, 2.0]
+
+
+def test_pipeline_cached_reuses_result(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).withColumn("x", F.col("id") * 2)
+    p = Pipeline(df).cached()
+    a = p.size()
+    b = p.size()
+    assert a == b == 1000
+    assert p.df.storageLevel.useMemory
+    p.df.unpersist()
+
+
+def test_pipeline_observe_metrics(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    # logging/metrics parity (utils/logging analogue): observe computes
+    # metrics during the action without a second pass.
+    obs = Observation("stats")
+    df = spark.range(100).observe(obs, F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+    df.collect()
+    assert obs.get == {"n": 100, "s": 4950}
+
+
+def test_pipeline_map_pandas(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([(1, 2.0), (3, 4.0)], "a long, b double")
+
+    def double_b(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"a": pdf["a"], "b2": pdf["b"] * 2})
+
+    out = Pipeline(df).map_pandas(double_b, "a long, b2 double").collect()
+    assert sorted((r.a, r.b2) for r in out) == [(1, 4.0), (3, 8.0)]
+
+
+def test_sessionize_property_vs_python(spark):
+    """Property-style check: sessionize (window expressions) matches a
+    plain-Python reference on pseudo-random event streams."""
+    import datetime as dt
+    import random
+
+    rnd = random.Random(1234)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(rnd.randint(0, 40)):
+            t = t + dt.timedelta(seconds=rnd.choice([10, 600, 1900, 7200]))
+            rows.append((user, eid, t, 1.0))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    got = {(r.user_id, r.event_id): r.session_id for r in sessionize(df, gap_minutes=30).collect()}
+    # python reference
+    expect = {}
+    by_user = {}
+    for user, eid_, t, _ in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        last, sid = by_user.get(user, (None, 0))
+        if last is None or (t - last).total_seconds() > 1800:
+            sid += 1
+        by_user[user] = (t, sid)
+        expect[(user, eid_)] = sid
+    assert got == expect

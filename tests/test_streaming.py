@@ -118,3 +118,42 @@ def test_stream_tws_sessionize_matches_batch(spark):
     assert emitted <= batch_set
     n_users = len({r.user_id for r in batch})
     assert len(emitted) >= len(batch_set) - n_users
+
+
+def test_stream_stream_join(spark):
+    # stream-stream inner join with watermarks + time-range condition:
+    # purchases joined to clicks of the same user within the prior hour.
+    ev = events_stream(spark, SF_DIR_SMALL)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "event_id")
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts <= purchases.p_ts)
+        & (clicks.click_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = run_to_completion(joined, "t_stream_stream", output_mode="append")
+    n_stream = out.count()
+    # batch equivalent
+    b = load_table(spark, SF_DIR_SMALL, "events")
+    bc = b.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"), "event_id"
+    )
+    n_batch = bp.join(
+        bc,
+        (bp.pu == bc.user_id)
+        & (bc.click_ts <= bp.p_ts)
+        & (bc.click_ts >= bp.p_ts - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).count()
+    assert n_stream == n_batch

@@ -516,3 +516,12 @@ def q_try_error_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("l_extendedprice", F.col("l_quantity") - 1).alias("value"),
         F.when(F.col("l_quantity") - 1 == 0, F.lit("division by zero")).alias("err"),
     )
+
+
+@register("q_source_random")  # rows-only: nondeterministic by definition
+def q_source_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Input.random equivalent (reference: kernel/.../Input.scala random
+    # source, unverified): seeded distributed random column over range().
+    return spark.range(1000).select(
+        F.col("id"), F.rand(seed=42).alias("u"), F.randn(seed=7).alias("g")
+    )
