@@ -428,3 +428,28 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+           l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit GROUPING SETS (the general form under rollup/cube): three
+    # exact aggregation levels in ONE Expand+shuffle pass.
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+               l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

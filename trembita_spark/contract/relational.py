@@ -525,3 +525,21 @@ def q_source_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1000).select(
         F.col("id"), F.rand(seed=42).alias("u"), F.randn(seed=7).alias("g")
     )
+
+
+@register("q_scan_csv")  # rows-only: CSV source round-trip
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CSV source with explicit schema (never inferSchema in production —
+    # it double-scans). Round-trip through /tmp.
+    path = "/tmp/trembita_spark_csv_demo"
+    nation = table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(nation.schema).option("header", True).csv(path)
+
+
+@register("q_scan_json")  # rows-only: JSON-lines source round-trip
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = "/tmp/trembita_spark_json_demo"
+    region = table(spark, sf_dir, "region")
+    region.write.mode("overwrite").json(path)
+    return spark.read.schema(region.schema).json(path)

@@ -137,3 +137,68 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "q_window_analytics",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           last_value(l_extendedprice) OVER (
+             PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)  AS max_price_in_grp,
+           nth_value(l_extendedprice, 2) OVER (
+             PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)  AS second_cheapest,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nth_value / unbounded frames / distribution ranks. percent_rank and
+    # cume_dist are integer-ratio divisions → bit-deterministic.
+    li = table(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.last("l_extendedprice").over(w_full).alias("max_price_in_grp"),
+        F.nth_value("l_extendedprice", 2).over(w_full).alias("second_cheapest"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q_window_range_between",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_last_hour
+    FROM events
+    """,
+)
+def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VALUE-range frame (trailing 1h per event) — rangeBetween over epoch
+    # µs; unlike rowsBetween the frame follows event-time density.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("val_last_hour"),
+    )
