@@ -55,9 +55,15 @@ def register(key: str, oracle: Optional[str] = None):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one driver-generated parquet table (see TESTDATA.md)."""
+    """Scan one driver-generated parquet table (see TESTDATA.md).
+
+    Pins the session timezone to UTC first: contract queries may run
+    under the DRIVER'S SparkSession (not our factory), and timestamp
+    collection must match the UTC-naive DuckDB oracle regardless of how
+    that session was built."""
     from trembita_spark.io import load_table
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 

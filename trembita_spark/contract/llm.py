@@ -386,3 +386,95 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "q_text_chunk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    n AS (SELECT doc_id, t, greatest(CAST(ceil((len(t) - 4) / 12.0) AS INT), 1) AS n_chunks FROM tok),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, n_chunks - 1),
+                    i -> struct_pack(chunk_id := i, toks := list_slice(t, i * 12 + 1, i * 12 + 16)))) AS c
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(c.chunk_id AS INT)            AS chunk_id,
+           array_to_string(c.toks, ' ')       AS chunk_text,
+           CAST(len(c.toks) AS INT)           AS n_chunk_tokens
+    FROM ch
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budgeted chunking (16-token chunks, 4-token overlap) — the
+    # LLM-ingest operator; chunk boundaries are pure integer arithmetic.
+    return TX.chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    )
+
+
+@register(
+    "q_embedding_stats",
+    oracle=f"""
+    WITH n AS (SELECT label, {_NORM_SQL} AS norm FROM embeddings)
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(CAST(norm AS DECIMAL(18,12))) AS DOUBLE) AS norm_sum,
+           CAST(sum(CAST(norm AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean_norm
+    FROM n GROUP BY label
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-cluster embedding statistics; norms are full-precision doubles
+    # so the sum goes through the decimal trick (discipline rule 4).
+    emb = S.with_norm(table(spark, sf_dir, "embeddings"))
+    cnt = F.count(F.lit(1))
+    dec_sum = F.sum(F.col("norm").cast("decimal(18,12)")).cast("double")
+    return emb.groupBy("label").agg(
+        cnt.alias("n_vecs"),
+        dec_sum.alias("norm_sum"),
+        (dec_sum / cnt).alias("mean_norm"),
+    )
+
+
+@register(
+    "q_pipeline_clean_corpus",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS distinct_ratio,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_tokens, distinct_ratio
+    FROM f
+    WHERE dup_rank = 1
+      AND n_tokens >= 10
+      AND distinct_ratio >= 0.3
+      AND lang IN ('en', 'de', 'es', 'fr')
+    """,
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end training-data cleaning pipeline: exact-dedup (keep
+    # min-id copy) → length floor → repetition filter → language
+    # allowlist. One window + one scan; each stage is a pushdown-friendly
+    # expression, so Catalyst fuses the whole policy into the scan.
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("n_tokens", F.size(toks))
+        .withColumn("distinct_ratio", F.size(F.array_distinct(toks)) / F.size(toks))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("distinct_ratio") >= 0.3)
+            & F.col("lang").isin("en", "de", "es", "fr")
+        )
+        .select("doc_id", "lang", "source", "n_tokens", "distinct_ratio")
+    )

@@ -139,3 +139,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_bucket"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """Token-budgeted chunking with overlap — the LLM-ingest shape:
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens). Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens); the final partial chunk is kept.
+    Pure expressions (sequence + slice + explode): no Python per row.
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    toks = f"split({text_col}, ' ')"
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = f"greatest(CAST(ceil((size({toks}) - {overlap}) / {stride}.0) AS INT), 1)"
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> struct(i AS chunk_id, slice({toks}, i * {stride} + 1, {chunk_tokens}) AS toks))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+            F.size("c.toks").alias("n_chunk_tokens"),
+        )
+    )
