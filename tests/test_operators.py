@@ -209,3 +209,32 @@ def test_sessionize_property_vs_python(spark):
         by_user[user] = (t, sid)
         expect[(user, eid_)] = sid
     assert got == expect
+
+
+def test_pipeline_query_entrypoint(spark):
+    df = spark.createDataFrame(
+        [("us", 30.0), ("us", 10.0), ("de", 5.0)], "country string, amount double"
+    )
+    out = (
+        Pipeline(df)
+        .query()
+        .where(F.col("amount") > 6)
+        .group_by(country="country")
+        .aggregate(total=F.sum("amount"), cnt=F.count(F.lit(1)))
+        .having(F.col("cnt") >= 1)
+        .order_by("country")
+        .to_df()
+        .collect()
+    )
+    assert [(r.country, r.total, r.cnt) for r in out] == [("us", 40.0, 2)]
+
+
+def test_pipeline_foreach_runs_distributed(spark):
+    # Output.foreach parity: side effect per element (accumulator-observed).
+    acc = spark.sparkContext.accumulator(0)
+
+    def inc(row):
+        acc.add(row.id)
+
+    Pipeline(spark.range(5)).foreach(inc)
+    assert acc.value == 10

@@ -134,3 +134,26 @@ def test_bucketed_join_avoids_shuffle(spark):
         assert joined.count() == table(spark, SF_DIR, "lineitem").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_sink_prunes_on_read(spark):
+    """Partition pruning: reading a partitionBy'd sink with a partition
+    filter must scan ONLY the matching partition directories — the
+    layout rule that makes 100 TB sinks queryable."""
+    import pyspark.sql.functions as F
+
+    from trembita_spark.contract import table
+
+    path = "/tmp/trembita_prune_demo"
+    (table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(path))
+    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "A")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:120]
+    # and the non-matching partitions are actually skipped
+    pruned = df._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(l_returnflag" in pruned or "l_returnflag#" in pruned
+    n_a = df.count()
+    n_all = spark.read.parquet(path).count()
+    assert 0 < n_a < n_all

@@ -297,6 +297,14 @@ class Pipeline:
 
     # -- grouping / folding ----------------------------------------------------------
 
+    def query(self) -> "Query":
+        """Enter the aggregation QL — the reference's ``pipeline.query(...)``
+        entry point: ``Pipeline(df).query().where(...).group_by(...)
+        .aggregate(...).having(...).to_df()``."""
+        from trembita_spark.query import Query
+
+        return Query(self._df)
+
     def group_by(self, *keys: Column | str):
         """Grouped data ready for ``agg`` — the QL path (see
         :class:`trembita_spark.query.Query` for the full builder)."""
