@@ -189,12 +189,56 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
-@register("q_similarity_ivf")  # rows-only: centroid avgs are float-order-dependent
+_IVF_ORACLE = f"""
+    WITH cent AS (
+      SELECT label AS cell, i,
+             CAST(sum(CAST(embedding[i] AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    cn AS (
+      SELECT cell, centroid,
+             sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b)) AS c_norm
+      FROM cvec
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, {_NORM_SQL} AS q_norm
+      FROM embeddings WHERE vec_id < 8
+    ),
+    routed AS (
+      SELECT q.query_id, q.q_vec, q.q_norm, cn.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(q.q_vec[i] AS DOUBLE) * cn.centroid[i]), (x, y) -> x + y)
+               / (q.q_norm * cn.c_norm) AS cos_c
+      FROM q CROSS JOIN cn
+    ),
+    probe AS (
+      SELECT query_id, q_vec, q_norm, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_c DESC, cell) AS r
+        FROM routed
+      ) WHERE r <= 2
+    ),
+    c AS (SELECT vec_id, label AS cell, embedding AS c_vec, {_NORM_SQL} AS c_norm FROM embeddings),
+    scored AS (
+      SELECT p.query_id, c.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)), (x, y) -> x + y)
+               / (p.q_norm * c.c_norm) AS cos
+      FROM c JOIN probe p ON c.cell = p.cell AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cell, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+@register("q_similarity_ivf", oracle=_IVF_ORACLE)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF scale path: centroid routing + in-cell exact rerank. The
-    # centroid means make it non-bit-reproducible across engines → the
-    # driver records the rows-only check; q_similarity_topk is the
-    # hash-checked exact baseline.
+    # IVF scale path: decimal-exact centroid means → route each query to
+    # its nprobe nearest cells → exact rerank inside. Fully
+    # oracle-checked (the oracle replays the whole routing+rerank).
     emb = table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=2)
 

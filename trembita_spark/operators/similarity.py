@@ -116,9 +116,16 @@ def ivf_topk(
     dim_vals = corpus.select(
         F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x")
     )
+    # centroid means via exact decimal sums (order-independent) so the
+    # whole IVF pipeline is bit-deterministic and oracle-checkable.
     centroids = (
         dim_vals.groupBy("cell", "dim")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
         .select("cell", F.transform("pairs", lambda p: p.getField("m")).alias("centroid"))
