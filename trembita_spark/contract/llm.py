@@ -402,13 +402,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features")  # rows-only: mapInPandas byte features
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           list_transform(generate_series(1, 8),
+                          i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)) AS features,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                         i -> ascii(substr(text, i, 1)))) AS BIGINT)      AS byte_sum
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas byte features over binary payloads. Oracle-checkable
+    # because the fixture corpus is pure ASCII (verified: octet_length ==
+    # length for every doc, min length 48 > FEATURE_DIM) — byte values
+    # equal character codes.
     docs = M.attach_payload(table(spark, sf_dir, "documents"))
     return M.extract_features(docs)
 
 
-@register("q_scan_text")  # rows-only: Input.file / text-lines source
+@register("q_scan_text", oracle="SELECT text AS value FROM documents")
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-trip the reference's text-file source (Input.file): write the
     # corpus as text, scan it back as lines.
@@ -418,8 +432,17 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.text(path)
 
 
-@register("q_sink_parquet")  # rows-only: partitioned parquet sink round-trip
+@register(
+    "q_sink_parquet",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The read-back must equal what was computed — the round-trip through
+    # the partitioned layout is lossless (the partition column comes back
+    # from directory names with its original string values).
     # Partitioned sink layout (100 TB posture: partition by a
     # low-cardinality pruning key) + read-back.
     path = "/tmp/trembita_spark_sink_demo"

@@ -527,8 +527,9 @@ def q_source_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_scan_csv")  # rows-only: CSV source round-trip
+@register("q_scan_csv", oracle="SELECT * FROM nation")
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lossless round-trip (explicit schema): read-back equals the source.
     # CSV source with explicit schema (never inferSchema in production —
     # it double-scans). Round-trip through /tmp.
     path = "/tmp/trembita_spark_csv_demo"
@@ -537,7 +538,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(nation.schema).option("header", True).csv(path)
 
 
-@register("q_scan_json")  # rows-only: JSON-lines source round-trip
+@register("q_scan_json", oracle="SELECT * FROM region")
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = "/tmp/trembita_spark_json_demo"
     region = table(spark, sf_dir, "region")

@@ -154,7 +154,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, name, output_mode="complete")
 
 
-@register("q_stream_source")  # rows-only: unbounded source smoke (SURVEY §3.1)
+@register(
+    "q_stream_source",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
 def q_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Akka-Source/DStream input analogue: raw unbounded read driven
     # to completion; proves the source itself (schema, ns normalization,
@@ -163,7 +166,13 @@ def q_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(events_stream(spark, sf_dir), name, output_mode="append")
 
 
-@register("q_stream_stateless")  # rows-only: unbounded-source smoke
+@register(
+    "q_stream_stateless",
+    oracle="""
+    SELECT event_id, user_id, ts, value * 2 AS doubled
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
 def q_stream_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stateless stream ops (the reference's whole streaming surface):
     # map/filter on an unbounded source, appended to a sink.
