@@ -25,8 +25,8 @@ from trembita_spark.io import load_table
 from trembita_spark.session import get_session
 
 SF_DIR = "/root/testdata/sf0.1"
-SCALE = 8
-BASE = "/tmp/trembita_scale8"
+SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "8"))
+BASE = f"/tmp/trembita_scale{SCALE}"
 
 
 def build_scaled(spark) -> None:

@@ -544,3 +544,62 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     region.write.mode("overwrite").json(path)
     return spark.read.schema(region.schema).json(path)
+
+
+@register(
+    "q_sort_nulls",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value > 90 THEN NULL ELSE value END AS v,
+           row_number() OVER (
+             ORDER BY (CASE WHEN value > 90 THEN NULL ELSE value END) ASC NULLS FIRST,
+                      event_id) AS pos_nf,
+           row_number() OVER (
+             ORDER BY (CASE WHEN value > 90 THEN NULL ELSE value END) DESC NULLS LAST,
+                      event_id) AS pos_nl
+    FROM events
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit null ordering — a real cross-engine trap: Spark defaults
+    # to NULLS FIRST on ASC, DuckDB to NULLS LAST. Checked queries must
+    # always say which (discipline rule 6).
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("value") > 90, F.lit(None)).otherwise(F.col("value"))
+    out = ev.select("event_id", v.alias("v"))
+    w_nf = Window.orderBy(F.col("v").asc_nulls_first(), "event_id")
+    w_nl = Window.orderBy(F.col("v").desc_nulls_last(), "event_id")
+    return out.select(
+        "event_id",
+        "v",
+        F.row_number().over(w_nf).alias("pos_nf"),
+        F.row_number().over(w_nl).alias("pos_nl"),
+    )
+
+
+@register("q_sample")  # rows-only: sampling is engine/partitioning-specific
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bernoulli sample with a fixed seed: deterministic within one Spark
+    # session/partitioning but not across engines → rows-only.
+    return table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+
+
+@register(
+    "q_stat_crosstab",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS ls_F,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS ls_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df.stat.crosstab — contingency table (returnflag x linestatus).
+    ct = table(spark, sf_dir, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        F.col("l_returnflag_l_linestatus").alias("l_returnflag"),
+        F.col("F").alias("ls_F"),
+        F.col("O").alias("ls_O"),
+    )

@@ -285,3 +285,37 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t"))
         ).alias("packed"),
     )
+
+
+@register(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_name)                          AS rname,
+           repeat(p_brand, 2)                       AS brand2,
+           replace(p_type, 'A', '_')                AS repl,
+           split_part(p_brand, '#', 2)              AS brand_num,
+           CAST(ascii(p_name) AS INT)               AS first_code,
+           chr(CAST(65 + p_size % 26 AS INT))       AS size_letter,
+           left(p_name, 3)                          AS l3,
+           right(p_name, 3)                         AS r3,
+           rpad(p_brand, 12, '.')                   AS padded,
+           translate(p_name, 'aeiou', 'AEIOU')      AS upvowel
+    FROM part
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rname"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.replace("p_type", F.lit("A"), F.lit("_")).alias("repl"),
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.ascii("p_name").alias("first_code"),
+        F.chr((F.lit(65) + F.col("p_size") % 26).cast("int")).alias("size_letter"),
+        F.left("p_name", F.lit(3)).alias("l3"),
+        F.right("p_name", F.lit(3)).alias("r3"),
+        F.rpad("p_brand", 12, ".").alias("padded"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("upvowel"),
+    )
