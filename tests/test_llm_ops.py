@@ -123,3 +123,18 @@ def test_multimodal_stub_and_features(spark, corpus):
     assert len(feats[0].features) == 8
     assert feats[0].features == [float(b) for b in "the quic".encode()]
     assert feats[0].byte_sum == sum(corpus.collect()[0].text.encode())
+
+
+def test_md5_unicode_cross_engine(spark):
+    # md5 operates on UTF-8 bytes identically in Spark, Python, DuckDB —
+    # the property every hash-based operator (dedup, fingerprint,
+    # minhash) relies on, including for non-ASCII corpora.
+    import hashlib
+
+    import duckdb
+
+    s = "café 日本語 emoji"
+    spark_h = spark.createDataFrame([(s,)], "t string").selectExpr("md5(t) AS h").collect()[0].h
+    py_h = hashlib.md5(s.encode()).hexdigest()
+    duck_h = duckdb.connect().execute("SELECT md5(?)", [s]).fetchall()[0][0]
+    assert spark_h == py_h == duck_h
