@@ -453,3 +453,29 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_totalprice, o_orderkey) AS price_of_latest,
+           min_by(o_totalprice, o_orderkey) AS price_of_first
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # argmin/argmax aggregates, ordered BY the unique o_orderkey only:
+    # ordering by a non-unique value (e.g. max_by(key, totalprice)) is
+    # tie-broken arbitrarily per engine — the fixture HAS totalprice
+    # collisions within groups (61 at sf0.1), so such a column would be
+    # a latent hash mismatch. Unique ordering keys only (rule 6).
+    return (
+        Query(table(spark, sf_dir, "orders"))
+        .group_by(o_orderpriority="o_orderpriority")
+        .aggregate(
+            price_of_latest=F.max_by("o_totalprice", "o_orderkey"),
+            price_of_first=F.min_by("o_totalprice", "o_orderkey"),
+        )
+        .to_df()
+    )

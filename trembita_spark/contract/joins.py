@@ -244,3 +244,24 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("total_qty")
     )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit cartesian (the primitive under the reference's theta
+    # join) — legitimate ONLY for tiny×tiny inputs like this route
+    # matrix; anything big must go through a predicate (see
+    # q_join_theta/q_join_range).
+    r = table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("ka") != F.col("kb")).select(
+        "from_region", "to_region"
+    )
