@@ -10,6 +10,7 @@ import datetime as dt
 import decimal
 import math
 
+import pandas as pd
 import pytest
 
 from tests.conftest import SF_DIR
@@ -57,6 +58,35 @@ def _canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _driver_canon(cols, rows, key, side):
+    """Mirror of the DRIVER's canonicalizer: build a pandas frame from raw
+    row tuples, order columns by name, lexsort rows over ALL columns.
+
+    The driver's lexsort factorizes (hashes) every cell — an array/map
+    valued column crashes it (round-1 incident: ``TypeError: unhashable
+    type: 'list'`` on q_agg_collect/q_agg_percentile/
+    q_multimodal_features) — and its value hash is dtype-sensitive, so an
+    int64 Spark column vs float64 oracle column (DuckDB HUGEINT sums) is
+    a hash MISMATCH even at equal values (round-1: q_multimodal_meta).
+    This mirror makes both traps fail locally.
+    """
+    for r in rows[:1000]:
+        for v in r:
+            try:
+                hash(v)
+            except TypeError:
+                pytest.fail(
+                    f"{key} [{side}]: unhashable {type(v).__name__} value in "
+                    f"result — the driver canonicalizer crashes on this; "
+                    f"serialize array/map output columns to scalars"
+                )
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), na_position="last")
+    return pdf.reset_index(drop=True)
+
+
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_oracle_parity(key, spark, oracle):
     sdf = contract.QUERIES[key](spark, SF_DIR)
@@ -73,6 +103,30 @@ def test_oracle_parity(key, spark, oracle):
     assert len(srows) == len(orows), (
         f"{key}: row count differs: spark={len(srows)} oracle={len(orows)}"
     )
+    # Driver-mirror canon: hashable cells + numerically-compatible dtypes.
+    spdf = _driver_canon(scols, srows, key, "spark")
+    _driver_canon(ocols, orows, key, "oracle")
+    # The driver materializes the ORACLE result as a pandas frame, where
+    # DuckDB HUGEINT (bare integer sum()) lands as float64 while Spark's
+    # bigint is int64 — equal values, different value-hash (round-1:
+    # q_multimodal_meta). Compare numeric KIND per column against a fresh
+    # .df() fetch of the same oracle.
+    odf = oracle.execute(contract.ORACLES[key]).df()
+
+    def _kind(dt_):
+        k = dt_.kind
+        return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, None)
+
+    for c in spdf.columns:
+        sk, ok = _kind(spdf[c].dtype), _kind(odf[c].dtype)
+        if sk is not None or ok is not None:
+            assert sk == ok, (
+                f"{key}: column {c!r} numeric kind differs — spark "
+                f"{spdf[c].dtype} vs oracle-pandas {odf[c].dtype}; the "
+                f"driver value-hash is dtype-sensitive (cast HUGEINT sums "
+                f"to BIGINT / align int-vs-float in the oracle SQL)"
+            )
+
     _, s_canon = _canon_rows(scols, srows)
     cols, o_canon = _canon_rows(ocols, orows)
     if s_canon != o_canon:
@@ -90,5 +144,7 @@ def test_oracle_parity(key, spark, oracle):
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_runs(key, spark):
     sdf = contract.QUERIES[key](spark, SF_DIR)
-    n = sdf.count()
-    assert n >= 0
+    rows = [tuple(r) for r in sdf.limit(200).collect()]
+    # Even rows-only results must be driver-canon-safe (hashable cells).
+    _driver_canon(sdf.columns, rows, key, "spark")
+    assert len(rows) >= 0

@@ -67,6 +67,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def run_tmp(prefix: str) -> str:
+    """Fresh per-invocation temp dir for round-trip (write-then-read)
+    contract queries. A fixed shared /tmp path is a collision hazard when
+    two harnesses invoke the same query concurrently; mkdtemp gives each
+    run its own isolated sink."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"trembita_spark_{prefix}_")
+
+
 def dsum(expr, scale: int = 2):
     """Exact, order-independent float sum via decimal (discipline rule 4).
 

@@ -91,16 +91,20 @@ def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_collect",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS names, count(*) AS cnt
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), '|') AS names,
+           count(*) AS cnt
     FROM nation GROUP BY n_regionkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # `.arr` AggFunc — collect group values; sorted for determinism.
+    # `.arr` AggFunc — collect group values; sorted for determinism and
+    # serialized (arr_str) so the result is driver-canon-safe (array
+    # cells crash lexsort/hash harnesses). agg.arr is the in-engine form.
     return (
         Query(table(spark, sf_dir, "nation"))
         .group_by(n_regionkey="n_regionkey")
-        .aggregate_cols(agg.arr("n_name", "names"), agg.count("cnt"))
+        .aggregate_cols(agg.arr_str("n_name", "names"), agg.count("cnt"))
         .to_df()
     )
 
@@ -242,18 +246,37 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct")  # no oracle: HLL sketches differ per engine
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true                      AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 100 TB default for distinct counts: HLL++ sketch, one pass, no
-    # per-key state explosion. Rows-only check (sketch values are
-    # engine-specific); exactness is covered by q_agg_distinct.
+    # per-key state explosion. Sketch values are engine-specific, so the
+    # oracle checks the PROPERTY approximation promises instead of the
+    # value: |approx - exact| / exact <= 3*rsd (emitted as a boolean the
+    # DuckDB oracle asserts true). Exactness itself is q_agg_distinct.
+    rsd = 0.02
+    approx = F.approx_count_distinct("l_partkey", rsd=rsd)
+    exact = F.countDistinct("l_partkey")
     return (
-        Query(table(spark, sf_dir, "lineitem"))
-        .group_by(l_returnflag="l_returnflag")
-        .aggregate_cols(
-            agg.approx_count_distinct("l_partkey", "approx_parts", rsd=0.02)
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx.alias("approx"), exact.alias("exact_parts"))
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 3 * rsd
+            ).alias("within_tol"),
         )
-        .to_df()
     )
 
 
@@ -315,43 +338,75 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS median_price,
-           quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.5, 0.75]) AS price_quartiles,
-           quantile_cont(CAST(l_quantity AS DOUBLE), 0.9)      AS p90_qty
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)  AS median_price,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25_price,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75_price,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.9)       AS p90_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
     # `quantile_cont`, same index = p·(n-1) linear-interpolation
-    # definition). Exact percentile requires per-group sorted values —
-    # at 100 TB prefer q_agg_approx_percentile (sketch) below.
+    # definition). Quartiles are emitted as SCALAR columns, not a
+    # 3-element array: array cells crash driver-style lexsort/hash canon,
+    # and stringifying doubles is engine-divergent. Exact percentile
+    # requires per-group sorted values — at 100 TB prefer
+    # q_agg_approx_percentile (sketch) below.
+    q = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
     return (
         Query(table(spark, sf_dir, "lineitem"))
         .group_by(l_returnflag="l_returnflag")
         .aggregate(
-            median_price=F.percentile("l_extendedprice", F.lit(0.5)),
-            price_quartiles=F.percentile(
-                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-            ),
+            median_price=q.getItem(1),
+            p25_price=q.getItem(0),
+            p75_price=q.getItem(2),
             p90_qty=F.percentile("l_quantity", F.lit(0.9)),
         )
         .to_df()
     )
 
 
-@register("q_agg_approx_percentile")  # rows-only: sketch values are engine-specific
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)  AS p50_exact,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95_exact,
+           true AS p50_ok,
+           true AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KLL/GK-style sketch percentile — one pass, bounded memory, the
     # 100 TB default (exact percentile must materialize sorted groups).
+    # Sketch outputs are engine-specific, so the oracle checks the
+    # accuracy PROPERTY: approx within 2% relative of the exact
+    # interpolated percentile (accuracy=10000 → rank error ≤ n/10000,
+    # far tighter than 2% in value on this distribution).
+    exact = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
+    approx50 = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    approx95 = F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000))
+    tol = 0.02
     return (
-        Query(table(spark, sf_dir, "lineitem"))
-        .group_by(l_returnflag="l_returnflag")
-        .aggregate(
-            p50=F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)),
-            p95=F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)),
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            exact.getItem(0).alias("p50_exact"),
+            exact.getItem(1).alias("p95_exact"),
+            approx50.alias("a50"),
+            approx95.alias("a95"),
         )
-        .to_df()
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            "p95_exact",
+            (F.abs(F.col("a50") - F.col("p50_exact")) / F.col("p50_exact") <= tol).alias("p50_ok"),
+            (F.abs(F.col("a95") - F.col("p95_exact")) / F.col("p95_exact") <= tol).alias("p95_ok"),
+        )
     )
 
 

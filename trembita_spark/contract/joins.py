@@ -121,13 +121,21 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT EXISTS — customers with no orders.
+    # NOT EXISTS — customers with no high-value orders. The 400k threshold
+    # keeps the anti set non-empty AND non-trivial at every fixture scale
+    # (20/150 at sf0.001, 202/1500 at sf0.01, 1997/15000 at sf0.1) so a
+    # passing row certifies anti-join semantics, not an always-empty plan.
     c = Pipeline(table(spark, sf_dir, "customer"))
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name").df
 
 

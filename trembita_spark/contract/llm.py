@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trembita_spark.contract import register, table
+from trembita_spark.contract import register, run_tmp, table
 from trembita_spark.operators import dedup as D
 from trembita_spark.operators import multimodal as M
 from trembita_spark.operators import similarity as S
@@ -385,7 +385,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_meta",
     oracle="""
     SELECT source,
-           sum(octet_length(encode(text)))  AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            count(*)                         AS n_assets,
            count(DISTINCT md5(text))        AS n_unique
     FROM documents GROUP BY source
@@ -406,8 +406,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_features",
     oracle="""
     SELECT doc_id,
-           list_transform(generate_series(1, 8),
-                          i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)) AS features,
+           array_to_string(list_transform(generate_series(1, 8),
+                          i -> CAST(ascii(substr(text, i, 1)) AS INT)), '|') AS features,
            CAST(list_sum(list_transform(generate_series(1, length(text)),
                          i -> ascii(substr(text, i, 1)))) AS BIGINT)      AS byte_sum
     FROM documents
@@ -417,16 +417,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas byte features over binary payloads. Oracle-checkable
     # because the fixture corpus is pure ASCII (verified: octet_length ==
     # length for every doc, min length 48 > FEATURE_DIM) — byte values
-    # equal character codes.
+    # equal character codes. The feature vector is serialized to a
+    # '|'-joined int string for the contract (array cells crash
+    # driver-style canon; values are exact byte codes so int-stringify is
+    # engine-stable); extract_features keeps the array<double> form.
     docs = M.attach_payload(table(spark, sf_dir, "documents"))
-    return M.extract_features(docs)
+    feats = M.extract_features(docs)
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("int").cast("string")), "|"
+        ).alias("features"),
+        "byte_sum",
+    )
 
 
 @register("q_scan_text", oracle="SELECT text AS value FROM documents")
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-trip the reference's text-file source (Input.file): write the
     # corpus as text, scan it back as lines.
-    path = "/tmp/trembita_spark_text_demo"
+    path = run_tmp("text_demo")
     docs = table(spark, sf_dir, "documents").select("text")
     docs.write.mode("overwrite").text(path)
     return spark.read.text(path)
@@ -445,7 +455,7 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from directory names with its original string values).
     # Partitioned sink layout (100 TB posture: partition by a
     # low-cardinality pruning key) + read-back.
-    path = "/tmp/trembita_spark_sink_demo"
+    path = run_tmp("sink_demo")
     out = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trembita_spark.contract import dsum, dsum_sql, register, table
+from trembita_spark.contract import dsum, dsum_sql, register, run_tmp, table
 from trembita_spark.pipeline import Pipeline
 from trembita_spark.query import Query
 
@@ -467,14 +467,16 @@ def q_fold_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_groupby_collect",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS names
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS names
     FROM nation GROUP BY n_regionkey
     """,
 )
 def q_groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (K, Iterable[A]) groups, serialized to a sorted joined string so the
+    # result is driver-canon-safe (array cells crash lexsort/hash canon).
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("names")
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names")
     )
 
 
@@ -518,12 +520,37 @@ def q_try_error_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_source_random")  # rows-only: nondeterministic by definition
+@register(
+    "q_source_random",
+    oracle="""
+    SELECT CAST(1000 AS BIGINT)   AS n_rows,
+           CAST(499500 AS BIGINT) AS id_sum,
+           true AS u_ok,
+           true AS g_ok
+    """,
+)
 def q_source_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Input.random equivalent (reference: kernel/.../Input.scala random
     # source, unverified): seeded distributed random column over range().
-    return spark.range(1000).select(
+    # Random draws depend on partition layout, so the oracle checks the
+    # distributional PROPERTIES instead of values: uniform in [0,1) with
+    # mean ~0.5 (±0.05 ≈ 5.5σ at n=1000), gaussian mean ~0 (±0.15 ≈
+    # 4.7σ) and stddev ~1 (±0.15) — plus the deterministic id backbone.
+    src = spark.range(1000).select(
         F.col("id"), F.rand(seed=42).alias("u"), F.randn(seed=7).alias("g")
+    )
+    return src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+        (
+            (F.min("u") >= 0.0)
+            & (F.max("u") < 1.0)
+            & (F.abs(F.avg("u") - 0.5) <= 0.05)
+        ).alias("u_ok"),
+        (
+            (F.abs(F.avg("g")) <= 0.15)
+            & (F.abs(F.stddev_samp("g") - 1.0) <= 0.15)
+        ).alias("g_ok"),
     )
 
 
@@ -532,7 +559,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lossless round-trip (explicit schema): read-back equals the source.
     # CSV source with explicit schema (never inferSchema in production —
     # it double-scans). Round-trip through /tmp.
-    path = "/tmp/trembita_spark_csv_demo"
+    path = run_tmp("csv_demo")
     nation = table(spark, sf_dir, "nation")
     nation.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(nation.schema).option("header", True).csv(path)
@@ -540,7 +567,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_scan_json", oracle="SELECT * FROM region")
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = "/tmp/trembita_spark_json_demo"
+    path = run_tmp("json_demo")
     region = table(spark, sf_dir, "region")
     region.write.mode("overwrite").json(path)
     return spark.read.schema(region.schema).json(path)
@@ -579,11 +606,30 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample")  # rows-only: sampling is engine/partitioning-specific
+@register(
+    "q_sample",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total, true AS frac_ok
+    FROM lineitem
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bernoulli sample with a fixed seed: deterministic within one Spark
-    # session/partitioning but not across engines → rows-only.
-    return table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    # session/partitioning but engine/layout-specific across engines, so
+    # the oracle checks the sampling PROPERTY: observed fraction within
+    # 1pp of 0.1 (binomial σ of the fraction ≈ 0.0012 at n≈60k → 8σ).
+    li = table(spark, sf_dir, "lineitem")
+    sampled = li.sample(fraction=0.1, seed=42)
+    return (
+        li.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(sampled.agg(F.count(F.lit(1)).alias("n_sampled")))
+        .select(
+            "n_total",
+            (
+                F.abs(F.col("n_sampled") / F.col("n_total") - 0.1) <= 0.01
+            ).alias("frac_ok"),
+        )
+    )
 
 
 @register(

@@ -180,7 +180,9 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c_custkey AS VARCHAR)                  AS key_str,
            CAST(trunc(c_acctbal) AS INT)               AS bal_int,
            CAST(c_acctbal AS VARCHAR)                  AS bal_str,
-           try_cast(c_name AS INTEGER)                 AS name_as_int,
+           try_cast(CASE WHEN c_custkey % 2 = 0
+                         THEN CAST(c_custkey AS VARCHAR)
+                         ELSE c_name END AS INTEGER)   AS name_as_int,
            try_cast(substring(c_name, 10, 10) AS BIGINT) AS name_suffix_int,
            CAST(c_custkey AS DOUBLE)                   AS key_dbl,
            CAST(c_acctbal > 0 AS VARCHAR)              AS pos_str
@@ -197,7 +199,13 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("string").alias("key_str"),
         F.col("c_acctbal").cast("int").alias("bal_int"),
         F.col("c_acctbal").cast("string").alias("bal_str"),
-        F.col("c_name").try_cast("int").alias("name_as_int"),
+        # Mixed success/NULL on purpose: an always-NULL try_cast result
+        # proves nothing AND lands as an all-None object column (vs the
+        # oracle's float64) in driver-style pandas canon.
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_custkey").cast("string"))
+        .otherwise(F.col("c_name"))
+        .try_cast("int")
+        .alias("name_as_int"),
         F.substring("c_name", 10, 10).try_cast("bigint").alias("name_suffix_int"),
         F.col("c_custkey").cast("double").alias("key_dbl"),
         (F.col("c_acctbal") > 0).cast("string").alias("pos_str"),
@@ -210,8 +218,8 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
     SELECT doc_id,
            CAST(len(tokens) AS INT)                                   AS n_tokens,
-           list_slice(tokens, 1, 3)                                   AS first3,
-           list_sort(list_distinct(tokens))                           AS vocab,
+           array_to_string(list_slice(tokens, 1, 3), '|')             AS first3,
+           array_to_string(list_sort(list_distinct(tokens)), '|')     AS vocab,
            list_contains(tokens, 'data')                              AS has_data,
            CAST(len(list_filter(tokens, t -> length(t) > 5)) AS INT)  AS n_long,
            CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS total_chars,
@@ -221,14 +229,15 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Higher-order array functions (transform/filter/aggregate) — all
-    # JVM-side expressions, no UDF.
+    # JVM-side expressions, no UDF. Array-valued outputs are serialized
+    # to joined strings (driver-canon-safe; array cells crash lexsort).
     docs = table(spark, sf_dir, "documents")
     tokens = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
         F.size(tokens).alias("n_tokens"),
-        F.slice(tokens, 1, 3).alias("first3"),
-        F.array_sort(F.array_distinct(tokens)).alias("vocab"),
+        F.array_join(F.slice(tokens, 1, 3), "|").alias("first3"),
+        F.array_join(F.array_sort(F.array_distinct(tokens)), "|").alias("vocab"),
         F.array_contains(tokens, "data").alias("has_data"),
         F.size(F.filter(tokens, lambda t: F.length(t) > 5)).alias("n_long"),
         F.aggregate(tokens, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
@@ -242,22 +251,22 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
     SELECT event_id,
-           map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})     AS mkeys,
+           array_to_string(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), '|') AS mkeys,
            (MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})['type'][1]  AS mtype,
            CAST(cardinality(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS INT) AS msize
     FROM events
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Map construction + access. Output scalars/arrays (not raw maps):
-    # map value-hash representation is engine-specific.
+    # Map construction + access. Output scalars only (not raw maps or
+    # arrays): map/array cells break driver-style value-hash canon.
     ev = table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
+        F.array_join(F.map_keys(m), "|").alias("mkeys"),
         F.element_at(m, "type").alias("mtype"),
         F.size(m).alias("msize"),
     )

@@ -67,7 +67,7 @@ _SESSION_ISLANDS = """
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) {cmp} {gap_us}
              THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -83,7 +83,13 @@ _SESSION_ISLANDS = """
 
 @register(
     "q_window_session",
-    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000)
+    # cmp='>=': Spark's session_window is END-EXCLUSIVE — per-event
+    # windows [ts, ts+gap) merge only when they OVERLAP, so a delta of
+    # exactly `gap` starts a NEW session. The islands oracle must flag
+    # new_s at delta >= gap to match. (The sessionize()/FSM pairings below
+    # use strict '>' on BOTH sides — a different, internally-consistent
+    # convention: "gap EXCEEDS the threshold".)
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">=")
     + """
     SELECT user_id,
            min(ts) AS session_start,
@@ -100,7 +106,7 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fsm_sessionize",
-    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000)
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">")
     + """
     SELECT user_id,
            CAST(session_id AS INT)                       AS session_id,
@@ -124,7 +130,7 @@ def q_fsm_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fsm_applyinpandas",
-    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000)
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">")
     + """
     SELECT user_id,
            CAST(session_id AS INT) AS session_id,

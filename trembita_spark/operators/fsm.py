@@ -24,6 +24,7 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable, Sequence
 from typing import Any
 
@@ -123,7 +124,10 @@ def sessionize_fsm(
                 sessions.append(cur)
             cur["n_events"] += 1
             cur["session_end"] = t
-            cur["total_cents"] += int(round(row[value_col] * 100))
+            # Half-UP rounding (floor(x+0.5)) to match SQL round() — Python
+            # round() is half-to-EVEN, which diverges by 1 cent whenever
+            # value*100 is an exact .5 (e.g. 1.125 → 112.5).
+            cur["total_cents"] += int(math.floor(row[value_col] * 100 + 0.5))
             prev_t = t
         return pd.DataFrame(sessions)
 

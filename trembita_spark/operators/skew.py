@@ -29,7 +29,18 @@ def salted_join(
     not ``rand()``) so retried/speculated tasks reproduce the same salt —
     nondeterministic salting breaks exactly-once under retries. The right
     side is replicated ``n_salts``× via a broadcast-range cross join.
+
+    Only left-preserving modes are allowed: with the right side
+    replicated, 'right'/'full' would return each UNMATCHED right row
+    ``n_salts``× (matched rows join exactly one salt) — silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}, "
+            f"got {how!r}: the replicated right side duplicates unmatched "
+            f"right rows under right/full-outer modes"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn("__salt", salt)
     salts = F.broadcast(

@@ -84,6 +84,14 @@ class agg:
         return (F.array_sort(c) if sort else c).alias(name)
 
     @staticmethod
+    def arr_str(col: Column | str, name: str, sep: str = "|") -> Column:
+        """``.arr`` serialized to a sorted joined string — the
+        driver-canon-safe form (harnesses that lexsort/hash result cells
+        cannot handle array-typed columns; round-1 incident). Prefer this
+        in contract/exchange surfaces; :meth:`arr` for in-engine use."""
+        return F.array_join(F.array_sort(F.collect_list(col)), sep).alias(name)
+
+    @staticmethod
     def string_agg(col: Column | str, name: str, sep: str = ",") -> Column:
         """String-monoid sum: deterministic (sorted) concatenation."""
         return F.array_join(F.array_sort(F.collect_list(col)), sep).alias(name)
@@ -207,10 +215,15 @@ class Query:
         out = grouped.agg(*agg_cols)
         for cond in self._having:
             try:
-                # Spark analyzes the plan eagerly: an unknown key/aggregate
-                # name raises here, at build time — the reference's
-                # compile-time `having` check.
-                out = out.filter(cond)
+                # An unknown key/aggregate name must raise HERE, at build
+                # time — the reference's compile-time `having` check.
+                # Classic Spark analyzes filter() eagerly; Spark Connect is
+                # lazy, so touching .schema forces analysis on both.
+                filtered = out.filter(cond)
+                _ = filtered.schema
+                out = filtered
+            except QueryBuildError:
+                raise
             except Exception as e:  # AnalysisException
                 declared = {n for n, _ in self._keys} | {n for n, _ in self._aggs}
                 raise QueryBuildError(
@@ -228,7 +241,10 @@ class Query:
 def _alias_of(c: Column) -> str:
     """Recover the alias of a pre-aliased Column (best effort, classic mode)."""
     s = str(c)
-    # Column string form ends with "... AS name'" / "... AS `name`'"
+    # str(Column) is "Column<'expr AS name'>" — unwrap BEFORE splitting,
+    # or the recovered alias keeps a trailing "'>".
+    if s.startswith("Column<'") and s.endswith("'>"):
+        s = s[len("Column<'") : -2]
     if " AS " in s:
         return s.rsplit(" AS ", 1)[-1].strip("'`\"")
     raise QueryBuildError(f"aggregate column must be aliased: {s}")
