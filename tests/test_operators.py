@@ -238,3 +238,46 @@ def test_pipeline_foreach_runs_distributed(spark):
 
     Pipeline(spark.range(5)).foreach(inc)
     assert acc.value == 10
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    import pytest as _pytest
+
+    from trembita_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k int, x string")
+    right = spark.createDataFrame([(1, "b")], "k int, y string")
+    for bad in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(left, right, on="k", how=bad)
+    # left-preserving modes still work and match the plain join
+    out = salted_join(left, right, on="k", how="left").collect()
+    assert len(out) == 1
+
+
+def test_similarity_topk_routes_approximate_by_default(spark):
+    from trembita_spark.operators import similarity as S
+
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [0.9, 0.1]),
+        (3, "b", [0.0, 1.0]),
+        (4, "b", [0.1, 0.9]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    queries = spark.createDataFrame(rows[:1], "vec_id long, label string, embedding array<double>")
+    default = S.topk(corpus, queries, k=1)
+    assert default.columns == ["query_id", "vec_id", "cell", "cos", "rank"]
+    got = [(r.query_id, r.vec_id) for r in default.collect()]
+    assert got == [(1, 2)]
+    exact = S.topk(corpus, queries, k=1, exact=True, cell_col="label")
+    assert [(r.query_id, r.vec_id) for r in exact.collect()] == [(1, 2)]
+
+
+def test_query_alias_recovery_exact(spark):
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.query import _alias_of
+
+    assert _alias_of(F2.sum("x").alias("total")) == "total"
+    assert _alias_of(F2.collect_list("x").alias("names")) == "names"

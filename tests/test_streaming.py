@@ -120,6 +120,90 @@ def test_stream_tws_sessionize_matches_batch(spark):
     assert len(emitted) >= len(batch_set) - n_users
 
 
+def _staged_stream(spark, batches, schema):
+    """Build a file-source stream whose micro-batch ORDER is controlled:
+    one parquet file per batch, mtimes strictly increasing, and
+    maxFilesPerTrigger=1 so availableNow replays them as separate
+    micro-batches (watermark advances between batches, not within)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="trembita_spark_stream_batches_")
+    stage = tempfile.mkdtemp(prefix="trembita_spark_stream_stage_")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        out = f"{stage}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        part = glob.glob(f"{out}/part-*.parquet")[0]
+        dst = f"{stream_dir}/batch_{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+    )
+
+
+def test_stream_late_data_dropped_by_watermark(spark):
+    # Late-data semantics, not smoke: an event older than the watermark
+    # must be EXCLUDED from its (already finalized) window.
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, value double"
+    batches = [
+        # batch 0: two events in [10:00,11:00); batch 1: an event at
+        # 12:00 advances the watermark to 11:50 (delay 10m); batch 2
+        # keeps the stream warm. Empirically (verified on 4.1.2): batch
+        # N's INPUT is filtered with the watermark computed through batch
+        # N-2, while state EVICTION uses batch N-1's — so the late row
+        # must arrive ≥2 batches after the advancing event to be dropped,
+        # and the [10:00,11:00) window is emitted (n=2) during batch 2.
+        [(1, t(10, 0), 1.0), (2, t(10, 10), 1.0)],
+        [(3, t(12, 0), 1.0)],
+        [(6, t(12, 10), 1.0)],
+        # batch 3: a LATE event at 10:05 (behind the 11:50 watermark →
+        # dropped) and an on-time event at 12:30.
+        [(4, t(10, 5), 1.0), (5, t(12, 30), 1.0)],
+    ]
+    ev = _staged_stream(spark, batches, schema).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = run_to_completion(agg, "t_stream_late_drop", output_mode="append")
+    emitted = [(r.ws, r.n) for r in out.collect()]
+    # the [10:00,11:00) window must finalize EXACTLY ONCE with n=2: the
+    # late event_id=4 was dropped — neither merged (n=3) nor re-emitted
+    # as a fresh 1-row window after the close.
+    ten = [e for e in emitted if e[0] == t(10, 0)]
+    assert ten == [(t(10, 0), 2)], f"late row leaked into closed window: {emitted}"
+
+
+def test_stream_drop_duplicates_within_watermark(spark):
+    # dropDuplicatesWithinWatermark: duplicate ids arriving within the
+    # watermark-retained state window are suppressed across micro-batches.
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, value double"
+    batches = [
+        [(1, t(10, 0), 1.0), (2, t(10, 5), 1.0)],
+        # duplicate id=1 (retained state → dropped) + new id=3
+        [(1, t(10, 2), 9.0), (3, t(10, 20), 1.0)],
+    ]
+    ev = _staged_stream(spark, batches, schema).withWatermark("ts", "30 minutes")
+    dedup = ev.dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_completion(dedup, "t_stream_dedup_wm", output_mode="append")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3], f"expected exactly-once ids, got {ids}"
+
+
 def test_stream_stream_join(spark):
     # stream-stream inner join with watermarks + time-range condition:
     # purchases joined to clicks of the same user within the prior hour.

@@ -554,6 +554,45 @@ def q_source_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_source_jdbc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # External-datasource connector analogue (SURVEY §3.1's Cassandra
+    # row): the exact spark.read.format(...) surface every connector
+    # (Cassandra/JDBC/Kafka) exposes, driven against the embedded Derby
+    # database bundled with Spark — a real out-of-Spark storage
+    # round-trip with no external service. The read declares
+    # partitionColumn bounds so the scan issues PARALLEL range queries —
+    # the posture a 100 TB JDBC/Cassandra ingest needs (one JDBC
+    # connection per partition, predicate pushed into each range query).
+    url = f"jdbc:derby:{run_tmp('jdbc_demo')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_ext")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_ext")
+        .option("driver", driver)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+    )
+
+
 @register("q_scan_csv", oracle="SELECT * FROM nation")
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lossless round-trip (explicit schema): read-back equals the source.

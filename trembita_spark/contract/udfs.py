@@ -77,6 +77,42 @@ def q_udtf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_udtf_generator",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '), (t, i) -> CAST(i - 1 AS INT))) AS pos,
+           unnest(list_transform(string_split(text, ' '), (t, i) -> t)) AS tok
+    FROM documents WHERE lang = 'de'
+    """,
+)
+def q_udtf_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TRUE generator-style Python UDTF (@udtf, SURVEY §3.9 optional row):
+    # a SQL-registered table function consumed via LATERAL join — the
+    # declarative sibling of q_udtf_mapinpandas' iterator form. Scale
+    # note: UDTF rows stream out of Python per input row (no
+    # per-partition buffering), and the LATERAL join stays colocated —
+    # no shuffle is introduced.
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield (i, t)
+
+    spark.udtf.register("trembita_split_tokens", SplitTokens)
+    view = f"udtf_docs_{uuid.uuid4().hex[:8]}"
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT doc_id, t.pos, t.tok "
+        f"FROM {view}, LATERAL trembita_split_tokens(text) t"
+    )
+
+
+@register(
     "q_udaf_grouped",
     oracle="""
     SELECT l_returnflag,

@@ -1,16 +1,19 @@
 """Similarity search over embedding columns (``array<float>``).
 
-North-star extension (BASELINE.json). Two paths:
+North-star extension (BASELINE.json). :func:`topk` is the front door
+and routes to the APPROXIMATE path by default (mirroring the dedup
+design: approximate default, exact as opt-in verification). Two paths:
 
+- :func:`ivf_topk` — the DEFAULT. IVF-style pruning: partition the
+  corpus into cells (a provided/derived cluster id), compute cell
+  centroids, probe only the closest ``nprobe`` cell(s) per query,
+  exact-rerank inside. This is the 100 TB shape: the full corpus is
+  never scanned per query — only matching cells move, and a
+  cell-partitioned layout turns the probe into partition pruning.
 - :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
   query set against the corpus; one pass, no shuffle of the corpus.
-  Correct baseline at any scale where |queries| is modest; cost is
-  O(|corpus|·|queries|·dim) scan-local work.
-- :func:`ivf_topk` — IVF-style pruning: partition the corpus into
-  cells (here: a provided/derived cluster id), compute cell centroids,
-  probe only the closest cell(s) per query, exact-rerank inside. This
-  is the 100 TB shape: the full corpus is never scanned per query —
-  only matching cells move.
+  O(|corpus|·|queries|·dim) scan-local work — use as the recall
+  baseline / verification mode, or when |corpus| is small.
 
 All arithmetic is sequential double folds (``F.aggregate`` left fold),
 which DuckDB mirrors bit-exactly with ``list_reduce`` — keeping even
@@ -36,6 +39,26 @@ def _norm(a: Column) -> Column:
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", _norm(F.col(vec_col)))
+
+
+def topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    exact: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Top-k similar vectors per query — the routing entry point.
+
+    Defaults to the scalable approximate path (:func:`ivf_topk`); pass
+    ``exact=True`` for the brute-force verification mode
+    (:func:`cosine_topk`). Keyword args are forwarded to the chosen
+    implementation."""
+    if exact:
+        kwargs.pop("cell_col", None)
+        kwargs.pop("nprobe", None)
+        return cosine_topk(corpus, queries, k=k, **kwargs)
+    return ivf_topk(corpus, queries, k=k, **kwargs)
 
 
 def cosine_topk(
