@@ -135,6 +135,99 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Resolve candidate pairs (doc_a, doc_b) into duplicate CLUSTERS:
+    returns (node, cluster_id) where cluster_id = min doc id reachable in
+    the pair graph. This is the step between "candidate pairs" (LSH) and
+    the actual dedup decision — near-dup relations are not transitive,
+    so pipelines cluster the candidate graph and keep one doc per
+    component.
+
+    Min-label propagation: each iteration every node takes the min of
+    its own label and its neighbors' labels — converges in
+    O(component diameter) rounds (near-dup clusters are shallow; 20
+    covers any realistic corpus). Each round is ONE join + ONE agg, all
+    distributed; the driver loop only checks a 1-row convergence
+    aggregate (sum of labels, strictly decreasing until fixed point —
+    no row-level diff join). Lineage is truncated with localCheckpoint
+    every ``checkpoint_every`` rounds, or iteration i's plan would embed
+    i nested joins. At 100 TB the same loop holds (labels/edges shuffle
+    on node id each round); the alternating large-star/small-star
+    variant halves rounds on deep graphs if ever needed.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    prev_sum = None
+    for i in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nbr_lab", "lab")).alias("lab"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("node", F.col("lab").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: near-dup candidate pairs
+    (MinHash+LSH) resolved into components; docs with no candidate are
+    their own singleton cluster. ``doc_id == cluster_id`` marks the
+    canonical (kept) representative — min id per cluster."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, bands, k)
+    cc = connected_components(pairs)
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        cc, F.col("doc_id") == cc.node, "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The deduplicated corpus: one canonical doc (min id) per near-dup
+    cluster, all original columns preserved. This is the operation a
+    training-data pipeline actually runs; `dedup_clusters` is its
+    explainable intermediate."""
+    clusters = dedup_clusters(df, text_col, id_col, bands, k)
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return df.join(keep, df[id_col] == keep.doc_id, "left_semi")
+
+
 # 60-bit integer from the first 15 hex chars of md5 — cross-engine
 # (DuckDB mirrors it with a char fold; see contract/llm.py).
 def _md5_int60(col):
