@@ -138,3 +138,51 @@ def test_md5_unicode_cross_engine(spark):
     py_h = hashlib.md5(s.encode()).hexdigest()
     duck_h = duckdb.connect().execute("SELECT md5(?)", [s]).fetchall()[0][0]
     assert spark_h == py_h == duck_h
+
+
+def test_connected_components_multihop_chain(spark):
+    # a-b, b-c, c-d is a diameter-3 component: convergence must NOT stop
+    # after one propagation round (the old sum-of-labels check did for
+    # string ids, where sum() is NULL every round).
+    from trembita_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {(r.node, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }, got
+
+
+def test_connected_components_numeric_chain(spark):
+    from trembita_spark.operators.dedup import connected_components
+
+    # reversed chain so min-label must travel the full diameter
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1)], "doc_a long, doc_b long"
+    )
+    got = {(r.node, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}, got
+
+
+def test_dedup_clusters_singletons_and_groups(corpus):
+    from trembita_spark.operators.dedup import dedup_clusters
+
+    got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(corpus).collect()}
+    # docs 0/1 are byte-identical, 2 is a near-dup of both → one cluster
+    # rooted at 0; doc 3 is unrelated → its own singleton.
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3)}, got
+
+
+def test_salted_join_mode_aliases(spark):
+    from trembita_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "z")], "k long, w string")
+    for how in ("leftouter", "LEFT_SEMI", "leftanti", "Inner"):
+        salted_join(left, right, on="k", how=how)  # must not raise
+    with pytest.raises(ValueError):
+        salted_join(left, right, on="k", how="full")

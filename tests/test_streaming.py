@@ -158,11 +158,15 @@ def test_stream_late_data_dropped_by_watermark(spark):
     batches = [
         # batch 0: two events in [10:00,11:00); batch 1: an event at
         # 12:00 advances the watermark to 11:50 (delay 10m); batch 2
-        # keeps the stream warm. Empirically (verified on 4.1.2): batch
-        # N's INPUT is filtered with the watermark computed through batch
-        # N-2, while state EVICTION uses batch N-1's — so the late row
-        # must arrive ≥2 batches after the advancing event to be dropped,
-        # and the [10:00,11:00) window is emitted (n=2) during batch 2.
+        # keeps the stream warm.
+        # [VERSION-SPECIFIC SCAFFOLDING — Spark 4.1.2 observation, NOT an
+        # asserted invariant: batch N's INPUT is filtered with the
+        # watermark computed through batch N-2, while state EVICTION uses
+        # batch N-1's — hence the late row arrives ≥2 batches after the
+        # advancing event. The ASSERTS below check only end-state
+        # invariants (window finalized exactly once with n=2, late row
+        # absent), not which batch emits them, so a Spark version that
+        # tightens watermark propagation should still pass.]
         [(1, t(10, 0), 1.0), (2, t(10, 10), 1.0)],
         [(3, t(12, 0), 1.0)],
         [(6, t(12, 10), 1.0)],

@@ -152,12 +152,14 @@ def connected_components(
     O(component diameter) rounds (near-dup clusters are shallow; 20
     covers any realistic corpus). Each round is ONE join + ONE agg, all
     distributed; the driver loop only checks a 1-row convergence
-    aggregate (sum of labels, strictly decreasing until fixed point —
-    no row-level diff join). Lineage is truncated with localCheckpoint
-    every ``checkpoint_every`` rounds, or iteration i's plan would embed
-    i nested joins. At 100 TB the same loop holds (labels/edges shuffle
-    on node id each round); the alternating large-star/small-star
-    variant halves rounds on deep graphs if ever needed.
+    aggregate (COUNT of rows whose label changed this round — type-
+    agnostic, so string/uuid ids converge correctly too; no row-level
+    diff join, and ``limit(1)`` short-circuits the scan). Lineage is
+    truncated with localCheckpoint every ``checkpoint_every`` rounds,
+    or iteration i's plan would embed i nested joins. At 100 TB the
+    same loop holds (labels/edges shuffle on node id each round); the
+    alternating large-star/small-star variant halves rounds on deep
+    graphs if ever needed.
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -168,26 +170,28 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("lab"))
     )
-    prev_sum = None
     for i in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        labels = (
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.node2, "left")
             .select(
                 "node",
+                F.col("lab").alias("old_lab"),
                 F.least(F.col("lab"), F.coalesce("nbr_lab", "lab")).alias("lab"),
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
-        if cur_sum == prev_sum:
+            stepped = stepped.localCheckpoint(eager=True)
+        changed = (
+            stepped.where(F.col("lab") != F.col("old_lab")).limit(1).count()
+        )
+        labels = stepped.select("node", "lab")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     edges.unpersist()
     return labels.select("node", F.col("lab").alias("cluster_id"))
 

@@ -124,10 +124,15 @@ def sessionize_fsm(
                 sessions.append(cur)
             cur["n_events"] += 1
             cur["session_end"] = t
-            # Half-UP rounding (floor(x+0.5)) to match SQL round() — Python
+            # Half-AWAY-FROM-ZERO rounding to match SQL round() — Python
             # round() is half-to-EVEN, which diverges by 1 cent whenever
-            # value*100 is an exact .5 (e.g. 1.125 → 112.5).
-            cur["total_cents"] += int(math.floor(row[value_col] * 100 + 0.5))
+            # value*100 is an exact .5 (e.g. 1.125 → 112.5); floor(x+0.5)
+            # alone would likewise diverge for negatives (-1.125 → -112
+            # vs SQL's -113), so apply the half-up rule to |v| and
+            # restore the sign.
+            v = row[value_col]
+            cents = int(math.floor(abs(v) * 100 + 0.5))
+            cur["total_cents"] += cents if v >= 0 else -cents
             prev_t = t
         return pd.DataFrame(sessions)
 

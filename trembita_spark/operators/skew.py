@@ -34,10 +34,14 @@ def salted_join(
     replicated, 'right'/'full' would return each UNMATCHED right row
     ``n_salts``× (matched rows join exactly one salt) — silently wrong.
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
-    if how not in allowed:
+    # Normalize the same way Spark's JoinType.apply does (case-fold, strip
+    # underscores) so every Spark-accepted spelling of a left-preserving
+    # mode passes: left/LEFT/leftouter/left_outer, leftsemi/semi, ...
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in allowed:
         raise ValueError(
-            f"salted_join supports left-preserving joins only {sorted(allowed)}, "
+            f"salted_join supports left-preserving joins only "
+            f"(inner/left/left_outer/left_semi/left_anti/semi/anti), "
             f"got {how!r}: the replicated right side duplicates unmatched "
             f"right rows under right/full-outer modes"
         )
