@@ -186,3 +186,56 @@ def test_salted_join_mode_aliases(spark):
         salted_join(left, right, on="k", how=how)  # must not raise
     with pytest.raises(ValueError):
         salted_join(left, right, on="k", how="full")
+
+
+def test_signlsh_same_vector_same_bucket(spark):
+    from trembita_spark.operators.similarity import signlsh_buckets, signlsh_candidates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),     # identical → identical signature
+        (3, [0.99, 0.01, 0.0, 0.0]),   # near-identical → same signs
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # antipodal → complement signature
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = {r.vec_id: (r.sig, r.bucket_n) for r in signlsh_buckets(df, planes=6).collect()}
+    assert b[1] == b[2] == b[3]
+    assert b[1][1] == 3
+    assert b[4][0] != b[1][0]
+    comp = "".join("1" if c == "0" else "0" for c in b[1][0])
+    assert b[4][0] == comp
+    # candidates: only same-bucket pairs scored
+    pairs = {(r.vec_a, r.vec_b) for r in signlsh_candidates(df, planes=6, threshold=0.9).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from trembita_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d@e.org, see https://x.io/z call 555-1234 ok")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert (r.n_email, r.n_url, r.n_phone) == (2, 1, 1)
+    assert "@" not in r.scrubbed and "https://" not in r.scrubbed
+    assert "<EMAIL>" in r.scrubbed and "<URL>" in r.scrubbed and "<PHONE>" in r.scrubbed
+
+
+def test_contamination_fractions(spark):
+    from trembita_spark.operators.text import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),  # shares 5-grams
+            (2, "alpha beta gamma delta epsilon zeta"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_hit) for r in contamination(corpus, bench, k=5).collect()}
+    assert got[1] == (3, 2)   # 3 5-grams, 2 appear in benchmark
+    assert got[2][1] == 0

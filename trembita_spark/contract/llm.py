@@ -555,3 +555,182 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "n_tokens", "distinct_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: cluster-resolved dedup, sign-LSH ANN, PII scrub,
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
+    sig AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id AS doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full near-dedup DECISION, not just candidates: MinHash+LSH
+    # pairs resolved into connected components (distributed min-label
+    # propagation, trembita_spark/operators/dedup.py:138), singletons
+    # kept as their own cluster. The oracle reproduces the transitive
+    # closure with a recursive CTE — an iterative distributed algorithm
+    # still hash-checked exactly.
+    return D.dedup_clusters(table(spark, sf_dir, "documents"), bands=4, k=3)
+
+
+_LSH_PLANES = 8
+
+
+def _lsh_proj_sql(p: int) -> str:
+    return (
+        "list_reduce(list_transform(generate_series(1, len(embedding)), "
+        f"i -> CASE WHEN substr(md5(concat('h{p}|', CAST(i - 1 AS VARCHAR))), 1, 1) < '8' "
+        "THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), "
+        "(a, b) -> a + b)"
+    )
+
+
+_LSH_SIG_SQL = "concat(" + ", ".join(
+    f"CASE WHEN {_lsh_proj_sql(p)} > 0 THEN '1' ELSE '0' END" for p in range(_LSH_PLANES)
+) + ")"
+
+
+@register(
+    "q_similarity_lsh",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, {_LSH_SIG_SQL} AS sig FROM embeddings)
+    SELECT vec_id, sig, count(*) OVER (PARTITION BY sig) AS bucket_n FROM s
+    """,
+)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Random-hyperplane (sign) LSH bucketing for cosine ANN: 8
+    # deterministic md5-derived ±1 hyperplanes → 8-bit bucket signature
+    # per vector + bucket population. Signatures are the partition /
+    # pruning key at scale (same posture as IVF cells); projections are
+    # sequential double folds so the oracle is bit-exact.
+    return S.signlsh_buckets(table(spark, sf_dir, "embeddings"), planes=_LSH_PLANES)
+
+
+_PII_DECORATED_SQL = """
+    concat(
+      repeat(concat(source, '.', CAST(doc_id AS VARCHAR), '@mail.example.com '),
+             CAST(doc_id % 3 AS INT)),
+      CASE WHEN doc_id % 2 = 0
+           THEN concat('visit https://example.com/', source, '/', CAST(doc_id AS VARCHAR), ' ')
+           ELSE '' END,
+      'call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ', text)
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^ ]+"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+
+
+@register(
+    "q_text_pii",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_PII_DECORATED_SQL} AS dec FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(dec, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(dec, '{_PII_URL}')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(dec, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(dec,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_URL}', '<URL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM d
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII detect + redact over a deterministically decorated corpus (the
+    # raw fixture text contains no PII, so emails/URLs/phones are
+    # synthesized per doc_id — 0-2 emails, url on even ids — making the
+    # counts non-constant). Pure regexp expressions: scan-local, no
+    # shuffle, codegen'd.
+    docs = table(spark, sf_dir, "documents")
+    decorated = docs.withColumn(
+        "dec",
+        F.concat(
+            F.repeat(
+                F.concat(
+                    F.col("source"), F.lit("."), F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com "),
+                ),
+                (F.col("doc_id") % 3).cast("int"),
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("visit https://example.com/"), F.col("source"),
+                    F.lit("/"), F.col("doc_id").cast("string"), F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "), F.col("text"),
+        ),
+    )
+    return TX.pii_scrub(
+        decorated, text_col="dec", id_col="doc_id",
+        patterns={"email": _PII_EMAIL, "url": _PII_URL, "phone": _PII_PHONE},
+    )
+
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    shl AS (SELECT doc_id, source, {_sh_sql(5)} AS shingles FROM tok),
+    ds AS (
+      SELECT DISTINCT doc_id, source, md5(sh) AS shash
+      FROM (SELECT doc_id, source, unnest(shingles) AS sh FROM shl)
+    ),
+    bench AS (SELECT DISTINCT shash FROM ds WHERE source = 'src0'),
+    corp AS (SELECT doc_id, shash FROM ds WHERE source <> 'src0')
+    SELECT c.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.shash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN b.shash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT) AS hit_frac
+    FROM corp c LEFT JOIN bench b USING (shash)
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: fraction of each (non-benchmark) doc's
+    # word 5-shingles that appear anywhere in the 'src0' benchmark
+    # split. Benchmark shingle-hash set is broadcast; the corpus side is
+    # explode → broadcast-join → per-doc re-agg, never shuffled by
+    # shingle.
+    docs = table(spark, sf_dir, "documents")
+    return TX.contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=5,
+    )

@@ -138,7 +138,7 @@ def minhash_lsh_candidates(
 def connected_components(
     pairs: DataFrame,
     max_iters: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Resolve candidate pairs (doc_a, doc_b) into duplicate CLUSTERS:
     returns (node, cluster_id) where cluster_id = min doc id reachable in
@@ -147,19 +147,19 @@ def connected_components(
     so pipelines cluster the candidate graph and keep one doc per
     component.
 
-    Min-label propagation: each iteration every node takes the min of
-    its own label and its neighbors' labels — converges in
-    O(component diameter) rounds (near-dup clusters are shallow; 20
-    covers any realistic corpus). Each round is ONE join + ONE agg, all
-    distributed; the driver loop only checks a 1-row convergence
-    aggregate (COUNT of rows whose label changed this round — type-
-    agnostic, so string/uuid ids converge correctly too; no row-level
-    diff join, and ``limit(1)`` short-circuits the scan). Lineage is
-    truncated with localCheckpoint every ``checkpoint_every`` rounds,
-    or iteration i's plan would embed i nested joins. At 100 TB the
-    same loop holds (labels/edges shuffle on node id each round); the
-    alternating large-star/small-star variant halves rounds on deep
-    graphs if ever needed.
+    Min-label propagation WITH pointer jumping: each iteration every
+    node takes (a) the min of its own and its neighbors' labels, then
+    (b) its current label's OWN label (path-halving self-join). Step (a)
+    alone is O(component diameter) rounds — real LSH pair graphs contain
+    long sparse chains (a 216-node diameter-​>100 component exists in the
+    sf0.01 fixture), so (b) is what makes convergence O(log diameter):
+    20 iterations cover diameters up to ~2^20. Each round is TWO joins +
+    one 1-row convergence aggregate (COUNT of rows whose label changed —
+    type-agnostic, so string/uuid ids converge correctly too; ``limit(1)``
+    short-circuits the scan). Lineage is truncated with localCheckpoint
+    every ``checkpoint_every`` rounds, or iteration i's plan would embed
+    2i nested joins. At 100 TB the same loop holds (labels/edges shuffle
+    on node id each round — the standard large-star/small-star regime).
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -176,12 +176,26 @@ def connected_components(
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        stepped = (
+        nbr_stepped = (
             labels.join(nbr_min, labels.node == nbr_min.node2, "left")
             .select(
                 "node",
                 F.col("lab").alias("old_lab"),
                 F.least(F.col("lab"), F.coalesce("nbr_lab", "lab")).alias("lab"),
+            )
+        )
+        # pointer jump: lab <- min(lab, lab(lab)). Every label IS a node
+        # (labels start as self and only ever copy other labels), so the
+        # lookup join always has a match candidate.
+        lab_map = nbr_stepped.select(
+            F.col("node").alias("pnode"), F.col("lab").alias("plab")
+        )
+        stepped = (
+            nbr_stepped.join(lab_map, nbr_stepped.lab == lab_map.pnode, "left")
+            .select(
+                "node",
+                "old_lab",
+                F.least(F.col("lab"), F.coalesce("plab", "lab")).alias("lab"),
             )
         )
         if (i + 1) % checkpoint_every == 0:

@@ -182,3 +182,92 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cell", "cos", "rank")
     )
+
+
+def _plane_sign(plane: int):
+    """Deterministic ±1 hyperplane coefficient for (plane, dim-index):
+    +1 iff the first hex char of md5('h{plane}|{index}') < '8' (an even
+    16-way split). Derived from md5 so BOTH engines (and every retry /
+    every executor) see the identical pseudo-random plane with no RNG,
+    no seed plumbing, and no broadcast of a coefficient matrix."""
+
+    def coef(x, i):
+        cond = (
+            F.substring(F.md5(F.concat(F.lit(f"h{plane}|"), i.cast("string"))), 1, 1)
+            < "8"
+        )
+        return F.when(cond, x.cast("double")).otherwise(-x.cast("double"))
+
+    return coef
+
+
+def signlsh_signature(
+    df: DataFrame,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH for cosine similarity: project each
+    vector onto ``planes`` deterministic ±1 hyperplanes and keep the
+    sign bit of each projection → a ``planes``-bit bucket signature
+    (string of 0/1). Vectors with high cosine land in the same bucket
+    with probability (1 - θ/π)^planes (Charikar 2002, public result).
+
+    Scale shape: one narrow projection pass over the corpus (no shuffle,
+    no pairs); the signature is then a PARTITION KEY — store the corpus
+    bucketed by it and candidate generation is a bucket-local scan, the
+    same posture as :func:`ivf_topk` cells. Multi-probe (flipping the
+    lowest-|projection| bits) widens recall without rescanning.
+
+    All projections are sequential double left-folds (F.aggregate), so
+    a SQL oracle reproduces them bit-exactly via list_reduce.
+    """
+    sig = F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.transform(F.col(vec_col), _plane_sign(p)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(planes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+
+
+def signlsh_buckets(
+    df: DataFrame,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, sig, bucket_n): each vector's sign-LSH signature plus
+    its bucket's population — the candidate-set size a same-bucket ANN
+    probe would rerank. One projection pass + one count agg on sig."""
+    sigs = signlsh_signature(df, planes, vec_col, id_col)
+    sizes = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return sigs.join(sizes, "sig").select("vec_id", "sig", "bucket_n")
+
+
+def signlsh_candidates(
+    df: DataFrame,
+    planes: int = 8,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN candidate pairs: exact cosine over SAME-BUCKET pairs only —
+    the sign-LSH analogue of :func:`cosine_pairs_within` with the
+    signature as the blocking key (per-bucket-squared work, never
+    corpus-squared)."""
+    sigs = signlsh_signature(df, planes, vec_col, id_col).withColumnRenamed(
+        "vec_id", "sid"
+    )
+    blocked = df.join(sigs, df[id_col] == sigs.sid).drop("sid")
+    return cosine_pairs_within(
+        blocked, group_col="sig", threshold=threshold, vec_col=vec_col, id_col=id_col
+    )

@@ -171,3 +171,80 @@ def chunk_documents(
             F.size("c.toks").alias("n_chunk_tokens"),
         )
     )
+
+
+# PII patterns shared with the SQL oracle — RE2/Java-regex common subset
+# (no backrefs, no lookaround) so both engines match identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ ]+",
+    "phone": r"\b555-[0-9]{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Detect-and-redact PII spans (emails, URLs, phone numbers) — the
+    standard pre-training scrub pass. Returns (id, n_<kind>... match
+    counts, scrubbed text with each span replaced by ``<KIND>``).
+
+    Pure ``regexp_replace``/``regexp_count`` expressions: scan-local,
+    whole-stage-codegen, zero shuffles — the 100 TB cost is exactly one
+    read+write pass. Patterns are applied in dict order (relevant when
+    one pattern could match inside another's replacement)."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed", scrubbed).select(
+        id_col, *[f"n_{k}" for k in pats], "scrubbed"
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the fraction of its
+    word k-shingles that also appear in the ``benchmark`` set (the
+    standard train/test-overlap check before training on scraped data).
+    Returns (doc_id, n_shingles, n_hit, hit_frac) for every corpus doc
+    with at least one shingle.
+
+    Scale shape: the benchmark shingle set is tiny next to the corpus →
+    distinct it and BROADCAST; the corpus side is one explode + one
+    broadcast hash join + one re-agg by doc — corpus never shuffles by
+    shingle. md5-hash the shingles first so only 32-byte keys move, not
+    text."""
+    from trembita_spark.operators.dedup import shingles_expr
+
+    def doc_shingles(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("sh"))
+            .select(id_col, F.md5("sh").alias("shash"))
+            .distinct()
+        )
+
+    bench = F.broadcast(doc_shingles(benchmark).select("shash").distinct())
+    corp = doc_shingles(corpus)
+    hit = bench.withColumn("hit", F.lit(1))
+    return (
+        corp.join(hit, "shash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn("hit_frac", F.col("n_hit") / F.col("n_shingles"))
+    )
