@@ -135,10 +135,22 @@ def minhash_lsh_candidates(
     )
 
 
+_CC_TMP_DIRS: list = []
+
+
+def _cc_cleanup() -> None:
+    import shutil
+
+    for d in _CC_TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _CC_TMP_DIRS.clear()
+
+
 def connected_components(
     pairs: DataFrame,
-    max_iters: int = 20,
-    checkpoint_every: int = 1,
+    max_iters: int = 30,
+    jumps: int = 2,
+    cut_every: int = 3,
 ) -> DataFrame:
     """Resolve candidate pairs (doc_a, doc_b) into duplicate CLUSTERS:
     returns (node, cluster_id) where cluster_id = min doc id reachable in
@@ -147,28 +159,47 @@ def connected_components(
     so pipelines cluster the candidate graph and keep one doc per
     component.
 
-    Min-label propagation WITH pointer jumping: each iteration every
-    node takes (a) the min of its own and its neighbors' labels, then
-    (b) its current label's OWN label (path-halving self-join). Step (a)
-    alone is O(component diameter) rounds — real LSH pair graphs contain
-    long sparse chains (a 216-node diameter-​>100 component exists in the
-    sf0.01 fixture), so (b) is what makes convergence O(log diameter):
-    20 iterations cover diameters up to ~2^20. Each round is TWO joins +
-    one 1-row convergence aggregate (COUNT of rows whose label changed —
-    type-agnostic, so string/uuid ids converge correctly too; ``limit(1)``
-    short-circuits the scan). Lineage is truncated with localCheckpoint
-    every ``checkpoint_every`` rounds, or iteration i's plan would embed
-    2i nested joins. At 100 TB the same loop holds (labels/edges shuffle
-    on node id each round — the standard large-star/small-star regime).
+    Min-label propagation WITH pointer jumping: each round every node
+    takes (a) the min of its own and its neighbors' labels, then (b) its
+    label's label from the previous round's materialized map, applied
+    ``jumps`` times (path halving). Step (a) alone is O(component
+    diameter) rounds — real LSH pair graphs contain long sparse chains
+    (a 216-node diameter->100 component exists in the sf0.01 fixture);
+    (b) makes convergence O(log diameter). Labels are seeded with the
+    direct-neighbor min (one groupBy — saves a full round vs identity
+    init). Convergence probe: 0/1 aggregate of labels changed this
+    round — type-agnostic (string/uuid ids converge correctly), and
+    ``limit(1)`` short-circuits the scan.
+
+    Materialization strategy (measured, see tests/test_llm_ops.py
+    chain tests): rounds end in an eager localCheckpoint, and every
+    ``cut_every`` rounds the labels are written to a per-run temp
+    PARQUET dir and re-read — a hard lineage/block-state cut. Pure
+    localCheckpoint chains degrade geometrically after ~10 rounds on
+    Spark 4.1 local mode (join rounds over repeatedly-checkpointed
+    RDDs re-execute ancestor work; measured 0.7s -> 100+s per round);
+    the periodic storage round-trip keeps per-round cost flat, and at
+    100 TB it is exactly the fault-tolerance checkpoint a production
+    iterative job wants anyway (labels/edges shuffle on node id each
+    round — the standard large-star/small-star regime).
     """
+    import atexit
+    import tempfile
+
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.persist()
+    spark = pairs.sparkSession
+    if not _CC_TMP_DIRS:
+        atexit.register(_cc_cleanup)
+    tmp = tempfile.mkdtemp(prefix="trembita_spark_cc_")
+    _CC_TMP_DIRS.append(tmp)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lab"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("lab"))
+        .localCheckpoint(eager=True)
     )
     for i in range(max_iters):
         nbr_min = (
@@ -184,21 +215,33 @@ def connected_components(
                 F.least(F.col("lab"), F.coalesce("nbr_lab", "lab")).alias("lab"),
             )
         )
-        # pointer jump: lab <- min(lab, lab(lab)). Every label IS a node
-        # (labels start as self and only ever copy other labels), so the
-        # lookup join always has a match candidate.
-        lab_map = nbr_stepped.select(
-            F.col("node").alias("pnode"), F.col("lab").alias("plab")
-        )
-        stepped = (
-            nbr_stepped.join(lab_map, nbr_stepped.lab == lab_map.pnode, "left")
-            .select(
-                "node",
-                "old_lab",
-                F.least(F.col("lab"), F.coalesce("plab", "lab")).alias("lab"),
+        # pointer jumps through the PREVIOUS round's materialized map:
+        # lab <- min(lab, prev_lab(lab)), applied ``jumps`` times. Every
+        # label IS a node (labels start as self/neighbor ids and only
+        # ever copy node ids), so the lookup join always has a match
+        # candidate. Each extra jump is one more join against the SAME
+        # already-materialized map but multiplies the per-round path
+        # contraction.
+        stepped = nbr_stepped
+        for j in range(jumps):
+            lab_map = labels.select(
+                F.col("node").alias(f"pnode{j}"), F.col("lab").alias(f"plab{j}")
             )
-        )
-        if (i + 1) % checkpoint_every == 0:
+            stepped = (
+                stepped.join(lab_map, stepped.lab == F.col(f"pnode{j}"), "left")
+                .select(
+                    "node",
+                    "old_lab",
+                    F.least(
+                        F.col("lab"), F.coalesce(f"plab{j}", "lab")
+                    ).alias("lab"),
+                )
+            )
+        if (i + 1) % cut_every == 0:
+            path = f"{tmp}/round_{i}"
+            stepped.write.mode("overwrite").parquet(path)
+            stepped = spark.read.parquet(path)
+        else:
             stepped = stepped.localCheckpoint(eager=True)
         changed = (
             stepped.where(F.col("lab") != F.col("old_lab")).limit(1).count()
