@@ -183,3 +183,427 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count — identical double division in both engines.
     _register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_Q22_SQL)
+
+
+# Round 3: the REST of the TPC-H suite, adapted to the local schema (no
+# partsupp table; lineitem has no commitdate/receiptdate/shipmode; cost
+# proxies use p_retailprice). Together with Q3/Q4/Q5/Q18/Q22 above this
+# completes all 22 query shapes — every join topology, subquery form
+# (scalar, correlated, IN, EXISTS, NOT EXISTS, CTE-with-max), and
+# aggregate pattern of the benchmark is exercised through the SQL front
+# door and value-hash-checked against DuckDB. One SQL text per key,
+# executed verbatim by both engines.
+
+
+def _sql_key(key: str, tables: list, sql: str, doc: str):
+    """Register one shared-dialect SQL contract key (Spark executes the
+    exact text the DuckDB oracle runs)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    fn.__name__ = key
+    fn.__doc__ = doc
+    register(key, oracle=sql)(fn)
+
+
+_sql_key(
+    "q_sql_q1",
+    ["lineitem"],
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 (pricing summary) through the SQL front door: scan → "
+    "partial+final hash agg; decimal-trick sums (parity rule 4) keep "
+    "every money column bit-exact.",
+)
+
+_sql_key(
+    "q_sql_q2",
+    ["part", "supplier", "lineitem", "nation", "region"],
+    """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT min(s2.s_acctbal)
+        FROM supplier s2
+        JOIN lineitem l2 ON l2.l_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    GROUP BY s_acctbal, s_name, n_name, p_partkey, p_name
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 analogue (min-cost supplier; supplier-of-part via lineitem "
+    "since there is no partsupp): correlated scalar MIN subquery — "
+    "Catalyst rewrites it to an aggregated join on l_partkey. GROUP BY "
+    "dedupes repeated lineitem matches; double equality on s_acctbal is "
+    "exact (same source values both sides).",
+)
+
+_sql_key(
+    "q_sql_q6",
+    ["lineitem"],
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 (forecast revenue change): pure scan-side predicate — all "
+    "four filters push into the parquet scan; single global agg.",
+)
+
+_sql_key(
+    "q_sql_q7",
+    ["supplier", "lineitem", "orders", "customer", "nation"],
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+          OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 (volume shipping): nation self-joined twice under a "
+    "disjunctive cross-nation predicate; EXTRACT(YEAR) cast to BIGINT "
+    "on both engines (Spark year() is INT32, DuckDB's BIGINT).",
+)
+
+_sql_key(
+    "q_sql_q8",
+    ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+    """
+    SELECT o_year,
+           CAST(sum(CAST(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 (national market share): 7-table star join, conditional "
+    "share ratio = decimal-exact numerator / decimal-exact denominator — "
+    "identical double division both engines.",
+)
+
+_sql_key(
+    "q_sql_q9",
+    ["part", "lineitem", "supplier", "orders", "nation"],
+    """
+    SELECT nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9 analogue (product-type profit; p_retailprice stands in for "
+    "ps_supplycost — no partsupp locally): per-row IEEE profit expression "
+    "is bit-deterministic (rule 2); only the SUM gets the decimal trick.",
+)
+
+_sql_key(
+    "q_sql_q10",
+    ["customer", "orders", "lineitem", "nation"],
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 (returned items): revenue-ranked top-20 with the unique "
+    "c_custkey tiebreak (parity rule 8) so LIMIT is deterministic.",
+)
+
+_sql_key(
+    "q_sql_q11",
+    ["lineitem", "supplier", "nation"],
+    """
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) > (
+      SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+    "TPC-H Q11 analogue (important stock; lineitem revenue per part "
+    "stands in for partsupp value): HAVING against an uncorrelated "
+    "scalar subquery — Catalyst broadcasts the 1-row threshold.",
+)
+
+_sql_key(
+    "q_sql_q12",
+    ["orders", "lineitem"],
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "TPC-H Q12 analogue (priority-by-shipping-class; l_returnflag stands "
+    "in for the absent l_shipmode, ship-after-order for the absent "
+    "commit/receipt dates): CASE-sum pivot counts, cast BIGINT both "
+    "sides (DuckDB integer sum is HUGEINT — parity trap).",
+)
+
+_sql_key(
+    "q_sql_q13",
+    ["customer", "orders"],
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13 (customer order-count distribution): LEFT JOIN with a "
+    "filter inside the ON clause (customers with zero qualifying orders "
+    "count as c_count=0), then a count-of-counts re-aggregation.",
+)
+
+_sql_key(
+    "q_sql_q14",
+    ["lineitem", "part"],
+    """
+    SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    "TPC-H Q14 (promo revenue share): conditional-aggregate ratio; both "
+    "operands decimal-exact before one double division.",
+)
+
+_sql_key(
+    "q_sql_q15",
+    ["supplier", "lineitem"],
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 (top supplier): CTE referenced twice — once as the join "
+    "input and once inside the MAX scalar subquery; revenue doubles are "
+    "decimal-derived so max-equality is exact.",
+)
+
+_sql_key(
+    "q_sql_q16",
+    ["lineitem", "part", "supplier"],
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 analogue (supplier breadth per part attribute; lineitem "
+    "links supplier↔part): NOT IN null-aware anti join (6 negative-"
+    "balance suppliers at sf0.01 keep it non-vacuous) + count-distinct.",
+)
+
+_sql_key(
+    "q_sql_q17",
+    ["lineitem", "part"],
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND p_size <= 5
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    "TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG "
+    "subquery per part — Catalyst rewrites to an aggregate + join; avg "
+    "expressed as decimal-sum/count (parity rule 4).",
+)
+
+_sql_key(
+    "q_sql_q19",
+    ["lineitem", "part"],
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 analogue (discounted revenue; p_size ranges stand in for "
+    "the absent p_container): disjunction of conjunctive join+scan "
+    "predicates — Catalyst extracts the common join key and pushes the "
+    "per-branch filters below it.",
+)
+
+_sql_key(
+    "q_sql_q20",
+    ["supplier", "nation", "lineitem", "part"],
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+      AND s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1
+        JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_type = 'PROMO'
+          AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l1.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING CAST(sum(CAST(l1.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 0.3 * (
+          SELECT CAST(sum(CAST(l3.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          FROM lineitem l3
+          WHERE l3.l_partkey = l1.l_partkey
+            AND l3.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l3.l_shipdate <  TIMESTAMP '1997-01-01'
+        )
+      )
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 analogue (dominant-share suppliers; per-(supplier,part) "
+    "shipped quantity vs 0.3× the part's total, via lineitem instead of "
+    "partsupp availability): IN subquery whose HAVING contains a "
+    "correlated scalar subquery on the grouping key.",
+)
+
+_sql_key(
+    "q_sql_q21",
+    ["supplier", "lineitem", "orders", "nation"],
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 analogue (suppliers who kept orders waiting; ship >60 days "
+    "after order stands in for receipt-after-commit): EXISTS + NOT EXISTS "
+    "both correlated to the fact row AND the outer orders row — semi and "
+    "anti self-joins on the same key. s_name is unique → the DESC "
+    "numwait LIMIT is a total order (parity rule 8).",
+)
