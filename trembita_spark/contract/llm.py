@@ -734,3 +734,101 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: repetition quality signals, deterministic sampling / mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bgr AS (
+      SELECT doc_id, l,
+             list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]) AS bg
+      FROM t
+    ),
+    per_row AS (
+      SELECT doc_id, CAST(len(l) AS INT) AS n_tokens,
+             CASE WHEN len(l) - 1 > 0 THEN
+               1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(l) - 1)
+             END AS dup_bigram_frac
+      FROM bgr
+    ),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(l) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_token_share
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT per_row.doc_id, n_tokens, dup_bigram_frac, top_token_share
+    FROM per_row JOIN top USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filters: duplicate-bigram fraction (pure
+    # per-row HOF, zero shuffle) + top-token share (explode + two
+    # partial-friendly aggs). Integer-ratio arithmetic → bit-exact.
+    return TX.repetition_signals(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ) t
+    WHERE rn <= ceil(n * 0.1)
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT 10%-per-language sample, md5-rank selection: deterministic
+    # (retry/partitioning-independent — no RNG, unlike sampleBy), quota
+    # met exactly per stratum. One shuffle on the stratum key.
+    from trembita_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 0.1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_MIX_RATES_SQL = (
+    "CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 ELSE 100 END"
+)
+
+
+@register(
+    "q_corpus_mix",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             {_HEX60.format(md5="md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+      FROM documents
+    ) t
+    WHERE bucket < {_MIX_RATES_SQL}
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic weighted corpus blending (training-mixture op):
+    # src0 keeps 10%, src1 keeps 50%, everything else passes through.
+    # Content-hash bucketing → shuffle-free map-side filter; the same
+    # rows survive at any scale factor and under any retry.
+    from trembita_spark.operators.sampling import weighted_mix
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        weighted_mix(docs, "source", "doc_id", {"src0": 10, "src1": 50})
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

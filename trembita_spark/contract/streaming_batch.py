@@ -188,3 +188,74 @@ def q_stream_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", (F.col("value") * 2).alias("doubled")
     )
     return run_to_completion(out, name, output_mode="append")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT event_id, user_id, ts, value FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming dedup with bounded state: the source unioned with itself
+    # (every event arrives exactly twice), watermarked, deduped by
+    # event_id via dropDuplicatesWithinWatermark — duplicates land well
+    # inside the 1h delay, so the streaming result must equal DISTINCT
+    # events, which the oracle checks exactly. At 100 TB this is the
+    # always-on ingest-dedup shape: state is evicted as the watermark
+    # advances, so memory is bounded by the dup horizon, not the stream.
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    ev = events_stream(spark, sf_dir).unionAll(events_stream(spark, sf_dir))
+    out = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return run_to_completion(out, name, output_mode="append")
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL stream-stream inner join: purchases matched to same-user
+    # clicks in the preceding 30 minutes. Both sides watermarked + the
+    # time-range join condition bounds the buffered state (Spark evicts
+    # click state older than watermark+range — the attribution-join shape
+    # at scale). Oracle compares integer epoch-µs so the bound is exactly
+    # Spark's µs-truncated interval arithmetic.
+    name = f"stream_join_{next(_STREAM_SEQ)}"
+    p = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return run_to_completion(joined, name, output_mode="append")

@@ -248,3 +248,45 @@ def contamination(
         )
         .withColumn("hit_frac", F.col("n_hit") / F.col("n_shingles"))
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher/MassiveText
+    family of filters): the fraction of tokens taken by the single most
+    frequent token, and the fraction of 2-grams that are repeats.
+    Degenerate machine-generated text scores high on both; corpus
+    curation drops documents above a threshold.
+
+    Shape: the bigram signal is a pure per-row expression (HOF over the
+    token array — zero shuffle); the top-token share needs per-(doc,
+    token) counts, one explode + two partial-agg groupBys on doc_id.
+    Both signals are integer-ratio arithmetic → bit-deterministic.
+    """
+    toks = tokens(text_col)
+    # bigram i = tokens[i] + ' ' + tokens[i+1]; sequence is 1-based like
+    # element_at. Explicit single-arg lambda (HOF arity trap — see
+    # PySpark gotchas): transform(sequence(...), i -> ...).
+    bigrams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+        f"element_at(split({text_col}, ' '), i + 1)))"
+    )
+    per_row = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.when(
+            F.size(bigrams) > 0,
+            1.0
+            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+        ).alias("dup_bigram_frac"),
+    )
+    top = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_token_share"))
+    )
+    return per_row.join(top, "doc_id")
