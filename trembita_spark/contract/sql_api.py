@@ -13,9 +13,19 @@ from trembita_spark.contract import register, table
 from trembita_spark.io import TABLES
 
 
+# (applicationId, view name) → sf_dir currently registered. Re-issuing
+# createOrReplaceTempView for an unchanged view is a wasted JVM roundtrip
+# per table per query; only re-register when the view should point at a
+# DIFFERENT scale factor (e.g. parity at sf0.01 then bench at sf0.1).
+_VIEW_STATE: dict = {}
+
+
 def _register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    app = spark.sparkContext.applicationId
     for name in names:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if _VIEW_STATE.get((app, name)) != sf_dir:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            _VIEW_STATE[(app, name)] = sf_dir
 
 
 @register(

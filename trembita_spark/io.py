@@ -37,6 +37,16 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+# (appId, sf_dir, name) → DataFrame. spark.read.parquet re-reads footers
+# for schema inference on EVERY call (~150ms/table here); the fixture
+# files are immutable and DataFrames are immutable lazy plans, so one
+# handle per session+path serves every invocation. Measured: dropped
+# per-query view-registration setup from ~1.7s to ~0 across the SQL
+# front door. Keyed by applicationId (unique per session — id() could
+# be recycled by the allocator after a session is GC'd).
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Columnar scan: Catalyst prunes columns and
     pushes predicates into the parquet reader (verify with
@@ -49,11 +59,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``div`` is load-bearing: ns epochs exceed 2^53, float division would
     corrupt low bits.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
