@@ -239,3 +239,52 @@ def test_contamination_fractions(spark):
     got = {r.doc_id: (r.n_shingles, r.n_hit) for r in contamination(corpus, bench, k=5).collect()}
     assert got[1] == (3, 2)   # 3 5-grams, 2 appear in benchmark
     assert got[2][1] == 0
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from trembita_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", "doc_id", 0.2)
+    got = {(r.doc_id, r.lang) for r in out.collect()}
+    # exact per-stratum quota: ceil(0.2 * 60)=12 en, ceil(0.2 * 30)=6 de
+    by_lang = {}
+    for _, lang in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang == {"en": 12, "de": 6}
+    # deterministic under different physical partitioning (no RNG)
+    got2 = {(r.doc_id, r.lang) for r in stratified_sample(df.repartition(7), "lang", "doc_id", 0.2).collect()}
+    assert got == got2
+
+
+def test_weighted_mix_rates_and_stability(spark):
+    from trembita_spark.operators.sampling import weighted_mix
+
+    rows = [(i, f"src{i % 2}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_mix(df, "source", "doc_id", {"src0": 0}, default_rate=100)
+    kept = [r.source for r in out.collect()]
+    assert set(kept) == {"src1"} and len(kept) == 200  # rate 0 drops all, 100 keeps all
+    # subset property: raising a rate only ADDS rows, never swaps them
+    lo = {r.doc_id for r in weighted_mix(df, "source", "doc_id", {"src0": 20}).collect()}
+    hi = {r.doc_id for r in weighted_mix(df, "source", "doc_id", {"src0": 60}).collect()}
+    assert lo <= hi
+
+
+def test_repetition_signals_known_text(spark):
+    from trembita_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one token repeated
+            (2, "all words here are different"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].top_token_share == 1.0
+    # bigrams of doc 1: 3 total, 1 distinct -> dup fraction 2/3
+    assert abs(out[1].dup_bigram_frac - 2 / 3) < 1e-12
+    assert out[2].top_token_share == pytest.approx(1 / 5)
+    assert out[2].dup_bigram_frac == 0.0

@@ -259,3 +259,37 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return run_to_completion(joined, name, output_mode="append")
+
+
+@register(
+    "q_stream_sink",
+    oracle="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'",
+)
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming FILE sink: filtered stream → checkpointed parquet append
+    # (the exactly-once production sink shape — checkpoint + atomic file
+    # manifest; memory sinks are for tests). Run to completion with
+    # availableNow, then read the sink back; the round-trip must equal
+    # the batch filter exactly, which the oracle checks.
+    from trembita_spark.contract import run_tmp
+
+    d = run_tmp("stream_sink")
+    ev = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(f"{d}/out")
