@@ -157,3 +157,43 @@ def test_partitioned_sink_prunes_on_read(spark):
     n_a = df.count()
     n_all = spark.read.parquet(path).count()
     assert 0 < n_a < n_all
+
+
+def test_weighted_mix_no_shuffle(spark):
+    # Training-mixture filter must stay map-side: no Exchange anywhere.
+    plan = plan_of("q_corpus_mix", spark)
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "Exchange" not in body.replace("Exchange SinglePartition", ""), (
+        "weighted_mix is a pure filter — a shuffle here is a scale bug"
+    )
+
+
+def test_stratified_sample_single_shuffle(spark):
+    # rank + windowed count share one partitioning: exactly one
+    # hashpartitioning Exchange on the stratum key.
+    plan = plan_of("q_sample_stratified", spark)
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_exchanges == 1, plan
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    plan = plan_of("q_sql_q5", spark)
+    assert "BroadcastHashJoin" in plan, "nation/region must broadcast"
+
+
+def test_tpch_q21_semi_anti_joins(spark):
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti; neither may degrade to a
+    # cartesian product.
+    plan = plan_of("q_sql_q21", spark)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_bigram_branch_no_pre_join_shuffle(spark):
+    # per_row side: scan → project (HOF) → join. Only the top-token agg
+    # and the join itself may shuffle; assert there is no Sort before the
+    # join input on the per-row side by requiring <= 3 hash exchanges
+    # total (agg partial/final pair + join repartition).
+    plan = plan_of("q_text_repetition", spark)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 3, plan

@@ -816,7 +816,6 @@ _MIX_RATES_SQL = (
       FROM documents
     ) t
     WHERE bucket < {_MIX_RATES_SQL}
-    ORDER BY doc_id
     """,
 )
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -827,8 +826,6 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.operators.sampling import weighted_mix
 
     docs = table(spark, sf_dir, "documents")
-    return (
-        weighted_mix(docs, "source", "doc_id", {"src0": 10, "src1": 50})
-        .select("doc_id", "source")
-        .orderBy("doc_id")
+    return weighted_mix(docs, "source", "doc_id", {"src0": 10, "src1": 50}).select(
+        "doc_id", "source"
     )
