@@ -52,6 +52,30 @@ def build_scaled(spark) -> None:
         .write.mode("overwrite")
         .parquet(f"{BASE}/events.parquet")
     )
+    od = load_table(spark, SF_DIR, "orders")
+    (
+        od.crossJoin(F.broadcast(reps))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * 10_000_000)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{BASE}/orders.parquet")
+    )
+    # documents: prefix every TOKEN with the replica id so each replica's
+    # vocabulary (and so its shingles/minhash buckets) is disjoint —
+    # the LSH case then measures pipeline scaling, not the semantic
+    # quadratic growth of planting 8 exact copies of every document.
+    doc = load_table(spark, SF_DIR, "documents")
+    (
+        doc.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 100_000_000)
+        .withColumn(
+            "text",
+            F.expr("array_join(transform(split(text, ' '), t -> concat(rep, t)), ' ')"),
+        )
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{BASE}/documents.parquet")
+    )
 
 
 def q_flagship(li):
@@ -84,6 +108,26 @@ def q_topk(li):
     return li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber").limit(25)
 
 
+def q_join_agg(li, od):
+    # big-big join: lineitem ⨝ orders on the scaled key, then agg.
+    # AQE is free to broadcast at 1x and shuffle-join at 8x — plan
+    # adaptation under growth is part of what this measures.
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("rev"))
+    )
+
+
+def q_lsh_cluster(docs):
+    # the full near-dup pipeline: shingle → minhash bands → bucket pair
+    # expansion → connected-components cluster resolution (iterative).
+    from trembita_spark.operators.dedup import connected_components, minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs, bands=4, k=3)
+    return connected_components(pairs, max_iters=10)
+
+
 def median_time(fn, runs=3):
     fn()  # warm
     ts = []
@@ -101,12 +145,18 @@ def main():
     ev1 = load_table(spark, SF_DIR, "events")
     li8 = spark.read.parquet(f"{BASE}/lineitem.parquet")
     ev8 = spark.read.parquet(f"{BASE}/events.parquet")
+    od1 = load_table(spark, SF_DIR, "orders")
+    od8 = spark.read.parquet(f"{BASE}/orders.parquet")
+    doc1 = load_table(spark, SF_DIR, "documents")
+    doc8 = spark.read.parquet(f"{BASE}/documents.parquet")
     # events written back via load_table has µs ts already; raw read OK.
     cases = {
         "flagship_agg": (lambda: q_flagship(li1).collect(), lambda: q_flagship(li8).collect()),
         "orderkey_product": (lambda: q_product(li1).count(), lambda: q_product(li8).count()),
         "sessionize": (lambda: q_sessionize(ev1).count(), lambda: q_sessionize(ev8).count()),
         "topk": (lambda: q_topk(li1).collect(), lambda: q_topk(li8).collect()),
+        "join_agg": (lambda: q_join_agg(li1, od1).collect(), lambda: q_join_agg(li8, od8).collect()),
+        "lsh_cluster": (lambda: q_lsh_cluster(doc1).count(), lambda: q_lsh_cluster(doc8).count()),
     }
     out = {}
     for name, (f1, f8) in cases.items():
