@@ -534,3 +534,58 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(qty, c * 1000 - qty) AS mode_qty,
+           max(c)                       AS mode_count
+    FROM (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ) t
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Most-frequent-value aggregate with a DETERMINISTIC tiebreak
+    # (highest count, then SMALLEST value — native mode() ties
+    # arbitrarily per engine, a latent hash mismatch; rule 6): two-level
+    # agg, both levels partial-friendly. The tiebreak is encoded in one
+    # integer ordering key, c*1000 - qty (valid: qty ∈ [1,50] ≪ 1000),
+    # because DuckDB 1.0's arg_max takes scalar keys only.
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("qty", F.col("c") * 1000 - F.col("qty")).alias("mode_qty"),
+        F.max("c").alias("mode_count"),
+    )
+
+
+@register(
+    "q_agg_any",
+    oracle="""
+    SELECT o_orderpriority, any_value(prio_code) AS code
+    FROM (SELECT o_orderpriority, CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_code
+          FROM orders) t
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference QL's `.random` (arbitrary group element). any_value
+    # is nondeterministic in general — made checkable here by choosing a
+    # value FUNCTIONALLY DEPENDENT on the group key, so every candidate
+    # is identical and the arbitrary pick is forced.
+    od = table(spark, sf_dir, "orders")
+    return (
+        od.select(
+            "o_orderpriority",
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_code"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.any_value("prio_code").alias("code"))
+    )

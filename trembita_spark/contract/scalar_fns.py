@@ -328,3 +328,35 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad("p_brand", 12, ".").alias("padded"),
         F.translate("p_name", "aeiou", "AEIOU").alias("upvowel"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                          AS band,
+           l_orderkey | 15                           AS bor,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
+           l_orderkey << 2                           AS shl,
+           l_orderkey >> 3                           AS shr,
+           ~l_orderkey                               AS bnot,
+           CAST(bit_count(l_orderkey) AS INT)        AS popcnt
+    FROM lineitem
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bitwise family (hash-bucketing / bitmap building blocks). Same
+    # two's-complement semantics both engines; only the surface syntax
+    # differs (Spark ^ / shiftleft vs DuckDB xor() / <<).
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & 255").alias("band"),
+        F.expr("l_orderkey | 15").alias("bor"),
+        F.expr("l_orderkey ^ CAST(l_linenumber AS BIGINT)").alias("bxor"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("shl"),
+        F.expr("shiftright(l_orderkey, 3)").alias("shr"),
+        F.expr("~l_orderkey").alias("bnot"),
+        F.bit_count("l_orderkey").alias("popcnt"),
+    )
