@@ -75,3 +75,44 @@ def test_distinct_idempotent(spark, data):
     once = sorted(map(tuple, df.distinct().collect()))
     twice = sorted(map(tuple, df.distinct().distinct().collect()))
     assert once == twice
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=edge_lists)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative pointer-jumping operator must agree with a plain
+    union-find ground truth on arbitrary graphs (chains, stars, cycles,
+    disjoint unions — whatever hypothesis draws)."""
+    from trembita_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    # canonical representative = min node id of the component
+    comp_min: dict[int, int] = {}
+    for n, r in truth.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {(n, comp_min[find(n)]) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {(r.node, r.cluster_id) for r in connected_components(df).collect()}
+    assert got == expected
