@@ -293,3 +293,37 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.read.parquet(f"{d}/out")
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v,
+             count(*) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, g.h AS hour,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-rollup / continuous-aggregate analogue: hourly rollup on
+    # a DENSE per-user grid (empty hours materialized with n_events=0),
+    # measures forward-filled from the last non-empty bucket
+    # (last_value IGNORE NULLS both engines).
+    from trembita_spark.operators.timeseries import rollup_gapfill
+
+    return rollup_gapfill(table(spark, sf_dir, "events"))

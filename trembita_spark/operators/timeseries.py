@@ -1,0 +1,62 @@
+"""Time-series operators: bucketed rollup + gap filling + forward fill.
+
+The "hypertable rollup / continuous aggregate" shape: raw events →
+fixed-grain buckets → a DENSE per-key time grid (empty buckets
+materialized) → forward-filled measures. Downstream consumers (charting,
+feature windows, rate-of-change) need the dense grid; the raw table has
+holes wherever nothing happened.
+
+Scale posture: one groupBy on (key, bucket) with partial aggregation;
+the grid explode is bounded per key by its own time span; one window per
+key for the fill. No collect, no RNG, no per-row Python. At 100 TB,
+partition the rollup output by bucket date — the grid join and the fill
+window both co-partition on the key, so AQE keeps it to the one shuffle
+the rollup already paid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rollup_gapfill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "hour",
+) -> DataFrame:
+    """Per-key ``grain``-bucketed rollup on a DENSE grid spanning each
+    key's [min bucket, max bucket], with count 0 on empty buckets and
+    the value measure forward-filled from the last non-empty bucket.
+
+    Returns (key, hour, n_events, filled_value). The measure is a
+    decimal-exact sum cast to double (bit-deterministic under any
+    partial-agg merge order).
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    hourly = df.groupBy(F.col(key_col), bucket.alias("h")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = hourly.groupBy(key_col).agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("h0", "h1", F.expr(f"INTERVAL 1 {grain}"))).alias("h"),
+    )
+    joined = grid.join(hourly, [key_col, "h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("h").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
