@@ -688,3 +688,27 @@ def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F").alias("ls_F"),
         F.col("O").alias("ls_O"),
     )
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT r_regionkey, r_name, NULL AS batch_tag FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, 'v2' AS batch_tag FROM region
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema evolution on ingest: batch 1 written with the original
+    # schema, batch 2 with an ADDED column; a single mergeSchema read
+    # reconciles both (old rows surface NULL for the new column) — the
+    # append-only data-lake evolution path. At 100 TB, prefer an
+    # explicit unified schema on read (mergeSchema footer-merges every
+    # file); this key certifies the reconciliation semantics.
+    path = run_tmp("merge_schema")
+    region = table(spark, sf_dir, "region")
+    region.write.mode("overwrite").parquet(f"{path}/b1")
+    region.withColumn("batch_tag", F.lit("v2")).write.mode("overwrite").parquet(
+        f"{path}/b2"
+    )
+    return spark.read.option("mergeSchema", True).parquet(f"{path}/b1", f"{path}/b2")
