@@ -327,3 +327,25 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.operators.timeseries import rollup_gapfill
 
     return rollup_gapfill(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_session",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">=")
+    + """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL streaming session windows (merging per-key state windows,
+    # complete output over the finite fixture) — the streamed plan must
+    # produce exactly the sessions the batch islands oracle derives;
+    # pairs with q_window_session the way q_stream_tumbling pairs with
+    # q_window_tumbling.
+    name = f"stream_session_{next(_STREAM_SEQ)}"
+    agg = session_window_agg(events_stream(spark, sf_dir))
+    return run_to_completion(agg, name, output_mode="complete")
