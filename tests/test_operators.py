@@ -281,3 +281,30 @@ def test_query_alias_recovery_exact(spark):
 
     assert _alias_of(F2.sum("x").alias("total")) == "total"
     assert _alias_of(F2.collect_list("x").alias("names")) == "names"
+
+
+def test_rollup_gapfill_dense_grid_and_fill(spark):
+    from trembita_spark.operators.timeseries import rollup_gapfill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 00:40:00", 3.0),
+        # hole at 01:00 and 02:00
+        (1, "2024-01-01 03:05:00", 7.0),
+        (2, "2024-01-01 05:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r.user_id, str(r.hour)): (r.n_events, r.filled_value)
+        for r in rollup_gapfill(df).collect()
+    }
+    # user 1: 4 hourly buckets 00..03, the two holes carry 5.0 forward
+    assert out[(1, "2024-01-01 00:00:00")] == (2, 5.0)
+    assert out[(1, "2024-01-01 01:00:00")] == (0, 5.0)
+    assert out[(1, "2024-01-01 02:00:00")] == (0, 5.0)
+    assert out[(1, "2024-01-01 03:00:00")] == (1, 7.0)
+    # user 2: single bucket, no grid inflation
+    assert out[(2, "2024-01-01 05:00:00")] == (1, 1.0)
+    assert len(out) == 5
