@@ -712,3 +712,37 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{path}/b2"
     )
     return spark.read.option("mergeSchema", True).parquet(f"{path}/b1", f"{path}/b2")
+
+
+@register(
+    "q_flatmap_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN n_chars < 100 THEN [NULL]
+                       ELSE string_split(text, ' ') END) AS tok
+    FROM documents
+    """,
+)
+def q_flatmap_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-preserving flatMap: explode_outer keeps a (doc_id, NULL) row
+    # when the array is empty — documents below the length floor stay
+    # visible downstream (an inner explode silently drops them; the
+    # count-preserving variant matters for audit joins). Oracle emulates
+    # the outer row with a [NULL] literal (DuckDB unnest([]) yields
+    # nothing).
+    docs = table(spark, sf_dir, "documents")
+    arr = F.when(F.col("n_chars") < 100, F.array().cast("array<string>")).otherwise(
+        F.split(F.col("text"), " ")
+    )
+    return docs.select("doc_id", F.explode_outer(arr).alias("tok"))
+
+
+@register("q_scan_orc", oracle="SELECT * FROM supplier")
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC round-trip (the other columnar format Spark ships a native
+    # vectorized reader for): write then read back losslessly — same
+    # pushdown/pruning posture as parquet.
+    path = run_tmp("orc_demo")
+    supplier = table(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(path)
+    return spark.read.schema(supplier.schema).orc(path)
