@@ -349,3 +349,93 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_session_{next(_STREAM_SEQ)}"
     agg = session_window_agg(events_stream(spark, sf_dir))
     return run_to_completion(agg, name, output_mode="complete")
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t_signup,
+             min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM firsts
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered-funnel analysis (signup → click → purchase, strictly
+    # increasing first-touch times): one conditional-min agg per stage +
+    # one global conditional-sum rollup — two shuffles total, partial-agg
+    # friendly, no self-joins (the naive per-stage-join funnel is k-1
+    # shuffles of the full fact table). Times compared in integer µs.
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    firsts = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    as_cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_cnt(s1, "stage_signup"),
+        as_cnt(s2, "stage_click"),
+        as_cnt(s3, "stage_purchase"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH base AS (
+      -- DuckDB date_trunc('week') yields DATE; Spark yields TIMESTAMP —
+      -- cast so the grouped column round-trips identically.
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM base GROUP BY user_id
+    )
+    SELECT cohort_wk,
+           CAST((epoch_us(wk) - epoch_us(cohort_wk)) // 604800000000 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_active
+    FROM base b JOIN cohort c USING (user_id)
+    GROUP BY cohort_wk, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention triangle: cohort = first active week, activity
+    # bucketed by week offset (integer µs arithmetic — no cross-engine
+    # date_diff dialect). The cohort map is small (one row per user) →
+    # broadcast join back onto activity.
+    ev = table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    cohort = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    week_us = 7 * 24 * 3600 * 1_000_000
+    return (
+        base.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            ((F.unix_micros("wk") - F.unix_micros("cohort_wk")) / F.lit(week_us))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
