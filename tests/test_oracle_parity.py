@@ -148,3 +148,22 @@ def test_rows_only_runs(key, spark):
     # Even rows-only results must be driver-canon-safe (hashable cells).
     _driver_canon(sdf.columns, rows, key, "spark")
     assert len(rows) >= 0
+
+
+def test_no_vacuous_oracles(oracle):
+    """Every checkable query must certify something: a 0-row result
+    passes the hash gate trivially (0 == 0) while proving nothing, and
+    can appear silently as data grows (q_sql_q11's fixed-fraction HAVING
+    went empty at sf0.1 — round-3 incident). DuckDB-only, so the sweep
+    is cheap at any scale factor."""
+    empty = []
+    for key, sql in contract.ORACLES.items():
+        try:
+            if not oracle.execute(sql).fetchone():
+                empty.append(key)
+        except Exception:
+            # round-trip keys whose oracle references fixture views only
+            # are all coverable; anything unrunnable here is covered by
+            # the main parity test.
+            continue
+    assert not empty, f"vacuous (0-row) oracle results: {empty}"

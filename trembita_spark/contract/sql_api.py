@@ -406,7 +406,8 @@ _sql_key(
     WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
     GROUP BY l_partkey
     HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) > (
-      SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+      SELECT 2.0 * CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             / count(DISTINCT l_partkey)
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -416,7 +417,11 @@ _sql_key(
     """,
     "TPC-H Q11 analogue (important stock; lineitem revenue per part "
     "stands in for partsupp value): HAVING against an uncorrelated "
-    "scalar subquery — Catalyst broadcasts the 1-row threshold.",
+    "scalar subquery — Catalyst broadcasts the 1-row threshold. The "
+    "threshold is 2x the AVERAGE part value, not a fixed fraction of "
+    "the total: TPC-H scales Q11's fraction by 1/SF for exactly this "
+    "reason — a fixed fraction goes vacuous as the table grows "
+    "(caught by the sf0.1 parity sweep: 0 rows at 10x the data).",
 )
 
 _sql_key(
