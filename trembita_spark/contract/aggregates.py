@@ -589,3 +589,25 @@ def q_agg_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.any_value("prio_code").alias("code"))
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 5)   AS all_over5,
+           bool_or(l_discount > 0.08) AS any_deep_discount,
+           CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boolean aggregates (every/some): predicate rollups — partial-agg
+    # friendly (AND/OR are monoids, the AggFunc shape the reference's QL
+    # is built on).
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 5).alias("all_over5"),
+        F.some(F.col("l_discount") > 0.08).alias("any_deep_discount"),
+        F.sum(F.when(F.col("l_tax") > 0.05, 1).otherwise(0)).alias("n_taxed"),
+    )

@@ -829,3 +829,39 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mix(docs, "source", "doc_id", {"src0": 10, "src1": 50}).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "q_text_gini",
+    oracle="""
+    WITH cnt AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c * c) AS BIGINT)                          AS sq_sum,
+           CAST(sum(c) AS BIGINT)                              AS n_tokens,
+           1.0 - CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) AS gini_diversity
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-diversity quality signal: Gini impurity 1 - Σp² (≈ how close
+    # the token distribution is to degenerate). Deliberately Gini, NOT
+    # Shannon entropy: entropy needs ln and JVM-vs-glibc libm differs by
+    # 1 ulp (parity rule 7); Gini is pure integer-ratio arithmetic →
+    # bit-exact. One explode + two partial-friendly aggs on doc_id.
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sq = F.sum(F.col("c") * F.col("c"))
+    tot = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        sq.alias("sq_sum"),
+        tot.alias("n_tokens"),
+        (F.lit(1.0) - sq.cast("double") / (tot * tot)).alias("gini_diversity"),
+    )
