@@ -567,7 +567,7 @@ _sql_key(
     SELECT s_name, s_acctbal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+    WHERE n_nationkey % 2 = 1
       AND s_suppkey IN (
         SELECT l1.l_suppkey
         FROM lineitem l1
