@@ -530,7 +530,6 @@ _sql_key(
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
-      AND p_size <= 5
       AND l_quantity < (
         SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
         FROM lineitem l2
@@ -539,7 +538,9 @@ _sql_key(
     """,
     "TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG "
     "subquery per part — Catalyst rewrites to an aggregate + join; avg "
-    "expressed as decimal-sum/count (parity rule 4).",
+    "expressed as decimal-sum/count (parity rule 4). Brand-only filter: "
+    "adding the p_size cut left ZERO qualifying rows at sf0.001 (NULL "
+    "aggregate, caught by the tri-scale sweep).",
 )
 
 _sql_key(
