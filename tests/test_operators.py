@@ -308,3 +308,20 @@ def test_rollup_gapfill_dense_grid_and_fill(spark):
     # user 2: single bucket, no grid inflation
     assert out[(2, "2024-01-01 05:00:00")] == (1, 1.0)
     assert len(out) == 5
+
+
+def test_merge_upsert_null_overwrite_and_idempotence(spark):
+    from trembita_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, None, 25.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    snap = merge_upsert(base, changes, "k")
+    rows = {r.k: (r.name, r.v) for r in snap.collect()}
+    assert rows == {1: ("a", 10.0), 2: (None, 25.0), 3: ("c", 30.0)}
+    # idempotent: re-applying the same batch changes nothing
+    again = {r.k: (r.name, r.v) for r in merge_upsert(snap, changes, "k").collect()}
+    assert again == rows

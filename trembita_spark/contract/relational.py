@@ -746,3 +746,42 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier")
     supplier.write.mode("overwrite").orc(path)
     return spark.read.schema(supplier.schema).orc(path)
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+             'NEWSEG' AS c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT * FROM changes
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE INTO semantics on immutable storage (no Delta/Iceberg here):
+    # snapshot rewrite via one full-outer join on the key — updates win
+    # row-wise, inserts and untouched base rows pass through. The oracle
+    # states the same result set-theoretically (base minus updated keys,
+    # plus the change batch). Deterministic and idempotent.
+    from trembita_spark.operators.merge import merge_upsert
+
+    cust = table(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    inserts = (
+        cust.where(F.col("c_custkey") % 11 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_mktsegment", F.lit("NEWSEG"))
+    )
+    changes = updates.unionByName(inserts)
+    return merge_upsert(cust, changes, "c_custkey")
