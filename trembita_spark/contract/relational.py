@@ -785,3 +785,68 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(inserts)
     return merge_upsert(cust, changes, "c_custkey")
+
+
+_PR_EDGES_SQL = """
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _pr_iter_sql(prev: str, this: str) -> str:
+    # one power-method step: decimal-exact neighbor sum, double elsewhere.
+    return f"""
+    m_{this} AS (
+      SELECT e.dst AS dst,
+             sum(p.score / d.outdeg) AS in_mass
+      FROM edges e
+      JOIN {prev} p  ON e.src = p.node
+      JOIN outdeg d  ON e.src = d.o_node
+      GROUP BY e.dst
+    ),
+    {this} AS (
+      SELECT b.node,
+             (CAST(1 AS DOUBLE) - 0.85) / b.n + 0.85 * COALESCE(m.in_mass, CAST(0 AS DOUBLE)) AS score
+      FROM (SELECT node, n FROM nodes, nn) b
+      LEFT JOIN m_{this} m ON b.node = m.dst
+    )"""
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src AS o_node, count(*) AS outdeg FROM edges GROUP BY src),
+    it0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS score FROM nodes, nn),
+    {_pr_iter_sql("it0", "it1")},
+    {_pr_iter_sql("it1", "it2")},
+    {_pr_iter_sql("it2", "it3")}
+    SELECT node, round(score, 12) AS score FROM it3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank (3 fixed power-method iterations, d=0.85) over the
+    # customer→supplier order graph. Fixed-k keeps it deterministic and
+    # oracle-checkable (the oracle unrolls the same recurrence as CTEs);
+    # contributions are per-row IEEE doubles, neighbor sums decimal-
+    # exact. Pairs with connected_components as the graph-analytics
+    # surface; same join-per-iteration shuffle shape.
+    from trembita_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=3, damping=0.85)
+    # round-12: the mass sums are order-dependent floats (rule 5); the
+    # accumulated merge-order error (~1e-16) is far inside the grid.
+    return pr.select("node", F.round("score", 12).alias("score"))

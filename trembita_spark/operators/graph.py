@@ -1,0 +1,75 @@
+"""Graph analytics operators (beyond dedup's connected components).
+
+PageRank with a FIXED iteration count: k iterations of the power method
+are a deterministic linear recurrence, so the result is oracle-checkable
+— unlike converge-to-epsilon variants whose stopping point is
+float-noise-sensitive. Per-node contributions (score/out_degree) are
+per-row IEEE doubles (bit-deterministic, parity rule 2); the neighbor
+SUM is merge-order-sensitive (the decimal trick does NOT apply here:
+Spark's double→decimal cast goes through the shortest string
+representation while DuckDB expands the exact binary — identical only
+for low-scale money values, ulp-divergent for arbitrary doubles), so
+checked queries round the final scores (parity rule 5: accumulated
+order error ~1e-16 ≪ the 5e-13 half-grid of round-12).
+
+Scale posture: each iteration is one join edges⨝scores on src (both
+sides hash-partition on node id — co-partitioned across iterations) +
+one groupBy dst. k is small and fixed → the unrolled plan is fine
+without checkpointing; for large k reuse connected_components' periodic
+parquet-cut pattern (dedup.py).
+
+Dangling nodes (no out-edges) leak their mass — the simple, consistent-
+across-engines convention; redistribute-dangling is a one-line change in
+both places if sum-preservation matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, score) after ``iters`` power-method steps over directed
+    ``edges`` (src, dst). score_0 = 1/N; score_{t+1}(v) = (1-d)/N +
+    d·Σ_{u→v} score_t(u)/outdeg(u)."""
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = edges.groupBy(F.col("src").alias("o_node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    scores = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n", (F.lit(1.0) / F.col("n")).alias("score")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(scores, edges.src == scores.node)
+            .join(F.broadcast(outdeg), edges.src == F.col("o_node"))
+            .select(
+                F.col("dst"),
+                (F.col("score") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        scores = (
+            scores.join(contrib, scores.node == contrib.dst, "left")
+            .select(
+                "node",
+                "n",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+    return scores.select("node", "score")
