@@ -116,3 +116,32 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {(r.node, r.cluster_id) for r in connected_components(df).collect()}
     assert got == expected
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=25, unique=True))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_power_iteration(spark, edges):
+    """pagerank() must agree with a dense numpy power iteration of the
+    same recurrence (mass-leaking dangling convention, d=0.85, k=3)."""
+    from trembita_spark.operators.graph import pagerank
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    score = [1.0 / n] * n
+    for _ in range(3):
+        mass = [0.0] * n
+        for u, v in edges:
+            mass[idx[v]] += score[idx[u]] / outdeg[u]
+        score = [(1.0 - 0.85) / n + 0.85 * m for m in mass]
+    expected = {nodes[i]: score[i] for i in range(n)}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.score for r in pagerank(df, iters=3, damping=0.85).collect()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-12, (k, got[k], expected[k])
