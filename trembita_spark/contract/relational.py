@@ -850,3 +850,105 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-12: the mass sums are order-dependent floats (rule 5); the
     # accumulated merge-order error (~1e-16) is far inside the grid.
     return pr.select("node", F.round("score", 12).alias("score"))
+
+
+@register(
+    "q_quality_checks",
+    oracle="""
+    SELECT 'lineitem_null_qty' AS check_name,
+           CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_dup_key',
+           CAST(count(*) AS BIGINT)
+    FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_low_priority_flagged',
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+    FROM orders
+    """,
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-quality / constraint validation (the expectations pattern):
+    # not-null, key-uniqueness, referential integrity (anti join — NOT
+    # a NOT IN on the big side at scale), and a domain rule, each
+    # reported as a violation count. All four checks share scans via
+    # separate small aggregates unioned; at 100 TB run them in ONE pass
+    # with conditional aggregates where the source table dominates cost.
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    null_qty = li.agg(
+        F.lit("lineitem_null_qty").alias("check_name"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("violations"),
+    )
+    dup_key = (
+        od.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.lit("orders_dup_key").alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+    )
+    fk = (
+        li.join(od, li.l_orderkey == od.o_orderkey, "left_anti")
+        .agg(
+            F.lit("lineitem_fk_orders").alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+    )
+    domain = od.agg(
+        F.lit("orders_price_positive").alias("check_name"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("violations"),
+    )
+    # one check is NON-ZERO by construction (a policy flag, not an
+    # integrity rule) so a broken always-zero counter cannot pass.
+    flagged = od.agg(
+        F.lit("orders_low_priority_flagged").alias("check_name"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias(
+            "violations"
+        ),
+    )
+    return (
+        null_qty.unionByName(dup_key)
+        .unionByName(fk)
+        .unionByName(domain)
+        .unionByName(flagged)
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width histogram — one hash agg on the computed bin (floor of
+    # a positive double: identical truncation both engines).
+    od = table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
