@@ -143,3 +143,40 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         gross_cents_udaf("l_extendedprice", "l_quantity").alias("gross_cents"),
         wavg_udaf("l_extendedprice", "l_quantity").alias("weighted_avg_price"),
     )
+
+
+@register(
+    "q_udtf_mapinarrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    WHERE lang = 'es'
+    """,
+)
+def q_udtf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Arrow-NATIVE per-partition path (mapInArrow): RecordBatch in,
+    # RecordBatch out, no pandas materialization — the lowest-overhead
+    # slot for columnar Python (e.g. handing batches to a tokenizer or
+    # a GPU library). Completes the UDF matrix: scalar pandas_udf,
+    # mapInPandas iterator, @udtf generator, grouped UDAF, and this.
+    import pyarrow as pa
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "es")
+
+    def stats(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            n_tokens = pa.array(
+                [len(t.split(" ")) for t in texts], type=pa.int32()
+            )
+            n_chars = pa.array([len(t) for t in texts], type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, n_tokens, n_chars], ["doc_id", "n_tokens", "n_chars"]
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        stats, "doc_id long, n_tokens int, n_chars int"
+    )
