@@ -197,3 +197,24 @@ def test_repetition_bigram_branch_no_pre_join_shuffle(spark):
     plan = plan_of("q_text_repetition", spark)
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 3, plan
+
+
+def test_pagerank_no_cartesian(spark):
+    # 3 unrolled power-method iterations: equi joins + aggregates only;
+    # the 1-row node-count crossJoin must broadcast, never cartesian.
+    plan = plan_of("q_graph_pagerank", spark)
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_equi_full_outer(spark):
+    # snapshot merge must plan an equi full-outer (SMJ or shuffled hash),
+    # never a nested-loop — that's the 100 TB difference.
+    plan = plan_of("q_merge_upsert", spark)
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_gapfill_no_cartesian_and_single_fill_window(spark):
+    plan = plan_of("q_ts_gapfill", spark)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1

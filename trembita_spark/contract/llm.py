@@ -865,3 +865,49 @@ def q_text_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.alias("n_tokens"),
         (F.lit(1.0) - sq.cast("double") / (tot * tot)).alias("gini_diversity"),
     )
+
+
+@register(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+             unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+      FROM t
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1)
+    SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+           CAST(uc.c1 AS BIGINT) AS c1,
+           CAST(bc.c12 AS DOUBLE) / uc.c1 AS p_next
+    FROM bc JOIN uc USING (w1)
+    WHERE bc.c12 >= 5
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus bigram statistics with conditional next-token probability
+    # p(w2|w1) = c(w1,w2)/c(w1) — the classic count-based LM table
+    # (and the data half of pointwise-mutual-information). Rational
+    # arithmetic only; two partial-agg groupBys + one join on w1 (the
+    # unigram side is vocabulary-sized → broadcast at scale).
+    docs = table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        bc.join(F.broadcast(uc), "w1")
+        .where(F.col("c12") >= 5)
+        .select(
+            "w1", "w2", "c12", "c1",
+            (F.col("c12").cast("double") / F.col("c1")).alias("p_next"),
+        )
+    )
