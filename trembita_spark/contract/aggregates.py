@@ -611,3 +611,26 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_discount") > 0.08).alias("any_deep_discount"),
         F.sum(F.when(F.col("l_tax") > 0.05, 1).otherwise(0)).alias("n_taxed"),
     )
+
+
+@register(
+    "q_agg_distinct_salted",
+    oracle="""
+    SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-safe COUNT DISTINCT: the two-phase expansion — dedupe on
+    # (key, value) first (the value itself spreads the hot key over all
+    # partitions), then count per key. Result is identical to the plain
+    # distinct count (the oracle IS the plain form); the difference is
+    # the shuffle shape: phase 1 partitions by (key, value) so one hot
+    # group key cannot pin a single task — the direct count(DISTINCT x)
+    # plan funnels every distinct value of a hot key through one
+    # partition. Mirrors q_join_salted for the aggregation side.
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    return pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
