@@ -634,3 +634,25 @@ def q_agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_parts")
     )
+
+
+@register(
+    "q_agg_bitops",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT))  AS BIGINT) AS lines_or,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS lines_and,
+           CAST(bit_xor(CAST(l_suppkey AS BIGINT))    AS BIGINT) AS supp_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bitwise aggregates — commutative/associative (bitmap-index and
+    # feature-flag rollup building blocks), partial-agg friendly.
+    li = table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or(ln).alias("lines_or"),
+        F.bit_and(ln).alias("lines_and"),
+        F.bit_xor(F.col("l_suppkey").cast("bigint")).alias("supp_xor"),
+    )

@@ -360,3 +360,31 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("~l_orderkey").alias("bnot"),
         F.bit_count("l_orderkey").alias("popcnt"),
     )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH AS next_month,
+           o_orderdate + INTERVAL 45 DAY  AS plus_45d,
+           last_day(o_orderdate)          AS month_end,
+           CAST(dayofweek(o_orderdate) AS INT)  AS dow,
+           CAST(dayofyear(o_orderdate) AS INT)  AS doy
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calendar arithmetic: month addition END-OF-MONTH-CLAMPS in both
+    # engines (Jan 31 + 1 month = Feb 29 on leap years) — asserted by
+    # value parity across ~5 years of order dates. Day-of-week aligned
+    # to DuckDB's 0=Sunday convention (Spark's dayofweek is 1=Sunday).
+    od = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    return od.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 1 MONTH").alias("next_month"),
+        F.expr("o_orderdate + INTERVAL 45 DAY").alias("plus_45d"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+    )
