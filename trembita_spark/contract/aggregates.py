@@ -656,3 +656,39 @@ def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and(ln).alias("lines_and"),
         F.bit_xor(F.col("l_suppkey").cast("bigint")).alias("supp_xor"),
     )
+
+
+@register(
+    "q_pivot_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS f_qty,
+           CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)                               AS f_cnt,
+           CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS o_qty,
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)                               AS o_cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot with MULTIPLE aggregates per pivoted value (sum + count per
+    # linestatus): one Expand-free conditional-agg pass — Catalyst plans
+    # pivot exactly as the oracle's CASE-aggregation, so both engines
+    # run the same shape.
+    li = table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("f_qty"),
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("O_qty").alias("o_qty"),
+        F.col("O_cnt").alias("o_cnt"),
+    )

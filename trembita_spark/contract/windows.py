@@ -202,3 +202,37 @@ def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("val_last_hour"),
     )
+
+
+@register(
+    "q_window_share",
+    oracle="""
+    SELECT l_returnflag, l_suppkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supp_rev,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(sum(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+             AS rev_share
+    FROM lineitem
+    GROUP BY l_returnflag, l_suppkey
+    """,
+)
+def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Percent-of-total (ratio_to_report): agg then a windowed sum of the
+    # aggregate over the group's parent — both operands stay decimal
+    # (exact) until one final double division. Two shuffles total (agg
+    # + window on the coarser key).
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.sum(dec).alias("supp_rev_dec")
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_suppkey",
+        F.col("supp_rev_dec").cast("double").alias("supp_rev"),
+        (
+            F.col("supp_rev_dec").cast("double")
+            / F.sum("supp_rev_dec").over(w).cast("double")
+        ).alias("rev_share"),
+    )
