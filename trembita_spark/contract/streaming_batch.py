@@ -439,3 +439,28 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS wstart, value
+      FROM events
+    )
+    SELECT wstart, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY wstart
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL streaming run of the sliding-window plan (1h windows every
+    # 30min, complete mode over the finite fixture) — completes the
+    # batch↔stream pairings: tumbling, session, and now sliding all
+    # execute as genuine micro-batch stateful aggregations checked
+    # against the same oracles as their batch-equivalent forms.
+    name = f"stream_sliding_{next(_STREAM_SEQ)}"
+    agg = sliding_window_agg(events_stream(spark, sf_dir))
+    return run_to_completion(agg, name, output_mode="complete")
