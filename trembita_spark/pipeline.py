@@ -185,17 +185,34 @@ class Pipeline:
 
     def distinct_by(self, *cols: str, tiebreak: Column | str | None = None) -> "Pipeline":
         """``distinctBy(f)``: one representative per key. With ``tiebreak``
-        the representative is deterministic (min by tiebreak via
-        row_number), else ``dropDuplicates`` (arbitrary representative,
-        cheaper — map-side partial dedup)."""
+        the representative is the row minimizing the tiebreak expression
+        (pass a struct over enough columns to make it a total order —
+        ties fall back to an arbitrary winner, like ``min_by``); else
+        ``dropDuplicates`` (arbitrary representative).
+
+        Both paths are hash aggregates with map-side partial reduction —
+        each mapper keeps one candidate row per key, so the shuffle
+        carries at most (mappers × keys) rows and nothing is sorted. The
+        window-sort formulation (row_number over partitionBy) would
+        shuffle and sort EVERY row; at 100 TB that sort is the
+        bottleneck, the partial agg is not.
+        """
         self._require_columns(*cols)
         if tiebreak is None:
             return self._wrap(self._df.dropDuplicates(list(cols)))
-        w = Window.partitionBy(*cols).orderBy(_as_column(tiebreak))
+        others = [c for c in self._df.columns if c not in cols]
+        rep = self._df.groupBy(*[F.col(c) for c in cols]).agg(
+            F.min_by(F.struct(*[F.col(c) for c in others]), _as_column(tiebreak)).alias(
+                "__rep"
+            )
+        )
         return self._wrap(
-            self._df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            rep.select(
+                *[
+                    F.col(c) if c in cols else F.col(f"__rep.{c}").alias(c)
+                    for c in self._df.columns
+                ]
+            )
         )
 
     # -- set ops ---------------------------------------------------------------
