@@ -145,3 +145,37 @@ def test_pagerank_matches_power_iteration(spark, edges):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-12, (k, got[k], expected[k])
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=25, unique=True))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_matches_reference_bfs(spark, edges):
+    """bfs() must agree with a plain queue BFS: min hop distance from
+    the source set along directed edges, capped at max_hops."""
+    from collections import deque
+
+    from trembita_spark.operators.graph import bfs
+
+    sources = sorted({a for a, _ in edges})[:2]
+    max_hops = 3
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    expected = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if expected[u] >= max_hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in expected:
+                expected[v] = expected[u] + 1
+                q.append(v)
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {r.node: r.dist for r in bfs(edf, sdf, max_hops=max_hops).collect()}
+    assert got == expected, (got, expected)

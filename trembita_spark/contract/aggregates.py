@@ -692,3 +692,163 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_qty").alias("o_qty"),
         F.col("O_cnt").alias("o_cnt"),
     )
+
+
+@register(
+    "q_agg_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2,
+           CAST(n AS BIGINT) AS n_rows
+    FROM s
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear-regression aggregates (regr_slope / regr_intercept / regr_r2
+    # analogues) of price on quantity per return flag. Spark's builtin
+    # regr_* stream central moments in merge order (float-nondeterministic
+    # across engines), so the moments are computed as EXACT decimal power
+    # sums — one partial-aggregating pass, order-independent — and the
+    # closed-form slope/intercept/r2 arithmetic runs on identical doubles
+    # in both engines (parity rules 2+4). Same single-shuffle cost as the
+    # builtin; exactness is free.
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        slope.alias("slope"),
+        (sy / n - slope * (sx / n)).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+        n.cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_skewkurt",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n, s1, s2, s3, s4,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS v
+      FROM s
+    )
+    SELECT l_returnflag,
+           mu AS mean_qty,
+           v AS var_pop,
+           (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu) / (v * sqrt(v)) AS skew,
+           (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu)
+             / (v * v) - 3 AS kurt_excess
+    FROM m
+    """,
+)
+def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population skewness / excess kurtosis from EXACT integer power sums
+    # (l_quantity is integral; q^4 sums stay far inside BIGINT at any SF).
+    # Spark's builtin skewness/kurtosis merge central moments in partial-
+    # agg order (float-drift across engines); raw power sums are a
+    # commutative integer monoid — order-independent, map-side combining,
+    # and the closed-form standardized-moment arithmetic on identical
+    # doubles is bit-exact in both engines. sigma^3 is spelled v*sqrt(v)
+    # (mul+sqrt are correctly rounded; pow(v,1.5) is libm, 1-ulp risk).
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    m = s.select(
+        "l_returnflag", "n", "s1", "s2", "s3", "s4",
+        (s1 / n).alias("mu"),
+        (s2 / n - (s1 / n) * (s1 / n)).alias("v"),
+    )
+    mu, v = F.col("mu"), F.col("v")
+    return m.select(
+        "l_returnflag",
+        mu.alias("mean_qty"),
+        v.alias("var_pop"),
+        ((s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu) / (v * F.sqrt(v))).alias("skew"),
+        (
+            (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu)
+            / (v * v) - 3
+        ).alias("kurt_excess"),
+    )
+
+
+@register(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, extract(hour FROM ts) AS h, CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(cnt) AS total FROM c GROUP BY 1)
+    SELECT event_type,
+           round(sum(-(cnt / total) * log2(cnt / total)), 12) AS entropy_bits,
+           CAST(count(*) AS BIGINT) AS n_cats
+    FROM c JOIN t USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shannon entropy (bits) of each event type's hour-of-day histogram —
+    # the distribution-uniformity signal (burst detection, load shaping).
+    # Two hash aggregates: exact integer counts per (type, hour), then the
+    # -p*log2(p) fold per type. The category-term sum is a float fold in
+    # merge order and log2 is libm (1-ulp engine skew) -> round-12, like
+    # pagerank (error ~1e-15 vs 5e-13 half-grid; parity rule 5).
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    t = c.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total")
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(-p * F.log2(p)), 12).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_cats"),
+        )
+    )

@@ -911,3 +911,55 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c12").cast("double") / F.col("c1")).alias("p_next"),
         )
     )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS pack_id,
+           CAST((cum - n_tok) % 2048 AS BIGINT)        AS pack_offset
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence packing for training batches: documents are concatenated
+    # per source shard in doc_id order into a contiguous token stream cut
+    # every 2048 tokens (the GPT-style concat-and-chunk regime; a doc
+    # knows its pack and intra-pack offset, crossing docs span packs).
+    # One running integer sum per shard — the shard column is the
+    # parallelism unit, so at 100 TB packing is embarrassingly parallel
+    # across shards and each shard's window is a single ordered scan.
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor(start / 2048).cast("long").alias("pack_id"),
+        (start % 2048).cast("long").alias("pack_offset"),
+    )

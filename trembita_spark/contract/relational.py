@@ -952,3 +952,51 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_PR_EDGES_SQL}),
+    edges AS (SELECT src, dst FROM base UNION ALL SELECT dst AS src, src AS dst FROM base),
+    sources AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_nationkey = 0
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM sources
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 4
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source BFS (min hop distance, cap 4) over the UNDIRECTED
+    # customer-supplier order graph, seeded with nation-0 customers.
+    # Frontier expansion with a visited-set anti join per level (graph.py
+    # bfs); the oracle replays the same recurrence as a recursive CTE and
+    # takes min(d) — longer rediscoveries the CTE keeps are exactly the
+    # paths the visited filter prunes, so the results agree by
+    # construction. Completes the graph-analytics trio (components,
+    # pagerank, traversal).
+    from trembita_spark.operators.graph import bfs
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = cu.where(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return bfs(edges, sources, max_hops=4)

@@ -464,3 +464,151 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sliding_{next(_STREAM_SEQ)}"
     agg = sliding_window_agg(events_stream(spark, sf_dir))
     return run_to_completion(agg, name, output_mode="complete")
+
+
+@register(
+    "q_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, island
+    """,
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval algebra: coalesce overlapping per-user activity intervals
+    # ([ts, ts+30min) per event) into maximal merged spans — the islands
+    # technique (running max of interval ends marks island breaks, a
+    # running flag-sum numbers them). Differs from gap-sessionization:
+    # intervals EXTEND, so a chain of half-overlapping events fuses into
+    # one span. Pure window algebra — one shuffle on user_id serves both
+    # windows and the final aggregate (same-key partitioning reused).
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn("prev_max", F.max("e").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Slowly-changing-dimension (type 2) history build: each event opens
+    # a validity interval closed by the user's next event; the open
+    # interval is flagged current. lead() over a UNIQUE total order
+    # (ts, event_id) — one shuffle on user_id; at 100 TB this is the
+    # standard dimension-history materialization before an as-of join.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, s1 / n AS mu,
+             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+      FROM s
+    )
+    SELECT event_id, e.event_type AS event_type, value,
+           (value - mu) / sigma AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE abs((value - mu) / sigma) > 3
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical outlier flagging: events whose value is >3 population
+    # sigmas from their type's mean. Two passes over events (stats, then
+    # filter) with the per-type stats BROADCAST back — the second pass is
+    # scan-local, no shuffle of the fact table. Moments are exact decimal
+    # sums (value is 2dp money; parity rule 4), so mu/sigma/z are
+    # identical doubles in both engines and even the >3 cut is bit-exact.
+    ev = table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    st = s.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3)
+    )

@@ -73,3 +73,44 @@ def pagerank(
             )
         )
     return scores.select("node", "score")
+
+
+def bfs(edges: DataFrame, sources: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Minimum hop distance from any node in ``sources`` (one ``node``
+    column) along directed ``edges`` (src, dst), capped at ``max_hops``:
+    returns (node, dist) for every node reached, sources at dist 0.
+
+    Frontier BFS: each level expands only the LAST frontier through the
+    edge list, anti-joins out already-visited nodes, and unions the rest
+    into the distance table. Every level ends in an eager
+    localCheckpoint — without it level k's plan nests k joins deep and
+    re-executes ancestor levels (the connected_components lesson,
+    dedup.py). At 100 TB: frontier and edges hash-partition on the join
+    key; the visited set is exactly as large as the reached region, and
+    the per-level anti join is the standard distributed-BFS visited
+    filter. For high-diameter graphs, add the CC module's periodic
+    parquet lineage cut; for hop caps this small the checkpoint chain is
+    flat already.
+    """
+    dist = (
+        sources.select("node")
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(
+            nxt.select("node", F.lit(hop).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
