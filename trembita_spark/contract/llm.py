@@ -963,3 +963,67 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 2048).cast("long").alias("pack_id"),
         (start % 2048).cast("long").alias("pack_offset"),
     )
+
+
+_KM_DIST = """list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])),
+               (x, y) -> x + y)"""
+
+
+def _km_round(cent: str, s: str, a: str) -> str:
+    """One unrolled k-means round: score vs ``cent``, argmin-assign."""
+    d = _KM_DIST.format(v="e.embedding", c="c.c")
+    return f"""
+    {s} AS (
+      SELECT e.vec_id, c.cluster, {d} AS d
+      FROM embeddings e CROSS JOIN {cent} c
+    ),
+    {a} AS (
+      SELECT vec_id, cluster, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS r
+        FROM {s}
+      ) WHERE r = 1
+    )"""
+
+
+def _km_update(a: str, cent_long: str, cent: str) -> str:
+    """Decimal-exact centroid means from assignment ``a``."""
+    return f"""
+    {cent_long} AS (
+      SELECT a.cluster, i,
+             CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 16777216.0 AS m
+      FROM {a} a JOIN embeddings e USING (vec_id),
+           (SELECT unnest(generate_series(1, 64)) AS i) dims
+      GROUP BY a.cluster, i
+    ),
+    {cent} AS (SELECT cluster, list(m ORDER BY i) AS c FROM {cent_long} GROUP BY cluster)"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH c0 AS (
+      SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < 8
+    ),{_km_round("c0", "s1", "a1")},{_km_update("a1", "m1", "c1")},
+    {_km_round("c1", "s2", "a2")},{_km_update("a2", "m2", "c2")},
+    {_km_round("c2", "s3", "a3")}
+    SELECT vec_id, cluster, d AS dist FROM a3
+"""
+
+
+@register("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed k-means (k=8, 2 assign/update rounds + final assign)
+    # over the embeddings corpus — the coarse-clustering stage SemDedup /
+    # IVF-index builds run before within-cluster dedup. Assignments are
+    # bit-exact across engines (sequential-fold distances, id-tiebroken
+    # argmin; the oracle unrolls the same two rounds as CTE stages);
+    # the reported distance rounds to 6 because centroid MEANS pass
+    # through a double→decimal(18,12) cast whose last digit can differ
+    # 1 ulp between engines for arbitrary doubles (graph.py provenance
+    # note) — ~1e-9 drift vs a 5e-7 half-grid (parity rule 5). Per round
+    # the corpus never shuffles — assignment is a k-centroid broadcast,
+    # the update a (cluster, dim) partial agg.
+    return S.kmeans(table(spark, sf_dir, "embeddings"), k=8, iters=2).select(
+        "vec_id", "cluster", F.round("d", 6).alias("dist")
+    )

@@ -271,3 +271,86 @@ def signlsh_candidates(
     return cosine_pairs_within(
         blocked, group_col="sig", threshold=threshold, vec_col=vec_col, id_col=id_col
     )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared-L2 distance in float64: DuckDB's
+    ``list_reduce`` mirrors the fold bit-exactly (0.0+x == x)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic k-means: ``iters`` assign/update rounds, then a
+    final assignment — returns (vec_id, cluster, dist). Init centroids
+    are the vectors with the ``k`` smallest ids (deterministic, no RNG —
+    same rationale as dedup's md5 sampling); a real deployment seeds
+    with a k-means|| sample instead, same loop.
+
+    Fully oracle-checkable like ivf_topk: assignment distance is a
+    sequential double fold (bit-exact vs ``list_reduce``), and argmin
+    ties break on cluster id. Centroid means are QUANTIZED-exact: each
+    coordinate is floored to a 2^-24 grid (one float32 mantissa step)
+    and summed as int64 — floor on a double is exact, integer sums are
+    order-independent, and the final int64→double cast is correctly
+    rounded in every engine, so the means are bit-identical with no
+    decimal cast (whose last digit is engine-dependent for arbitrary
+    doubles — graph.py provenance note). The 2^-24 centroid snap is a
+    quantization ≤ the input's own float32 resolution.
+
+    Scale: each round is one broadcast of k·dim doubles against the
+    corpus (scan-local assignment, NO shuffle of the points) plus one
+    (cluster, dim)-keyed partial aggregate — the canonical distributed
+    k-means round. Clusters that lose all members drop out, matching
+    the oracle's group-by semantics.
+    """
+    pts = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = pts.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+
+    def assign(c_df: DataFrame) -> DataFrame:
+        scored = pts.crossJoin(F.broadcast(c_df)).select(
+            "vec_id", "v", "cluster", _sqdist(F.col("v"), F.col("c")).alias("d")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min_by(
+                F.struct("cluster", "v", "d"), F.struct("d", "cluster")
+            ).alias("a")
+        )
+        return best.select(
+            "vec_id", F.col("a.cluster").alias("cluster"),
+            F.col("a.v").alias("v"), F.col("a.d").alias("d"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        cents = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * 16777216.0).cast("long")).cast("double")
+                    / F.count(F.lit(1))
+                    / 16777216.0
+                ).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+            .select(
+                "cluster", F.transform("pairs", lambda p: p.getField("m")).alias("c")
+            )
+        )
+    return assign(cents).select("vec_id", "cluster", "d")
