@@ -1007,7 +1007,7 @@ _KMEANS_ORACLE = f"""
     ),{_km_round("c0", "s1", "a1")},{_km_update("a1", "m1", "c1")},
     {_km_round("c1", "s2", "a2")},{_km_update("a2", "m2", "c2")},
     {_km_round("c2", "s3", "a3")}
-    SELECT vec_id, cluster, d AS dist FROM a3
+    SELECT vec_id, cluster, round(d, 6) AS dist FROM a3
 """
 
 

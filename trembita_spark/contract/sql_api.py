@@ -87,8 +87,14 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q5 analogue (local supplier volume): 6-table star join with a
     # same-nation constraint and a scalar subquery. nation/region
-    # broadcast; lineitem never shuffles more than once.
-    _register_views(spark, sf_dir)
+    # broadcast; lineitem never shuffles more than once. Register only
+    # the six tables this query reads — a corrupt unrelated fixture
+    # (e.g. events) must not break it.
+    _register_views(
+        spark,
+        sf_dir,
+        ["region", "nation", "customer", "supplier", "orders", "lineitem"],
+    )
     return spark.sql(
         """
         SELECT n_name,

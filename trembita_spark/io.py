@@ -37,6 +37,25 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+def _normalize_ts(dtype) -> F.Column:
+    """Normalize ``events.ts`` to a µs TimestampType regardless of the
+    physical parquet type it was written with (see load_table docstring).
+    Raises on an unrecognized dtype rather than silently mis-reading —
+    fixture drift should fail loudly at load, not corrupt downstream."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, LongType):
+        return F.expr("timestamp_micros(ts div 1000)")
+    if isinstance(dtype, TimestampNTZType):
+        return F.col("ts").cast(TimestampType())
+    if isinstance(dtype, TimestampType):
+        return F.col("ts")
+    raise TypeError(
+        f"events.ts: unsupported parquet-inferred type {dtype}; expected "
+        "LongType (nanos), TimestampNTZType (us) or TimestampType"
+    )
+
+
 # (appId, sf_dir, name) → DataFrame. spark.read.parquet re-reads footers
 # for schema inference on EVERY call (~150ms/table here); the fixture
 # files are immutable and DataFrames are immutable lazy plans, so one
@@ -52,12 +71,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushes predicates into the parquet reader (verify with
     ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects by
-    default: read nanos as long (runtime conf) and floor-truncate to a
-    µs TimestampType — the exact semantics DuckDB applies when it reads
-    the same file (verified: ns payloads are not µs-aligned). Integer
-    ``div`` is load-bearing: ns epochs exceed 2^53, float division would
-    corrupt low bits.
+    ``events.ts`` has shipped as BOTH parquet TIMESTAMP(NANOS) (older
+    fixtures) and timestamp[us] (current fixtures), so the loader
+    dispatches on the dtype Spark actually infers rather than assuming
+    one physical type:
+
+    - ``LongType`` (nanos read via ``nanosAsLong``): floor-truncate to a
+      µs TimestampType — the exact semantics DuckDB applies when it reads
+      the same file. Integer ``div`` is load-bearing: ns epochs exceed
+      2^53, float division would corrupt low bits.
+    - ``TimestampNTZType`` (timestamp[us], isAdjustedToUTC=false): cast
+      to TimestampType. Session timezone is pinned to UTC
+      (session.py:47), so the cast is a numeric identity.
+    - ``TimestampType``: pass through.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
@@ -66,7 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = df

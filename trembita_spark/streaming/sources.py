@@ -12,35 +12,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema with ts as raw nanos (see io.load_table:
-# Spark reads TIMESTAMP(NANOS) only as long via nanosAsLong).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# (appId, sf_dir) → physical schema Spark infers for events.parquet.
+# Streams require an explicit schema; probing the batch reader once per
+# session+path keeps the stream source in lockstep with whatever physical
+# ts type the fixture was written with (long-nanos vs timestamp[us] —
+# both have shipped; see io._normalize_ts).
+_RAW_SCHEMA_CACHE: dict = {}
+
+
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    schema = _RAW_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _RAW_SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (file source). Normalizes
-    ns→µs timestamps exactly like the batch reader so stream and batch
-    plans are interchangeable."""
+    ts to µs TimestampType exactly like the batch reader (same dtype
+    dispatch) so stream and batch plans are interchangeable."""
+    from trembita_spark.io import _normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     # The file source requires a directory: stream the sf dir with a glob
     # pinned to the events file (one micro-batch per discovered file).
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .option("recursiveFileLookup", "false")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", _normalize_ts(schema["ts"].dataType))
 
 
 def run_to_completion(df: DataFrame, query_name: str, output_mode: str = "complete"):
