@@ -13,7 +13,15 @@ from trembita_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from trembita_spark.operators.multimodal import attach_payload, decode_image, extract_features
+from trembita_spark.operators.multimodal import (
+    attach_image_payload,
+    attach_payload,
+    decode_headers,
+    decode_image_pixels,
+    extract_features,
+    parse_image_header,
+    synth_image,
+)
 from trembita_spark.operators.similarity import cosine_topk, ivf_topk
 from trembita_spark.operators.text import lang_id, quality_features, tf_idf_ratio
 
@@ -117,7 +125,7 @@ def test_quality_score_bounds(corpus):
 
 def test_multimodal_stub_and_features(spark, corpus):
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image_pixels(b"\x89PNG")
     docs = attach_payload(corpus)
     feats = {r.doc_id: r for r in extract_features(docs).collect()}
     assert len(feats[0].features) == 8
@@ -288,3 +296,30 @@ def test_repetition_signals_known_text(spark):
     assert abs(out[1].dup_bigram_frac - 2 / 3) < 1e-12
     assert out[2].top_token_share == pytest.approx(1 / 5)
     assert out[2].dup_bigram_frac == 0.0
+
+
+def test_parse_image_header_roundtrip():
+    # Encode (synth_image) and decode (parse_image_header) are separate
+    # code paths; round-trip across all formats and edge dimensions.
+    for fmt in ("png", "jpeg", "gif", "bmp"):
+        for w, h in ((1, 1), (37, 21), (65535, 1024)):
+            assert parse_image_header(synth_image(fmt, w, h)) == (fmt, w, h)
+
+
+def test_parse_image_header_corrupt_is_row_not_error():
+    # Corrupt/truncated/foreign payloads must yield a filterable row, not
+    # raise — at scale one bad asset must not kill a task.
+    for junk in (b"", b"garbage", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
+                 b"BM\x00", b"GIF89a", synth_image("png", 5, 5)[:15]):
+        fmt, w, h = parse_image_header(junk)
+        assert fmt == "unknown" and w == -1 and h == -1
+
+
+def test_decode_headers_distributed(spark, corpus):
+    rows = {
+        r.doc_id: r
+        for r in decode_headers(attach_image_payload(corpus.select("doc_id"))).collect()
+    }
+    r2 = rows[2]
+    assert (r2.format, r2.width, r2.height) == ("gif", 16 + 2 % 64, 16 + 2 % 48)
+    assert all(r.format != "unknown" for r in rows.values())

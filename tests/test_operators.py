@@ -325,3 +325,61 @@ def test_merge_upsert_null_overwrite_and_idempotence(spark):
     # idempotent: re-applying the same batch changes nothing
     again = {r.k: (r.name, r.v) for r in merge_upsert(snap, changes, "k").collect()}
     assert again == rows
+
+
+def test_ivf_recall_vs_exact(spark):
+    # ANN quality as a tested property, not a claim: IVF over
+    # kmeans-built cells must recover most of the exact cosine top-k,
+    # and must beat routing over arbitrary cells. kmeans + ivf are
+    # deterministic (decimal-exact sums, id tiebreaks), so the measured
+    # recalls are stable run-to-run: 0.648 (kmeans, nprobe=2) vs 0.284
+    # (random label cells, nprobe=2) on the sf0.001 embeddings.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.io import load_table
+    from trembita_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", F2.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.join(
+        S.kmeans(emb, k=8, iters=3).select("vec_id", "cluster"), "vec_id"
+    )
+    queries = corpus.filter("vec_id < 25")
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    ex = topk_sets(S.cosine_topk(corpus, queries, k=10))
+    total = sum(len(v) for v in ex.values())
+
+    def recall(cell_col):
+        iv = topk_sets(
+            S.ivf_topk(corpus, queries, k=10, cell_col=cell_col, nprobe=2)
+        )
+        return sum(len(ex[q] & iv.get(q, set())) for q in ex) / total
+
+    kmeans_recall = recall("cluster")
+    arbitrary_recall = recall("label")  # random classes ≈ nprobe/n_cells
+    assert kmeans_recall >= 0.6, kmeans_recall
+    assert kmeans_recall > arbitrary_recall + 0.2, (kmeans_recall, arbitrary_recall)
+
+
+def test_pagerank_dangling_preserves_mass(spark):
+    # c→s edges make every supplier node dangling; the default variant
+    # leaks its mass each step, the redistribute variant keeps Σscore=1.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y"), ("c", "y")], "src string, dst string"
+    )
+    keep = pagerank(edges, iters=3, redistribute_dangling=True)
+    total = keep.agg(F2.sum("score")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9, total
+    leak = pagerank(edges, iters=3, redistribute_dangling=False)
+    assert leak.agg(F2.sum("score")).collect()[0][0] < 1.0 - 1e-6

@@ -432,6 +432,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + doc_id % 48 AS INT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 35
+                                WHEN 2 THEN 14 ELSE 54 END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image header decode, no imaging library: synthesize
+    # structurally-valid PNG/JPEG/GIF/BMP bytes per doc (format and
+    # dimensions are deterministic functions of doc_id), then parse
+    # format/width/height back out of the binary container headers via
+    # Arrow-batched mapInPandas (operators/multimodal.py:
+    # parse_image_header). Encode and decode are independent code paths;
+    # the oracle recomputes the expected values from doc_id arithmetic,
+    # so a parser bug (e.g. endianness, JPEG marker walk) fails parity.
+    docs = M.attach_image_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    return M.decode_headers(docs)
+
+
 @register("q_scan_text", oracle="SELECT text AS value FROM documents")
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-trip the reference's text-file source (Input.file): write the

@@ -852,6 +852,71 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("score", 12).alias("score"))
 
 
+def _pr_dangling_iter_sql(prev: str, this: str) -> str:
+    # one sum-preserving power-method step: neighbor mass + the dangling
+    # mass (scores of no-out-edge nodes) spread uniformly.
+    return f"""
+    m_{this} AS (
+      SELECT e.dst AS dst,
+             sum(p.score / d.outdeg) AS in_mass
+      FROM edges e
+      JOIN {prev} p  ON e.src = p.node
+      JOIN outdeg d  ON e.src = d.o_node
+      GROUP BY e.dst
+    ),
+    dm_{this} AS (
+      SELECT COALESCE(sum(p.score), CAST(0 AS DOUBLE)) AS dm
+      FROM {prev} p LEFT JOIN outdeg d ON p.node = d.o_node
+      WHERE d.o_node IS NULL
+    ),
+    {this} AS (
+      SELECT b.node,
+             (CAST(1 AS DOUBLE) - 0.85) / b.n
+             + 0.85 * (COALESCE(m.in_mass, CAST(0 AS DOUBLE)) + dm.dm / b.n) AS score
+      FROM (SELECT node, n FROM nodes, nn) b
+      LEFT JOIN m_{this} m ON b.node = m.dst, dm_{this} dm
+    )"""
+
+
+@register(
+    "q_graph_pagerank_dangling",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src AS o_node, count(*) AS outdeg FROM edges GROUP BY src),
+    it0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS score FROM nodes, nn),
+    {_pr_dangling_iter_sql("it0", "it1")},
+    {_pr_dangling_iter_sql("it1", "it2")},
+    {_pr_dangling_iter_sql("it2", "it3")}
+    SELECT node, round(score, 12) AS score FROM it3
+    """,
+)
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sum-preserving PageRank: every supplier node in the c→s order
+    # graph is dangling (no out-edges), so without redistribution ~half
+    # the mass leaks each step — this variant spreads it uniformly and
+    # total mass stays 1.0 (asserted in tests/test_operators.py). Same
+    # join-per-iteration shape as q_graph_pagerank plus one single-row
+    # dangling-mass aggregate broadcast per step; the oracle unrolls the
+    # identical recurrence with a dm CTE per iteration. round-12 as in
+    # q_graph_pagerank (order error ~1e-15 ≪ 5e-13 half-grid).
+    from trembita_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=3, damping=0.85, redistribute_dangling=True)
+    return pr.select("node", F.round("score", 12).alias("score"))
+
+
 @register(
     "q_quality_checks",
     oracle="""

@@ -18,9 +18,11 @@ one groupBy dst. k is small and fixed → the unrolled plan is fine
 without checkpointing; for large k reuse connected_components' periodic
 parquet-cut pattern (dedup.py).
 
-Dangling nodes (no out-edges) leak their mass — the simple, consistent-
-across-engines convention; redistribute-dangling is a one-line change in
-both places if sum-preservation matters.
+Dangling nodes (no out-edges) leak their mass by default — the simple,
+consistent-across-engines convention. ``redistribute_dangling=True``
+switches to the sum-preserving convention (each step spreads the
+dangling mass uniformly); both variants are oracle-checked
+(`q_graph_pagerank`, `q_graph_pagerank_dangling`).
 """
 
 from __future__ import annotations
@@ -33,10 +35,18 @@ def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """(node, score) after ``iters`` power-method steps over directed
     ``edges`` (src, dst). score_0 = 1/N; score_{t+1}(v) = (1-d)/N +
-    d·Σ_{u→v} score_t(u)/outdeg(u)."""
+    d·Σ_{u→v} score_t(u)/outdeg(u).
+
+    ``redistribute_dangling=True`` adds the sum-preserving convention:
+    each step also spreads d·(Σ dangling scores)/N to every node, so
+    total mass stays 1.0 instead of leaking through no-out-edge nodes.
+    The dangling mass is a single-row aggregate (anti join scores ⟕̸
+    outdeg → sum) broadcast back onto the update — one extra tiny-side
+    shuffle per iteration, nothing proportional to |E|."""
     edges = edges.select("src", "dst")
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -61,9 +71,28 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        scores = (
-            scores.join(contrib, scores.node == contrib.dst, "left")
-            .select(
+        updated = scores.join(contrib, scores.node == contrib.dst, "left")
+        if redistribute_dangling:
+            dangling = (
+                scores.join(
+                    F.broadcast(outdeg), scores.node == F.col("o_node"), "left_anti"
+                )
+                .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("dm"))
+            )
+            scores = updated.crossJoin(F.broadcast(dangling)).select(
+                "node",
+                "n",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce("in_mass", F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    )
+                ).alias("score"),
+            )
+        else:
+            scores = updated.select(
                 "node",
                 "n",
                 (
@@ -71,7 +100,6 @@ def pagerank(
                     + damping * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("score"),
             )
-        )
     return scores.select("node", "score")
 
 
