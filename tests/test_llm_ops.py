@@ -323,3 +323,19 @@ def test_decode_headers_distributed(spark, corpus):
     r2 = rows[2]
     assert (r2.format, r2.width, r2.height) == ("gif", 16 + 2 % 64, 16 + 2 % 48)
     assert all(r.format != "unknown" for r in rows.values())
+
+
+def test_strip_markup_entity_order(spark):
+    from trembita_spark.operators.text import strip_markup
+
+    rows = [
+        (1, "<p>a &amp;lt; b</p>"),       # &amp;lt; must become '&lt;' not '<'
+        (2, "no <b>markup</b>&nbsp;here"),
+        (3, "  <div>   spaced    out </div>  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in strip_markup(df).collect()}
+    assert got[1].clean == "a &lt; b"
+    assert got[1].n_tags == 2
+    assert got[2].clean == "no markup here"
+    assert got[3].clean == "spaced out"

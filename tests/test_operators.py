@@ -383,3 +383,51 @@ def test_pagerank_dangling_preserves_mass(spark):
     assert abs(total - 1.0) < 1e-9, total
     leak = pagerank(edges, iters=3, redistribute_dangling=False)
     assert leak.agg(F2.sum("score")).collect()[0][0] < 1.0 - 1e-6
+
+
+def test_budget_select_matches_naive_and_drops_straddler(spark):
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.sampling import budget_select
+
+    rows = [(i, w) for i, w in enumerate([5, 10, 3, 7, 9, 2, 8])]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = budget_select(
+        df, "w", [F2.col("w").desc(), F2.col("id")], budget=20, cum_col="cum"
+    ).orderBy("cum").collect()
+    # naive: order (10,9,8,7,5,3,2) → cums 10,19,27.. → keep 10,19; the
+    # straddling 8 (cum 27 > 20) must NOT be kept even though 1 more
+    # would "fit" some other row later in the order.
+    assert [(r.w, r.cum) for r in got] == [(10, 10), (9, 19)]
+
+
+def test_budget_select_distributed_prefix_sum_matches_global(spark):
+    # two-phase prefix sum over many partitions == single global cumsum.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.sampling import budget_select
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(13)
+    got = budget_select(df, "w", [F2.col("id")], budget=600, cum_col="cum")
+    expected_cum, expected = 0, []
+    for i, w in rows:  # already id-ordered
+        expected_cum += w
+        if expected_cum > 600:
+            break
+        expected.append((i, w, expected_cum))
+    assert [(r.id, r.w, r.cum) for r in got.orderBy("id").collect()] == expected
+
+
+def test_shard_assign_stable_under_partitioning(spark):
+    from trembita_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {(r.doc_id): (r.shard, r.pos) for r in shard_assign(df).collect()}
+    b = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shard_assign(df.repartition(17)).collect()
+    }
+    assert a == b  # pure function of content, not of partitioning
+    shards = {s for s, _ in a.values()}
+    assert shards == set(range(16))  # md5 spreads over all shards

@@ -218,3 +218,37 @@ def test_gapfill_no_cartesian_and_single_fill_window(spark):
     plan = plan_of("q_ts_gapfill", spark)
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_strip_markup_zero_shuffle(spark):
+    # Boilerplate removal is scan-local regex work: the plan must have NO
+    # exchange at all — the 100 TB cost is one read pass.
+    plan = plan_of("q_text_strip_markup", spark)
+    assert "Exchange" not in plan, plan
+
+
+def test_multimodal_decode_no_shuffle(spark):
+    # synth → decode are two chained mapInPandas stages over the same
+    # rows; nothing groups or joins, so no exchange may appear.
+    plan = plan_of("q_multimodal_decode", spark)
+    assert "Exchange" not in plan, plan
+
+
+def test_pagerank_dangling_no_cartesian_broadcast_mass(spark):
+    # the per-step dangling-mass scalar must broadcast (1 row), and no
+    # join may degrade to a cartesian product.
+    plan = plan_of("q_graph_pagerank_dangling", spark)
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_select_uses_range_partition_not_global_window(spark):
+    # the data-bearing cumsum must ride a range partitioning (two-phase
+    # prefix sum); only the tiny per-partition offsets frame may hit a
+    # single partition.
+    plan = plan_of("q_corpus_budget_select", spark)
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_dedup_paragraph_no_cartesian(spark):
+    plan = plan_of("q_dedup_paragraph", spark)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

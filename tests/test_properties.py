@@ -179,3 +179,59 @@ def test_bfs_matches_reference_bfs(spark, edges):
     sdf = spark.createDataFrame([(s,) for s in sources], "node long")
     got = {r.node: r.dist for r in bfs(edf, sdf, max_hops=max_hops).collect()}
     assert got == expected, (got, expected)
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=20), min_size=0, max_size=40),
+    budget=st.integers(min_value=0, max_value=300),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_budget_select_matches_sequential_reference(spark, weights, budget, nparts):
+    """Distributed two-phase prefix-sum selection ≡ a sequential scan,
+    for ANY weights/budget/input partitioning — the correctness contract
+    of the scalable cumsum (no row kept or dropped by partitioning)."""
+    from trembita_spark.operators.sampling import budget_select
+
+    data = list(enumerate(weights))
+    df = (
+        spark.createDataFrame(data, "id long, w long")
+        if data
+        else spark.createDataFrame([], "id long, w long")
+    ).repartition(nparts)
+    got = sorted(
+        (r.id, r.cum)
+        for r in budget_select(df, "w", [F.col("id")], budget, cum_col="cum").collect()
+    )
+    cum, expected = 0, []
+    for i, w in data:
+        cum += w
+        if cum > budget:
+            break
+        expected.append((i, cum))
+    assert got == sorted(expected)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    shards=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_shard_assign_partitions_exactly(spark, n, shards):
+    """Every row lands in exactly one shard; within-shard positions are
+    a contiguous 1..size run (a valid deterministic total order)."""
+    from trembita_spark.operators.sampling import shard_assign
+
+    df = (
+        spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        if n
+        else spark.createDataFrame([], "doc_id long")
+    )
+    out = shard_assign(df, n_shards=shards).collect()
+    assert len(out) == n
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

@@ -708,10 +708,10 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS intercept,
-           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n), 9) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2,
            CAST(n AS BIGINT) AS n_rows
     FROM s
     """,
@@ -722,9 +722,13 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regr_* stream central moments in merge order (float-nondeterministic
     # across engines), so the moments are computed as EXACT decimal power
     # sums — one partial-aggregating pass, order-independent — and the
-    # closed-form slope/intercept/r2 arithmetic runs on identical doubles
-    # in both engines (parity rules 2+4). Same single-shuffle cost as the
-    # builtin; exactness is free.
+    # closed-form slope/intercept/r2 arithmetic runs on near-identical
+    # doubles in both engines. NEAR: the power sums overflow 2^53 as
+    # decimals (syy ~ 2e17 scaled), so the decimal→double CAST itself can
+    # differ by one ulp between engines (seen at sf0.001) — hence round-9
+    # on the final closed forms, whose magnitudes (≤1e5) make the ulp
+    # error ≤1e-11, far inside the 5e-10 half-grid (parity rule 5).
+    # Same single-shuffle cost as the builtin regr_*; exactness is free.
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(12,2)")
     y = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -741,11 +745,12 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         "l_returnflag",
-        slope.alias("slope"),
-        (sy / n - slope * (sx / n)).alias("intercept"),
-        (
+        F.round(slope, 9).alias("slope"),
+        F.round(sy / n - slope * (sx / n), 9).alias("intercept"),
+        F.round(
             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
         ).alias("r2"),
         n.cast("long").alias("n_rows"),
     )

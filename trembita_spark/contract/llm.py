@@ -21,6 +21,7 @@ from trembita_spark.contract import register, run_tmp, table
 from trembita_spark.operators import dedup as D
 from trembita_spark.operators import multimodal as M
 from trembita_spark.operators import similarity as S
+from trembita_spark.operators import sampling as SMP
 from trembita_spark.operators import text as TX
 
 # DuckDB fragment: 60-bit int from the first 15 hex chars of an md5 str.
@@ -430,6 +431,162 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features"),
         "byte_sum",
     )
+
+
+@register(
+    "q_dedup_paragraph",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    n AS (SELECT doc_id, t, greatest(CAST(ceil(len(t) / 3.0) AS INT), 1) AS n_chunks FROM tok),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, n_chunks - 1),
+                    i -> array_to_string(list_slice(t, i * 3 + 1, i * 3 + 3), ' '))) AS chunk_text
+      FROM n
+    ),
+    hh AS (SELECT doc_id, md5(chunk_text) AS h FROM ch),
+    cnt AS (SELECT h, count(*) AS c FROM hh GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                 AS n_chunks,
+           CAST(count(*) FILTER (c > 1) AS BIGINT)  AS n_dup_chunks,
+           round(count(*) FILTER (c > 1) * 1.0 / count(*), 6) AS dup_frac
+    FROM hh JOIN cnt USING (h) GROUP BY doc_id
+    """,
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Paragraph-granularity dup statistics (the CCNet-style signal): cut
+    # each doc into fixed token windows, hash them, count occurrences
+    # across the WHOLE corpus, report per-doc duplicated fraction. At
+    # sf0.01 a third of chunks are corpus-duplicated, so the signal is
+    # non-trivial. Cost shape: chunk explode (map-side) + one
+    # combiner-friendly count shuffle on the 128-bit hash + broadcast-safe
+    # join back + one doc agg — no n², no all-pairs; at 100 TB identical
+    # to exact dedup but on chunk keys (~8× the rows, same plan).
+    docs = table(spark, sf_dir, "documents")
+    ch = TX.chunk_documents(docs, chunk_tokens=3, overlap=0).select(
+        "doc_id", F.md5("chunk_text").alias("h")
+    )
+    cnt = ch.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        ch.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "q_shard_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS INT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS pos
+    FROM h
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic global shuffle + sharding (the training-ingest
+    # terminal op): content-hash shard + md5-ordered within-shard
+    # position, reproducible under retries/speculation because nothing
+    # draws randomness. One balanced window shuffle; written out with
+    # partitionBy(shard) the corpus lands pre-shuffled.
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return SMP.shard_assign(docs, id_col="doc_id", n_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
+    "q_corpus_budget_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 30000
+    """,
+)
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget corpus selection: take documents in priority order
+    # (longest-first here; any scoring column slots in) until the
+    # cumulative token count hits the budget. The running sum is the
+    # two-phase distributed prefix sum (range-partition + local window +
+    # broadcast offsets — operators/sampling.budget_select), NOT a
+    # single-partition global window: the plan this op must have at
+    # 100 TB. Oracle uses the plain global window (fine at oracle scale).
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return SMP.budget_select(
+        docs,
+        weight_col="n_tokens",
+        order_by=[F.col("n_tokens").desc(), F.col("doc_id")],
+        budget=30000,
+        cum_col="cum_tokens",
+    ).select("doc_id", "n_tokens", "cum_tokens")
+
+
+@register(
+    "q_text_strip_markup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             '<html><body class="' || source || '"><p>' || text || '</p>'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<br/>&amp; &lt;tail&gt;'
+                     ELSE '&nbsp;the&#39;end&quot;' END
+             || '</body></html>' AS dec
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(dec, '<[^>]+>')) AS BIGINT) AS n_tags,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(dec, '<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS clean
+    FROM d
+    """,
+)
+def q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HTML/boilerplate removal (web-crawl pass 1): the raw fixture has no
+    # markup, so wrap each doc in deterministic tags + entities keyed on
+    # doc_id, then strip with operators/text.strip_markup — tag removal,
+    # entity decode (&amp; last to avoid double-decode), whitespace
+    # collapse. '<[^>]+>' parses identically under Java regex and RE2,
+    # so the oracle runs the same chain verbatim. Scan-local, zero
+    # shuffle.
+    docs = table(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body class="'), F.col("source"), F.lit('"><p>'),
+            F.col("text"), F.lit("</p>"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("<br/>&amp; &lt;tail&gt;"))
+            .otherwise(F.lit("&nbsp;the&#39;end&quot;")),
+            F.lit("</body></html>"),
+        ).alias("text"),
+    )
+    return TX.strip_markup(decorated)
 
 
 @register(

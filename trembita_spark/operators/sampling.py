@@ -80,3 +80,68 @@ def weighted_mix(
     for src, r in sorted(rates.items()):
         rate = F.when(F.col(source_col) == src, F.lit(r)).otherwise(rate)
     return df.where(_hash_bucket(F.col(id_col)) < rate)
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data writes:
+    (…, shard, pos) where ``shard`` is a content-hash bucket and ``pos``
+    is the row's position within its shard under md5 order — the
+    "shuffle the corpus, split into N files, stable under retries" op
+    every training-ingest pipeline ends with.
+
+    One shuffle (the per-shard window); shard sizes are ~uniform by
+    construction (md5), so the window partitions are balanced. At 100 TB
+    write with ``partitionBy(shard)`` and the files come out
+    pre-shuffled; ``pos`` gives deterministic within-file order, so a
+    training run's data order is reproducible from the data alone.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    weight_col: str,
+    order_by: list[Column],
+    budget: int,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Keep rows, in an explicit total order, while the running sum of
+    ``weight_col`` stays within ``budget`` — token-budget corpus
+    selection ("take the best documents until we have N tokens").
+
+    The running sum is a distributed two-phase prefix sum (the
+    zip_with_index pattern, pipeline.py): range-partition by the sort
+    key, partition-local cumulative window, then per-partition totals
+    broadcast as offsets — NO single-partition global window, so the op
+    scales to arbitrarily large inputs. Cost: one range shuffle + one
+    tiny aggregate + broadcast.
+    """
+    part = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    part = part.withColumn("__pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = part.withColumn("__local_cum", F.sum(weight_col).over(local_w))
+    totals = part.groupBy("__pid").agg(F.sum(weight_col).alias("__n"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("__off", F.coalesce(F.sum("__n").over(off_w), F.lit(0)))
+    out = (
+        part.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(cum_col, (F.col("__off") + F.col("__local_cum")).cast("long"))
+        .drop("__pid", "__local_cum", "__off")
+    )
+    return out.where(F.col(cum_col) <= budget)

@@ -209,6 +209,42 @@ def pii_scrub(
     )
 
 
+# Entity decode order matters: &amp; LAST, else '&amp;lt;' would double-
+# decode ('&amp;lt;' → '&lt;' → '<' is wrong; correct answer is '&lt;').
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML/boilerplate removal — the first pass of every web-crawl
+    pipeline: drop tags, decode the common entities, collapse
+    whitespace. Returns (id, n_tags, clean).
+
+    Pure ``regexp_replace``/``replace`` expressions: scan-local,
+    whole-stage-codegen, zero shuffles. ``<[^>]+>`` is valid in both
+    Java regex and RE2, so the op is oracle-checkable verbatim. A full
+    HTML5 parser this is not (comments/scripts with embedded ``>`` need
+    a real tokenizer) — it is the cheap high-recall pass run before
+    quality scoring."""
+    clean = F.regexp_replace(F.col(text_col), r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(
+        id_col,
+        F.regexp_count(F.col(text_col), F.lit(r"<[^>]+>")).cast("long").alias("n_tags"),
+        clean.alias("clean"),
+    )
+
+
 def contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
