@@ -128,6 +128,32 @@ def q_lsh_cluster(docs):
     return connected_components(pairs, max_iters=10)
 
 
+def q_paragraph_dedup(docs):
+    # chunk-granularity dup stats: explode + hash-count + doc re-agg.
+    from trembita_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(docs, chunk_tokens=3, overlap=0).select(
+        "doc_id", F.md5("chunk_text").alias("h")
+    )
+    cnt = ch.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        ch.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"))
+    )
+
+
+def q_budget_select(docs, budget):
+    # distributed two-phase prefix sum; budget scales with input so the
+    # selected fraction (and output size) stays constant across scales.
+    from trembita_spark.operators.sampling import budget_select
+
+    d = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return budget_select(
+        d, "n_tokens", [F.col("n_tokens").desc(), F.col("doc_id")], budget, cum_col="cum"
+    )
+
+
 def median_time(fn, runs=3):
     fn()  # warm
     ts = []
@@ -157,6 +183,14 @@ def main():
         "topk": (lambda: q_topk(li1).collect(), lambda: q_topk(li8).collect()),
         "join_agg": (lambda: q_join_agg(li1, od1).collect(), lambda: q_join_agg(li8, od8).collect()),
         "lsh_cluster": (lambda: q_lsh_cluster(doc1).count(), lambda: q_lsh_cluster(doc8).count()),
+        "paragraph_dedup": (
+            lambda: q_paragraph_dedup(doc1).count(),
+            lambda: q_paragraph_dedup(doc8).count(),
+        ),
+        "budget_select": (
+            lambda: q_budget_select(doc1, 300_000).count(),
+            lambda: q_budget_select(doc8, 300_000 * SCALE).count(),
+        ),
     }
     out = {}
     for name, (f1, f8) in cases.items():

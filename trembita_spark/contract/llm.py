@@ -484,6 +484,63 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_paragraph_scrub",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    n AS (SELECT doc_id, t, greatest(CAST(ceil(len(t) / 3.0) AS INT), 1) AS n_chunks FROM tok),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, n_chunks - 1),
+                    i -> struct_pack(chunk_id := i,
+                         txt := array_to_string(list_slice(t, i * 3 + 1, i * 3 + 3), ' ')))) AS c
+      FROM n
+    ),
+    hh AS (SELECT doc_id, c.chunk_id AS chunk_id, c.txt AS txt, md5(c.txt) AS h FROM ch),
+    first_owner AS (SELECT h, min(doc_id) AS keeper FROM hh GROUP BY h),
+    kept AS (
+      SELECT doc_id, chunk_id, txt
+      FROM hh JOIN first_owner USING (h)
+      WHERE doc_id = keeper
+    )
+    SELECT doc_id,
+           string_agg(txt, ' ' ORDER BY chunk_id) AS scrubbed_text,
+           CAST(count(*) AS BIGINT) AS n_kept_chunks
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_dedup_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The transform half of paragraph dedup (q_dedup_paragraph is the
+    # stats half): drop every chunk whose content already appears in a
+    # lower-doc_id document (keep-first canonicalization — deterministic,
+    # no RNG), then reassemble each surviving document in chunk order.
+    # Docs whose every chunk is owned elsewhere vanish entirely — the
+    # oracle's GROUP BY drops them identically. Cost shape: chunk explode
+    # + min-owner hash agg + join back + ordered re-agg
+    # (sort_array(collect_list(struct))) — two shuffles, no pair
+    # expansion, combiner-friendly both times.
+    docs = table(spark, sf_dir, "documents")
+    ch = TX.chunk_documents(docs, chunk_tokens=3, overlap=0).select(
+        "doc_id", "chunk_id", F.col("chunk_text").alias("txt"),
+        F.md5("chunk_text").alias("h"),
+    )
+    first_owner = ch.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    kept = ch.join(first_owner, "h").where(F.col("doc_id") == F.col("keeper"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "txt"))),
+                    lambda s: s.getField("txt"),
+                ),
+                " ",
+            ).alias("scrubbed_text"),
+            F.count(F.lit(1)).alias("n_kept_chunks"),
+        )
+    )
+
+
+@register(
     "q_shard_assign",
     oracle="""
     WITH h AS (
