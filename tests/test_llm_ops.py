@@ -339,3 +339,30 @@ def test_strip_markup_entity_order(spark):
     assert got[1].n_tags == 2
     assert got[2].clean == "no markup here"
     assert got[3].clean == "spaced out"
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    # LSH quality as a tested property: plant near-duplicates (perturb
+    # the last token of a 20-token doc → shingle-Jaccard ≈ 0.85) and
+    # require the banded minhash to surface most planted pairs while
+    # keeping candidate volume far below all-pairs. Deterministic: texts
+    # and perturbations are functions of the id, no RNG.
+    from trembita_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = []
+    for i in range(60):
+        toks = [f"w{i}_{j}" for j in range(20)]
+        rows.append((2 * i, " ".join(toks)))          # original
+        toks2 = list(toks); toks2[-1] = "CHANGED"
+        rows.append((2 * i + 1, " ".join(toks2)))     # near-dup partner
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, bands=8, k=3).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    recall = len(planted & cand) / len(planted)
+    assert recall >= 0.8, (recall, len(cand))
+    # distinct vocabularies per pair → no cross-pair candidates at all;
+    # candidate volume must stay linear, nowhere near the 7k all-pairs.
+    assert len(cand) <= 2 * len(planted), len(cand)

@@ -1251,6 +1251,54 @@ _KMEANS_ORACLE = f"""
 """
 
 
+_SEMDEDUP_ORACLE = f"""
+    WITH c0 AS (
+      SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < 8
+    ),{_km_round("c0", "s1", "a1")},{_km_update("a1", "m1", "c1")},
+    {_km_round("c1", "s2", "a2")},{_km_update("a2", "m2", "c2")},
+    {_km_round("c2", "s3", "a3")},
+    n AS (
+      SELECT e.vec_id, a.cluster, e.embedding, {_NORM_SQL} AS norm
+      FROM embeddings e JOIN a3 a USING (vec_id)
+    ),
+    close_pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_PAIR_DOT_SQL} / (a.norm * b.norm) >= 0.32
+    )
+    SELECT drop_id AS vec_id,
+           CAST(min(keep_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT)     AS n_close
+    FROM close_pairs GROUP BY drop_id
+"""
+
+
+@register("q_dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDedup (Abbas et al. 2023, public): coarse k-means clustering,
+    # then within-cluster cosine pruning — composes the two verified
+    # stages (q_cluster_kmeans + cosine_pairs_within) into the published
+    # pipeline. A document is dropped when a lower-id cluster-mate sits
+    # above the similarity threshold; output is the drop list with its
+    # keeper (min id — deterministic) and close-neighbor count, all
+    # integers so no float parity surface. Scale: clustering never
+    # shuffles the corpus (broadcast centroids); pair work is per-cluster
+    # squared, never corpus squared — the blocking IS the point of the
+    # coarse stage.
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = S.kmeans(emb, k=8, iters=2).select("vec_id", "cluster")
+    clustered = emb.drop("label").join(assigned, "vec_id")
+    pairs = S.cosine_pairs_within(clustered, group_col="cluster", threshold=0.32)
+    return (
+        pairs.groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(
+            F.min("vec_a").cast("long").alias("keeper"),
+            F.count(F.lit(1)).alias("n_close"),
+        )
+    )
+
+
 @register("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
 def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed k-means (k=8, 2 assign/update rounds + final assign)
