@@ -36,6 +36,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.io import _normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC like contract.table(): the driver may hand us a session
+    # built without our factory, and timestamp semantics must not depend
+    # on the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = _events_raw_schema(spark, sf_dir)
     # The file source requires a directory: stream the sf dir with a glob
     # pinned to the events file (one micro-batch per discovered file).
