@@ -431,3 +431,25 @@ def test_shard_assign_stable_under_partitioning(spark):
     assert a == b  # pure function of content, not of partitioning
     shards = {s for s, _ in a.values()}
     assert shards == set(range(16))  # md5 spreads over all shards
+
+
+def test_hll_sketch_merge_equals_global(spark, tmp_path):
+    # Union of per-group sketches must be ESTIMATE-IDENTICAL to sketching
+    # the whole dataset (register-wise max), including after a parquet
+    # persist round-trip — the property that makes incremental
+    # distinct-count rollups sound.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.sketches import hll_sketch_by, hll_union_estimate
+
+    df = spark.range(50000).select(
+        (F2.col("id") % 7).alias("g"), F2.col("id").alias("v")
+    )
+    parts = hll_sketch_by(df, ["g"], "v")
+    path = str(tmp_path / "sk")
+    parts.write.mode("overwrite").parquet(path)
+    merged = hll_union_estimate(spark.read.parquet(path)).collect()[0].distinct_est
+    whole = df.agg(F2.hll_sketch_agg(F2.col("v").cast("string")).alias("sketch"))
+    direct = hll_union_estimate(whole).collect()[0].distinct_est
+    assert merged == direct
+    assert abs(merged - 50000) <= 0.05 * 50000  # estimate accuracy

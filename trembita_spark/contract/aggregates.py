@@ -857,3 +857,42 @@ def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cats"),
         )
     )
+
+
+@register(
+    "q_agg_sketch_mergeable",
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           true AS within_tol
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable HLL sketch columns (operators/sketches.py) exercised as
+    # the REAL incremental pattern: per-(lang, source) sketches written
+    # to parquet, read back, unioned up to lang, and the estimate
+    # checked in-query against the exact distinct (within_tol must come
+    # out true on both engines — the q_agg_approx_distinct precedent for
+    # engine-private approximations). lg_k=12 → ±~1.6% rel. error at 3σ;
+    # tolerance 5%. At 100 TB the persisted sketch table replaces every
+    # raw rescan for distinct-count rollups.
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.operators.sketches import hll_sketch_by, hll_union_estimate
+
+    docs = table(spark, sf_dir, "documents")
+    tmp = run_tmp("sketches")
+    hll_sketch_by(docs, ["lang", "source"], "doc_id").write.mode("overwrite").parquet(tmp)
+    persisted = spark.read.parquet(tmp)
+    merged = hll_union_estimate(persisted, ["lang"])
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return exact.join(merged, "lang").select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
