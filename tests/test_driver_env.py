@@ -48,7 +48,7 @@ spark = (
 )
 sf = "/root/testdata/sf0.001"
 con = duckdb.connect()
-for t in ("lineitem", "events"):
+for t in ("lineitem", "events", "documents"):
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 
@@ -69,7 +69,8 @@ def canon_oracle(v):
 
 
 for key in ("q_flagship_q1", "q_window_tumbling", "q_stream_tumbling",
-            "q_window_lag_lead"):
+            "q_window_lag_lead", "q_stream_fsm_sessionize",
+            "q_agg_sketch_mergeable"):
     srows = sorted(
         tuple(canon_spark(v) for v in row)
         for row in (tuple(r) for r in contract.QUERIES[key](spark, sf).collect())

@@ -8,7 +8,23 @@ transition semantics) is :func:`trembita_spark.operators.fsm.fsm_scan`.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _epoch_ms(naive_utc: "_dt.datetime") -> int:
+    """Epoch millis from a naive-UTC datetime WITHOUT consulting the host
+    timezone. ``datetime.timestamp()`` interprets naive values in the
+    process-local zone — on a non-UTC cluster that shifts event-time
+    timeouts by the UTC offset (timeouts fire hours late and append-mode
+    sessions are silently withheld). Arrow hands the FSM naive-UTC
+    timestamps because the source pins the session timezone to UTC, so
+    plain naive arithmetic is the correct, TZ-independent conversion.
+    (Caught by tests/test_driver_env.py's foreign-TZ scenario.)"""
+    return int((naive_utc - _EPOCH).total_seconds() * 1000)
 
 
 def sessionize_stream(
@@ -61,7 +77,7 @@ def sessionize_stream(
             last = t
             n += 1
         state.update((start, last, n))
-        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_s * 1000)
+        state.setTimeoutTimestamp(_epoch_ms(last) + gap_s * 1000)
         yield pd.DataFrame(closed)
 
     return (
@@ -132,7 +148,7 @@ def sessionize_tws(
             # event-time timer: close the session gap_s after its last event
             for old in self.handle.listTimers():
                 self.handle.deleteTimer(old)
-            self.handle.registerTimer(int(last.timestamp() * 1000) + gap_s * 1000)
+            self.handle.registerTimer(_epoch_ms(last) + gap_s * 1000)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if self.state.exists():
