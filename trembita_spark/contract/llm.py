@@ -672,6 +672,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_headers(docs)
 
 
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+    WITH p AS (SELECT doc_id, text AS payload FROM documents),
+    f AS (
+      SELECT doc_id, payload,
+             unnest(generate_series(0,
+               CAST(floor(strlen(payload) / 16) AS INT) - 1, 4)) AS frame_id
+      FROM p
+    )
+    SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+           md5(substring(payload, frame_id * 16 + 1, 16)) AS frame_md5
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyframe-style sampling over a binary stream column: every 4th
+    # 16-byte frame's content hash, pure expressions (sequence +
+    # binary substring + md5), zero Python and zero shuffle. The fixture
+    # corpus is ASCII, so the oracle's VARCHAR substring sees the same
+    # bytes the Spark side slices from the true binary payload.
+    docs = M.attach_payload(table(spark, sf_dir, "documents"))
+    return M.frame_sample(docs, frame_bytes=16, stride=4)
+
+
 @register("q_scan_text", oracle="SELECT text AS value FROM documents")
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-trip the reference's text-file source (Input.file): write the

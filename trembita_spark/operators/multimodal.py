@@ -166,6 +166,37 @@ def decode_headers(df: DataFrame, payload_col: str = "image", id_col: str = "doc
     )
 
 
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 16,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling over a binary stream column (the video-ingest
+    keyframe pattern): cut the payload into fixed ``frame_bytes`` frames,
+    keep every ``stride``-th, emit (id, frame_id, frame_md5). Pure
+    Catalyst expressions — sequence + substring over binary + md5 —
+    ZERO Python, zero shuffle: runs at scan bandwidth. Emitting the
+    content hash (not the bytes) keeps result rows tiny; a real pipeline
+    would instead hand the sampled frame bytes to the decode slot
+    (``decode_image_pixels``)."""
+    n_frames = f"CAST(floor(octet_length({payload_col}) / {frame_bytes}) AS INT)"
+    frames = F.expr(
+        f"transform(sequence(0, {n_frames} - 1, {stride}), "
+        f"i -> struct(i AS frame_id, "
+        f"md5(substring({payload_col}, i * {frame_bytes} + 1, {frame_bytes})) AS frame_md5))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(frames).alias("f"))
+        .select(
+            id_col,
+            F.col("f.frame_id").alias("frame_id"),
+            F.col("f.frame_md5").alias("frame_md5"),
+        )
+    )
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (the real
     decode slot). Deterministic fake: first FEATURE_DIM byte values as
