@@ -252,3 +252,11 @@ def test_budget_select_uses_range_partition_not_global_window(spark):
 def test_dedup_paragraph_no_cartesian(spark):
     plan = plan_of("q_dedup_paragraph", spark)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sink_partitioned_prunes_partitions(spark):
+    # read-back of the partitioned sink must prune at the DIRECTORY
+    # level: the lang predicate appears as a PartitionFilters entry on
+    # the scan, not a post-scan Filter over all partitions.
+    plan = plan_of("q_sink_partitioned", spark)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200], plan

@@ -708,6 +708,30 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang IN ('en', 'de')
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned parquet sink + partition-pruned read-back — the 100 TB
+    # layout contract: write documents partitioned by lang, then read
+    # with a lang predicate; only the matching partition directories are
+    # scanned (PartitionFilters in the plan — asserted in
+    # tests/test_plans.py::test_sink_partitioned_prunes_partitions).
+    # lang is restored to a regular column for the value check (partition
+    # columns come back typed-but-reordered; select re-normalizes).
+    from trembita_spark.io import write_parquet
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = run_tmp("part_sink")
+    write_parquet(docs, tmp, partition_by=["lang"])
+    back = spark.read.parquet(tmp).where(F.col("lang").isin("en", "de"))
+    return back.select("doc_id", "lang", "n_chars")
+
+
+@register(
     "q_sink_parquet",
     oracle="""
     SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
