@@ -453,3 +453,39 @@ def test_hll_sketch_merge_equals_global(spark, tmp_path):
     direct = hll_union_estimate(whole).collect()[0].distinct_est
     assert merged == direct
     assert abs(merged - 50000) <= 0.05 * 50000  # estimate accuracy
+
+
+def test_compact_parquet_layout(spark, tmp_path):
+    # Compaction must hit the requested file count, preserve content
+    # exactly, and (with sort_by) leave files with DISJOINT min/max
+    # ranges on the sort key — the property parquet file/row-group
+    # skipping needs. Verified from the actual parquet footers.
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.maintenance import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(10000).select(
+        F2.col("id"), (F2.col("id") * 7 % 1000).alias("k")
+    )
+    df.repartition(37).write.parquet(src)
+    out = compact_parquet(spark, src, dst, target_files=4, sort_by="k")
+
+    files = sorted(glob.glob(f"{dst}/part-*.parquet"))
+    assert len(files) == 4
+    assert out.count() == 10000
+    assert out.agg(F2.sum("id")).collect()[0][0] == sum(range(10000))
+
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        maxs = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint (range-partitioned) — prunable layout

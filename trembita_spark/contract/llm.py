@@ -732,6 +732,26 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_compacted",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Compaction round trip (operators/maintenance.py): fragment the
+    # table into 64 small files (the streaming-sink pathology), compact
+    # to 4 range-sorted files, read back — content must be bit-identical
+    # to the source (compaction is layout-only). File-count and
+    # disjoint-min/max layout evidence is asserted from parquet footers
+    # in tests/test_operators.py::test_compact_parquet_layout.
+    from trembita_spark.operators.maintenance import compact_parquet
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    frag = run_tmp("frag_sink")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = run_tmp("compact_sink")
+    return compact_parquet(spark, frag, compacted, target_files=4, sort_by="n_chars")
+
+
+@register(
     "q_sink_parquet",
     oracle="""
     SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
