@@ -235,3 +235,37 @@ def test_shard_assign_partitions_exactly(spark, n, shards):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@given(
+    data=rows,
+    where_t=st.integers(-1000, 1000),
+    having_n=st.integers(0, 10),
+    mode=st.sampled_from(["groupBy", "rollup", "cube"]),
+)
+@settings(**SETTINGS)
+def test_query_builder_matches_sql(spark, data, where_t, having_n, mode):
+    """The trembita-QL builder must be plan-equivalent to the handwritten
+    SQL for ANY (filter, grouping mode, having) combination — the API
+    correctness contract fuzzed across all three grouping modes."""
+    from trembita_spark.query import Query
+
+    df = _df(spark, data)
+    q = Query(df).where(F.col("v") > where_t)
+    q = getattr(q, {"groupBy": "group_by", "rollup": "rollup", "cube": "cube"}[mode])(
+        k="k"
+    )
+    q = q.aggregate(s=F.sum("v"), n=F.count(F.lit(1))).having(F.col("n") >= having_n)
+    got = {tuple(r) for r in q.to_df().collect()}
+
+    df.createOrReplaceTempView("qprop")
+    grouping = {"groupBy": "GROUP BY k", "rollup": "GROUP BY ROLLUP(k)",
+                "cube": "GROUP BY CUBE(k)"}[mode]
+    expected = {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT k, sum(v) AS s, count(1) AS n FROM qprop "
+            f"WHERE v > {where_t} {grouping} HAVING n >= {having_n}"
+        ).collect()
+    }
+    assert got == expected
