@@ -269,3 +269,37 @@ def test_query_builder_matches_sql(spark, data, where_t, having_n, mode):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    data=rows,
+    mul=st.integers(-5, 5),
+    t=st.integers(-1000, 1000),
+    reps=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_pipeline_chain_matches_python_reference(spark, data, mul, t, reps):
+    """map_ → filter_ → flat_map → zip_with_index must equal the plain
+    Python evaluation of the same program for ANY input — the Pipeline
+    API's semantics contract, including the distributed index's total
+    order."""
+    from trembita_spark.pipeline import Pipeline
+
+    p = (
+        Pipeline(_df(spark, data))
+        .map_({"k": F.col("k"), "v2": F.col("v") * mul})
+        .filter_(F.col("v2") > t)
+        .with_column("arr", F.expr(f"array_repeat(v2, {reps})"))
+        .flat_map("arr", alias="e", keep=["k", "v2"])
+        .zip_with_index(order_by=[F.col("v2"), F.col("k"), F.col("e")], name="idx")
+    )
+    got = [(r.k, r.v2, r.e, r.idx) for r in p.df.orderBy("idx").collect()]
+
+    ref = []
+    for k, v in data:
+        v2 = v * mul
+        if v2 > t:
+            ref.extend((k, v2, v2) for _ in range(reps))
+    ref.sort(key=lambda r: (r[1], r[0], r[2]))
+    expected = [(k, v2, e, i) for i, (k, v2, e) in enumerate(ref)]
+    assert got == expected
