@@ -9,8 +9,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+# SPARK_GRAFT_HYPO_EXAMPLES raises the example count for stress audits
+# (e.g. 100 before a driver round); 12 keeps the default suite fast.
+import os as _os
+
 SETTINGS = dict(
-    max_examples=12,
+    max_examples=int(_os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
