@@ -366,3 +366,35 @@ def test_lsh_finds_planted_near_dups(spark):
     # distinct vocabularies per pair → no cross-pair candidates at all;
     # candidate volume must stay linear, nowhere near the 7k all-pairs.
     assert len(cand) <= 2 * len(planted), len(cand)
+
+
+def test_frame_sample_short_and_empty_payloads(spark):
+    # payloads shorter than one frame must yield NO rows (not an
+    # inverted-sequence crash); full frames still hash correctly.
+    import hashlib
+
+    from trembita_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, b"short"), (2, b""), (3, b"x" * 33)], "doc_id long, payload binary"
+    )
+    rows = frame_sample(df, frame_bytes=16, stride=4).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert [(r.frame_id, r.frame_md5) for r in rows] == [
+        (0, hashlib.md5(b"x" * 16).hexdigest())
+    ]
+
+
+def test_repetition_and_bigram_lm_single_token_docs(spark):
+    # sequence(1, 0) generates DESCENDING [1,0] (not empty) and
+    # element_at then indexes out of bounds under ANSI — single-token
+    # docs crashed both bigram expressions before the guards.
+    from trembita_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a a a")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].dup_bigram_frac is None   # undefined for <2 tokens
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[3].dup_bigram_frac == 0.5    # 'a a' twice in [a a, a a]

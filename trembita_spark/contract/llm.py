@@ -1204,9 +1204,14 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = docs.select(
         F.explode(
             F.expr(
+                # guarded like text.repetition_signals: single-token docs
+                # would generate a descending [1,0] sequence and index
+                # out of bounds under ANSI
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
                 "transform(sequence(1, size(split(text, ' ')) - 1), "
                 "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2))"
+                "element_at(split(text, ' '), i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
             )
         ).alias("b")
     ).select("b.w1", "b.w2")

@@ -182,10 +182,16 @@ def frame_sample(
     would instead hand the sampled frame bytes to the decode slot
     (``decode_image_pixels``)."""
     n_frames = f"CAST(floor(octet_length({payload_col}) / {frame_bytes}) AS INT)"
+    # Guard the empty case: sequence(0, -1, k) throws on inverted bounds,
+    # so payloads shorter than one frame must short-circuit to an empty
+    # array (the row then vanishes at explode — same as the oracle's
+    # generate_series semantics).
     frames = F.expr(
+        f"CASE WHEN {n_frames} >= 1 THEN "
         f"transform(sequence(0, {n_frames} - 1, {stride}), "
         f"i -> struct(i AS frame_id, "
-        f"md5(substring({payload_col}, i * {frame_bytes} + 1, {frame_bytes})) AS frame_md5))"
+        f"md5(substring({payload_col}, i * {frame_bytes} + 1, {frame_bytes})) AS frame_md5)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<frame_id: INT, frame_md5: STRING>>) END"
     )
     return (
         df.select(F.col(id_col), F.explode(frames).alias("f"))

@@ -304,10 +304,15 @@ def repetition_signals(
     # bigram i = tokens[i] + ' ' + tokens[i+1]; sequence is 1-based like
     # element_at. Explicit single-arg lambda (HOF arity trap — see
     # PySpark gotchas): transform(sequence(...), i -> ...).
+    # Guarded for <2 tokens: sequence(1, 0) generates a DESCENDING [1,0]
+    # (not empty), and element_at then indexes out of bounds under ANSI —
+    # single-token docs crashed here before the guard.
     bigrams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
         f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
         f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
-        f"element_at(split({text_col}, ' '), i + 1)))"
+        f"element_at(split({text_col}, ' '), i + 1))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     per_row = df.select(
         F.col(id_col).alias("doc_id"),
