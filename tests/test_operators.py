@@ -489,3 +489,68 @@ def test_compact_parquet_layout(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint (range-partitioned) — prunable layout
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    # Z-order clustering must leave every FILE a tight rectangle in BOTH
+    # dimensions (so parquet min/max stats prune either predicate),
+    # where a single-column sort only bounds its own column. Measured
+    # from actual parquet footers: mean per-file extent as a fraction of
+    # the global range, z-layout vs x-sorted layout.
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.layout import zorder_write
+
+    df = spark.range(40000).select(
+        ((F2.col("id") * 2654435761) % 100000).alias("x"),
+        (((F2.col("id") + 7919) * 97687) % 100000).alias("y"),
+    )
+
+    def mean_extents(path):
+        out = {}
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert files
+        for col in ("x", "y"):
+            spans, glo, ghi = [], None, None
+            for f in files:
+                md = pq.read_metadata(f)
+                idx = md.schema.names.index(col)
+                mins = min(
+                    md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                maxs = max(
+                    md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                spans.append(maxs - mins)
+                glo = mins if glo is None else min(glo, mins)
+                ghi = maxs if ghi is None else max(ghi, maxs)
+            out[col] = (sum(spans) / len(spans)) / (ghi - glo)
+        return out
+
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    zorder_write(df, "x", "y", zpath, num_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    z = mean_extents(zpath)
+    xs = mean_extents(xpath)
+
+    # content preserved (layout-only op)
+    back = spark.read.parquet(zpath)
+    assert back.count() == 40000
+    assert back.agg(F2.sum("x"), F2.sum("y")).collect() == df.agg(
+        F2.sum("x"), F2.sum("y")
+    ).collect()
+
+    # x-sort: own column tightly bounded, other column useless for pruning
+    assert xs["x"] < 0.15
+    assert xs["y"] > 0.8
+    # z-order: BOTH columns bounded — the worst dimension far better than
+    # the single-sort worst dimension
+    assert max(z["x"], z["y"]) < 0.5
+    assert max(z["x"], z["y"]) < xs["y"] - 0.3

@@ -1389,3 +1389,59 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans(table(spark, sf_dir, "embeddings"), k=8, iters=2).select(
         "vec_id", "cluster", F.round("d", 6).alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: Z-order clustering
+# ---------------------------------------------------------------------------
+
+# The oracle replays the exact integer construction (16-bit bucketize by
+# integer division, magic-number bit spread, interleave) stage by stage;
+# every op is 64-bit integer arithmetic, so parity is bit-exact.
+_ZORDER_ORACLE = """
+WITH s AS (
+  SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+         min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+  FROM lineitem
+),
+b AS (
+  SELECT l_orderkey, l_linenumber,
+         (l_partkey - xmin) * 65536 // (xmax - xmin + 1) AS xs,
+         (l_suppkey - ymin) * 65536 // (ymax - ymin + 1) AS ys
+  FROM lineitem CROSS JOIN s
+),
+p1 AS (SELECT l_orderkey, l_linenumber,
+        ((xs | (xs << 8)) & 16711935) AS xs,
+        ((ys | (ys << 8)) & 16711935) AS ys FROM b),
+p2 AS (SELECT l_orderkey, l_linenumber,
+        ((xs | (xs << 4)) & 252645135) AS xs,
+        ((ys | (ys << 4)) & 252645135) AS ys FROM p1),
+p3 AS (SELECT l_orderkey, l_linenumber,
+        ((xs | (xs << 2)) & 858993459) AS xs,
+        ((ys | (ys << 2)) & 858993459) AS ys FROM p2),
+p4 AS (SELECT l_orderkey, l_linenumber,
+        ((xs | (xs << 1)) & 1431655765) AS xs,
+        ((ys | (ys << 1)) & 1431655765) AS ys FROM p3)
+SELECT l_orderkey, l_linenumber, (xs | (ys << 1)) AS zval FROM p4
+"""
+
+
+@register("q_layout_zorder", oracle=_ZORDER_ORACLE)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    # the multi-dimensional data-layout op (operators/layout.py). At
+    # 100 TB the writer range-sorts by this value so parquet row-group
+    # min/max stats become tight rectangles in BOTH dimensions and
+    # point/range predicates on either column prune most of the scan
+    # (evidence: tests/test_operators.py::test_zorder_layout_prunes_both_dims
+    # measures per-file footer extents vs a single-column sort). The
+    # z-value itself is pure 64-bit integer expression work — one
+    # broadcast of a 4-number stats row, zero data shuffles.
+    from trembita_spark.operators.layout import with_zvalue
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_zvalue(li, "l_partkey", "l_suppkey").select(
+        "l_orderkey", "l_linenumber", "zval"
+    )
