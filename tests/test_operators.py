@@ -554,3 +554,31 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     # the single-sort worst dimension
     assert max(z["x"], z["y"]) < 0.5
     assert max(z["x"], z["y"]) < xs["y"] - 0.3
+
+
+def test_cms_upper_bound_and_mergeable(spark):
+    # The two properties that make a count-min sketch usable at scale:
+    # estimates never undercount, and the sketch of a union equals the
+    # counter-wise sum of per-split sketches (so per-shard sketches
+    # merge without rescanning raw data).
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.sketches import cms_point_query, cms_table
+
+    df = spark.range(5000).select("id", (F2.col("id") % 37).alias("k"))
+    cms_full = cms_table(df, "k", depth=3, width=16)
+
+    exact = df.groupBy("k").agg(F2.count(F2.lit(1)).alias("exact"))
+    est = cms_point_query(cms_full, exact.select("k"), "k", depth=3, width=16)
+    joined = exact.join(est, "k").collect()
+    assert len(joined) == 37
+    assert all(r["est_count"] >= r["exact"] for r in joined)
+
+    a = cms_table(df.where(F2.col("id") < 2500), "k", depth=3, width=16)
+    b = cms_table(df.where(F2.col("id") >= 2500), "k", depth=3, width=16)
+    merged = (
+        a.unionAll(b).groupBy("d", "cell").agg(F2.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, cms_full.collect())
+    )

@@ -896,3 +896,62 @@ def q_agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_tol"),
     )
+
+
+# Count-min sketch oracle: identical md5-fold hashing, the same
+# pre-agg → fan-out → cell-sum → broadcast-probe min, all BIGINT.
+from trembita_spark.contract import HEX60_SQL as _H60
+
+_CMS_H = _H60.format(md5="md5(k || '#' || CAST(dd.d AS VARCHAR))")
+_CMS_HP = _H60.format(md5="md5(p.k || '#' || CAST(dd.d AS VARCHAR))")
+_CMS_ORACLE = f"""
+WITH ks AS (
+  SELECT user_id, CAST(user_id AS VARCHAR) AS k, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT dd.d AS d, CAST({_CMS_H} % 256 AS INT) AS cell,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM ks CROSS JOIN dd GROUP BY 1, 2
+),
+probes AS (
+  SELECT user_id, k, c FROM ks ORDER BY md5(k), user_id LIMIT 20
+),
+pc AS (
+  SELECT p.user_id, p.c, dd.d AS d, CAST({_CMS_HP} % 256 AS INT) AS cell
+  FROM probes p CROSS JOIN dd
+)
+SELECT pc.user_id,
+       min(cl.cnt)              AS est_count,
+       CAST(min(pc.c) AS BIGINT) AS exact_count
+FROM pc JOIN cells cl ON cl.d = pc.d AND cl.cell = pc.cell
+GROUP BY pc.user_id
+"""
+
+
+@register("q_agg_countmin", oracle=_CMS_ORACLE)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min sketch frequency estimation (operators/sketches.py):
+    # the 4×256-counter sketch is built from ONE map-side-combined
+    # groupBy of events.user_id, then 20 md5-chosen probe keys read
+    # min-over-depth estimates from the broadcast sketch next to their
+    # exact counts (est ≥ exact, bounded overcount — both engines
+    # compute identical integers, so the check is bit-exact, not
+    # within-tolerance). At 100 TB the sketch is 1024 rows whatever the
+    # corpus; persist it per shard/day and heavy-hitter queries never
+    # rescan raw events.
+    from trembita_spark.operators.sketches import cms_point_query, cms_table
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    cms = cms_table(ev, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.orderBy(
+        F.md5(F.col("user_id").cast("string")), "user_id"
+    ).limit(20)
+    est = cms_point_query(
+        cms, probes.select("user_id"), "user_id", depth=4, width=256
+    )
+    return probes.join(est, "user_id").select(
+        "user_id", "est_count", "exact_count"
+    )

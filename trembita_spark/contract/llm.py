@@ -24,11 +24,8 @@ from trembita_spark.operators import similarity as S
 from trembita_spark.operators import sampling as SMP
 from trembita_spark.operators import text as TX
 
-# DuckDB fragment: 60-bit int from the first 15 hex chars of an md5 str.
-_HEX60 = (
-    "list_reduce(list_transform(string_split_regex(substr({md5}, 1, 15), ''), "
-    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
-)
+# DuckDB fragment: 60-bit int from md5 (shared; contract/__init__.py).
+from trembita_spark.contract import HEX60_SQL as _HEX60
 
 # DuckDB fragment: word k-shingles (1-based list indexing).
 def _sh_sql(k: int) -> str:

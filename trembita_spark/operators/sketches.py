@@ -45,3 +45,99 @@ def hll_union_estimate(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(agg)
     return sketches.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) as a relational table
+# ---------------------------------------------------------------------------
+#
+# A CMS is depth×width counters; cell (d, h_d(key)) accumulates every
+# occurrence of `key`, and a point query reads min over d of its cells —
+# an upper bound on the true count with overcount ≤ 2N/width at 1-δ
+# confidence. Expressed relationally it stays tiny (depth*width rows,
+# independent of data size) and mergeable (union + re-sum is exactly
+# the sketch of the union — counters are a commutative monoid), so
+# per-shard/day sketches persist and answer heavy-hitter frequency
+# queries without rescanning raw data. All hashing is md5 (identical
+# across engines → oracle-checkable, unlike engine-private sketches).
+
+
+def cms_cell(key, d: int, width: int):
+    """Depth-``d`` cell index for ``key``: 60-bit md5 fold mod width
+    (same cross-engine construction as dedup/sampling)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"#{d}")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % width
+    ).cast("int")
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the (d, cell, cnt) sketch table over ``key_col``.
+
+    Pre-aggregates by key FIRST (partial+final hash agg — the shuffle
+    carries |keys|, never |rows|), then fans each key's count into
+    ``depth`` cells and re-sums: a second agg over ≤ |keys|*depth tiny
+    rows down to depth*width. At 100 TB the raw-data pass is the one
+    map-side-combined groupBy every counting query already pays.
+    """
+    keyed = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    fanned = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_cell(F.col("k"), d, width).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+        "c",
+    )
+    return fanned.groupBy(
+        F.col("s.d").alias("d"), F.col("s.cell").alias("cell")
+    ).agg(F.sum("c").alias("cnt"))
+
+
+def cms_point_query(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimate each probe key's count: min over depths of its cells.
+
+    The sketch is depth*width rows — broadcast, so probing any number
+    of keys is a map-side join regardless of corpus size.
+    """
+    pc = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_cell(F.col(key_col), d, width).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    )
+    return (
+        pc.join(
+            F.broadcast(cms),
+            (pc["s.d"] == cms["d"]) & (pc["s.cell"] == cms["cell"]),
+        )
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
