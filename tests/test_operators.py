@@ -582,3 +582,23 @@ def test_cms_upper_bound_and_mergeable(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, cms_full.collect())
     )
+
+
+def test_incremental_dedup_flags(spark):
+    # Exact cross-corpus duplicate → rejected via content hash; disjoint
+    # shingles → admitted; a doc too short to shingle can still only be
+    # caught by the exact-hash path.
+    from trembita_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd"), (2, "unique stuff here now"), (3, "xx")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(10, "aaa bbb ccc ddd"), (11, "totally different words altogether")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(batch, corpus).collect()}
+    assert out[1]["exact_dup"] and out[1]["near_dup"] and not out[1]["admitted"]
+    assert not out[2]["exact_dup"] and not out[2]["near_dup"] and out[2]["admitted"]
+    assert not out[3]["exact_dup"] and out[3]["admitted"]

@@ -1442,3 +1442,51 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_zvalue(li, "l_partkey", "l_suppkey").select(
         "l_orderkey", "l_linenumber", "zval"
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+    ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+    bex AS (SELECT DISTINCT doc_id FROM batch WHERE md5(text) IN (SELECT h FROM ch)),
+    btok AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch),
+    bsh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM btok),
+    bsig AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+      FROM bsh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    ctok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    csh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM ctok),
+    csig AS (
+      SELECT DISTINCT band,
+             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+      FROM csh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    bnear AS (
+      SELECT DISTINCT b.doc_id
+      FROM bsig b JOIN csig c ON b.band = c.band AND b.sig = c.sig
+    )
+    SELECT b.doc_id,
+           b.doc_id IN (SELECT doc_id FROM bex)  AS exact_dup,
+           b.doc_id IN (SELECT doc_id FROM bnear) AS near_dup,
+           NOT (b.doc_id IN (SELECT doc_id FROM bex)
+                OR b.doc_id IN (SELECT doc_id FROM bnear)) AS admitted
+    FROM batch b
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental (batch-vs-corpus) dedup — operators/dedup.py
+    # incremental_dedup docstring has the 100 TB story: the corpus
+    # collapses to a persistable hash/bucket index, probes are semi
+    # joins ∝ |batch|. Here the fixture plays both roles via a
+    # deterministic doc_id split (≈1/7 of documents arrive as the new
+    # batch).
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return D.incremental_dedup(batch, corpus)

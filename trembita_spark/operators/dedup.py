@@ -356,3 +356,57 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
     return out
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Admission control for a NEW batch against an EXISTING corpus —
+    the shape ingest dedup takes at 100 TB, where re-deduping the whole
+    corpus per arrival is impossible. A batch doc is admitted iff it is
+    (a) no exact duplicate (content hash) of any corpus doc and (b) no
+    LSH candidate (shared minhash band bucket) of any corpus doc.
+
+    Returns (doc_id, exact_dup, near_dup, admitted) for every batch doc.
+
+    Scale shape: the corpus side reduces to two small distinct-key
+    tables — content hashes and (band, sig) buckets — that in practice
+    persist as the dedup INDEX and only grow by the admitted batch each
+    cycle; both probes are semi joins whose shuffle is ∝ |batch| plus
+    the touched buckets, never ∝ |corpus|. No pair expansion anywhere
+    (candidates collapse through semi-join, not a pair list).
+    """
+    base = batch.select(F.col(id_col).alias("doc_id"))
+    bh = batch.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
+    )
+    ch = corpus.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    exact_ids = bh.join(ch, "h", "left_semi").select("doc_id")
+
+    bs = minhash_signatures(batch, text_col, id_col, bands=bands, k=k)
+    cs = (
+        minhash_signatures(corpus, text_col, id_col, bands=bands, k=k)
+        .select("band", "sig")
+        .distinct()
+    )
+    near_ids = (
+        bs.join(cs, ["band", "sig"], "left_semi").select("doc_id").distinct()
+    )
+
+    e = exact_ids.withColumn("exact_dup", F.lit(True))
+    n = near_ids.withColumn("near_dup", F.lit(True))
+    return (
+        base.join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+        .withColumn("admitted", ~(F.col("exact_dup") | F.col("near_dup")))
+    )
