@@ -602,3 +602,51 @@ def test_incremental_dedup_flags(spark):
     assert out[1]["exact_dup"] and out[1]["near_dup"] and not out[1]["admitted"]
     assert not out[2]["exact_dup"] and not out[2]["near_dup"] and out[2]["admitted"]
     assert not out[3]["exact_dup"] and out[3]["admitted"]
+
+
+def test_pq_recall_and_refine(spark):
+    # PQ quality as a tested property: codes-only ADC recall must beat
+    # random by a wide margin, and the standard shortlist + exact
+    # re-rank must recover most of the true top-10. The pipeline is
+    # deterministic (smallest-id init, quantized-exact means, id
+    # tiebreaks), so the measured recalls are stable run-to-run: 0.392
+    # ADC-only, 0.916 refined (shortlist=100) on the sf0.001
+    # embeddings — randomly-drawn 64-d vectors, PQ's hardest case.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from trembita_spark.io import load_table
+    from trembita_spark.operators import similarity as S
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    V = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    exact = {}
+    for qi in range(25):
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        exact[qi] = set(int(x) for x in ids[np.argsort(d, kind="stable")[:10]])
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 25")
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(exact[k] & got.get(k, set())) for k in exact) / 250
+
+    adc = recall(S.pq_topk(emb, q, dim=64, k=10, m=8, ksub=32, iters=2))
+    assert adc >= 0.3, adc  # random baseline would be 10/499 ≈ 0.02
+    refined = recall(
+        S.pq_topk_refined(emb, q, dim=64, k=10, shortlist=100, m=8, ksub=32, iters=2)
+    )
+    assert refined >= 0.85, refined
+    assert refined > adc + 0.3, (refined, adc)
+
+    # compression property: every vector encodes to exactly m codes
+    _, codes = S.pq_index(emb, dim=64, m=8, ksub=32, iters=1)
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [8]

@@ -1490,3 +1490,112 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     return D.incremental_dedup(batch, corpus)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ-ADC) — generated per-subspace oracle
+# ---------------------------------------------------------------------------
+
+def _pq_dist_sql(v: str, c: str, off: int, dsub: int) -> str:
+    """Squared-L2 fold between ``v``'s subvector at ``off`` and the
+    dsub-long centroid list ``c`` — same left fold as _KM_DIST."""
+    t = f"(CAST({v}[i + {off}] AS DOUBLE) - {c}[i])"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        f"i -> {t} * {t}), (x, y) -> x + y)"
+    )
+
+
+def _pq_sub_sql(j: int, dsub: int, ksub: int) -> str:
+    """One subspace's codebook training (1 Lloyd round) + final encode,
+    as CTE stages — the per-subspace unroll of the q_cluster_kmeans
+    oracle with sliced dims."""
+    off = j * dsub
+    d0 = _pq_dist_sql("e.embedding", "c.c", off, dsub)
+    return f"""
+    c{j}0 AS (
+      SELECT vec_id AS cluster,
+             list_transform(list_slice(embedding, {off + 1}, {off + dsub}),
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < {ksub}
+    ),
+    s{j}1 AS (
+      SELECT e.vec_id, c.cluster, {d0} AS d
+      FROM embeddings e CROSS JOIN c{j}0 c
+    ),
+    a{j}1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS r
+        FROM s{j}1
+      ) WHERE r = 1
+    ),
+    m{j} AS (
+      SELECT a.cluster, i,
+             CAST(sum(CAST(floor(CAST(e.embedding[i + {off}] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 16777216.0 AS m
+      FROM a{j}1 a JOIN embeddings e USING (vec_id),
+           (SELECT unnest(generate_series(1, {dsub})) AS i) dims
+      GROUP BY a.cluster, i
+    ),
+    c{j}1 AS (SELECT cluster, list(m ORDER BY i) AS c FROM m{j} GROUP BY cluster),
+    s{j}2 AS (
+      SELECT e.vec_id, c.cluster, {d0.replace(f'c{j}0', f'c{j}1')} AS d
+      FROM embeddings e CROSS JOIN c{j}1 c
+    ),
+    a{j}2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS r
+        FROM s{j}2
+      ) WHERE r = 1
+    ),
+    dt{j} AS (
+      SELECT q.vec_id AS query_id, {j} AS sub, c.cluster AS code,
+             {_pq_dist_sql("q.embedding", "c.c", off, dsub)} AS contrib
+      FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN c{j}1 c
+    )"""
+
+
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 8
+_PQ_ORACLE = (
+    "WITH "
+    + ",".join(_pq_sub_sql(j, _PQ_DSUB, _PQ_KSUB) for j in range(_PQ_M))
+    + ",\n    codes AS ("
+    + " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, cluster AS code FROM a{j}2" for j in range(_PQ_M)
+    )
+    + "),\n    dtab AS ("
+    + " UNION ALL ".join(f"SELECT * FROM dt{j}" for j in range(_PQ_M))
+    + f"""),
+    scored AS (
+      SELECT d.query_id, co.vec_id,
+             CAST(sum(CAST(d.contrib AS DECIMAL(18,12))) AS DOUBLE) AS adist,
+             count(*) AS nsub
+      FROM codes co JOIN dtab d ON d.sub = co.sub AND d.code = co.code
+      WHERE co.vec_id <> d.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, round(adist, 6) AS adist, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+      FROM scored WHERE nsub = {_PQ_M}
+    ) WHERE rank <= 5
+    """
+)
+
+
+@register("q_similarity_pq", oracle=_PQ_ORACLE)
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ANN (operators/similarity.py pq_index /
+    # pq_topk): per-subspace codebooks compress each 64-float vector to
+    # 4 code ids; queries score the whole corpus through a broadcast
+    # (sub, code) → partial-distance table — asymmetric distance
+    # computation, no full-precision vectors at query time. The oracle
+    # replays all four subspace trainings + the ADC sum stage for stage.
+    # Quality (recall + shortlist-refine) is pinned separately in
+    # tests/test_operators.py::test_pq_recall_and_refine at richer
+    # parameters; this key pins bit-level parity of the construction.
+    emb = table(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        emb, emb.filter("vec_id < 5"), dim=64, k=5,
+        m=_PQ_M, ksub=_PQ_KSUB, iters=1,
+    )

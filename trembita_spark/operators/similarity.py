@@ -317,26 +317,34 @@ def kmeans(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    cents = _km_centroids(pts, k, iters)
+    return _km_assign(pts, cents).select("vec_id", "cluster", "d")
+
+
+def _km_assign(pts: DataFrame, c_df: DataFrame) -> DataFrame:
+    """Assign each (vec_id, v) point to its nearest centroid in ``c_df``
+    ((cluster, c) rows, broadcast): scan-local, no shuffle of points."""
+    scored = pts.crossJoin(F.broadcast(c_df)).select(
+        "vec_id", "v", "cluster", _sqdist(F.col("v"), F.col("c")).alias("d")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(F.struct("cluster", "v", "d"), F.struct("d", "cluster")).alias("a")
+    )
+    return best.select(
+        "vec_id", F.col("a.cluster").alias("cluster"),
+        F.col("a.v").alias("v"), F.col("a.d").alias("d"),
+    )
+
+
+def _km_centroids(pts: DataFrame, k: int, iters: int) -> DataFrame:
+    """``iters`` Lloyd rounds from smallest-id init; returns the final
+    (cluster, c) centroid table (see kmeans docstring for the
+    quantized-exact mean construction)."""
     cents = pts.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("c")
     )
-
-    def assign(c_df: DataFrame) -> DataFrame:
-        scored = pts.crossJoin(F.broadcast(c_df)).select(
-            "vec_id", "v", "cluster", _sqdist(F.col("v"), F.col("c")).alias("d")
-        )
-        best = scored.groupBy("vec_id").agg(
-            F.min_by(
-                F.struct("cluster", "v", "d"), F.struct("d", "cluster")
-            ).alias("a")
-        )
-        return best.select(
-            "vec_id", F.col("a.cluster").alias("cluster"),
-            F.col("a.v").alias("v"), F.col("a.d").alias("d"),
-        )
-
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = _km_assign(pts, cents)
         cents = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -353,4 +361,176 @@ def kmeans(
                 "cluster", F.transform("pairs", lambda p: p.getField("m")).alias("c")
             )
         )
-    return assign(cents).select("vec_id", "cluster", "d")
+    return cents
+
+
+def pq_index(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index (Jégou, Douze & Schmid 2011, public):
+    split each vector into ``m`` contiguous subvectors of ``dim // m``
+    dims, train a ``ksub``-centroid codebook per subspace with the same
+    deterministic Lloyd loop as :func:`kmeans`, and encode every vector
+    as its per-subspace nearest-centroid ids.
+
+    Returns ``(codebook, codes)``: codebook is (sub, code, c) —
+    m·ksub rows, broadcastable forever; codes is (vec_id, sub, code) —
+    the corpus compressed from dim floats to m small ints per vector
+    (the 64-float fixture vector becomes 4 codes ≈ 64× smaller). At
+    100 TB the codes table IS the searchable corpus; full-precision
+    vectors are only read to build/refresh the index.
+
+    Deterministic end-to-end (smallest-id init, quantized-exact means,
+    id-tiebroken argmin) — same oracle-replayable construction as
+    kmeans, per subspace.
+    """
+    dsub = dim // m
+    assert dsub * m == dim, (dim, m)
+    pts = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("full"),
+    )
+    books, codes = [], []
+    for j in range(m):
+        pts_j = pts.select("vec_id", F.slice("full", j * dsub + 1, dsub).alias("v"))
+        cents_j = _km_centroids(pts_j, ksub, iters)
+        books.append(
+            cents_j.select(
+                F.lit(j).alias("sub"), F.col("cluster").alias("code"), "c"
+            )
+        )
+        codes.append(
+            _km_assign(pts_j, cents_j).select(
+                "vec_id", F.lit(j).alias("sub"), F.col("cluster").alias("code")
+            )
+        )
+    book = books[0]
+    code = codes[0]
+    for b in books[1:]:
+        book = book.unionAll(b)
+    for c in codes[1:]:
+        code = code.unionAll(c)
+    return book, code
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
+    each query precomputes a (sub, code) → partial-squared-distance
+    lookup table against the broadcast codebook (m·ksub·|Q| tiny rows),
+    then approx distance is the SUM of m table lookups per corpus
+    vector — no full-precision vector is ever read at query time.
+
+    The per-pair sum is decimal-exact (order-independent), so results
+    are deterministic and oracle-replayable; ``adist`` is rounded to 6
+    to wash the engines' double→decimal last-ulp cast difference
+    (kmeans `dist` precedent). Scale: the scored pair stream is
+    |corpus|·|Q| code lookups (integers, map-side joined against the
+    broadcast table) reduced by one (query, vec) aggregate; for
+    planet-scale corpora route through IVF cells first and run this
+    inside probed cells only (IVF-PQ), same expressions.
+    """
+    dsub = dim // m
+    book, codes = pq_index(
+        corpus, dim=dim, m=m, ksub=ksub, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("full"),
+    )
+    qsub = qs.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice("full", j * dsub + 1, dsub).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.sub").alias("sub"), F.col("s.qv").alias("qv"))
+    dtab = qsub.join(F.broadcast(book), "sub").select(
+        "query_id", "sub", "code", _sqdist(F.col("qv"), F.col("c")).alias("contrib")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(18,12)"))
+            .cast("double")
+            .alias("adist"),
+            F.count(F.lit(1)).alias("_nsub"),
+        )
+        .where(F.col("_nsub") == m)
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("adist", 6).alias("adist"), "rank")
+    )
+
+
+def pq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank — the standard two-stage ANN
+    serving pipeline: the compressed codes produce a ``shortlist``
+    (cheap, no full vectors touched), then ONLY shortlist rows read
+    their full-precision vectors for an exact squared-L2 re-rank.
+    Recall ≈ shortlist containment (tests/test_operators.py pins it on
+    the fixture); full-vector IO is |Q|·shortlist rows instead of the
+    corpus."""
+    short = pq_topk(
+        corpus, queries, dim=dim, k=shortlist, m=m, ksub=ksub, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "vec_id")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_full"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_full"),
+    )
+    scored = (
+        short.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id", _sqdist(F.col("q_full"), F.col("c_full")).alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
