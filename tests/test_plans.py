@@ -260,3 +260,40 @@ def test_sink_partitioned_prunes_partitions(spark):
     # the scan, not a post-scan Filter over all partitions.
     plan = plan_of("q_sink_partitioned", spark)
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_zorder_zvalue_no_data_shuffle(spark):
+    # The z-value computation must cost only the tiny stats aggregate
+    # (one 4-number row, broadcast back via nested-loop) — the data side
+    # of the plan has NO exchange, no sort-merge join, no cartesian.
+    plan = plan_of("q_layout_zorder", spark)
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # stats row broadcast
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2, "only the scalar stats agg may shuffle"
+
+
+def test_countmin_partial_final_broadcast_probe(spark):
+    # Sketch build: partial+final hash aggs (shuffle carries |keys|);
+    # probe side: the fixed-size sketch joins broadcast — never a
+    # sort-merge join of the corpus.
+    plan = plan_of("q_agg_countmin", spark)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial/final pairs
+
+
+def test_incremental_dedup_semi_joins_broadcast(spark):
+    # Batch-vs-corpus probes must be broadcast semi joins (batch side
+    # small by construction); no pair expansion anywhere.
+    plan = plan_of("q_dedup_incremental", spark)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pq_scoring_broadcast_only(spark):
+    # PQ: every join in training + ADC scoring is a broadcast (centroid
+    # tables, distance tables — all fixed-size); the corpus itself is
+    # never sort-merge-joined and nothing degenerates to a cartesian.
+    plan = plan_of("q_similarity_pq", spark)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
