@@ -650,3 +650,26 @@ def test_pq_recall_and_refine(spark):
     _, codes = S.pq_index(emb, dim=64, m=8, ksub=32, iters=1)
     per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_vec] == [8]
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    # The two Bloom guarantees: every member passes (no false
+    # negatives, by construction), and non-members pass at ~the design
+    # rate, not wholesale. Deterministic md5 hashing → stable numbers.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.joins import bloom_build, bloom_probe
+
+    members = spark.range(0, 3000).select(F2.col("id").alias("k"))
+    others = spark.range(100000, 112000).select(F2.col("id").alias("k"))
+    bf = bloom_build(members, "k", n_bits=32768, n_hashes=3)
+
+    m = bloom_probe(members, bf, "k", n_bits=32768, n_hashes=3)
+    assert m.where(~F2.col("maybe_in")).count() == 0
+
+    fp = others.transform(
+        lambda d: bloom_probe(d, bf, "k", n_bits=32768, n_hashes=3)
+    ).where(F2.col("maybe_in")).count()
+    # load 3000*3/32768 ≈ 0.27 → fpp ≈ (1 - e^-0.27)^3 ≈ 1.3%
+    assert fp / 12000 < 0.05, fp
+    assert fp > 0  # a filter that admits nothing it shouldn't is a hash-set, not a bloom

@@ -297,3 +297,11 @@ def test_pq_scoring_broadcast_only(spark):
     plan = plan_of("q_similarity_pq", spark)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_bloom_probe_broadcast_no_smj(spark):
+    # The probe must be map-side: every filter-word join broadcasts and
+    # the big side is never sort-merge-joined for the prefilter.
+    plan = plan_of("q_join_bloom", spark)
+    assert plan.count("BroadcastHashJoin") >= 3  # one per hash + truth flag
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

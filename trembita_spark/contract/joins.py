@@ -273,3 +273,84 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).filter(F.col("ka") != F.col("kb")).select(
         "from_region", "to_region"
     )
+
+
+from trembita_spark.contract import HEX60_SQL as _H60
+
+
+def _bf_pos(key_sql: str, h_sql: str, n_bits: int) -> str:
+    md5 = f"md5('bf' || CAST({h_sql} AS VARCHAR) || '|' || CAST({key_sql} AS VARCHAR))"
+    return f"({_H60.format(md5=md5)}) % {n_bits}"
+
+
+_BLOOM_ORACLE = f"""
+WITH small AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+hh AS (SELECT unnest([0, 1, 2]) AS h),
+bpos AS (
+  SELECT {_bf_pos("o_orderkey", "hh.h", 32768)} AS pos
+  FROM small CROSS JOIN hh
+),
+bf AS (
+  -- HUGEINT word: DuckDB raises on BIGINT 1<<63 where Spark wraps to
+  -- the sign bit; the wider type holds the same 64 bit positions and
+  -- only membership booleans cross engines, never word values.
+  SELECT pos // 64 AS widx,
+         bit_or(CAST(1 AS HUGEINT) << CAST(pos % 64 AS INT)) AS word
+  FROM bpos GROUP BY 1
+),
+keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+probes AS (
+  SELECT k.l_orderkey, {_bf_pos("k.l_orderkey", "hh.h", 32768)} AS pos
+  FROM keys k CROSS JOIN hh
+),
+hits AS (
+  SELECT p.l_orderkey,
+         count(*) FILTER (
+           WHERE b.word IS NOT NULL
+             AND ((b.word >> CAST(p.pos % 64 AS INT)) & 1) = 1
+         ) AS nset
+  FROM probes p LEFT JOIN bf b ON b.widx = p.pos // 64
+  GROUP BY 1
+)
+SELECT h.l_orderkey,
+       h.l_orderkey IN (SELECT o_orderkey FROM small) AS is_true_match
+FROM hits h WHERE h.nset = 3
+"""
+
+
+@register("q_join_bloom", oracle=_BLOOM_ORACLE)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-prefiltered semi join (operators/joins.py bloom_build /
+    # bloom_probe): the urgent-order key set compresses to a 512-word
+    # bitmap; lineitem keys test it with three map-side broadcast joins
+    # + bit arithmetic — the big side never shuffles for the prefilter.
+    # Output = keys that PASS the filter, flagged with true membership,
+    # so the admitted false positives (filter design rate ~1%) are
+    # visible and oracle-checked rather than hidden. At 100 TB this is
+    # the semi-join-reduction pattern: shuffle only filter survivors
+    # into the real join. md5 hashing (not Spark's internal runtime
+    # bloom) keeps every bit engine-reproducible.
+    from trembita_spark.operators.joins import bloom_build, bloom_probe
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    small = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    ).distinct()
+    bf = bloom_build(small, "o_orderkey", n_bits=32768, n_hashes=3)
+    keys = li.select("l_orderkey").distinct()
+    probed = bloom_probe(keys, bf, "l_orderkey", n_bits=32768, n_hashes=3)
+    passed = probed.where(F.col("maybe_in")).select("l_orderkey")
+    truth = small.withColumn("_t", F.lit(True))
+    return (
+        passed.join(
+            F.broadcast(truth),
+            passed["l_orderkey"] == truth["o_orderkey"],
+            "left",
+        )
+        .select(
+            "l_orderkey", F.coalesce("_t", F.lit(False)).alias("is_true_match")
+        )
+    )

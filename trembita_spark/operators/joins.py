@@ -86,3 +86,105 @@ def range_join(
     range key into equi-join prefilter candidates instead."""
     r = F.broadcast(ranges) if broadcast_ranges else ranges
     return left.join(r, (value >= lo) & (value < hi), "inner")
+
+
+def bloom_build(
+    small: DataFrame,
+    key_col: str,
+    n_bits: int = 32768,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``small``'s keys as a (widx, word)
+    bitmap table — ``n_bits / 64`` BIGINT words, built with one
+    map-side-combined ``bit_or`` aggregate. Hashes are salted md5
+    (deterministic, identical in any engine) so the filter — and every
+    probe decision — is oracle-replayable, unlike Spark's internal
+    runtime bloom.
+
+    The filter's size is fixed by ``n_bits`` regardless of data volume;
+    persist it next to the table and every later join against this key
+    set starts with a map-side prefilter."""
+    pos_structs = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{h}|"), F.col(key_col).cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % n_bits
+            )
+            for h in range(n_hashes)
+        ]
+    )
+    pos = small.select(F.explode(pos_structs).alias("pos"))
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("bigint").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    big: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int = 32768,
+    n_hashes: int = 3,
+    out_col: str = "maybe_in",
+) -> DataFrame:
+    """Probe each ``big`` row against a :func:`bloom_build` filter:
+    adds ``out_col`` — true iff every hash's bit is set (no false
+    negatives; false positives at the filter's design rate).
+
+    The filter is broadcast and probed with ``n_hashes`` map-side left
+    joins + bit tests — the big side never shuffles, which is the whole
+    point: at 100 TB this runs as a scan-local prefilter BEFORE any
+    exchange a downstream join would need, cutting shuffled bytes by
+    the selectivity of the key set."""
+    out = big
+    checks = []
+    for h in range(n_hashes):
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{h}|"), F.col(key_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n_bits
+        )
+        out = out.withColumn(f"_pos{h}", pos)
+        bf_h = bloom.select(
+            F.col("widx").alias(f"_widx{h}"), F.col("word").alias(f"_word{h}")
+        )
+        out = out.join(
+            F.broadcast(bf_h),
+            (F.col(f"_pos{h}") / 64).cast("bigint") == F.col(f"_widx{h}"),
+            "left",
+        )
+        checks.append(
+            F.coalesce(
+                F.expr(
+                    f"(shiftright(_word{h}, CAST(_pos{h} % 64 AS INT)) & 1) = 1"
+                ),
+                F.lit(False),
+            )
+        )
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    drop = [f"_pos{h}" for h in range(n_hashes)] + [
+        f"_widx{h}" for h in range(n_hashes)
+    ] + [f"_word{h}" for h in range(n_hashes)]
+    return out.withColumn(out_col, cond).drop(*drop)
