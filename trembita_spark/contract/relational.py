@@ -1065,3 +1065,105 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
     )
     return bfs(edges, sources, max_hops=4)
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH vc AS (
+      SELECT l_partkey AS v, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             (SELECT sum(c) FROM vc) AS n
+      FROM vc
+    ),
+    bk AS (
+      SELECT v, c, CAST((cm * 8 + n - 1) // n AS INT) AS bucket FROM cum
+    )
+    SELECT bucket, min(v) AS lo, max(v) AS hi, CAST(sum(c) AS BIGINT) AS n_rows
+    FROM bk GROUP BY bucket
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-depth histogram WITHOUT a global row sort: aggregate to
+    # distinct values first (map-side combine), run the cumulative
+    # window over the value table only (|distinct| rows, orders of
+    # magnitude below |rows| — never the single-partition all-rows
+    # window), and cut buckets by exact integer arithmetic
+    # ceil(cum·B/n), so a heavy value never splits and both engines
+    # agree bit-for-bit. This is the optimizer-statistics histogram
+    # (selectivity estimation) and the partition-bounds computation for
+    # range writers, at the cost of one |values| shuffle.
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_partkey").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    n = vc.agg(F.sum("c").alias("n"))
+    cum = vc.withColumn("cm", F.sum("c").over(w)).crossJoin(F.broadcast(n))
+    bk = cum.withColumn(
+        "bucket", F.expr("CAST((cm * 8 + n - 1) div n AS INT)")
+    )
+    return bk.groupBy("bucket").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("c").alias("n_rows"),
+    )
+
+
+@register(
+    "q_stats_analyze",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           min(l_quantity) AS vmin, max(l_quantity) AS vmax,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS vmean
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           min(l_extendedprice), max(l_extendedprice),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           min(l_discount), max(l_discount),
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           CAST(count(DISTINCT l_tax) AS BIGINT),
+           min(l_tax), max(l_tax),
+           CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) / count(l_tax)
+    FROM lineitem
+    """,
+)
+def q_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANALYZE-TABLE statistics collection: per-column row/null counts,
+    # exact NDV, min/max, decimal-exact mean — the inputs a cost-based
+    # optimizer (or a data-quality monitor) wants per partition. ONE
+    # pass over the table: stack() unpivots the four numeric columns
+    # (map-side, no extra scan per column) into (col, v) and a single
+    # grouped aggregate computes everything; at 100 TB this shuffles
+    # 4·|distinct| partials, not the table. The oracle spells the same
+    # stats column-by-column.
+    li = table(spark, sf_dir, "lineitem")
+    st = li.select(
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount, 'l_tax', l_tax) AS (col, v)"
+        )
+    )
+    return st.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+        F.countDistinct("v").alias("ndv"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        (dsum("v") / F.count("v")).alias("vmean"),
+    )
