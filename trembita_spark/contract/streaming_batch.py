@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from trembita_spark.contract import register, table
 from trembita_spark.operators.fsm import sessionize, sessionize_fsm
+from trembita_spark.operators import timeseries as TS
 from trembita_spark.streaming.sources import events_stream, run_to_completion
 from trembita_spark.streaming.windows import (
     session_window_agg,
@@ -649,3 +650,35 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .where(F.abs(F.col("z")) > 3)
     )
+
+
+@register(
+    "q_ts_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bar_ts ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bar_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bar_ts,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)                               AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OHLC downsampling (operators/timeseries.py ohlc_bars): min_by /
+    # max_by over the (ts, event_id) total order make open/close
+    # aggregable — one partial+final hash agg, no per-bar window sort.
+    # The oracle reaches the same bars through rank-1 rows (its engine
+    # lacks struct-ordered arg_min), proving the monoid formulation
+    # equals the sort-based definition.
+    return TS.ohlc_bars(table(spark, sf_dir, "events"))

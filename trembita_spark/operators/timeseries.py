@@ -60,3 +60,28 @@ def rollup_gapfill(
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    grain: str = "hour",
+) -> DataFrame:
+    """Downsample a tick stream into OHLC bars (open/high/low/close +
+    count) per key and ``grain`` bucket — the market-data/metrics
+    resample shape. One partial+final hash aggregate: open/close are
+    ``min_by``/``max_by`` over the (ts, id) total order (id breaks
+    equal-timestamp ties deterministically), so the whole bar is a
+    commutative monoid and the shuffle carries |bars|, not |ticks|."""
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return df.groupBy(F.col(key_col), bucket.alias("bar_ts")).agg(
+        F.min_by(F.col(value_col), order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
