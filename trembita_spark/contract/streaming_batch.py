@@ -682,3 +682,37 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lacks struct-ordered arg_min), proving the monoid formulation
     # equals the sort-based definition.
     return TS.ohlc_bars(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bar_ts ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bar_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bar_ts,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)                               AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The OHLC monoid run as a REAL stream: because open/close are
+    # min_by/max_by (not sort-dependent firsts), the identical
+    # expression works as a streaming stateful aggregate — micro-batch
+    # partial bars merge exactly like map-side partials, so the
+    # completed stream hash-matches the batch oracle. This is the
+    # batch/stream unification the monoid formulation buys.
+    name = f"stream_ohlc_{next(_STREAM_SEQ)}"
+    bars = TS.ohlc_bars(events_stream(spark, sf_dir))
+    return run_to_completion(bars, name, output_mode="complete")
