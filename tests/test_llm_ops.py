@@ -4,6 +4,8 @@ the parity suite checks engine-vs-oracle; these check engine-vs-truth."""
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -123,9 +125,7 @@ def test_quality_score_bounds(corpus):
         assert r.n_tokens > 0
 
 
-def test_multimodal_stub_and_features(spark, corpus):
-    with pytest.raises(NotImplementedError):
-        decode_image_pixels(b"\x89PNG")
+def test_multimodal_features(spark, corpus):
     docs = attach_payload(corpus)
     feats = {r.doc_id: r for r in extract_features(docs).collect()}
     assert len(feats[0].features) == 8
@@ -304,6 +304,36 @@ def test_parse_image_header_roundtrip():
     for fmt in ("png", "jpeg", "gif", "bmp"):
         for w, h in ((1, 1), (37, 21), (65535, 1024)):
             assert parse_image_header(synth_image(fmt, w, h)) == (fmt, w, h)
+
+
+def test_pixel_decode_roundtrip_all_filters():
+    # synth_image_rgb cycles PNG scanline filters y % 5, so any height
+    # ≥ 5 exercises None/Sub/Up/Average/Paeth reconstruction; BMP covers
+    # stride padding (width % 4 != 0), BGR swap, bottom-up order.
+    from trembita_spark.operators.multimodal import (
+        _pixel_value,
+        decode_image_pixels,
+        synth_image_rgb,
+    )
+
+    for fmt in ("png", "bmp"):
+        for w, h, seed in ((1, 1, 0), (9, 7, 3), (23, 19, 200), (16, 5, 255)):
+            f2, w2, h2, px = decode_image_pixels(synth_image_rgb(fmt, w, h, seed))
+            assert (f2, w2, h2) == (fmt, w, h)
+            assert px == bytes(
+                _pixel_value(x, y, c, seed)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+
+
+def test_pixel_decode_unsupported_raises_value_error():
+    # JPEG (entropy decode needs a codec) and junk raise ValueError —
+    # the contract path catches it into a filterable 'unknown' row.
+    for junk in (b"", b"\x89PNG", synth_image("jpeg", 5, 5), b"BM" + b"\x00" * 40):
+        with pytest.raises((ValueError, struct.error)):
+            decode_image_pixels(junk)
 
 
 def test_parse_image_header_corrupt_is_row_not_error():

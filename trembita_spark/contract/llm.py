@@ -670,6 +670,49 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_pixels",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+             CAST(8 + doc_id % 16 AS INT) AS width,
+             CAST(8 + doc_id % 12 AS INT) AS height,
+             doc_id % 256 AS seed
+      FROM documents
+    ),
+    px AS (
+      SELECT d.*, x.x, y.y
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 22)) AS x) x ON x.x < d.width
+      JOIN (SELECT unnest(generate_series(0, 18)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id, format, width, height,
+           CAST(sum((7 * x + 13 * y + 0 + seed) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((7 * x + 13 * y + 3 + seed) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((7 * x + 13 * y + 6 + seed) % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id, format, width, height
+    """,
+)
+def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL full pixel decode, stdlib only — the last multimodal stub is
+    # gone. Per doc: synthesize a true image file (PNG 8-bit RGB whose
+    # scanlines cycle through ALL five PNG filter types, or 24bpp
+    # bottom-up padded BGR BMP; pixel (x,y,c) = (7x+13y+3c+seed) mod
+    # 256), then decode it back — PNG chunk walk → zlib inflate →
+    # Sub/Up/Average/Paeth unfiltering; BMP stride/BGR/bottom-up
+    # handling — and reduce to exact integer channel sums
+    # (operators/multimodal.py: synth_image_rgb / decode_image_pixels /
+    # pixel_stats). The oracle recomputes the sums in closed form from
+    # doc_id arithmetic, so any decoder bug (filter math, row order,
+    # padding, channel swap) breaks parity. Decode runs Arrow-batched in
+    # mapInPandas; output is one tiny row per image regardless of pixel
+    # count — scan-local, zero shuffle.
+    docs = M.attach_pixel_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    return M.pixel_stats(docs)
+
+
+@register(
     "q_multimodal_frame_sample",
     oracle="""
     WITH p AS (SELECT doc_id, text AS payload FROM documents),

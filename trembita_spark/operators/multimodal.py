@@ -7,9 +7,11 @@ run as Arrow-batched ``mapInPandas`` over the bytes.
 Header decode (``parse_image_header``) is REAL: pure-Python
 struct-unpacking of PNG / JPEG / GIF / BMP container headers — format,
 width, height — with no imaging library. Full pixel decode
-(``decode_image_pixels``) still requires a codec library the container
-doesn't ship and raises ``NotImplementedError``; on a cluster that body
-is one PIL/torchvision call inside the same ``mapInPandas`` slot.
+(``decode_image_pixels``) is ALSO real for PNG (chunk walk → zlib
+inflate → all-five-filter scanline reconstruction) and 24bpp BMP
+(stride padding, BGR swap, bottom-up rows), stdlib only; JPEG entropy
+decode still needs a DCT codec — on a cluster that one branch is a
+``PIL.Image.open`` call inside the same ``mapInPandas`` slot.
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` moderate, never collect payloads,
@@ -112,14 +114,250 @@ def parse_image_header(b: bytes) -> tuple[str, int, int]:
     return "unknown", -1, -1
 
 
-def decode_image_pixels(payload_bytes: bytes):
-    """Full pixel decode. Requires a codec library the container doesn't
-    ship; on a real cluster this body is
-    ``PIL.Image.open(io.BytesIO(payload_bytes))`` in the same
-    ``mapInPandas`` slot ``decode_headers`` uses."""
-    raise NotImplementedError(
-        "pixel decode requires an imaging library not present in this "
-        "environment; header decode (parse_image_header) is real"
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9, all five filter types:
+    None/Sub/Up/Average/Paeth) over decompressed IDAT bytes. Pure
+    stdlib — this is the part an imaging library would normally hide."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        off = y * stride
+        prev = out[off - stride : off] if y > 0 else bytes(stride)
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[off : off + stride] = line
+    return out
+
+
+def decode_image_pixels(b: bytes) -> tuple[str, int, int, bytes]:
+    """REAL full pixel decode, stdlib only: returns (format, width,
+    height, row-major RGB bytes).
+
+    - PNG: chunk walk → concatenated IDAT → ``zlib.decompress`` →
+      scanline unfiltering (all 5 filter types). 8-bit RGB (color
+      type 2) only — the shape every synthetic fixture and most
+      ML-ingest thumbnails use.
+    - BMP: BITMAPINFOHEADER, 24 bpp uncompressed; handles the 4-byte
+      row padding, BGR→RGB swap, and bottom-up vs top-down (negative
+      height) row order.
+
+    Raises ``ValueError`` on anything else (JPEG entropy decode needs a
+    DCT codec — on a cluster that is one ``PIL.Image.open`` in the same
+    ``mapInPandas`` slot). Callers in the contract path catch and emit a
+    filterable ('unknown', -1, -1) row, never a task failure."""
+    if b[:8] == _PNG_SIG:
+        pos = 8
+        width = height = 0
+        bit_depth = color_type = None
+        idat = bytearray()
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            ctype = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if bit_depth != 8 or color_type != 2:
+            raise ValueError(f"png: unsupported bit_depth/color_type {bit_depth}/{color_type}")
+        if not idat:
+            raise ValueError("png: no IDAT pixel data")
+        raw = zlib.decompress(bytes(idat))
+        return "png", width, height, bytes(_png_unfilter(raw, width, height))
+    if b[:2] == b"BM":
+        (data_off,) = struct.unpack("<I", b[10:14])
+        hdr_size, width, height_raw, _planes, bpp = struct.unpack("<IiiHH", b[14:30])
+        (compression,) = struct.unpack("<I", b[30:34]) if hdr_size >= 20 else (0,)
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"bmp: unsupported bpp/compression {bpp}/{compression}")
+        height = abs(height_raw)
+        bottom_up = height_raw > 0
+        row_bytes = width * 3
+        stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        out = bytearray(height * row_bytes)
+        for y in range(height):
+            src_row = (height - 1 - y) if bottom_up else y
+            row = b[data_off + src_row * stride : data_off + src_row * stride + row_bytes]
+            for x in range(width):
+                # BMP stores BGR
+                out[(y * width + x) * 3 + 0] = row[x * 3 + 2]
+                out[(y * width + x) * 3 + 1] = row[x * 3 + 1]
+                out[(y * width + x) * 3 + 2] = row[x * 3 + 0]
+        return "bmp", width, height, bytes(out)
+    raise ValueError("pixel decode: unsupported container (png/bmp only)")
+
+
+def _pixel_value(x: int, y: int, c: int, seed: int) -> int:
+    """The closed-form pixel function the synthetic fixtures carry:
+    channel c of pixel (x, y) = (7x + 13y + 3c + seed) mod 256. The
+    DuckDB oracle recomputes this directly from (doc_id, x, y), so the
+    Spark side must round-trip it through a real container encode +
+    decode to match."""
+    return (7 * x + 13 * y + 3 * c + seed) % 256
+
+
+def _png_filter_line(line: bytes, prev: bytes, ftype: int, bpp: int = 3) -> bytes:
+    """Apply PNG filter ``ftype`` to one scanline (encode direction)."""
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        a = line[i - bpp] if i >= bpp else 0
+        b_ = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b_
+        elif ftype == 3:
+            pred = (a + b_) >> 1
+        else:  # Paeth
+            p = a + b_ - c
+            pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    chunk = ctype + data
+    return struct.pack(">I", len(data)) + chunk + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+
+
+def synth_image_rgb(fmt: str, width: int, height: int, seed: int) -> bytes:
+    """Build a REAL image file whose pixels follow ``_pixel_value``.
+
+    - ``png``: 8-bit RGB, scanline ``y`` filtered with type ``y % 5`` —
+      deliberately cycles through ALL five PNG filters so the decoder's
+      Sub/Up/Average/Paeth reconstruction is exercised (and checked by
+      the oracle), not just the trivial None path.
+    - ``bmp``: 24 bpp bottom-up with 4-byte row padding and BGR order —
+      the layout quirks a naive parser gets wrong.
+    """
+    if fmt == "png":
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        raw = bytearray()
+        prev = bytes(width * 3)
+        for y in range(height):
+            line = bytes(
+                _pixel_value(x, y, c, seed) for x in range(width) for c in range(3)
+            )
+            ftype = y % 5
+            raw.append(ftype)
+            raw += _png_filter_line(line, prev, ftype)
+            prev = line
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+    if fmt == "bmp":
+        row_bytes = width * 3
+        stride = (row_bytes + 3) & ~3
+        body = bytearray()
+        for src_row in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(width):
+                r = _pixel_value(x, src_row, 0, seed)
+                g = _pixel_value(x, src_row, 1, seed)
+                b_ = _pixel_value(x, src_row, 2, seed)
+                row += bytes((b_, g, r))  # BGR on disk
+            row += bytes(stride - row_bytes)
+            body += row
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        header = b"BM" + struct.pack("<IHHI", 14 + len(info) + len(body), 0, 0, 14 + len(info))
+        return header + info + bytes(body)
+    raise ValueError(f"synth_image_rgb: unsupported format {fmt}")
+
+
+def attach_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: real decodable image bytes per row (format
+    alternates png/bmp by id parity; dims and pixel content are
+    deterministic functions of the id) via Arrow-batched mapInPandas."""
+    cols = df.columns
+    in_schema = df.schema
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["image"] = [
+                synth_image_rgb(
+                    "png" if int(i) % 2 == 0 else "bmp",
+                    8 + int(i) % 16,
+                    8 + int(i) % 12,
+                    int(i) % 256,
+                )
+                for i in pdf[id_col]
+            ]
+            yield pdf
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
+    return df.select(*cols).mapInPandas(synth, f"{out_schema}, image binary")
+
+
+def pixel_stats(df: DataFrame, payload_col: str = "image", id_col: str = "doc_id") -> DataFrame:
+    """Decode a binary image column to pixels (REAL decode —
+    ``decode_image_pixels``) and reduce each image to exact integer
+    channel sums + dimensions, via Arrow-batched mapInPandas. Emitting
+    sums (not pixel arrays) keeps the operator's output tiny regardless
+    of image size — decode cost scales with bytes scanned, output with
+    row count. Undecodable payloads become ('unknown', -1, ...) rows."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fmt, w, h, px = decode_image_pixels(bytes(buf))
+                    rows.append(
+                        {
+                            id_col: _id, "format": fmt, "width": w, "height": h,
+                            "sum_r": sum(px[0::3]), "sum_g": sum(px[1::3]),
+                            "sum_b": sum(px[2::3]),
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            id_col: _id, "format": "unknown", "width": -1,
+                            "height": -1, "sum_r": -1, "sum_g": -1, "sum_b": -1,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats,
+        f"{id_col} long, format string, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
     )
 
 
