@@ -673,3 +673,72 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     # load 3000*3/32768 ≈ 0.27 → fpp ≈ (1 - e^-0.27)^3 ≈ 1.3%
     assert fp / 12000 < 0.05, fp
     assert fp > 0  # a filter that admits nothing it shouldn't is a hash-set, not a bloom
+
+
+def test_skyline_known_frontier(spark):
+    from trembita_spark.operators.skyline import skyline2d
+
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate point: non-strict dominance, stays
+        (3, 12.0, 5),   # dominated by 1 (price worse, size equal)
+        (4, 12.0, 7),   # frontier (bigger size)
+        (5, 15.0, 7),   # dominated by 4
+        (6, 15.0, 9),   # frontier
+        (7, 9.0, 4),    # frontier (cheapest)
+        (8, 9.0, 3),    # dominated by 7 (same price, smaller size)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(r.id for r in skyline2d(df, "price", "size").collect())
+    assert got == [1, 2, 4, 6, 7]
+
+
+def test_skyline_distributive(spark):
+    # skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the property
+    # that makes a bucket-local pre-prune safe at scale.
+    from trembita_spark.operators.skyline import skyline2d
+
+    df = spark.range(200).selectExpr(
+        "id",
+        "CAST((id * 37) % 101 AS DOUBLE) AS price",
+        "CAST((id * 53) % 89 AS INT) AS size",
+    )
+    a, b = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+    direct = {r.id for r in skyline2d(df, "price", "size").collect()}
+    partial = skyline2d(a, "price", "size").union(skyline2d(b, "price", "size"))
+    composed = {r.id for r in skyline2d(partial, "price", "size").collect()}
+    assert direct == composed
+
+
+def test_triangle_count_known_graph(spark):
+    from trembita_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (every node in 3 triangles) plus a pendant edge
+    # 4-5 (node 5 in none) and a duplicate + reversed edge (must not
+    # double count).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_interpolate_linear_blends(spark):
+    from trembita_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 10.0),
+        (1, "2024-01-01 03:15:00", 40.0),  # hours 1,2 empty -> 20, 30
+        (2, "2024-01-01 05:00:00", 7.0),   # single point: flat
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    out = {
+        (r.user_id, str(r.hour)): r.value
+        for r in interpolate_linear(df).collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")] == 10.0
+    assert out[(1, "2024-01-01 01:00:00")] == 20.0
+    assert out[(1, "2024-01-01 02:00:00")] == 30.0
+    assert out[(1, "2024-01-01 03:00:00")] == 40.0
+    assert out[(2, "2024-01-01 05:00:00")] == 7.0

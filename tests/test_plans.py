@@ -305,3 +305,44 @@ def test_bloom_probe_broadcast_no_smj(spark):
     plan = plan_of("q_join_bloom", spark)
     assert plan.count("BroadcastHashJoin") >= 3  # one per hash + truth flag
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_skyline_no_quadratic_join(spark):
+    # The O(n log n) frontier formulation: no CartesianProduct, no
+    # NestedLoop self-join; frontier joined back broadcast.
+    plan = plan_of("q_skyline", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fuzzy_join_broadcasts_probe(spark):
+    # Probe side must broadcast (band predicate → nested-loop, but only
+    # against the tiny broadcast side); the big side never shuffles.
+    plan = plan_of("q_join_fuzzy", spark)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark):
+    # rank-by-priority top-k compiles to TakeOrderedAndProject — no
+    # full sort, no shuffle of the table.
+    plan = plan_of("q_sample_weighted", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangles_joins_are_hash_joins(spark):
+    # Wedge-close is two equi joins (+ the within-order pair self-join)
+    # — hash joins throughout, never a cartesian.
+    plan = plan_of("q_graph_triangles", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_collocations_single_corpus_pass(spark):
+    # The corpus is scanned once: margins re-aggregate the bigram-count
+    # table; N and both margins come back broadcast.
+    plan = plan_of("q_text_collocations", spark)
+    assert plan.count("Scan parquet") <= 2, (
+        "documents must not be re-scanned per margin"
+    )

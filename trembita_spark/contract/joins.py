@@ -354,3 +354,54 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", F.coalesce("_t", F.lit(False)).alias("is_true_match")
         )
     )
+
+
+@register(
+    "q_join_fuzzy",
+    oracle="""
+    WITH probe AS (
+      SELECT p_partkey AS probe_id,
+             concat(substr(p_name, 1, 2), substr(p_name, 4)) AS probe_name
+      FROM part WHERE p_partkey % 97 = 0
+    )
+    SELECT pr.probe_id, p.p_partkey, p.p_name,
+           CAST(levenshtein(p.p_name, pr.probe_name) AS INT) AS dist
+    FROM part p, probe pr
+    WHERE levenshtein(p.p_name, pr.probe_name) <= 1
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy (approximate-string) join: match every part name against a
+    # small probe list of typo'd names (each probe = a part name with
+    # its 3rd char deleted — built by string surgery the oracle repeats
+    # verbatim) within levenshtein distance 1. Spark side: broadcast
+    # the probe list and prune with a LENGTH BAND before computing the
+    # distance — |len(a) − len(b)| > k implies lev > k, so the band is
+    # semantics-preserving while skipping the O(len²) DP for the vast
+    # majority of candidate pairs; Spark's 3-arg levenshtein(threshold)
+    # early-exits the rest. At 100 TB the same shape holds (probe lists
+    # are small by nature); for big-big fuzzy joins switch to q-gram
+    # blocking (dedup.py's shingle machinery) in front of the verify.
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probe = (
+        part.where(F.col("p_partkey") % 97 == 0)
+        .select(
+            F.col("p_partkey").alias("probe_id"),
+            F.concat(
+                F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+            ).alias("probe_name"),
+        )
+    )
+    band = F.abs(F.length("p_name") - F.length("probe_name")) <= 1
+    return (
+        part.join(F.broadcast(probe), band)
+        # 3-arg levenshtein returns -1 when the distance EXCEEDS the
+        # threshold (early-exit), so "within 1" is >= 0, not <= 1.
+        .where(F.expr("levenshtein(p_name, probe_name, 1) >= 0"))
+        .select(
+            "probe_id",
+            "p_partkey",
+            "p_name",
+            F.levenshtein("p_name", "probe_name").alias("dist"),
+        )
+    )

@@ -1642,3 +1642,77 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter("vec_id < 5"), dim=64, k=5,
         m=_PQ_M, ksub=_PQ_KSUB, iters=1,
     )
+
+
+@register(
+    "q_text_collocations",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+             unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+      FROM t
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    lc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+    rc AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY w2),
+    nn AS (SELECT sum(c12) AS n FROM bc)
+    SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+           round(ln((CAST(bc.c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+    FROM bc JOIN lc USING (w1) JOIN rc USING (w2), nn
+    WHERE bc.c12 >= 5
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collocation mining by pointwise mutual information: PMI(w1,w2) =
+    # ln(p(w1,w2) / (p(w1)·p(w2))) over bigram positions — the standard
+    # corpus-linguistics ranking of "words that travel together".
+    # Margins c1/c2 are computed FROM the bigram table (sum over the
+    # other slot), so joint and marginals share one N by construction.
+    # Plan: one explode + one bigram groupBy; both margins are
+    # re-aggregations of the (already tiny) bigram-count table, joined
+    # back broadcast; N is a single-row broadcast. The corpus is
+    # touched ONCE at 100 TB. ln() may differ by 1 ulp across engines
+    # (parity rule 5) → round 6.
+    docs = table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    # Materialize the (tiny, vocab²-bounded) bigram-count table once:
+    # Catalyst does not share a common subtree across the four readers,
+    # so without the cut the corpus would be scanned + exploded +
+    # re-aggregated per margin — 4 scans instead of 1.
+    bc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    lc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rc = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    nn = bc.agg(F.sum("c12").alias("n"))
+    return (
+        bc.join(F.broadcast(lc), "w1")
+        .join(F.broadcast(rc), "w2")
+        .crossJoin(F.broadcast(nn))
+        .where(F.col("c12") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("n"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1167,3 +1167,119 @@ def q_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("vmax"),
         (dsum("v") / F.count("v")).alias("vmean"),
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(l1.l_suppkey, l2.l_suppkey) AS u,
+                      greatest(l1.l_suppkey, l2.l_suppkey) AS v
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_suppkey <> l2.l_suppkey
+    ),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.u = ab.u AND ac.v = bc.v)
+    ),
+    m AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM m GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle counting (operators/graph.py: triangle_count) over the
+    # supplier co-occurrence graph: suppliers sharing an order are
+    # connected. Canonical u<v edges, wedge join + closing semi join —
+    # the standard two-join distributed formulation; the oracle spells
+    # the identical wedge-close with EXISTS. Edge derivation is a
+    # self-join WITHIN l_orderkey (bounded fan-out: ≤ lines-per-order²
+    # pairs per order — linear in the table at any scale, never n²).
+    from trembita_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .where(F.col("l1.l_suppkey") != F.col("l2.l_suppkey"))
+        .select(
+            F.col("l1.l_suppkey").alias("src"), F.col("l2.l_suppkey").alias("dst")
+        )
+    )
+    return triangle_count(pairs)
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE (q.p_retailprice <  p.p_retailprice AND q.p_size >= p.p_size)
+         OR (q.p_retailprice <= p.p_retailprice AND q.p_size >  p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pareto frontier of parts: minimize retail price, maximize size —
+    # rows no other part strictly dominates. The Spark side is the
+    # O(n log n) sort + prefix-max formulation (operators/skyline.py:
+    # ONE shuffle, window over the collapsed per-price frame); the
+    # oracle is the independent O(n²) NOT EXISTS dominance definition —
+    # parity proves the monotone-frontier trick implements strict
+    # dominance exactly, ties included.
+    from trembita_spark.operators.skyline import skyline2d
+
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline2d(part, minimize="p_retailprice", maximize="p_size")
+
+
+from trembita_spark.contract import HEX60_SQL as _H60  # noqa: E402
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             ({_H60.format(md5="md5(CAST(o_orderkey AS VARCHAR))")}
+              / 1152921504606846976.0) / o_totalprice AS pri
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, pri
+    FROM keyed
+    ORDER BY pri, o_orderkey
+    LIMIT 25
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic weighted priority sample: u = md5-derived 60-bit
+    # uniform in [0,1), priority = u / weight, keep the k smallest —
+    # heavier rows (o_totalprice) draw proportionally smaller priorities
+    # and win more often. Content-hash u (no RNG) makes the sample
+    # retry- and partitioning-independent, the A-ES property the
+    # sampling module standardizes on. Both engines compute the SAME
+    # double bits (int/2^60 and one division are correctly rounded), so
+    # the top-k set matches exactly. Plan: map-side key computation +
+    # TakeOrderedAndProject — no full sort, no shuffle of the table.
+    od = table(spark, sf_dir, "orders")
+    u = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(1152921504606846976.0)
+    return (
+        od.select(
+            "o_orderkey",
+            "o_totalprice",
+            (u / F.col("o_totalprice")).alias("pri"),
+        )
+        .orderBy("pri", "o_orderkey")
+        .limit(25)
+    )

@@ -716,3 +716,57 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_ohlc_{next(_STREAM_SEQ)}"
     bars = TS.ohlc_bars(events_stream(spark, sf_dir))
     return run_to_completion(bars, name, output_mode="complete")
+
+
+@register(
+    "q_ts_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.h, v FROM grid g LEFT JOIN hourly USING (user_id, h)
+    ),
+    x AS (
+      SELECT user_id, h, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS ph,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS hour,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) *
+                  (CAST(CAST(epoch(h) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE))
+                ELSE COALESCE(pv, nv) END AS value
+    FROM x
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear-interpolation resampling (operators/timeseries.py:
+    # interpolate_linear): dense per-user hourly grid where empty
+    # buckets blend the surrounding observations time-weighted —
+    # the charting/feature-window companion to q_ts_gapfill's step
+    # fill. Every float op is per-row on identical inputs with the
+    # SAME expression shape both engines (parity rule 2) — no
+    # rounding needed. One shuffle (user_id) shared by the rollup,
+    # the grid join and both fill windows.
+    from trembita_spark.operators.timeseries import interpolate_linear
+
+    return interpolate_linear(table(spark, sf_dir, "events"))

@@ -236,3 +236,38 @@ def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("supp_rev_dec").over(w).cast("double")
         ).alias("rev_share"),
     )
+
+
+@register(
+    "q_window_count_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS types_so_far
+    FROM events
+    """,
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running COUNT(DISTINCT) per user — an aggregate Spark's window
+    # engine does NOT support natively (COUNT(DISTINCT ...) OVER throws
+    # DISTINCT_WINDOW_FUNCTION_UNSUPPORTED). Re-expressed as
+    # size(collect_set(...)) over the same frame: collect_set is
+    # order-insensitive, so only the frame EXTENT needs the unique
+    # (ts, event_id) total order, and the result is deterministic.
+    # Cost note for 100 TB: state is O(ndv per user) per row while a
+    # plain count is O(1) — fine for bounded-cardinality columns like
+    # event_type; for unbounded ones switch to the HLL-sketch window in
+    # the sketches module.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("types_so_far"),
+    )

@@ -85,3 +85,67 @@ def ohlc_bars(
         F.max_by(F.col(value_col), order).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "hour",
+) -> DataFrame:
+    """Per-key dense grid with LINEAR interpolation across empty buckets
+    (vs :func:`rollup_gapfill`'s step-function forward fill): an empty
+    bucket between two observed ones gets the time-weighted blend
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)``; leading /
+    trailing gaps extend the nearest observed value flat.
+
+    The measure on observed buckets is the bucket MEAN (decimal-exact
+    sum / count). Two windows per key (last-non-null looking back,
+    first-non-null looking forward) over the same partitioning — one
+    shuffle total, same scale posture as rollup_gapfill.
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    hourly = df.groupBy(F.col(key_col), bucket.alias("h")).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    bounds = hourly.groupBy(key_col).agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("h0", "h1", F.expr(f"INTERVAL 1 {grain}"))).alias("h"),
+    )
+    joined = grid.join(hourly, [key_col, "h"], "left")
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_h = F.first(obs_h, ignorenulls=True).over(wf)
+    t, tp, tn = (F.unix_timestamp(c) for c in (F.col("h"), prev_h, next_h))
+    interp = prev_v + (next_v - prev_v) * (
+        (t - tp).cast("double") / (tn - tp).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("h").alias("hour"),
+        filled.alias("value"),
+    )
