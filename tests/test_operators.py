@@ -742,3 +742,47 @@ def test_interpolate_linear_blends(spark):
     assert out[(1, "2024-01-01 02:00:00")] == 30.0
     assert out[(1, "2024-01-01 03:00:00")] == 40.0
     assert out[(2, "2024-01-01 05:00:00")] == 7.0
+
+
+def test_pca_project_deterministic_and_ordered(spark):
+    import numpy as np
+
+    from trembita_spark.operators.linalg import covariance_matrix, pca_project
+
+    df = spark.range(300).selectExpr(
+        "id AS vec_id",
+        # anisotropic data: dim0 dominates variance, then dim1, ...
+        "array(CAST(id % 97 AS FLOAT), CAST((id * 7) % 31 AS FLOAT), "
+        "CAST((id * 3) % 11 AS FLOAT), CAST(id % 5 AS FLOAT)) AS embedding",
+    )
+    a = pca_project(df, n_components=2).collect()
+    b = pca_project(df, n_components=2).collect()
+    assert {r.vec_id: r.components for r in a} == {
+        r.vec_id: r.components for r in b
+    }, "sign-fixed projection must be run-to-run deterministic"
+    # projected variance must be ordered: component 0 >= component 1
+    arr = np.array([r.components for r in a])
+    v = arr.var(axis=0, ddof=1)
+    assert v[0] >= v[1]
+    # and component-0 variance equals the top eigenvalue of the cov matrix
+    rows = covariance_matrix(df).collect()
+    d = max(r.k for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.j, r.k] = cov[r.k, r.j] = r.cov
+    top_eig = np.linalg.eigvalsh(cov)[-1]
+    assert abs(v[0] - top_eig) / top_eig < 1e-9
+
+
+def test_snapshot_diff_null_transitions(spark):
+    from trembita_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 7.0), (4, 9.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 7.0), (5, 2.0)], "k long, v double"
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    # NULL->value and value->NULL are changes; equal rows drop out
+    assert out == {1: "changed", 2: "changed", 4: "removed", 5: "added"}

@@ -346,3 +346,19 @@ def test_collocations_single_corpus_pass(spark):
     assert plan.count("Scan parquet") <= 2, (
         "documents must not be re-scanned per margin"
     )
+
+
+def test_covariance_no_self_join(spark):
+    # Moment pass must be map-side d^2 expansion + ONE partial-agg
+    # shuffle — never a vec_id self-join (that shuffles N*d rows).
+    plan = plan_of("q_embedding_covariance", spark)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()
+
+
+def test_snapshot_diff_single_cogrouped_join(spark):
+    # One full-outer join on the key; both sides co-partition.
+    plan = plan_of("q_snapshot_diff", spark)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan

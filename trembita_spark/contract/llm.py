@@ -1716,3 +1716,106 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "q_embedding_covariance",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    x AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS xv
+      FROM embeddings, dims
+    ),
+    firsts AS (SELECT dim, sum(xv) AS s FROM x GROUP BY dim),
+    seconds AS (
+      SELECT a.dim AS j, b.dim AS k, sum(a.xv * b.xv) AS s_jk, count(*) AS n
+      FROM x a JOIN x b USING (vec_id)
+      WHERE a.dim <= b.dim
+      GROUP BY a.dim, b.dim
+    )
+    SELECT j, k,
+           round((s_jk - fj.s * fk.s / n) / (n - 1), 6) + 0.0 AS cov
+    FROM seconds
+    JOIN firsts fj ON fj.dim = j
+    JOIN firsts fk ON fk.dim = k
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass sample covariance of the 64-dim embedding column
+    # (operators/linalg.py: covariance_matrix — the moment pass PCA and
+    # whitening build on). Spark expands each row's d² products
+    # MAP-SIDE via nested transform and ships one partial-aggregated
+    # shuffle of d²=4096 groups — N never self-joins; the oracle uses
+    # the opposite (join-based) formulation, so parity also
+    # cross-checks the expansion against an independent shape. Sums
+    # are merge-order floats → round 6 (rule 5).
+    from trembita_spark.operators.linalg import covariance_matrix
+
+    emb = table(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb, "embedding")
+    # "+ 0.0" both sides: round() can yield IEEE -0.0 in one engine
+    # and +0.0 in the other for tiny negatives; adding positive zero
+    # canonicalizes the sign bit.
+    return cov.select("j", "k", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+             unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+      FROM t
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS avg_nll
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-document perplexity under the corpus's own bigram LM — the
+    # classic LM-quality filter for training data (documents whose
+    # average negative log-likelihood is an outlier are boilerplate or
+    # garbage). p(w2|w1) = c12/c1 from the corpus bigram counts; score =
+    # −avg ln p over the doc's bigram positions. Single-token docs have
+    # no bigrams and drop out (same as the oracle's join semantics).
+    # Plan: one explode pass keeps doc_id; the LM is a re-aggregation of
+    # the bigram table joined back on (w1, w2) — at 100 TB that's one
+    # shuffle of bigram positions, and AQE broadcasts the LM side when
+    # the vocabulary is small. ln-sum is merge-order float → round 6.
+    docs = table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)  # one corpus pass feeds LM + join
+    )
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log(F.col("c12").cast("double") / F.col("c1"))), 6
+            ).alias("avg_nll"),
+        )
+    )

@@ -1283,3 +1283,62 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pri", "o_orderkey")
         .limit(25)
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                  OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                  THEN 'changed' END AS change_type,
+           v1.o_totalprice AS old_o_totalprice,
+           v1.o_orderstatus AS old_o_orderstatus,
+           v2.o_totalprice AS new_o_totalprice,
+           v2.o_orderstatus AS new_o_orderstatus
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+               WHEN v2.o_orderkey IS NULL THEN 'removed'
+               WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                 OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                 THEN 'changed' END IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot diff (operators/merge.py: snapshot_diff): two versions of
+    # orders derived deterministically from the fixture (v1 drops keys
+    # %7=0; v2 drops %5=0 and reprices %3=0), diffed by key into
+    # added/removed/changed with old/new values — the time-travel audit
+    # primitive backing MERGE validation and CDC reconciliation. One
+    # full-outer co-partitioned join; null-safe comparison so NULL
+    # transitions count as changes. The reprice is x + 1000.0 — ONE
+    # correctly-rounded double op, bit-identical both engines (a
+    # round(x*1.1, 2) variant tripped on half-way ties: the engines'
+    # round() break binary-double ties differently — parity rule 2's
+    # "rounding ADDS risk" in action).
+    from trembita_spark.operators.merge import snapshot_diff
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1 = od.where(F.col("o_orderkey") % 7 != 0)
+    v2 = od.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"])

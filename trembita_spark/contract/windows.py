@@ -271,3 +271,40 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("types_so_far"),
     )
+
+
+@register(
+    "q_window_median",
+    oracle="""
+    SELECT event_id, user_id,
+           median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS med5
+    FROM events
+    """,
+)
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling exact median (5-row trailing frame) per user — another
+    # window aggregate Spark lacks natively (median()/percentile() are
+    # not supported OVER a frame). Re-expressed as array_sort(
+    # collect_list) over the frame + explicit middle-element pick, with
+    # DuckDB's interpolating median (mean of the two middles on even
+    # frames) spelled out: (a + b) / 2 is one correctly-rounded double
+    # op on identical inputs — bit-exact, no rounding. State is O(frame)
+    # per row, fine for small frames; for wide frames switch to the
+    # KLL-sketch window in the sketches module.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+    return ev.select("event_id", "user_id", med.alias("med5"))

@@ -39,3 +39,47 @@ def merge_upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
             for col in cols
         ]
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Diff two snapshots of the same table by primary key: one row per
+    key present in either side with change_type ∈ {'added', 'removed',
+    'changed'} (unchanged keys drop out), plus the old/new values of the
+    compared columns. The time-travel / audit primitive: "what did this
+    load change?".
+
+    One full outer join on the key — a single co-partitioned shuffle at
+    any scale (both snapshots hash on the same key; bucketed layouts
+    make it exchange-free). Change detection is null-safe equality over
+    ``compare_cols`` so NULL→value and value→NULL count as changes.
+    """
+    o = old.select(key, *compare_cols)
+    n = new.select(key, *compare_cols)
+    renamed_o = o.select(
+        F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    renamed_n = n.select(
+        F.col(key), *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    j = renamed_o.join(renamed_n, key, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            key,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
