@@ -786,3 +786,48 @@ def test_snapshot_diff_null_transitions(spark):
     out = {r.k: r.change_type for r in snapshot_diff(old, new, "k", ["v"]).collect()}
     # NULL->value and value->NULL are changes; equal rows drop out
     assert out == {1: "changed", 2: "changed", 4: "removed", 5: "added"}
+
+
+def test_asof_tolerance_masks_stale(spark):
+    from trembita_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+        "k long, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0)], "k long, ts_s string, v double"
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    out = {
+        str(r.ts): r.v_asof
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_value_cols=["v"],
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    # 10:00 is 30min after the quote -> attaches; 12:00 is 2.5h -> masked
+    assert out["2024-01-01 10:00:00"] == 5.0
+    assert out["2024-01-01 12:00:00"] is None
+
+
+def test_query_qualify_top_n(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from trembita_spark.query import Query
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 10)], "g string, x long"
+    )
+    w = Window.orderBy(F.col("total").desc())
+    out = (
+        Query(df)
+        .group_by(g="g")
+        .aggregate(total=F.sum("x"))
+        .qualify(F.row_number().over(w) <= 1)
+        .to_df()
+        .collect()
+    )
+    assert len(out) == 1 and out[0].g == "b" and out[0].total == 10
+    # qualify column must not leak into the schema
+    assert [c for c in out[0].asDict()] == ["g", "total"]

@@ -154,6 +154,56 @@ def q_budget_select(docs, budget):
     )
 
 
+def q_skyline(od):
+    from trembita_spark.operators.skyline import skyline2d
+
+    return skyline2d(
+        od.select("o_orderkey", "o_totalprice", "o_custkey"),
+        minimize="o_totalprice",
+        maximize="o_custkey",
+    )
+
+
+def q_triangles(od):
+    # bounded-degree graph whose NODE count grows with the input (node =
+    # orderkey/10, each linked to its next 5 neighbors): triangle work
+    # then scales with |E|, which is what the operator should do. A
+    # co-occurrence graph over a FIXED vertex set (e.g. suppliers) is
+    # the wrong scale probe — it saturates toward a complete graph and
+    # the measurement becomes output-volume (V³ triangles), not plan
+    # cost. (The naive id-ordered wedge join measured 30s on that dense
+    # graph; degree orientation can't help a regular graph.)
+    from trembita_spark.operators.graph import triangle_count
+
+    base = F.floor(F.col("o_orderkey") / 10)
+    pairs = od.select(
+        base.alias("src"),
+        (base + 1 + F.col("o_orderkey") % 5).alias("dst"),
+    )
+    return triangle_count(pairs)
+
+
+def q_interpolate(ev):
+    from trembita_spark.operators.timeseries import interpolate_linear
+
+    return interpolate_linear(ev)
+
+
+def synth_embeddings(spark, n):
+    # deterministic array<float> column built by expression — measures
+    # the covariance moment pass against N without fixture I/O.
+    return spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 31), j -> CAST((id * (j + 7)) % 97 AS FLOAT)) AS embedding",
+    )
+
+
+def q_covariance(emb):
+    from trembita_spark.operators.linalg import covariance_matrix
+
+    return covariance_matrix(emb)
+
+
 def median_time(fn, runs=3):
     fn()  # warm
     ts = []
@@ -190,6 +240,19 @@ def main():
         "budget_select": (
             lambda: q_budget_select(doc1, 300_000).count(),
             lambda: q_budget_select(doc8, 300_000 * SCALE).count(),
+        ),
+        "skyline": (lambda: q_skyline(od1).count(), lambda: q_skyline(od8).count()),
+        "triangles": (
+            lambda: q_triangles(od1).count(),
+            lambda: q_triangles(od8).count(),
+        ),
+        "interpolate": (
+            lambda: q_interpolate(ev1).count(),
+            lambda: q_interpolate(ev8).count(),
+        ),
+        "covariance_pass": (
+            lambda: q_covariance(synth_embeddings(spark, 50_000)).count(),
+            lambda: q_covariance(synth_embeddings(spark, 50_000 * SCALE)).count(),
         ),
     }
     out = {}

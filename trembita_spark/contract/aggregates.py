@@ -955,3 +955,65 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.join(est, "user_id").select(
         "user_id", "est_count", "exact_count"
     )
+
+
+@register(
+    "q_agg_qualify",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    QUALIFY row_number() OVER (ORDER BY spend DESC, o_custkey) <= 10
+    """,
+)
+def q_agg_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # QUALIFY through the QL builder (query.py: Query.qualify): filter
+    # the AGGREGATED rows on a window predicate — top-10 spenders via
+    # row_number over the aggregate output, the Snowflake/DuckDB QUALIFY
+    # clause Spark SQL lacks. The builder materializes the window
+    # predicate as a throwaway column (plain filter() rejects window
+    # expressions). Ranking is anchored to the unique (spend desc,
+    # custkey) total order; spend is the decimal-exact sum.
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        Query(table(spark, sf_dir, "orders"))
+        .group_by(o_custkey="o_custkey")
+        .aggregate(
+            spend=dsum("o_totalprice", 2),
+            n_orders=F.count(F.lit(1)),
+        )
+        .qualify(F.row_number().over(w) <= 10)
+        .to_df()
+    )
+
+
+@register(
+    "q_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted mean — Σ(w·x)/Σw per group. The per-row product is one
+    # correctly-rounded double op (identical both engines) that lands
+    # back on a 2-decimal grid (price 2dp × integral qty), so BOTH sums
+    # take the decimal trick and the final division is bit-exact — no
+    # rounding. Same partial+final hash-agg shape as any sum.
+    li = table(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,2)")
+    ).cast("double")
+    tw = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (wsum / tw).alias("wavg_price"),
+        tw.alias("total_weight"),
+    )

@@ -405,3 +405,42 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("p_name", "probe_name").alias("dist"),
         )
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN c.value END AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join with a staleness tolerance (pandas merge_asof's
+    # `tolerance`): the most recent click value attaches to each
+    # purchase ONLY if it is within 1 hour — older quotes become NULL
+    # instead of silently stale. operators/joins.py carries the matched
+    # right timestamp through the SAME running window and masks, so the
+    # tolerance costs zero extra shuffles over the plain as-of. Oracle:
+    # DuckDB ASOF join + an epoch-gap mask.
+    from trembita_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_value_cols=["value"],
+        tolerance_seconds=3600,
+    )

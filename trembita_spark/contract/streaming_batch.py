@@ -770,3 +770,54 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.operators.timeseries import interpolate_linear
 
     return interpolate_linear(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    tc AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, sum(n) AS row_n FROM tc GROUP BY from_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / row_n AS p
+    FROM tc JOIN tot USING (from_type)
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event
+    # sequences: P(next type | type) — the behavioral-analytics
+    # companion to the funnel/cohort keys. lead() over the unique
+    # (ts, event_id) order per user → pair counts → row-normalize.
+    # One shuffle for the sequence window, one for the (tiny,
+    # |types|²-bounded) pair aggregate; row totals re-aggregate the
+    # pair table and join back broadcast. Probability is one exact-int
+    # division per row — bit-identical.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    tc = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = tc.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        tc.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+        )
+    )

@@ -20,10 +20,17 @@ def asof_join(
     ts: str,
     right_value_cols: Sequence[str],
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` (direction='backward'; 'forward' = next
     right row with ``right.ts >= left.ts``), matching on ``on``.
+
+    ``tolerance_seconds`` (pandas merge_asof's ``tolerance``) nulls the
+    match when the matched right row is further than that from the left
+    timestamp — stale quotes don't attach. Implemented by carrying the
+    matched right TIMESTAMP through the same window and masking, so it
+    adds zero extra shuffles.
 
     Implementation: tag + union + running ``last(..., ignorenulls)``
     window — ONE shuffle on the join key, linear work, no range
@@ -65,9 +72,22 @@ def asof_join(
     for c in right_value_cols:
         src = F.when(F.col("__side") == 0, F.col(f"__r_{c}"))
         out = out.withColumn(f"__m_{c}", pick(src, ignorenulls=True).over(w))
+    keep = None
+    if tolerance_seconds is not None:
+        rts = F.when(F.col("__side") == 0, F.col(ts))
+        out = out.withColumn("__m_ts", pick(rts, ignorenulls=True).over(w))
+        gap = F.abs(
+            F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.col("__m_ts"))
+        )
+        keep = F.col("__m_ts").isNotNull() & (gap <= tolerance_seconds)
     result = out.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__m_{c}").alias(f"{c}_asof") for c in right_value_cols],
+        *[
+            (F.when(keep, F.col(f"__m_{c}")) if keep is not None else F.col(f"__m_{c}")).alias(
+                f"{c}_asof"
+            )
+            for c in right_value_cols
+        ],
     )
     return result
 

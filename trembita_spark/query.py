@@ -133,6 +133,7 @@ class Query:
         self._order: list[Column] = []
         self._mode: str = "groupBy"  # groupBy | rollup | cube
         self._with_grouping_id: str | None = None
+        self._qualify: list[Column] = []
 
     def where(self, cond: Column) -> "Query":
         self._where.append(cond)
@@ -188,6 +189,16 @@ class Query:
         self._having.append(cond)
         return self
 
+    def qualify(self, cond: Column) -> "Query":
+        """Filter on a WINDOW-function predicate (Snowflake/DuckDB
+        QUALIFY): applied after grouping/having, so the condition may
+        rank the aggregated rows themselves — ``qualify(F.row_number()
+        .over(w) <= 2)`` keeps the top 2 per window partition. Plain
+        WHERE cannot reference window functions; without this clause the
+        pattern needs a manual withColumn + filter + drop."""
+        self._qualify.append(cond)
+        return self
+
     def order_by(self, *cols: Column | str) -> "Query":
         self._order.extend(F.col(c) if isinstance(c, str) else c for c in cols)
         return self
@@ -230,6 +241,11 @@ class Query:
                     f"having must reference declared keys/aggregates "
                     f"{sorted(declared)}: {e}"
                 ) from e
+        for i, cond in enumerate(self._qualify):
+            # materialize the window predicate as a throwaway column:
+            # Spark's filter() rejects window expressions directly.
+            tmp = f"__qualify_{i}"
+            out = out.withColumn(tmp, cond).filter(F.col(tmp)).drop(tmp)
         if self._order:
             out = out.orderBy(*self._order)
         return out
