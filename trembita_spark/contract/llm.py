@@ -1819,3 +1819,38 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shl AS (SELECT doc_id, {_sh_sql(4)} AS shingles FROM tok),
+    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shl),
+    dsf AS (SELECT doc_id, sh FROM ds WHERE md5(sh) < '2'),
+    sz AS (SELECT doc_id, count(*) AS sz FROM dsf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM dsf a JOIN dsf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, cont_ab, cont_ba FROM (
+      SELECT doc_a, doc_b, inter,
+             inter / sa.sz AS cont_ab,
+             inter / sb.sz AS cont_ba
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+    ) WHERE greatest(cont_ab, cont_ba) >= 0.5
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric containment dedup (operators/dedup.py:
+    # containment_pairs): |A∩B|/|A| in both directions over the same
+    # deterministic shingle sample the Jaccard key uses — catches a
+    # short document quoted inside a long one, which Jaccard's union
+    # denominator suppresses. Division is exact-int/exact-int per row.
+    return D.containment_pairs(
+        table(spark, sf_dir, "documents"), k=4, sample_prefix="2",
+        min_containment=0.5,
+    )

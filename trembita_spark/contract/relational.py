@@ -1342,3 +1342,58 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+_KCORE_K = 15
+
+
+def _kcore_round_sql(prev: str, this: str) -> str:
+    return f"""
+    d_{this} AS (SELECT node, count(*) AS deg FROM {prev} GROUP BY node),
+    k_{this} AS (SELECT node FROM d_{this} WHERE deg >= {_KCORE_K}),
+    {this} AS (
+      SELECT b.node, b.peer FROM {prev} b
+      JOIN k_{this} n ON b.node = n.node
+      JOIN k_{this} p ON b.peer = p.node
+    )"""
+
+
+@register(
+    "q_graph_kcore",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT concat('c', o_custkey) AS u, concat('s', l_suppkey) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    b0 AS (
+      SELECT u AS node, v AS peer FROM e0
+      UNION ALL SELECT v, u FROM e0
+    ),
+    {_kcore_round_sql("b0", "b1")},
+    {_kcore_round_sql("b1", "b2")},
+    {_kcore_round_sql("b2", "b3")}
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM b3 GROUP BY node
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-round k-core peeling (operators/graph.py: kcore_peel) on the
+    # customer–supplier order graph: 3 rounds of "drop nodes with
+    # degree < 15, recompute degrees on what's left" — customers thin
+    # out first, which drags borderline suppliers below k in later
+    # rounds; the fixed round count makes the cascade a deterministic
+    # recurrence the oracle unrolls as CTEs (the q_graph_pagerank
+    # pattern). Per-round cost: one degree aggregate + two semi joins,
+    # hash-partitioned on node, lineage cut per round.
+    from trembita_spark.operators.graph import kcore_peel
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=_KCORE_K, rounds=3)

@@ -388,3 +388,78 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
         F.dayofyear("o_orderdate").cast("int").alias("doy"),
     )
+
+
+_STATIONS = [
+    (1, 48.0, 2.0), (2, -33.0, 151.0), (3, 40.0, -74.0),
+    (4, 35.0, 139.0), (5, -1.0, 36.0),
+]
+_STATIONS_SQL = ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in _STATIONS)
+
+# haversine great-circle distance in km; identical expression shape both
+# engines (radians → sin/cos → asin), trig differs by ulps → round 6.
+_HAV = (
+    "2 * 6371.0 * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+)
+
+
+@register(
+    "q_fn_geo_nearest",
+    oracle=f"""
+    WITH stations(station_id, s_lat, s_lon) AS (VALUES {_STATIONS_SQL}),
+    pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    ),
+    d AS (
+      SELECT c_custkey, station_id,
+             {_HAV.format(lat1="lat", lon1="lon", lat2="s_lat", lon2="s_lon")} AS dist
+      FROM pts, stations
+    )
+    SELECT c_custkey, station_id AS nearest_station,
+           round(dist, 6) AS dist_km
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist, station_id) = 1
+    """,
+)
+def q_fn_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Geospatial nearest-neighbor against a broadcast station dimension:
+    # synthetic deterministic (lat, lon) per customer (key arithmetic —
+    # the fixtures carry no geo columns), haversine great-circle
+    # distance, argmin per customer anchored to the unique
+    # (dist, station_id) order. At 100 TB the station side broadcasts
+    # (dimension tables are small by nature) so the big side never
+    # shuffles for the distance computation — only the per-key argmin
+    # window moves data, and with a broadcast dim that collapses into
+    # min_by aggregation shapes. Trig differs by ulps across engines →
+    # round 6 (≈ millimeter grid).
+    from pyspark.sql.window import Window
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+    )
+    stations = F.broadcast(
+        spark.createDataFrame(_STATIONS, "station_id int, s_lat double, s_lon double")
+    )
+    d = cust.crossJoin(stations).withColumn(
+        "dist",
+        F.expr(_HAV.format(lat1="lat", lon1="lon", lat2="s_lat", lon2="s_lon")),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist", "station_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("station_id").alias("nearest_station"),
+            F.round("dist", 6).alias("dist_km"),
+        )
+    )

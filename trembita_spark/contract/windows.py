@@ -308,3 +308,56 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid_lo + mid_hi) / 2
     )
     return ev.select("event_id", "user_id", med.alias("med5"))
+
+
+@register(
+    "q_window_ewma",
+    oracle="""
+    WITH arrs AS (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM events
+    )
+    SELECT event_id, user_id,
+           list_reduce(
+             list_transform(range(1, len(arr) + 1),
+                            i -> arr[i] * pow(0.5, len(arr) - i)),
+             (a, b) -> a + b)
+           / list_reduce(
+             list_transform(range(1, len(arr) + 1),
+                            i -> pow(0.5, len(arr) - i)),
+             (a, b) -> a + b) AS ewma
+    FROM arrs
+    """,
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exponentially weighted moving average over a trailing 8-row frame
+    # (α = 0.5) — the smoothing window Spark has no native aggregate
+    # for. The frame's values are collected IN FRAME ORDER and folded
+    # with weights 0.5^(distance from current): every weight is a power
+    # of two (binary-EXACT), each product is one correctly-rounded op,
+    # and both engines left-fold the list sequentially — so the result
+    # is bit-identical with NO rounding. A recursive y_t = αx + (1-α)y
+    # formulation would be order-sensitive and unbounded; the bounded
+    # frame also caps per-row state at scale.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    ewma = F.expr(
+        "aggregate(transform(arr, (x, i) -> x * power(0.5, size(arr) - 1 - i)), "
+        "CAST(0 AS DOUBLE), (a, b) -> a + b) / "
+        "aggregate(transform(arr, (x, i) -> power(0.5, size(arr) - 1 - i)), "
+        "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", F.collect_list("value").over(w).alias("arr")
+        )
+        .select("event_id", "user_id", ewma.alias("ewma"))
+    )

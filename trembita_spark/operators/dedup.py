@@ -410,3 +410,43 @@ def incremental_dedup(
         )
         .withColumn("admitted", ~(F.col("exact_dup") | F.col("near_dup")))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    sample_prefix: str = "2",
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment:
+    c(A→B) = |A∩B| / |A|. Jaccard misses the "short doc quoted inside a
+    long one" case (the union term swamps it); containment flags it in
+    either direction — keep a pair when max(c(A→B), c(B→A)) clears the
+    threshold. Same machinery as :func:`ngram_jaccard_pairs`: a
+    deterministic md5-prefix shingle sample and the inverted-index
+    (shared-shingle) join — pair work ∝ Σ shingle-posting², never
+    all-pairs."""
+    sh = shingles_expr(text_col, k)
+    doc_sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
+        .filter(F.md5("sh") < sample_prefix)
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("cont_ab", F.col("inter") / F.col("sz_a"))
+        .withColumn("cont_ba", F.col("inter") / F.col("sz_b"))
+        .filter(F.greatest("cont_ab", "cont_ba") >= min_containment)
+        .select("doc_a", "doc_b", "inter", "cont_ab", "cont_ba")
+    )

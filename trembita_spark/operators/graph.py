@@ -215,3 +215,32 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected graph: repeatedly
+    drop nodes with degree < k (degrees recomputed on the surviving
+    subgraph each round). With enough rounds this converges to the
+    exact k-core; a FIXED round count keeps the result a deterministic
+    linear recurrence — oracle-checkable the same way the fixed-k
+    PageRank is. Returns surviving (node, deg) after ``rounds`` peels.
+
+    Scale posture: each round is one degree aggregate + two semi joins,
+    all hash-partitioned on the node id; lineage is cut per round
+    (localCheckpoint) so round r doesn't re-execute rounds 1..r-1 —
+    the connected-components lesson applied here."""
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    both = und.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("node")
+        both = (
+            both.join(keep, "node", "left_semi")
+            .join(keep.withColumnRenamed("node", "peer"), "peer", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
