@@ -362,3 +362,36 @@ def test_snapshot_diff_single_cogrouped_join(spark):
     plan = plan_of("q_snapshot_diff", spark)
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_nearest_broadcasts_stations(spark):
+    plan = plan_of("q_fn_geo_nearest", spark)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    # argmin compiles to the per-partition window-group-limit shape or a
+    # plain window filter; either way only ONE exchange on the big side.
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_markov_pair_table_broadcast_back(spark):
+    # row totals re-aggregate the |types|^2 pair table and join back
+    # broadcast; the events table shuffles once for the sequence window.
+    plan = plan_of("q_events_markov", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the pair table is checkpointed, so the final plan reads the tiny
+    # materialized RDD — the events scan happens exactly once, upstream.
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_ewma_single_shuffle(spark):
+    plan = plan_of("q_window_ewma", spark)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_containment_no_allpairs(spark):
+    # pairs must come from the shared-shingle inverted index, never a
+    # document cross join.
+    plan = plan_of("q_dedup_containment", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1344,7 +1344,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"])
 
 
-_KCORE_K = 15
+_KCORE_K = 8
 
 
 def _kcore_round_sql(prev: str, this: str) -> str:
@@ -1378,7 +1378,9 @@ def _kcore_round_sql(prev: str, this: str) -> str:
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-round k-core peeling (operators/graph.py: kcore_peel) on the
     # customer–supplier order graph: 3 rounds of "drop nodes with
-    # degree < 15, recompute degrees on what's left" — customers thin
+    # degree < 8, recompute degrees on what's left" (k chosen to peel a
+    # non-empty, non-trivial subset at EVERY fixture scale — k=15 peeled
+    # sf0.001's 10-supplier graph to zero, a vacuous oracle) — customers thin
     # out first, which drags borderline suppliers below k in later
     # rounds; the fixed round count makes the cascade a deterministic
     # recurrence the oracle unrolls as CTEs (the q_graph_pagerank

@@ -810,7 +810,13 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).where(F.col("to_type").isNotNull())
-    tc = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # materialize the |types|²-bounded pair table once — without the cut
+    # the row-total branch re-scans and re-windows the events table.
+    tc = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     tot = tc.groupBy("from_type").agg(F.sum("n").alias("row_n"))
     return (
         tc.join(F.broadcast(tot), "from_type")
