@@ -1173,11 +1173,12 @@ def q_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_triangles",
     oracle="""
     WITH e AS (
-      SELECT DISTINCT least(l1.l_suppkey, l2.l_suppkey) AS u,
-                      greatest(l1.l_suppkey, l2.l_suppkey) AS v
+      SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS u,
+                      greatest(l1.l_partkey, l2.l_partkey) AS v
       FROM lineitem l1
       JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-      WHERE l1.l_suppkey <> l2.l_suppkey
+                       AND l2.l_linenumber = l1.l_linenumber + 1
+      WHERE l1.l_partkey <> l2.l_partkey
     ),
     tri AS (
       SELECT ab.u AS a, ab.v AS b, bc.v AS c
@@ -1195,22 +1196,29 @@ def q_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Triangle counting (operators/graph.py: triangle_count) over the
-    # supplier co-occurrence graph: suppliers sharing an order are
-    # connected. Canonical u<v edges, wedge join + closing semi join —
-    # the standard two-join distributed formulation; the oracle spells
-    # the identical wedge-close with EXISTS. Edge derivation is a
-    # self-join WITHIN l_orderkey (bounded fan-out: ≤ lines-per-order²
-    # pairs per order — linear in the table at any scale, never n²).
+    # Triangle counting (operators/graph.py: triangle_count, Cohen
+    # degree-ordered wedge-close) over the adjacent-line co-basket
+    # graph: parts on CONSECUTIVE lines of the same order are
+    # connected. Adjacency (not all-pairs-in-order) keeps the graph
+    # sparse with a node set that GROWS with the data — the supplier
+    # version saturates toward a complete graph whose V^3 triangle
+    # volume is output explosion, not analytics (BASELINE.md §11).
+    # The oracle spells the identical wedge-close with EXISTS.
     from trembita_spark.operators.graph import triangle_count
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
     pairs = (
         li.alias("l1")
-        .join(li.alias("l2"), "l_orderkey")
-        .where(F.col("l1.l_suppkey") != F.col("l2.l_suppkey"))
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l2.l_linenumber") == F.col("l1.l_linenumber") + 1),
+        )
+        .where(F.col("l1.l_partkey") != F.col("l2.l_partkey"))
         .select(
-            F.col("l1.l_suppkey").alias("src"), F.col("l2.l_suppkey").alias("dst")
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
         )
     )
     return triangle_count(pairs)
