@@ -827,3 +827,102 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("row_n")).alias("p"),
         )
     )
+
+
+@register(
+    "q_stream_upsert_merge",
+    oracle="""
+    SELECT user_id, value AS last_value, ts AS last_ts,
+           CAST(cnt AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming CDC-apply: foreachBatch merge-upserts each REAL
+    # micro-batch into a parquet state table — the standard "keep the
+    # latest row per key + running count" materialized view where the
+    # sink has no native MERGE. The fixture is re-split into 4 files
+    # streamed one per trigger, so state genuinely evolves across
+    # multiple batches; correctness does NOT depend on the split
+    # because the merge combinator (argmax by unique (ts, event_id),
+    # summed counts) is a commutative monoid — the oracle is the plain
+    # batch argmax over everything. State is re-materialized per batch
+    # via localCheckpoint before the overwrite (read-then-overwrite on
+    # the same path is unsafe mid-plan). At 100 TB the state table is
+    # keyed/bucketed so each merge is a co-partitioned join.
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.io import _normalize_ts
+
+    ev = table(spark, sf_dir, "events")
+    src = run_tmp("stream_upsert_src")
+    state_dir = run_tmp("stream_upsert_state")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    state = {"df": None}
+
+    def batch_latest(batch):
+        pick = F.max(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+        ).alias("m")
+        return batch.groupBy("user_id").agg(
+            pick, F.count(F.lit(1)).alias("n_events")
+        ).select(
+            "user_id",
+            F.col("m.value").alias("last_value"),
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_id").alias("last_eid"),
+            "n_events",
+        )
+
+    def apply_batch(batch, _bid):
+        inc = batch_latest(batch)
+        if state["df"] is None:
+            merged = inc
+        else:
+            old = state["df"]
+            both = old.unionByName(inc)
+            pick = F.max(
+                F.struct(
+                    F.col("last_ts"), F.col("last_eid"), F.col("last_value")
+                )
+            ).alias("m")
+            merged = both.groupBy("user_id").agg(
+                pick, F.sum("n_events").alias("n_events")
+            ).select(
+                "user_id",
+                F.col("m.last_value").alias("last_value"),
+                F.col("m.last_ts").alias("last_ts"),
+                F.col("m.last_eid").alias("last_eid"),
+                "n_events",
+            )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    final = state["df"]
+    # persist the materialized view the way a real pipeline would, and
+    # read it back so the returned plan is the sink's contents.
+    final.write.mode("overwrite").parquet(state_dir)
+    out = spark.read.parquet(state_dir)
+    return out.select("user_id", "last_value", "last_ts", "n_events")
