@@ -307,3 +307,91 @@ def test_pipeline_chain_matches_python_reference(spark, data, mul, t, reps):
     ref.sort(key=lambda r: (r[1], r[0], r[2]))
     expected = [(k, v2, e, i) for i, (k, v2, e) in enumerate(ref)]
     assert got == expected
+
+
+points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # minimize dim
+        st.integers(min_value=0, max_value=20),  # maximize dim
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pts=points)
+@settings(**SETTINGS)
+def test_skyline_matches_bruteforce_dominance(spark, pts):
+    """skyline2d (sort + prefix-max) must equal the O(n²) strict-
+    dominance definition on arbitrary point sets, duplicates included."""
+    from trembita_spark.operators.skyline import skyline2d
+
+    data = [(i, float(a), b) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(data, "id long, price double, size int")
+    got = sorted(r.id for r in skyline2d(df, "price", "size").collect())
+    expect = sorted(
+        i
+        for i, (a, b) in enumerate(pts)
+        if not any(
+            (qa < a and qb >= b) or (qa <= a and qb > b) for qa, qb in pts
+        )
+    )
+    assert got == expect
+
+
+edges_small = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(es=edges_small)
+@settings(**SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, es):
+    """Degree-oriented wedge-close must equal brute-force triangle
+    enumeration on arbitrary undirected graphs (self-loops, duplicate
+    and reversed edges included)."""
+    from itertools import combinations
+
+    from trembita_spark.operators.graph import triangle_count
+
+    und = {(min(u, v), max(u, v)) for u, v in es if u != v}
+    nodes = sorted({n for e in und for n in e})
+    expect = {}
+    for a, b, c in combinations(nodes, 3):
+        if ((a, b) in und and (b, c) in und and (a, c) in und):
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    if not es:
+        return
+    df = spark.createDataFrame(es, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == expect
+
+
+@given(es=edges_small, k=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_kcore_peel_matches_reference(spark, es, k):
+    """Fixed-round peeling must equal the same rounds applied by a
+    sequential reference."""
+    from trembita_spark.operators.graph import kcore_peel
+
+    und = {(min(u, v), max(u, v)) for u, v in es if u != v}
+    if not und:
+        return
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    for _ in range(3):
+        keep = {n for n in alive if len(adj[n] & alive) >= k}
+        alive = keep
+    expect = {n: len(adj[n] & alive) for n in alive}
+    df = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {r.node: r.deg for r in kcore_peel(df, k=k, rounds=3).collect()}
+    assert got == expect
