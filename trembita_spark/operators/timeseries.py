@@ -111,7 +111,7 @@ def interpolate_linear(
             F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("v")
-    )
+    ).localCheckpoint(eager=True)  # feeds bounds AND the grid join: one rollup pass
     bounds = hourly.groupBy(key_col).agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
