@@ -428,3 +428,18 @@ def test_repetition_and_bigram_lm_single_token_docs(spark):
     assert rows[1].dup_bigram_frac is None   # undefined for <2 tokens
     assert rows[2].dup_bigram_frac == 0.0
     assert rows[3].dup_bigram_frac == 0.5    # 'a a' twice in [a a, a a]
+
+
+def test_wav_roundtrip_and_corrupt():
+    from trembita_spark.operators.multimodal import decode_wav, synth_wav
+
+    for n, seed in ((1, 0), (32, 7), (95, 508)):
+        rate, m, xs = decode_wav(synth_wav(n, seed))
+        assert rate == 8000 and m == n == len(xs)
+    # stereo/8-bit/float fmt variants and junk must raise, not corrupt
+    bad_fmt = synth_wav(4, 1)
+    bad_fmt = bad_fmt.replace(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+                              struct.pack("<HHIIHH", 3, 2, 8000, 16000, 2, 32))
+    for junk in (b"", b"RIFF1234WAVE", bad_fmt, b"OggS" + b"\x00" * 40):
+        with pytest.raises((ValueError, struct.error)):
+            decode_wav(junk)

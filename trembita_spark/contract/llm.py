@@ -1854,3 +1854,45 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), k=4, sample_prefix="2",
         min_containment=0.5,
     )
+
+
+@register(
+    "q_multimodal_audio",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(32 + doc_id % 64 AS INT) AS n_samples,
+             doc_id % 509 AS seed
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.n_samples, d.seed, i.i,
+             (7 * i.i + seed) % 2048 - 1024 AS x,
+             CASE WHEN i.i > 0
+                  THEN (7 * (i.i - 1) + seed) % 2048 - 1024 END AS xp
+      FROM d JOIN (SELECT unnest(generate_series(0, 95)) AS i) i
+        ON i.i < d.n_samples
+    )
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           n_samples,
+           CAST(sum(x * x) AS BIGINT) AS energy,
+           CAST(count(*) FILTER (xp IS NOT NULL AND (xp < 0) <> (x < 0)) AS INT)
+             AS zero_crossings
+    FROM s
+    GROUP BY doc_id, n_samples
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio decode, stdlib only (operators/multimodal.py:
+    # synth_wav / decode_wav / audio_features): per doc a true
+    # RIFF/WAVE 16-bit PCM file (sawtooth samples from doc_id
+    # arithmetic) is synthesized, chunk-walked back — fmt parse, even-
+    # length chunk padding, little-endian sample unpack — and reduced
+    # to exact integer features (energy = Σx², zero crossings). The
+    # oracle recomputes the features in closed form from the sample
+    # formula, so any decoder bug (chunk walk, endianness, fmt
+    # validation) breaks value parity. Completes the multimodal
+    # surface: image pixels (q_multimodal_pixels), audio samples
+    # (here), video keyframes (q_multimodal_frame_sample).
+    docs = M.attach_audio_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    return M.audio_features(docs)

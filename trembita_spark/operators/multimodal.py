@@ -465,3 +465,106 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
     return df.select(id_col, payload_col).mapInPandas(
         fe, f"{id_col} long, features array<double>, byte_sum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV (RIFF / 16-bit PCM) encode + decode, stdlib only.
+# ---------------------------------------------------------------------------
+
+
+def _audio_sample(i: int, seed: int) -> int:
+    """Deterministic sawtooth sample: ((7i + seed) mod 2048) − 1024.
+    Shared by the synthesizer and the closed-form oracle; the decoder
+    must recover it from the PCM bytes."""
+    return ((7 * i + seed) % 2048) - 1024
+
+
+def synth_wav(n_samples: int, seed: int, sample_rate: int = 8000) -> bytes:
+    """Minimal valid RIFF/WAVE file: fmt chunk (PCM, mono, 16-bit) +
+    data chunk of little-endian samples from ``_audio_sample``."""
+    data = b"".join(
+        struct.pack("<h", _audio_sample(i, seed)) for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
+    """REAL WAV decode, stdlib only: RIFF chunk walk → fmt parse
+    (PCM/16-bit/mono enforced) → data chunk to int samples. Returns
+    (sample_rate, n_samples, samples). Raises ValueError on non-PCM or
+    malformed containers — contract callers catch into filterable rows."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE container")
+    pos = 12
+    rate = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(f"wav: unsupported fmt/channels/bits {audio_fmt}/{channels}/{bits}")
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{clen // 2}h", body[: (clen // 2) * 2]))
+        pos += 8 + clen + (clen & 1)  # chunks pad to even length
+    if rate is None or samples is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    return rate, len(samples), samples
+
+
+def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: real WAV bytes per row (length and seed derived
+    from the id) via Arrow-batched mapInPandas."""
+    cols = df.columns
+    in_schema = df.schema
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["audio"] = [
+                synth_wav(32 + int(i) % 64, int(i) % 509) for i in pdf[id_col]
+            ]
+            yield pdf
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
+    return df.select(*cols).mapInPandas(synth, f"{out_schema}, audio binary")
+
+
+def audio_features(df: DataFrame, payload_col: str = "audio", id_col: str = "doc_id") -> DataFrame:
+    """Decode a binary WAV column (REAL decode — ``decode_wav``) and
+    reduce each clip to exact integer features: sample count, sum of
+    squares (energy), and zero-crossing count — the standard cheap
+    audio-quality signals, emitted as one tiny row per clip."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, n, xs = decode_wav(bytes(buf))
+                    energy = sum(x * x for x in xs)
+                    zc = sum(
+                        1
+                        for j in range(1, n)
+                        if (xs[j - 1] < 0) != (xs[j] < 0)
+                    )
+                    rows.append(
+                        {id_col: _id, "sample_rate": rate, "n_samples": n,
+                         "energy": energy, "zero_crossings": zc}
+                    )
+                except ValueError:
+                    rows.append(
+                        {id_col: _id, "sample_rate": -1, "n_samples": -1,
+                         "energy": -1, "zero_crossings": -1}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats,
+        f"{id_col} long, sample_rate int, n_samples int, energy long, zero_crossings int",
+    )
