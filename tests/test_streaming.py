@@ -245,3 +245,33 @@ def test_stream_stream_join(spark):
         "inner",
     ).count()
     assert n_stream == n_batch
+
+
+def test_stream_upsert_merge_runs_multiple_batches(spark):
+    # The CDC-apply key claims state evolves across REAL micro-batches:
+    # with maxFilesPerTrigger=1 over a 4-file split, availableNow must
+    # deliver multiple triggers, not one catch-all batch.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="upsert_batches_")
+    spark.range(100).selectExpr(
+        "id AS user_id", "CAST(id AS DOUBLE) AS value"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    seen = []
+
+    def count_batch(batch, bid):
+        seen.append((bid, batch.count()))
+
+    q = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(count_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen) >= 2, seen
+    assert sum(n for _, n in seen) == 100
