@@ -1407,3 +1407,42 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_peel(edges, k=_KCORE_K, rounds=3)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT l_partkey AS key FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_partkey AS key FROM lineitem WHERE l_linestatus = 'F' AND l_quantity > 30
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BAG-semantics EXCEPT (multiset difference): each occurrence on the
+    # right cancels ONE occurrence on the left — duplicates survive
+    # proportionally, unlike q_except's set semantics. Spark's exceptAll
+    # compiles to a count-balancing aggregate + generate (one shuffle),
+    # not a quadratic anti pattern.
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("key"))
+    b = li.where((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 30)).select(
+        F.col("l_partkey").alias("key")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT l_partkey AS key FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 10
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BAG-semantics INTERSECT: min(multiplicity_left, multiplicity_right)
+    # copies of each value.
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("key"))
+    b = li.where(F.col("l_quantity") > 10).select(F.col("l_partkey").alias("key"))
+    return a.intersectAll(b)
