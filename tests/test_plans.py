@@ -395,3 +395,57 @@ def test_containment_no_allpairs(spark):
     plan = plan_of("q_dedup_containment", spark)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_join_is_decorrelated(spark):
+    # The correlated LATERAL limit must compile to a join + ranked
+    # window (decorrelation), never a per-row subquery loop.
+    plan = plan_of("q_join_lateral", spark)
+    assert "Window" in plan or "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    # Runtime skew mitigation: a 90%-one-key join under AQE must mark
+    # the skewed partition for split in the FINAL adaptive plan. This
+    # is the no-manual-salting path (the salted operator is the
+    # deterministic alternative); thresholds lowered so the local
+    # fixture-sized shuffle qualifies as skewed.
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # left: 90% of rows pile onto key 7 (the skewed shuffle
+        # partition); right: UNIQUE keys, so the join output stays
+        # linear in |left| while the left shuffle partition is still
+        # hundreds of times its siblings' size.
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("p" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 400_000).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        joined = left.join(right, "k")
+        joined.collect()  # materialize THIS plan so AQE finalizes it
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

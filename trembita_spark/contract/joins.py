@@ -444,3 +444,46 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["value"],
         tolerance_seconds=3600,
     )
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated LATERAL subquery through the SQL front door: top-2
+    # orders per MACHINERY customer. Catalyst DECORRELATES the lateral
+    # limit into a per-key window (DomainJoin rewrite) — the plan is one
+    # join + one ranked window, not a per-row subquery execution; at
+    # scale this is exactly the window-group-limit shape the builder's
+    # top-k-per-group key uses, arrived at from SQL instead of the
+    # DataFrame API.
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    od.createOrReplaceTempView("orders_v")
+    cu.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_v c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_v
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )
