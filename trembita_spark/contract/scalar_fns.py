@@ -463,3 +463,26 @@ def q_fn_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 6).alias("dist_km"),
         )
     )
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name)                          AS h_md5,
+           sha256(p_name)                       AS h_sha256
+    FROM part
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cryptographic/checksum hash family as first-class scalar surface
+    # (every dedup/fingerprint operator builds on these): md5 and
+    # sha-256 hex digests — byte-identical across engines on UTF-8
+    # input. (crc32 exists in Spark but not DuckDB 1.0 — covered by a
+    # unit test instead of the oracle.) All map-side codegen.
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+    )
