@@ -1896,3 +1896,47 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (here), video keyframes (q_multimodal_frame_sample).
     docs = M.attach_audio_payload(table(spark, sf_dir, "documents").select("doc_id"))
     return M.audio_features(docs)
+
+
+@register(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + doc_id % 48 AS INT) AS height
+    FROM documents
+    WHERE doc_id < 40
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The real multimodal INGESTION path: a directory of image files
+    # read through Spark's binaryFile source (path, length, content) —
+    # this is how image/audio corpora actually enter a 100 TB pipeline
+    # (many files → one binary column), vs the synthesized-column
+    # adapters the other multimodal keys use. Filenames carry the id;
+    # headers are decoded from the scanned bytes and checked against
+    # the closed-form oracle. Fixture prep (writing the 40 files) is
+    # driver-side setup, not the measured operator; at scale the files
+    # already exist in object storage.
+    import os
+
+    from trembita_spark.operators.multimodal import synth_image
+
+    path = run_tmp("binaryfile_demo")
+    os.makedirs(path, exist_ok=True)
+    fmts = ["png", "jpeg", "gif", "bmp"]
+    for i in range(40):
+        with open(f"{path}/img_{i:05d}.bin", "wb") as f:
+            f.write(synth_image(fmts[i % 4], 16 + i % 64, 16 + i % 48))
+    files = spark.read.format("binaryFile").load(path)
+    decoded = M.decode_headers(
+        files.select(
+            F.regexp_extract(
+                F.col("path"), r"img_(\d+)\.bin$", 1
+            ).cast("long").alias("doc_id"),
+            F.col("content").alias("image"),
+        )
+    )
+    return decoded.select("doc_id", "format", "width", "height")

@@ -1446,3 +1446,29 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("key"))
     b = li.where(F.col("l_quantity") > 10).select(F.col("l_partkey").alias("key"))
     return a.intersectAll(b)
+
+
+@register("q_scan_xml", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native XML source (built into Spark 4): round-trip nation through
+    # an XML file with explicit schema on read (inference double-scans,
+    # same rule as CSV/JSON). Comment column excluded — XML writer
+    # escapes entities the text fixture may contain; the typed columns
+    # round-trip exactly.
+    path = run_tmp("xml_demo")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.schema(nation.schema)
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )
