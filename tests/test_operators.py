@@ -831,3 +831,29 @@ def test_query_qualify_top_n(spark):
     assert len(out) == 1 and out[0].g == "b" and out[0].total == 10
     # qualify column must not leak into the schema
     assert [c for c in out[0].asDict()] == ["g", "total"]
+
+
+def test_connector_builders_configured(spark):
+    # The connector JARs aren't bundled here; assert the builders wire
+    # the scale-relevant options (offset bounds, JDBC partition bounds)
+    # via their pure option-map functions, and that the readers
+    # construct without the JARs (load() is where the JAR matters).
+    from trembita_spark.connectors import (
+        jdbc_options,
+        jdbc_reader,
+        kafka_stream_options,
+        kafka_stream_reader,
+    )
+
+    ko = kafka_stream_options("broker:9092", "events", max_offsets_per_trigger=5000)
+    assert ko["maxOffsetsPerTrigger"] == "5000"
+    assert ko["startingOffsets"] == "earliest"
+    assert ko["failOnDataLoss"] == "false"
+    assert kafka_stream_reader(spark, "broker:9092", "events") is not None
+
+    jo = jdbc_options(
+        "jdbc:derby:/tmp/x", "t", "org.apache.derby.jdbc.EmbeddedDriver",
+        partition_column="id", lower_bound=0, upper_bound=1000, num_partitions=8,
+    )
+    assert jo["partitionColumn"] == "id" and jo["numPartitions"] == "8"
+    assert jdbc_reader(spark, "jdbc:derby:/tmp/x", "t", "d") is not None

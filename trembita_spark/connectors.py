@@ -1,0 +1,149 @@
+"""External-connector surface (the reference's integration modules:
+Kafka, Cassandra, Elasticsearch, Slick/JDBC — reference:
+seamless/*/src, unverified; SURVEY.md §3.1).
+
+Spark-first, every one of these is ``spark.read[Stream].format(...)``
+with connector-specific options — the builders below produce the
+correctly-configured reader/writer for each, with the scale-relevant
+options (parallelism, pushdown, offsets) spelled out rather than left
+to defaults. The connector JARs (spark-sql-kafka, spark-cassandra-
+connector, elasticsearch-spark) are NOT bundled in this environment, so
+``load()`` on those raises Spark's missing-data-source error; the JDBC
+path runs for real against the embedded Derby database
+(`q_source_jdbc`), and the builders' option plumbing is unit-tested.
+On a cluster, adding the JAR is the only change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamReader
+
+
+def kafka_stream_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 1_000_000,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The Kafka reader option map (pure function — unit-testable
+    without the connector JAR)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 1_000_000,
+    fail_on_data_loss: bool = False,
+) -> DataStreamReader:
+    """Configured Kafka stream reader. Scale notes: one Spark partition
+    per Kafka partition — size topic partitioning to the cluster;
+    ``maxOffsetsPerTrigger`` bounds micro-batch size (backpressure);
+    ``failOnDataLoss=false`` keeps retention-expiry from killing the
+    query. Call ``.load()`` where the connector JAR is present; the
+    value column arrives as binary — pair with ``from_json``/``from_avro``."""
+    return spark.readStream.format("kafka").options(
+        **kafka_stream_options(
+            bootstrap_servers, topics, starting_offsets,
+            max_offsets_per_trigger, fail_on_data_loss,
+        )
+    )
+
+
+def cassandra_reader(
+    spark: SparkSession, keyspace: str, table: str
+):
+    """Configured Cassandra table reader (DataSource V2 name
+    ``org.apache.spark.sql.cassandra``). The connector maps Cassandra
+    token ranges to Spark partitions and pushes partition-key and
+    clustering-column predicates into CQL — filter on those columns,
+    never on unindexed ones, or the scan degenerates to full-cluster."""
+    return (
+        spark.read.format("org.apache.spark.sql.cassandra")
+        .option("keyspace", keyspace)
+        .option("table", table)
+    )
+
+
+def elasticsearch_reader(
+    spark: SparkSession, resource: str, nodes: str, query: str | None = None
+):
+    """Configured Elasticsearch reader (``org.elasticsearch.spark.sql``):
+    one Spark partition per ES shard; ``es.query`` pushes the filter to
+    the cluster so only matching docs cross the wire."""
+    r = (
+        spark.read.format("org.elasticsearch.spark.sql")
+        .option("es.nodes", nodes)
+        .option("es.resource", resource)
+    )
+    if query is not None:
+        r = r.option("es.query", query)
+    return r
+
+
+def jdbc_options(
+    url: str,
+    dbtable: str,
+    driver: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> dict[str, str]:
+    """The JDBC reader option map (pure function — unit-testable)."""
+    opts = {"url": url, "dbtable": dbtable, "driver": driver}
+    if partition_column is not None:
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    driver: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+):
+    """Configured JDBC reader. Without partition bounds the ENTIRE table
+    streams through ONE connection — always set
+    (partitionColumn, lowerBound, upperBound, numPartitions) for any
+    table worth distributing; each partition issues its own bounded
+    range query and predicates push into every one. Runs for real here
+    against embedded Derby (see q_source_jdbc)."""
+    return spark.read.format("jdbc").options(
+        **jdbc_options(
+            url, dbtable, driver, partition_column,
+            lower_bound, upper_bound, num_partitions,
+        )
+    )
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+    """Configured Kafka stream writer: expects ``key``/``value`` binary
+    or string columns; checkpointed for exactly-once-per-offset."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
