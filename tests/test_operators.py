@@ -857,3 +857,17 @@ def test_connector_builders_configured(spark):
     )
     assert jo["partitionColumn"] == "id" and jo["numPartitions"] == "8"
     assert jdbc_reader(spark, "jdbc:derby:/tmp/x", "t", "d") is not None
+
+
+def test_cdc_apply_ops(spark):
+    from trembita_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")],
+        "k long, v string, op string",
+    )
+    out = {r.k: r.v for r in cdc_apply(base, changes, "k").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}

@@ -1472,3 +1472,61 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "nation")
         .load(path)
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 13 = 0 THEN 'U' END AS op
+      FROM orders WHERE o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, 'N', 'I'
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
+                THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
+                THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full CDC apply (operators/merge.py: cdc_apply): a change batch
+    # with I/U/D ops — deletes for keys %11, repricing updates for %13,
+    # synthetic inserts derived from %17 — applied onto the orders
+    # snapshot in ONE full-outer co-partitioned join. Keys hit by both
+    # %11 and %13 (143) take the delete branch, same CASE order both
+    # sides. The +500.0 reprice is one correctly-rounded double op.
+    from trembita_spark.operators.merge import cdc_apply
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = od.where((F.col("o_orderkey") % 11 == 0) | (F.col("o_orderkey") % 13 == 0)).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 500.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 13 == 0, F.lit("U"))
+        .alias("op"),
+    )
+    ins = od.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("I").alias("op"),
+    )
+    return cdc_apply(od, upd.unionByName(ins), key="o_orderkey")

@@ -83,3 +83,37 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame, key: str, op_col: str = "op") -> DataFrame:
+    """Apply a full CDC batch (``op`` ∈ {'I','U','D'}) onto a snapshot:
+    deletes drop the key, updates/inserts win wholesale (same row-wise
+    rule as :func:`merge_upsert`). If a key appears multiple times in
+    the batch the caller must pre-collapse to the LAST op per key
+    (standard CDC compaction) — asserted here by requiring key
+    uniqueness upstream rather than guessing an order.
+
+    Shape: ONE full-outer join on the key (deletes are just matched
+    rows where no output is produced) — same single co-partitioned
+    shuffle as the upsert; at 100 TB bucket the base by the key and the
+    big side never re-shuffles.
+    """
+    data_cols = [c for c in changes.columns if c != op_col]
+    assert set(base.columns) == set(data_cols), "schemas must match"
+    cols = base.columns
+    b = base.select([F.col(c).alias(f"b_{c}") for c in cols])
+    c = changes.select(
+        [F.col(col).alias(f"c_{col}") for col in data_cols]
+        + [F.col(op_col).alias("_op")]
+    )
+    joined = b.join(c, b[f"b_{key}"] == c[f"c_{key}"], "full_outer")
+    keep = F.col("_op").isNull() | (F.col("_op") != "D")
+    take_change = F.col(f"c_{key}").isNotNull() & (F.col("_op") != "D")
+    return joined.where(keep).select(
+        *[
+            F.when(take_change, F.col(f"c_{col}"))
+            .otherwise(F.col(f"b_{col}"))
+            .alias(col)
+            for col in cols
+        ]
+    )
