@@ -487,3 +487,34 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY'
         """
     )
+
+
+@register(
+    "q_join_band",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.value AS p_value, c.value AS c_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON abs(p.value - c.value) <= 0.05
+    """,
+)
+def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BIG-BIG band join (operators/joins.py: band_join): purchases
+    # matched to clicks with values within ±0.05 — neither side is
+    # broadcastable at scale, so the bucket-prefilter shape applies:
+    # bucket ⌊v/δ⌋, left explodes to bucket±1, one equi-join shuffle,
+    # exact band filter after. DuckDB's IEJoin evaluates the same
+    # predicate directly as the oracle.
+    from trembita_spark.operators.joins import band_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("value").alias("p_value")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("value").alias("c_value")
+    )
+    return band_join(p, c, "p_value", "c_value", 0.05).select(
+        "purchase_id", "click_id", "p_value", "c_value"
+    )

@@ -926,3 +926,52 @@ def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     final.write.mode("overwrite").parquet(state_dir)
     out = spark.read.parquet(state_dir)
     return out.select("user_id", "last_value", "last_ts", "n_events")
+
+
+@register(
+    "q_events_rfm",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             max(ts) AS last_seen,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, last_seen, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_seen DESC, user_id) AS INT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_score
+    FROM agg
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM segmentation (recency / frequency / monetary) — the classic
+    # customer-scoring rollup: one purchase aggregate per user, then
+    # three ntile(4) rankings anchored to unique (metric, user_id)
+    # orders so quartile boundaries are deterministic. The aggregate is
+    # partial+final on user_id; the ntiles are three windows over the
+    # (small) per-user table — at 100 TB the aggregate output is
+    # users-sized, orders of magnitude below the event stream.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    agg = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "last_seen",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.desc("last_seen"), "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_score"),
+    )

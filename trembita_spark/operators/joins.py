@@ -208,3 +208,34 @@ def bloom_probe(
         f"_widx{h}" for h in range(n_hashes)
     ] + [f"_word{h}" for h in range(n_hashes)]
     return out.withColumn(out_col, cond).drop(*drop)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    delta: float,
+) -> DataFrame:
+    """BIG-BIG band join: pairs with |left.val − right.val| ≤ delta.
+
+    The broadcast range join (``range_join``) needs one small side; when
+    BOTH sides are large the scalable shape is bucket-prefilter: assign
+    each row to bucket ⌊val/delta⌋, explode the left side to its bucket
+    ±1 neighborhood (any in-band partner must land there), equi-join on
+    the bucket — a plain hash shuffle, work ∝ Σ per-bucket products —
+    then filter the exact band. Never a nested-loop over the big sides;
+    skew follows value-density and AQE's skew split applies to the
+    bucket shuffle like any other.
+    """
+    lb = F.floor(F.col(left_val) / delta).cast("long")
+    rb = F.floor(F.col(right_val) / delta).cast("long")
+    l_exp = left.withColumn(
+        "__band", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r_b = right.withColumn("__band", rb)
+    return (
+        l_exp.join(r_b, "__band")
+        .where(F.abs(F.col(left_val) - F.col(right_val)) <= delta)
+        .drop("__band")
+    )
