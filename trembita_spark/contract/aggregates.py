@@ -1017,3 +1017,39 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (wsum / tw).alias("wavg_price"),
         tw.alias("total_weight"),
     )
+
+
+@register(
+    "q_agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS med
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           any_value(m.med) AS med,
+           median(abs(e.value - m.med)) AS mad
+    FROM events e JOIN med m USING (user_id)
+    GROUP BY e.user_id
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Median absolute deviation per user — the robust dispersion
+    # statistic (outlier-insensitive stddev). Two-stage: exact median
+    # per group, join back (broadcast — the medians table is
+    # groups-sized), then the median of absolute deviations. Spark has
+    # no mad(); both stages use exact percentile(0.5), which matches
+    # DuckDB's interpolating median bit-for-bit on the same inputs (the
+    # deviations are per-row correctly-rounded doubles).
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
