@@ -975,3 +975,51 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_score"),
         F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_score"),
     )
+
+
+@register(
+    "q_events_streaks",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(run_id AS INT) AS run_id, event_type,
+           CAST(count(*) AS BIGINT) AS run_len,
+           min(ts) AS run_start, max(ts) AS run_end
+    FROM runs GROUP BY user_id, run_id, event_type
+    """,
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Run-length encoding of per-user event streaks (gaps-and-islands
+    # on VALUE change rather than time gap — the complement to
+    # sessionize): lag-compare marks breaks, a running sum numbers the
+    # runs, one aggregate emits (run, type, length, span). RLE is the
+    # sequence-compression primitive behaviors/telemetry pipelines
+    # store instead of raw repeats. Same single user_id shuffle the
+    # sessionizer pays; null-safe break compare (IS DISTINCT FROM /
+    # eqNullSafe negation) both sides.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id", "event_type", "ts", "event_id", brk.alias("brk")
+    ).withColumn("run_id", F.sum("brk").over(wrun).cast("int"))
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+    )
