@@ -449,3 +449,11 @@ def test_aqe_splits_skewed_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_band_join_is_hash_join(spark):
+    # bucket-prefilter band join must be an equi hash join on the band
+    # bucket — never BNLJ/cartesian over the two big sides.
+    plan = plan_of("q_join_band", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
