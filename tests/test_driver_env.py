@@ -109,3 +109,23 @@ def test_bare_session_utc_host_strict():
 @pytest.mark.slow
 def test_bare_session_foreign_tz_semantics_hold():
     _run("epoch", "America/New_York")
+
+
+def test_readme_query_count_matches_registry():
+    # the README's headline count must track the live registry — it went
+    # stale twice (153→219→227); this pins it mechanically.
+    import os
+    import re
+
+    from trembita_spark import contract
+
+    contract.load_all()
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    ).read()
+    m = re.search(r"\*\*(\d+) contract queries", readme)
+    assert m, "README headline count sentence missing"
+    assert int(m.group(1)) == len(contract.QUERIES), (
+        f"README says {m.group(1)} but registry has {len(contract.QUERIES)} — "
+        "run tools/update_survey_ledger.py and update README.md"
+    )

@@ -810,6 +810,30 @@ def test_asof_tolerance_masks_stale(spark):
     assert out["2024-01-01 12:00:00"] is None
 
 
+def test_asof_tolerance_subsecond_precision(spark):
+    # the gap is computed at MICROSECOND precision: a match 10.5s stale
+    # with tolerance=10 must be masked (whole-second truncation would
+    # compute gap=10 and wrongly attach it), while 9.5s attaches.
+    from trembita_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:10.500"), (2, "2024-01-01 10:00:09.500")],
+        "k long, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-01 10:00:00", 7.0)],
+        "k long, ts_s string, v double",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    out = {
+        r.k: r.v_asof
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_value_cols=["v"],
+            tolerance_seconds=10,
+        ).collect()
+    }
+    assert out == {1: None, 2: 7.0}
+
+
 def test_query_qualify_top_n(spark):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -871,3 +895,18 @@ def test_cdc_apply_ops(spark):
     )
     out = {r.k: r.v for r in cdc_apply(base, changes, "k").collect()}
     assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_cdc_apply_validate_rejects_duplicate_keys(spark):
+    import pytest
+
+    from trembita_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", "U"), (1, "y", "U")], "k long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        cdc_apply(base, changes, "k", validate=True)
+    # without validate the fan-out is the caller's problem — still runs
+    assert cdc_apply(base, changes, "k").count() == 2

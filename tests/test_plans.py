@@ -249,6 +249,78 @@ def test_budget_select_uses_range_partition_not_global_window(spark):
     assert "rangepartitioning" in plan.lower(), plan
 
 
+def _assert_distributed_positions(plan: str, extra_single: int = 0) -> None:
+    # Position assignment must be the two-phase prefix sum: every
+    # data-bearing row_number window is partitioned by the range-
+    # partition id (never a global, single-partition window), the data
+    # rides a rangepartitioning exchange, and the ONLY SinglePartition
+    # exchanges in the plan feed the tiny per-partition offsets window
+    # (sum(__n) over ≤ num_partitions rows) — plus `extra_single`
+    # explicitly-accounted scalar aggregates.
+    for line in plan.splitlines():
+        if "Window [row_number()" in line:
+            assert "windowspecdefinition(__pid" in line, line
+    assert "rangepartitioning" in plan.lower(), plan
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single == plan.count("Window [sum(__n") + extra_single, plan
+
+
+def test_sort_positions_not_global_window(spark):
+    _assert_distributed_positions(plan_of("q_sort", spark))
+
+
+def test_sort_nulls_positions_not_global_window(spark):
+    _assert_distributed_positions(plan_of("q_sort_nulls", spark))
+
+
+def test_events_rfm_ntile_not_global_window(spark):
+    # ntile(4) is recovered arithmetically from prefix-sum positions +
+    # a broadcast scalar count — no global ntile window anywhere.
+    plan = plan_of("q_events_rfm", spark)
+    assert "ntile" not in plan, plan
+    # extra_single=1: the broadcast scalar total-count aggregate (1 row).
+    _assert_distributed_positions(plan, extra_single=1)
+
+
+def test_topk_per_group_window_group_limit(spark):
+    # rank-filter top-k per group must get Spark 4's WindowGroupLimit
+    # pushdown: each partition pre-prunes to k rows before the final
+    # window instead of materializing full ranks.
+    plan = plan_of("q_topk_per_group", spark)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_agg_qualify_compiles_to_take_ordered(spark):
+    # the GLOBAL row_number<=k QUALIFY must not run a single-partition
+    # window at all — qualify_rank compiles it to TakeOrderedAndProject
+    # (per-partition top-k + k-row merge).
+    plan = plan_of("q_agg_qualify", spark)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_qualify_rank_partitioned_window_group_limit(spark):
+    # the partitioned qualify_rank path materializes the rank value so
+    # the rank<=k filter sits over the Window node and Catalyst inserts
+    # WindowGroupLimit.
+    from pyspark.sql import functions as F
+
+    from trembita_spark.query import Query
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = (
+        Query(df)
+        .group_by(o_custkey="o_custkey", o_orderpriority="o_orderpriority")
+        .aggregate(spend=F.sum("o_totalprice"))
+        .qualify_rank(
+            [F.col("spend").desc()], 3, partition_by=[F.col("o_orderpriority")]
+        )
+        .to_df()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_dedup_paragraph_no_cartesian(spark):
     plan = plan_of("q_dedup_paragraph", spark)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

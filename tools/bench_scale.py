@@ -189,6 +189,64 @@ def q_interpolate(ev):
     return interpolate_linear(ev)
 
 
+def q_rfm(ev):
+    # post-round-5 shape: three chained ntile_exact passes (distributed
+    # prefix-sum + broadcast count) over the per-user purchase aggregate
+    # — the global-ntile replacement whose scaling this case pins.
+    from trembita_spark.operators.ranking import ntile_exact
+
+    agg = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    out = ntile_exact(agg, [F.desc("last_seen"), F.col("user_id")], 4, "r_score")
+    out = ntile_exact(out, [F.desc("frequency"), F.col("user_id")], 4, "f_score")
+    out = ntile_exact(out, [F.desc("monetary"), F.col("user_id")], 4, "m_score")
+    return out
+
+
+def q_window_median(ev):
+    # rolling exact median, 5-row trailing frame per user — the
+    # collect_list-over-frame shape whose growth must stay linear
+    # (state is O(frame)=5 per row, frames recomputed per row).
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid_lo).otherwise((mid_lo + mid_hi) / 2)
+    return ev.select("event_id", "user_id", med.alias("med5"))
+
+
+def q_window_count_distinct(ev):
+    # running size(collect_set) per user over an unbounded-preceding
+    # frame — state O(ndv per user) per row; with the bounded
+    # event_type domain growth must stay linear in rows.
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("types_so_far"),
+    )
+
+
 def synth_embeddings(spark, n):
     # deterministic array<float> column built by expression — measures
     # the covariance moment pass against N without fixture I/O.
@@ -249,6 +307,18 @@ def main():
         "interpolate": (
             lambda: q_interpolate(ev1).count(),
             lambda: q_interpolate(ev8).count(),
+        ),
+        "rfm_ntile": (
+            lambda: q_rfm(ev1).count(),
+            lambda: q_rfm(ev8).count(),
+        ),
+        "window_median": (
+            lambda: q_window_median(ev1).count(),
+            lambda: q_window_median(ev8).count(),
+        ),
+        "window_count_distinct": (
+            lambda: q_window_count_distinct(ev1).count(),
+            lambda: q_window_count_distinct(ev8).count(),
         ),
         "covariance_pass": (
             lambda: q_covariance(synth_embeddings(spark, 50_000)).count(),

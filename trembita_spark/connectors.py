@@ -138,6 +138,24 @@ def jdbc_reader(
     )
 
 
+def socket_stream_reader(
+    spark: SparkSession, host: str, port: int
+) -> DataStreamReader:
+    """Configured TCP socket line-stream reader (core Spark — no
+    connector JAR). The reference's lowest-level streaming input
+    analogue; one line per row in a single ``value`` string column.
+    Single-connection, at-most-once, no offset replay — a smoke/debug
+    source, NOT a production ingest (use Kafka for that); it IS the one
+    streaming connector this sandbox can integration-test end-to-end
+    (tests/test_streaming.py drives it against a real local TCP
+    server)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+    )
+
+
 def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
     """Configured Kafka stream writer: expects ``key``/``value`` binary
     or string columns; checkpointed for exactly-once-per-offset."""

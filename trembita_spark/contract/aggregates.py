@@ -969,16 +969,15 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # QUALIFY through the QL builder (query.py: Query.qualify): filter
-    # the AGGREGATED rows on a window predicate — top-10 spenders via
-    # row_number over the aggregate output, the Snowflake/DuckDB QUALIFY
-    # clause Spark SQL lacks. The builder materializes the window
-    # predicate as a throwaway column (plain filter() rejects window
-    # expressions). Ranking is anchored to the unique (spend desc,
-    # custkey) total order; spend is the decimal-exact sum.
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    # QUALIFY through the QL builder (query.py: Query.qualify_rank):
+    # filter the AGGREGATED rows on a window rank — top-10 spenders, the
+    # Snowflake/DuckDB QUALIFY clause Spark SQL lacks. This is the
+    # GLOBAL row_number <= k shape, so qualify_rank compiles it to
+    # orderBy().limit() → TakeOrderedAndProject (per-partition top-k +
+    # k-row merge) instead of a single-partition global window
+    # (plan-asserted in tests/test_plans.py). Ranking is anchored to the
+    # unique (spend desc, custkey) total order; spend is the
+    # decimal-exact sum.
     return (
         Query(table(spark, sf_dir, "orders"))
         .group_by(o_custkey="o_custkey")
@@ -986,7 +985,7 @@ def q_agg_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
             spend=dsum("o_totalprice", 2),
             n_orders=F.count(F.lit(1)),
         )
-        .qualify(F.row_number().over(w) <= 10)
+        .qualify_rank([F.col("spend").desc(), F.col("o_custkey")], 10)
         .to_df()
     )
 

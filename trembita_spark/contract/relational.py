@@ -251,16 +251,17 @@ def q_flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The sort itself is order-invisible to the hash; materialize the rank
-    # so the total order IS part of the checked values. Spark plans a
-    # range-partitioned sort — no single-node bottleneck.
-    from pyspark.sql.window import Window
-
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .withColumn("pos", F.row_number().over(w))
-    )
+    # so the total order IS part of the checked values. Positions come from
+    # the engine's distributed prefix-sum (`Pipeline.zip_with_index`):
+    # range-partition on the sort key, partition-local row_number, then a
+    # tiny broadcast of per-partition offsets — the data never funnels
+    # through a single-partition global window, so this scales to any
+    # input size (only the ~num_partitions-row offsets frame is serial).
+    o = Pipeline(table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"))
+    out = o.zip_with_index(
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], "pos"
+    ).df
+    return out.withColumn("pos", (F.col("pos") + 1).cast("int"))
 
 
 @register(
@@ -629,19 +630,29 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit null ordering — a real cross-engine trap: Spark defaults
     # to NULLS FIRST on ASC, DuckDB to NULLS LAST. Checked queries must
-    # always say which (discipline rule 6).
-    from pyspark.sql.window import Window
-
+    # always say which (discipline rule 6). Each total order gets its
+    # positions from the distributed prefix-sum (`zip_with_index`) —
+    # range-partitioned, no single-partition global window — and the two
+    # orderings are stitched back on the unique event_id key (a plain
+    # shuffle join, also scale-safe).
     ev = table(spark, sf_dir, "events")
     v = F.when(F.col("value") > 90, F.lit(None)).otherwise(F.col("value"))
-    out = ev.select("event_id", v.alias("v"))
-    w_nf = Window.orderBy(F.col("v").asc_nulls_first(), "event_id")
-    w_nl = Window.orderBy(F.col("v").desc_nulls_last(), "event_id")
-    return out.select(
+    base = ev.select("event_id", v.alias("v"))
+    nf = (
+        Pipeline(base)
+        .zip_with_index([F.col("v").asc_nulls_first(), F.col("event_id")], "pos_nf")
+        .df
+    )
+    nl = (
+        Pipeline(base)
+        .zip_with_index([F.col("v").desc_nulls_last(), F.col("event_id")], "pos_nl")
+        .df.select("event_id", "pos_nl")
+    )
+    return nf.join(nl, "event_id").select(
         "event_id",
         "v",
-        F.row_number().over(w_nf).alias("pos_nf"),
-        F.row_number().over(w_nl).alias("pos_nl"),
+        (F.col("pos_nf") + 1).cast("int").alias("pos_nf"),
+        (F.col("pos_nl") + 1).cast("int").alias("pos_nl"),
     )
 
 
@@ -1247,7 +1258,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.operators.skyline import skyline2d
 
     part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
-    return skyline2d(part, minimize="p_retailprice", maximize="p_size")
+    # hint_broadcast=True is justified HERE (not in the operator's
+    # default): p_retailprice is a bounded price grid, so the frontier
+    # is small by construction.
+    return skyline2d(
+        part, minimize="p_retailprice", maximize="p_size", hint_broadcast=True
+    )
 
 
 from trembita_spark.contract import HEX60_SQL as _H60  # noqa: E402

@@ -425,7 +425,7 @@ _HAV = (
            round(dist, 6) AS dist_km
     FROM d
     QUALIFY row_number() OVER (PARTITION BY c_custkey
-                               ORDER BY dist, station_id) = 1
+                               ORDER BY round(dist, 9), station_id) = 1
     """,
 )
 def q_fn_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +438,9 @@ def q_fn_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles for the distance computation — only the per-key argmin
     # window moves data, and with a broadcast dim that collapses into
     # min_by aggregation shapes. Trig differs by ulps across engines →
-    # round 6 (≈ millimeter grid).
+    # round 6 (≈ millimeter grid) on the OUTPUT, and the argmin ORDER
+    # itself ranks on round(dist, 9) + station_id (not raw trig) so a
+    # near-equidistant pair can't tiebreak differently per engine.
     from pyspark.sql.window import Window
 
     cust = table(spark, sf_dir, "customer").select(
@@ -453,7 +455,7 @@ def q_fn_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         F.expr(_HAV.format(lat1="lat", lon1="lon", lat2="s_lat", lon2="s_lon")),
     )
-    w = Window.partitionBy("c_custkey").orderBy("dist", "station_id")
+    w = Window.partitionBy("c_custkey").orderBy(F.round("dist", 9), "station_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

@@ -951,12 +951,15 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer-scoring rollup: one purchase aggregate per user, then
     # three ntile(4) rankings anchored to unique (metric, user_id)
     # orders so quartile boundaries are deterministic. The aggregate is
-    # partial+final on user_id; the ntiles are three windows over the
-    # (small) per-user table — at 100 TB the aggregate output is
-    # users-sized, orders of magnitude below the event stream.
-    ev = table(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
+    # partial+final on user_id. The ntiles do NOT use a global window
+    # (users-sized is still billions of rows at 100 TB): each score is
+    # `operators.ranking.ntile_exact` — distributed prefix-sum positions
+    # + arithmetic bucket recovery, bit-identical to SQL ntile
+    # (plan-asserted: no `ntile` and no data-bearing single-partition
+    # window in tests/test_plans.py).
+    from trembita_spark.operators.ranking import ntile_exact
 
+    ev = table(spark, sf_dir, "events")
     agg = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -966,14 +969,12 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
         )
     )
-    return agg.select(
-        "user_id",
-        "last_seen",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(Window.orderBy(F.desc("last_seen"), "user_id")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_score"),
+    out = ntile_exact(agg, [F.desc("last_seen"), F.col("user_id")], 4, "r_score")
+    out = ntile_exact(out, [F.desc("frequency"), F.col("user_id")], 4, "f_score")
+    out = ntile_exact(out, [F.desc("monetary"), F.col("user_id")], 4, "m_score")
+    return out.select(
+        "user_id", "last_seen", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

@@ -76,10 +76,14 @@ def asof_join(
     if tolerance_seconds is not None:
         rts = F.when(F.col("__side") == 0, F.col(ts))
         out = out.withColumn("__m_ts", pick(rts, ignorenulls=True).over(w))
-        gap = F.abs(
-            F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.col("__m_ts"))
+        # microsecond-precision gap: unix_timestamp() truncates to whole
+        # seconds, which silently widens the tolerance by up to 1s on
+        # sub-second timestamps (matches pandas merge_asof semantics and
+        # the fractional epoch() the oracles use).
+        gap = F.abs(F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__m_ts")))
+        keep = F.col("__m_ts").isNotNull() & (
+            gap <= F.lit(int(tolerance_seconds * 1_000_000))
         )
-        keep = F.col("__m_ts").isNotNull() & (gap <= tolerance_seconds)
     result = out.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
         *[

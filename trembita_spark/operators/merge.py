@@ -85,13 +85,22 @@ def snapshot_diff(
     )
 
 
-def cdc_apply(base: DataFrame, changes: DataFrame, key: str, op_col: str = "op") -> DataFrame:
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    validate: bool = False,
+) -> DataFrame:
     """Apply a full CDC batch (``op`` ∈ {'I','U','D'}) onto a snapshot:
     deletes drop the key, updates/inserts win wholesale (same row-wise
     rule as :func:`merge_upsert`). If a key appears multiple times in
     the batch the caller must pre-collapse to the LAST op per key
-    (standard CDC compaction) — asserted here by requiring key
-    uniqueness upstream rather than guessing an order.
+    (standard CDC compaction) — that uniqueness is the CALLER's
+    responsibility by default (a duplicate key silently fans out rows
+    through the full-outer join); pass ``validate=True`` to pay one
+    extra aggregate over the (small) change batch and fail loudly
+    instead.
 
     Shape: ONE full-outer join on the key (deletes are just matched
     rows where no output is produced) — same single co-partitioned
@@ -100,6 +109,19 @@ def cdc_apply(base: DataFrame, changes: DataFrame, key: str, op_col: str = "op")
     """
     data_cols = [c for c in changes.columns if c != op_col]
     assert set(base.columns) == set(data_cols), "schemas must match"
+    if validate:
+        dup = (
+            changes.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"cdc_apply: duplicate key {dup[0][0]!r} in change batch — "
+                "compact to the last op per key before applying"
+            )
     cols = base.columns
     b = base.select([F.col(c).alias(f"b_{c}") for c in cols])
     c = changes.select(

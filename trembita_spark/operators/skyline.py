@@ -31,12 +31,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def skyline2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+def skyline2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    hint_broadcast: bool | None = None,
+) -> DataFrame:
     """Rows of ``df`` not strictly dominated on (minimize ↓, maximize ↑).
 
     Duplicate (minimize, maximize) points dominate each other only
     non-strictly, so ties all survive — same convention as the NOT
     EXISTS strict-dominance oracle.
+
+    ``hint_broadcast``: the frontier is bounded by the minimized
+    dimension's cardinality — exactly the quantity the module docstring
+    warns can be huge — so the join-back is NOT force-broadcast by
+    default (None lets Catalyst/AQE pick from its runtime size
+    estimate). Pass True only when the caller can bound that
+    cardinality (e.g. a price grid or enum dimension).
     """
     lo, hi = F.col(minimize), F.col(maximize)
     per_value = df.groupBy(minimize).agg(F.max(maximize).alias("_best"))
@@ -50,4 +62,6 @@ def skyline2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
         .select(minimize, F.col("_best").alias(maximize))
     )
     # recover every tied original row (and its other columns)
-    return df.join(F.broadcast(frontier), [minimize, maximize], "left_semi")
+    if hint_broadcast:
+        frontier = F.broadcast(frontier)
+    return df.join(frontier, [minimize, maximize], "left_semi")

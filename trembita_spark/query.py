@@ -134,6 +134,7 @@ class Query:
         self._mode: str = "groupBy"  # groupBy | rollup | cube
         self._with_grouping_id: str | None = None
         self._qualify: list[Column] = []
+        self._qualify_rank: list[tuple[str, list, list, int]] = []
 
     def where(self, cond: Column) -> "Query":
         self._where.append(cond)
@@ -199,6 +200,34 @@ class Query:
         self._qualify.append(cond)
         return self
 
+    def qualify_rank(
+        self,
+        order_by: "list[Column]",
+        k: int,
+        partition_by: "tuple[Column | str, ...] | list" = (),
+        fn: str = "row_number",
+    ) -> "Query":
+        """The dominant QUALIFY shape — ``rank-like() OVER w <= k`` —
+        compiled to the scale-correct plan for each case:
+
+        - ``partition_by`` given: the rank VALUE becomes a throwaway
+          column and the filter stays a literal ``col <= k`` comparison
+          directly over the Window node, so Catalyst's WindowGroupLimit
+          rewrite fires (each partition pre-prunes to k rows before the
+          final window). The generic :meth:`qualify` boolean-column path
+          cannot trigger that rewrite.
+        - no ``partition_by`` and ``fn == "row_number"``: a global
+          row_number window would funnel ALL rows through one partition;
+          instead this compiles to ``orderBy(...).limit(k)``, which
+          Spark plans as TakeOrderedAndProject — per-partition top-k
+          then a k-row merge, no global sort, no global window. (rank/
+          dense_rank keep ties, so they stay on the window path.)
+        """
+        if fn not in ("row_number", "rank", "dense_rank"):
+            raise QueryBuildError(f"qualify_rank: unsupported rank fn {fn!r}")
+        self._qualify_rank.append((fn, list(order_by), list(partition_by), int(k)))
+        return self
+
     def order_by(self, *cols: Column | str) -> "Query":
         self._order.extend(F.col(c) if isinstance(c, str) else c for c in cols)
         return self
@@ -246,6 +275,24 @@ class Query:
             # Spark's filter() rejects window expressions directly.
             tmp = f"__qualify_{i}"
             out = out.withColumn(tmp, cond).filter(F.col(tmp)).drop(tmp)
+        for i, (fn, order_by, partition_by, k) in enumerate(self._qualify_rank):
+            if not partition_by and fn == "row_number":
+                # global top-k → TakeOrderedAndProject (no global window)
+                out = out.orderBy(*order_by).limit(k)
+                continue
+            # rank VALUE as the throwaway column so the filter is a
+            # literal comparison over the Window — Catalyst pushes it
+            # through the Project and inserts WindowGroupLimit.
+            from pyspark.sql.window import Window as _W
+
+            w = (
+                _W.partitionBy(*partition_by).orderBy(*order_by)
+                if partition_by
+                else _W.orderBy(*order_by)
+            )
+            tmp = f"__qualify_rank_{i}"
+            rank = getattr(F, fn)().over(w)
+            out = out.withColumn(tmp, rank).filter(F.col(tmp) <= k).drop(tmp)
         if self._order:
             out = out.orderBy(*self._order)
         return out
