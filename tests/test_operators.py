@@ -910,3 +910,51 @@ def test_cdc_apply_validate_rejects_duplicate_keys(spark):
         cdc_apply(base, changes, "k", validate=True)
     # without validate the fan-out is the caller's problem — still runs
     assert cdc_apply(base, changes, "k").count() == 2
+
+
+def test_canonical_url_edges(spark):
+    from trembita_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://WWW.Site.COM:80/a?utm_x=1",),      # http default port + only-utm query
+            ("https://site.com/a?z=2&a=1#frag",),        # param sort + fragment
+            ("https://site.com:8443/a",),                # non-default port kept
+            ("https://other.com",),                      # empty path -> /
+        ],
+        "u string",
+    )
+    out = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert out == [
+        "http://site.com/a",
+        "https://site.com/a?a=1&z=2",
+        "https://site.com:8443/a",
+        "https://other.com/",
+    ]
+
+
+def test_interval_overlap_join_half_open_and_buckets(spark):
+    # touching intervals ([0,10) vs [10,20)) must NOT match (half-open);
+    # an interval spanning multiple buckets must match exactly once.
+    from trembita_spark.operators.joins import interval_overlap_join
+
+    def ts(sec):
+        return f"1970-01-01 00:00:{sec:06.3f}"
+
+    left = spark.createDataFrame(
+        [(1, "a", ts(0), ts(10)), (2, "a", ts(30), ts(50))],
+        "lid long, k string, s_s string, e_s string",
+    ).selectExpr("lid", "k", "CAST(s_s AS TIMESTAMP) AS ls", "CAST(e_s AS TIMESTAMP) AS le")
+    right = spark.createDataFrame(
+        [(10, "a", ts(10), ts(20)),      # touches interval 1 -> no match
+         (11, "a", ts(29), ts(55)),      # spans 3+ buckets over interval 2
+         (12, "a", ts(9.999), ts(12))],  # 1ms overlap with interval 1
+        "rid long, k string, s_s string, e_s string",
+    ).selectExpr("rid", "k", "CAST(s_s AS TIMESTAMP) AS rs", "CAST(e_s AS TIMESTAMP) AS re")
+    out = interval_overlap_join(
+        left, right, on="k",
+        left_start="ls", left_end="le", right_start="rs", right_end="re",
+        bucket_seconds=10,
+    ).select("lid", "rid").collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    assert pairs == [(1, 12), (2, 11)], pairs

@@ -529,3 +529,48 @@ def test_band_join_is_hash_join(spark):
     plan = plan_of("q_join_band", spark)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_no_cartesian(spark):
+    # interval overlap must candidate via the (key, bucket) hash
+    # equi-join — never a per-key cartesian / nested-loop theta join.
+    plan = plan_of("q_join_interval_overlap", spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sample_reservoir_window_group_limit(spark):
+    # per-group reservoir-k rides rank<=k over a partitioned window →
+    # WindowGroupLimit pre-prunes each task to k rows per group.
+    plan = plan_of("q_sample_reservoir", spark)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_zipf_ranks_not_global_window(spark):
+    # vocabulary ranks come from the distributed prefix-sum, not a
+    # global row_number window over the whole vocab.
+    _assert_distributed_positions(plan_of("q_text_zipf", spark))
+
+
+def test_dedup_url_expression_only(spark):
+    # canonicalization is pure expression: no Python eval node, and the
+    # only exchange is the canonical-string groupBy.
+    plan = plan_of("q_dedup_url", spark)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_embedding_quantize_broadcasts_stats(spark):
+    # the 64-row per-dim stats frame must broadcast back to the exploded
+    # values — never a sort-merge of the corpus against itself.
+    plan = plan_of("q_embedding_quantize", spark)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_attribution_single_shuffle_asof(spark):
+    # attribution is the as-of join: one user_id shuffle + window, no
+    # range-explosion join.
+    plan = plan_of("q_events_attribution", spark)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 3, plan

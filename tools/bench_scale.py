@@ -312,13 +312,16 @@ def main():
             lambda: q_rfm(ev1).count(),
             lambda: q_rfm(ev8).count(),
         ),
+        # .count() would let column pruning DELETE the window node (the
+        # measurement then times a bare scan) — sum over the window
+        # output forces full evaluation.
         "window_median": (
-            lambda: q_window_median(ev1).count(),
-            lambda: q_window_median(ev8).count(),
+            lambda: q_window_median(ev1).agg(F.sum("med5")).collect(),
+            lambda: q_window_median(ev8).agg(F.sum("med5")).collect(),
         ),
         "window_count_distinct": (
-            lambda: q_window_count_distinct(ev1).count(),
-            lambda: q_window_count_distinct(ev8).count(),
+            lambda: q_window_count_distinct(ev1).agg(F.sum("types_so_far")).collect(),
+            lambda: q_window_count_distinct(ev8).agg(F.sum("types_so_far")).collect(),
         ),
         "covariance_pass": (
             lambda: q_covariance(synth_embeddings(spark, 50_000)).count(),

@@ -518,3 +518,51 @@ def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_join(p, c, "p_value", "c_value", 0.05).select(
         "purchase_id", "click_id", "p_value", "c_value"
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM p JOIN c ON p.user_id = c.user_id AND p.s < c.e AND c.s < p.e
+    GROUP BY p.user_id
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval OVERLAP join — both sides carry [start, end) intervals
+    # (purchase windows × click windows per user), a shape distinct from
+    # range join (point-in-interval) and band join (|a-b| <= eps). The
+    # oracle is the naive per-key theta join; the Spark side is
+    # operators/joins.py interval_overlap_join: explode each interval to
+    # covered 30-min buckets, ONE (user, bucket) hash equi-join, dedup,
+    # exact µs-precision predicate — work ∝ matches, never per-key n·m.
+    from trembita_spark.operators.joins import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_e"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("c_e"),
+    )
+    pairs = interval_overlap_join(
+        p, c, on="user_id",
+        left_start="p_s", left_end="p_e",
+        right_start="c_s", right_end="c_e",
+        bucket_seconds=1800,
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlap"))

@@ -1940,3 +1940,195 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decoded.select("doc_id", "format", "width", "height")
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             'https://mirror' || (doc_id % 4) || '.example.com/docs/' ||
+             (doc_id % 50) || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 3)
+               AS url_canon
+      FROM documents
+    )
+    SELECT url_canon, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM canon GROUP BY 1
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL-canonicalization dedup — the first pass of every web-corpus
+    # pipeline: the same page arrives under scheme/host case variants,
+    # www prefixes, default ports, utm_* tracking params, shuffled query
+    # order, and fragments. The Spark side synthesizes a deliberately
+    # MESSY url per doc (fixtures carry no url column) and runs it
+    # through operators/text.py canonical_url (pure expression,
+    # codegen); the oracle derives the expected canonical form
+    # INDEPENDENTLY from doc_id arithmetic — parity proves the parser
+    # implements the canonicalization spec, not just that two copies of
+    # the same code agree. One hash shuffle on the canonical string.
+    doc = table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Mirror"), (d % 4).cast("string"),
+        F.lit(".Example.COM:443/docs/"), (d % 50).cast("string"),
+        F.lit("?utm_source=feed&b="), (d % 3).cast("string"),
+        F.lit("&a="), (d % 5).cast("string"),
+        F.lit("&utm_id=9#sec"), (d % 7).cast("string"),
+    )
+    return (
+        doc.select("doc_id", TX.canonical_url(messy).alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+@register(
+    "q_sample_reservoir",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic reservoir-k per group (k=5 docs per language): rank
+    # every row by a salt-free md5 of its key — a uniform, engine-
+    # independent pseudo-random order — and keep the first k per
+    # partition. Retry/speculation-stable (no RNG, same discipline as
+    # q_sample_weighted) and the rank<=k filter over a PARTITIONED
+    # window gets Spark 4's WindowGroupLimit pushdown: each task
+    # pre-prunes to k rows per group before the final window, so the
+    # shuffle carries ~k·groups rows, not the corpus.
+    from pyspark.sql.window import Window
+
+    doc = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        doc.select("doc_id", "lang", F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
+@register(
+    "q_text_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1
+    ),
+    ranked AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM vocab
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, token, freq
+    FROM ranked WHERE (rnk & (rnk - 1)) = 0
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf rank-frequency checkpoints: the vocabulary's frequency curve
+    # sampled at power-of-two ranks (1, 2, 4, 8, …) — the standard
+    # corpus-health fingerprint (a natural corpus tracks freq ∝ 1/rank;
+    # boilerplate floods show up as a flat head, OCR noise as a fat
+    # tail). All-integer output — no log-regression floats to drift
+    # across engines. Ranks come from the distributed prefix-sum
+    # (zip_with_index), NOT a global row_number window, so the vocab
+    # table (100M+ types at 100 TB) never funnels through one task; the
+    # power-of-two filter is a bitwise expression.
+    from trembita_spark.pipeline import Pipeline
+
+    doc = table(spark, sf_dir, "documents")
+    vocab = (
+        doc.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = (
+        Pipeline(vocab)
+        .zip_with_index([F.desc("freq"), F.col("token")], "__r0")
+        .df.withColumn("rnk", F.col("__r0") + 1)
+        .drop("__r0")
+    )
+    return ranked.where(
+        F.col("rnk").bitwiseAND(F.col("rnk") - 1) == 0
+    ).select("rnk", "token", "freq")
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    x AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, dims
+    ),
+    st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim),
+    qq AS (
+      SELECT x.dim, x.v, st.lo, st.hi,
+             CASE WHEN st.hi = st.lo THEN 0
+                  ELSE LEAST(255, CAST(floor((x.v - st.lo) / (st.hi - st.lo) * 256) AS INT))
+             END AS q
+      FROM x JOIN st USING (dim)
+    ),
+    r AS (
+      SELECT dim, q,
+             abs(v - (lo + (CAST(q AS DOUBLE) + 0.5) * (hi - lo) / 256)) AS err
+      FROM qq
+    )
+    SELECT dim, min(q) AS q_lo, max(q) AS q_hi,
+           CAST(sum(CAST(err AS DECIMAL(18,12))) AS DOUBLE) AS sum_abs_err,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY dim
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar (int8-style) quantization of the embedding column — the
+    # standard 4× memory compression before ANN serving: per-dimension
+    # [min, max] ranges (one tiny 64-row aggregate, broadcast back),
+    # each value floored onto a 256-level grid, plus per-dim
+    # reconstruction-error accounting. Everything is exact IEEE
+    # arithmetic (sub/div/mul/floor — deterministic in any engine; no
+    # round(), whose half-tie behavior diverges) and the error sum goes
+    # through the decimal trick (discipline rule 4). At 100 TB: explode
+    # → one (dim) partial+final agg → broadcast join → map-side
+    # quantize; nothing shuffles the corpus twice.
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fv")
+    ).select("vec_id", "dim", F.col("fv").cast("double").alias("v"))
+    st = x.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    j = x.join(F.broadcast(st), "dim")
+    scale = F.col("hi") - F.col("lo")
+    q = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.floor((F.col("v") - F.col("lo")) / scale * 256).cast("int"),
+        )
+    )
+    err = F.abs(F.col("v") - (F.col("lo") + (q.cast("double") + 0.5) * scale / 256))
+    return (
+        j.select("dim", q.alias("q"), err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.min("q").alias("q_lo"),
+            F.max("q").alias("q_hi"),
+            F.sum(F.col("err").cast("decimal(18,12)")).cast("double").alias("sum_abs_err"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

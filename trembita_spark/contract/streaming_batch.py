@@ -1024,3 +1024,58 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("run_start"),
         F.max("ts").alias("run_end"),
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts, max(c.click_ts) AS last_click
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.click_ts <= p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN last_click IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(last_click) <= 3600000000
+                THEN last_click END AS attrib_click_ts,
+           (last_click IS NOT NULL
+            AND epoch_us(ts) - epoch_us(last_click) <= 3600000000) AS attributed
+    FROM m
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Last-touch marketing attribution: each purchase attributes to the
+    # user's most recent click within a 1-hour lookback, else counts as
+    # organic. This is exactly the as-of join with tolerance
+    # (operators/joins.py asof_join — ONE shuffle on user_id, union +
+    # running-window, µs-precision staleness mask), reused as a product
+    # query rather than a quote-matching one; the oracle derives the
+    # same answer independently via greatest-click-per-purchase
+    # aggregation. Ties (click at the purchase µs) attach, as in the
+    # oracle's <=.
+    from trembita_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        p, c, on="user_id", ts="ts", right_value_cols=["click_ts"],
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_ts_asof").alias("attrib_click_ts"),
+        F.col("click_ts_asof").isNotNull().alias("attributed"),
+    )

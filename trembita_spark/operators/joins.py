@@ -243,3 +243,48 @@ def band_join(
         .where(F.abs(F.col(left_val) - F.col(right_val)) <= delta)
         .drop("__band")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Join interval rows that OVERLAP: ``l_start < r_end AND r_start <
+    l_end`` (half-open [start, end) semantics), equi-keyed on ``on``.
+
+    Distinct from :func:`range_join` (point-in-interval) and
+    :func:`band_join` (|a-b| <= eps): both sides carry intervals. A raw
+    theta join is a per-key cartesian; instead each interval explodes to
+    the time buckets it covers (bucket = ``bucket_seconds``), candidates
+    come from ONE (key, bucket) hash equi-join, duplicates from
+    multi-bucket spans drop with a distinct, and the exact predicate
+    filters last. Work is ∝ overlaps + bucket collisions, never n·m per
+    key. Pick ``bucket_seconds`` ≈ the typical interval length: each
+    interval then explodes to ≤ len/bucket + 1 rows (the 100 TB knob —
+    too small explodes rows, too big degrades toward per-key cartesian).
+
+    Microsecond-exact: bucket ids and the predicate compare
+    ``unix_micros``, no whole-second truncation.
+    """
+    B = int(bucket_seconds) * 1_000_000
+
+    def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        # half-open: an interval ending exactly on a boundary does not
+        # cover that bucket (e-1µs), guarded for degenerate e <= s.
+        lo = F.floor(F.unix_micros(F.col(s)) / B)
+        hi = F.floor((F.greatest(F.unix_micros(F.col(e)) - 1, F.unix_micros(F.col(s)))) / B)
+        return df.withColumn("__bkt", F.explode(F.sequence(lo, hi)))
+
+    lb = buckets(left, left_start, left_end)
+    rb = buckets(right, right_start, right_end)
+    joined = lb.join(rb, [on, "__bkt"]).drop("__bkt").distinct()
+    keep = (
+        F.unix_micros(F.col(left_start)) < F.unix_micros(F.col(right_end))
+    ) & (F.unix_micros(F.col(right_start)) < F.unix_micros(F.col(left_end)))
+    return joined.where(keep)

@@ -331,3 +331,36 @@ def repetition_signals(
         .agg((F.max("c").cast("double") / F.sum("c")).alias("top_token_share"))
     )
     return per_row.join(top, "doc_id")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for corpus dedup: lowercase scheme+host,
+    strip a leading ``www.``, drop default ports (``:443`` https /
+    ``:80`` http), drop the fragment, remove ``utm_*`` tracking params,
+    and sort the surviving query params. Pure expression (whole-stage
+    codegen) — the shuffle that groups identical canonical URLs is the
+    only data movement a dedup over this column needs.
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(base, r"^[^:]+://([^/]*)", 1))
+    path = F.regexp_extract(base, r"^[^:]+://[^/]*(/.*)?$", 1)
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .otherwise(host)
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    path_norm = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(scheme, F.lit("://"), host, path_norm, qpart)
