@@ -395,3 +395,78 @@ def test_kcore_peel_matches_reference(spark, es, k):
     df = spark.createDataFrame(sorted(und), "src long, dst long")
     got = {r.node: r.deg for r in kcore_peel(df, k=k, rounds=3).collect()}
     assert got == expect
+
+
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_ntile_exact_matches_sql_ntile(spark, n, k):
+    """ntile_exact (prefix-sum + arithmetic buckets) must equal Spark's
+    own global ntile window for every (n rows, k tiles) hypothesis
+    draws — including n < k and n % k != 0 edge splits."""
+    from pyspark.sql.window import Window
+
+    from trembita_spark.operators.ranking import ntile_exact
+
+    if n == 0:
+        df = spark.createDataFrame([], "id long, v long")
+    else:
+        df = spark.range(n).select(
+            "id", ((F.col("id") * 37) % 101).alias("v")
+        )
+    got = {
+        r.id: r.t
+        for r in ntile_exact(df, [F.col("v"), F.col("id")], k, "t").collect()
+    }
+    w = Window.orderBy(F.col("v"), F.col("id"))
+    want = {r.id: r.t for r in df.select("id", F.ntile(k).over(w).alias("t")).collect()}
+    assert got == want
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),    # key
+            st.integers(min_value=0, max_value=80),   # start sec
+            st.integers(min_value=1, max_value=25),   # length sec
+        ),
+        min_size=0,
+        max_size=14,
+    ),
+    bucket=st.integers(min_value=3, max_value=40),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_matches_bruteforce(spark, ivs, bucket):
+    """bucket-gridded interval_overlap_join == brute-force O(n²) overlap
+    check, for ANY bucket size (bucketing affects cost, never results)."""
+    import datetime as dt
+
+    from trembita_spark.operators.joins import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + ln))
+        for i, (k, s, ln) in enumerate(ivs)
+    ]
+    schema = "iid long, k long, s timestamp, e timestamp"
+    left = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    right = (
+        left.selectExpr("iid AS jid", "k", "s AS rs", "e AS re")
+    )
+    got = {
+        (r.iid, r.jid)
+        for r in interval_overlap_join(
+            left, right, on="k",
+            left_start="s", left_end="e", right_start="rs", right_end="re",
+            bucket_seconds=bucket,
+        ).collect()
+    }
+    want = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[1] == b[1] and a[2] < b[3] and b[2] < a[3]
+    }
+    assert got == want

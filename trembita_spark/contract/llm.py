@@ -2132,3 +2132,57 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q_corpus_temperature_mix",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,12)) AS w_raw
+      FROM t
+    ),
+    s AS (SELECT sum(w_raw) AS tot FROM w)
+    SELECT source, n_tokens,
+           round(CAST(w_raw AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS weight
+    FROM w, s
+    """,
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-scaled mixture weights (α = 0.5) — the multilingual /
+    # multi-domain sampling scheme: w_s ∝ n_s^α upweights small sources
+    # relative to proportional sampling. sqrt is IEEE-correctly-rounded
+    # (bit-exact in any engine); the cross-source normalizer sums the
+    # per-source sqrt through the decimal trick so merge order can't
+    # drift it. Cost: one token-count aggregate (partial+final), then
+    # arithmetic over |sources| rows; checkpointed because the tiny
+    # aggregate feeds both the weight list and the normalizer (branches
+    # never share subtrees).
+    docs = table(spark, sf_dir, "documents")
+    agg = (
+        docs.select("source", F.size(F.split("text", " ")).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .withColumn(
+            "w_raw",
+            F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(18,12)"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = agg.agg(F.sum("w_raw").alias("tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        # round-9 on the closed form: the decimal->double CAST of the
+        # normalizer can differ by 1 ulp between engines (same effect as
+        # q_agg_regression documents); weight <= 1 makes the ulp error
+        # ~1e-17, far inside the 5e-10 half-grid (parity rule 5).
+        F.round(
+            F.col("w_raw").cast("double") / F.col("tot").cast("double"), 9
+        ).alias("weight"),
+    )

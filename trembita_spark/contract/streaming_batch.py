@@ -1079,3 +1079,52 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts_asof").alias("attrib_click_ts"),
         F.col("click_ts_asof").isNotNull().alias("attributed"),
     )
+
+
+@register(
+    "q_ts_downsample_m4",
+    oracle="""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           min_by(value, ord) AS first_v,
+           max_by(value, ord) AS last_v
+    FROM e GROUP BY bucket
+    """,
+)
+def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M4 downsampling — the visualization-grade time-series reduction:
+    # per time bucket keep min/max/first/last, which provably preserves
+    # the rendered line at the target pixel width. ONE partial+final
+    # hash aggregate (min/max/min_by/max_by are all monoids — the
+    # shuffle carries |buckets|, not |rows|). first/last order by a
+    # padded (epoch_us, event_id) STRING — a unique scalar total order
+    # both engines compare identically (rule 6: never order min_by/
+    # max_by on a tie-prone value).
+    ev = table(spark, sf_dir, "events")
+    ord_str = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "value",
+            ord_str.alias("ord"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.min_by("value", "ord").alias("first_v"),
+            F.max_by("value", "ord").alias("last_v"),
+        )
+    )
