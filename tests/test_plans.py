@@ -574,3 +574,10 @@ def test_attribution_single_shuffle_asof(spark):
     plan = plan_of("q_events_attribution", spark)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_multimodal_resize_no_shuffle(spark):
+    # synth → decode+resize are chained mapInPandas over the same rows;
+    # nothing groups or joins, so no exchange may appear.
+    plan = plan_of("q_multimodal_resize", spark)
+    assert "Exchange" not in plan, plan

@@ -2186,3 +2186,45 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w_raw").cast("double") / F.col("tot").cast("double"), 9
         ).alias("weight"),
     )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INT) AS width,
+             CAST(8 + doc_id % 12 AS INT) AS height,
+             doc_id % 256 AS seed
+      FROM documents
+    ),
+    uv AS (
+      SELECT u.u, v.v
+      FROM (SELECT unnest(generate_series(0, 3)) AS u) u,
+           (SELECT unnest(generate_series(0, 3)) AS v) v
+    ),
+    px AS (
+      SELECT d.doc_id, d.width, d.height, d.seed,
+             CAST(floor(uv.u * d.width / 4) AS BIGINT) AS x,
+             CAST(floor(uv.v * d.height / 4) AS BIGINT) AS y
+      FROM d, uv
+    )
+    SELECT doc_id, width, height,
+           CAST(sum((7 * x + 13 * y + 0 + seed) % 256) AS BIGINT) AS r_sum,
+           CAST(sum((7 * x + 13 * y + 3 + seed) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((7 * x + 13 * y + 6 + seed) % 256) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id, width, height
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Image RESIZE over the REAL decode path (the one multimodal verb
+    # the brief lists that wasn't yet a key): synthesize a true
+    # PNG/BMP per doc (pixel (x,y,c) = (7x+13y+3c+seed) mod 256, all 5
+    # PNG filter types exercised), decode it back, nearest-neighbor
+    # resample to a 4×4 grid, and emit exact integer channel sums of
+    # the resampled pixels. The oracle recomputes those sums in closed
+    # form from doc_id arithmetic — a resize bug (coordinate rounding,
+    # stride, channel order) breaks parity. Arrow-batched mapInPandas,
+    # zero shuffle, output O(rows).
+    docs = M.attach_pixel_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    return M.resize_stats(docs)

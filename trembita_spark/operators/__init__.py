@@ -13,10 +13,12 @@ from trembita_spark.operators.dedup import (
     simhash,
 )
 from trembita_spark.operators.fsm import fsm_scan, sessionize, sessionize_fsm
-from trembita_spark.operators.joins import asof_join, range_join
+from trembita_spark.operators.joins import asof_join, interval_overlap_join, range_join
 from trembita_spark.operators.multimodal import attach_payload, extract_features
+from trembita_spark.operators.ranking import ntile_exact
 from trembita_spark.operators.similarity import cosine_pairs_within, cosine_topk, ivf_topk
 from trembita_spark.operators.text import (
+    canonical_url,
     fingerprint,
     lang_id,
     quality_features,
@@ -30,6 +32,8 @@ __all__ = [
     "sessionize",
     "sessionize_fsm",
     "asof_join",
+    "interval_overlap_join",
+    "ntile_exact",
     "range_join",
     "exact_dedup",
     "minhash_lsh_candidates",
@@ -44,6 +48,7 @@ __all__ = [
     "quality_features",
     "token_counts",
     "fingerprint",
+    "canonical_url",
     "attach_payload",
     "extract_features",
 ]

@@ -568,3 +568,56 @@ def audio_features(df: DataFrame, payload_col: str = "audio", id_col: str = "doc
         feats,
         f"{id_col} long, sample_rate int, n_samples int, energy long, zero_crossings int",
     )
+
+
+def resize_stats(
+    df: DataFrame,
+    payload_col: str = "image",
+    id_col: str = "doc_id",
+    out_w: int = 4,
+    out_h: int = 4,
+) -> DataFrame:
+    """REAL decode + nearest-neighbor resize to (out_w, out_h), reduced
+    to exact integer channel sums over the resampled grid — the
+    thumbnail/normalization step of an image-training pipeline. Sample
+    coordinate for output (u, v) is ``x = u*width // out_w`` (floor
+    nearest-neighbor, pure integer math — engine-replayable in closed
+    form). Arrow-batched mapInPandas, one tiny row out per image
+    regardless of pixel count; undecodable payloads degrade to -1 rows
+    (filterable, never throwing the batch)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _fmt, w, h, px = decode_image_pixels(bytes(buf))
+                    rs = gs = bs = 0
+                    for v in range(out_h):
+                        y = (v * h) // out_h
+                        for u in range(out_w):
+                            x = (u * w) // out_w
+                            base = (y * w + x) * 3
+                            rs += px[base]
+                            gs += px[base + 1]
+                            bs += px[base + 2]
+                    rows.append(
+                        {
+                            id_col: _id, "width": w, "height": h,
+                            "r_sum": rs, "g_sum": gs, "b_sum": bs,
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            id_col: _id, "width": -1, "height": -1,
+                            "r_sum": -1, "g_sum": -1, "b_sum": -1,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats,
+        f"{id_col} long, width int, height int, "
+        "r_sum long, g_sum long, b_sum long",
+    )
