@@ -958,3 +958,46 @@ def test_interval_overlap_join_half_open_and_buckets(spark):
     ).select("lid", "rid").collect()
     pairs = sorted((r.lid, r.rid) for r in out)
     assert pairs == [(1, 12), (2, 11)], pairs
+
+
+def test_asof_join_nearest(spark):
+    from trembita_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(10), 11.0)], "sym long, ts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(4), 100),   # closer to ts(0)  -> 10.0
+         (1, ts(6), 200),   # closer to ts(10) -> 11.0
+         (1, ts(5), 300),   # equidistant      -> backward tie: 10.0
+         (2, ts(5), 400)],  # no quotes        -> null
+        "sym long, ts timestamp, qty long",
+    )
+    out = {
+        r.qty: r.px_asof
+        for r in asof_join(
+            trades, quotes, on="sym", ts="ts", right_value_cols=["px"],
+            direction="nearest",
+        ).collect()
+    }
+    assert out == {100: 10.0, 200: 11.0, 300: 10.0, 400: None}
+
+
+def test_asof_join_nearest_tolerance(spark):
+    from trembita_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0)], "sym long, ts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(4), 100), (1, ts(20), 200)], "sym long, ts timestamp, qty long"
+    )
+    out = {
+        r.qty: r.px_asof
+        for r in asof_join(
+            trades, quotes, on="sym", ts="ts", right_value_cols=["px"],
+            direction="nearest", tolerance_seconds=600,
+        ).collect()
+    }
+    # ts(4) is 4 min away (<=10min) -> attaches; ts(20) is 20 min -> masked
+    assert out == {100: 10.0, 200: None}

@@ -581,3 +581,32 @@ def test_multimodal_resize_no_shuffle(spark):
     # nothing groups or joins, so no exchange may appear.
     plan = plan_of("q_multimodal_resize", spark)
     assert "Exchange" not in plan, plan
+
+
+def test_asof_nearest_one_exchange(spark):
+    # 'nearest' runs BOTH direction windows over the SAME user_id
+    # partitioning: still one data exchange (plus AQE bookkeeping),
+    # never a join.
+    plan = plan_of("q_join_asof_nearest", spark)
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ohlc_rollup_no_window_no_rescan(spark):
+    # day bars merge hour bars: two partial+final aggregates, no window
+    # sort, and exactly one scan of the events source.
+    plan = plan_of("q_ts_ohlc_rollup", spark)
+    assert "Window" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_near_verified_no_cartesian(spark):
+    # verify stage joins the shingle index to CANDIDATE pairs only —
+    # no all-pairs blowup anywhere in the plan.
+    plan = plan_of("q_dedup_near_verified", spark)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degree_hist_partial_final(spark):
+    plan = plan_of("q_graph_degree_hist", spark)
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs, each partial+final

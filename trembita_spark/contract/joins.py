@@ -566,3 +566,52 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=1800,
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             max(CASE WHEN c.ts <= p.ts THEN c.ts END) AS bt,
+             min(CASE WHEN c.ts >= p.ts THEN c.ts END) AS ft
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
+      GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN bt IS NULL THEN ft
+                WHEN ft IS NULL THEN bt
+                WHEN epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts)
+                  THEN bt
+                ELSE ft END AS nearest_click_ts
+    FROM m
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The third merge_asof direction: 'nearest' attaches whichever
+    # neighboring right row is closer in event time (µs-exact gaps,
+    # ties to backward). Implementation stays ONE shuffle on user_id —
+    # both direction windows share the partitioning, only the window
+    # sort runs twice — vs the oracle's independent per-key min/max
+    # aggregation formulation. Attaching the matched TS itself keeps
+    # the checked value unambiguous when several clicks tie (rule 6).
+    from trembita_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        p, c, on="user_id", ts="ts", right_value_cols=["click_ts"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("click_ts_asof").alias("nearest_click_ts")
+    )

@@ -2228,3 +2228,50 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero shuffle, output O(rows).
     docs = M.attach_pixel_payload(table(spark, sf_dir, "documents").select("doc_id"))
     return M.resize_stats(docs)
+
+
+@register(
+    "q_dedup_near_verified",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
+    sig AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ds GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN ds da ON da.doc_id = c.doc_a
+      JOIN ds db ON db.doc_id = c.doc_b AND db.s = da.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.25
+    """,
+)
+def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full two-stage near-dup pipeline (candidates → verify):
+    # MinHash-LSH recall stage (bucket-local pair expansion, identical
+    # to q_dedup_near) followed by EXACT trigram-Jaccard verification
+    # computed ONLY for the candidate pairs — the precision filter that
+    # kills LSH false positives. Verify cost ∝ |candidates| × shingles,
+    # never corpus² (operators/dedup.py lsh_verified_pairs). The
+    # jaccard value is an exact small-integer ratio — one correctly-
+    # rounded double division, bit-identical across engines.
+    return D.lsh_verified_pairs(
+        table(spark, sf_dir, "documents"), bands=4, k=3, min_jaccard=0.25
+    )

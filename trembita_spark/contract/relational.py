@@ -1546,3 +1546,38 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("I").alias("op"),
     )
     return cdc_apply(od, upd.unionByName(ins), key="o_orderkey")
+
+
+@register(
+    "q_graph_degree_hist",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    deg AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+    )
+    SELECT CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(deg) AS min_deg,
+           max(deg) AS max_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree distribution in log2 buckets of the part↔supplier bipartite
+    # graph — the first diagnostic run on any production graph (hub
+    # detection, skew sizing for the joins that follow). The bucket is
+    # computed from the INTEGER binary length (length(bin(deg)) - 1 ==
+    # floor(log2(deg))), not floating log2 — libm log2 is not required
+    # to be correctly rounded, so floor(log2()) can land on different
+    # sides of a power-of-two boundary per engine. Two partial+final
+    # aggregates (distinct edges → degrees → histogram); shuffle sizes
+    # |E| then |V| then |buckets|.
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    bucket = (F.length(F.bin(F.col("deg"))) - 1).cast("int")
+    return deg.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )

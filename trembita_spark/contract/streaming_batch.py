@@ -1128,3 +1128,38 @@ def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "ord").alias("last_v"),
         )
     )
+
+
+@register(
+    "q_ts_ohlc_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts,
+             ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bar_ts ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bar_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bar_ts,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT)               AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Continuous-aggregate maintenance: DAY bars built by MERGING the
+    # hour bars (operators/timeseries.py ohlc_rollup) — the ticks are
+    # read once, by the hour-bar pass; the day pass aggregates |bars|
+    # rows. The oracle computes day bars DIRECTLY from ticks, so parity
+    # is the mergeability proof: rollup(bars(ticks)) == bars(ticks) at
+    # the coarser grain. This is the property that makes hour→day→month
+    # rollup chains safe at 100 TB without tick rescans.
+    hour_bars = TS.ohlc_bars(table(spark, sf_dir, "events"), grain="hour")
+    return TS.ohlc_rollup(hour_bars, grain="day")

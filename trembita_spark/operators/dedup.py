@@ -450,3 +450,43 @@ def containment_pairs(
         .filter(F.greatest("cont_ab", "cont_ba") >= min_containment)
         .select("doc_a", "doc_b", "inter", "cont_ab", "cont_ba")
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    k: int = 3,
+    min_jaccard: float = 0.25,
+) -> DataFrame:
+    """The standard two-stage near-dup pipeline: MinHash-LSH CANDIDATES
+    (recall stage, bucket-local expansion) followed by EXACT Jaccard
+    verification (precision stage) computed ONLY for candidate pairs —
+    the shape that makes exact similarity affordable at 100 TB: the
+    verify join fans out |candidates| × shingles, never corpus².
+    Returns (doc_a, doc_b, inter, jaccard) for pairs ≥ ``min_jaccard``;
+    jaccard is an exact small-integer ratio (engine-identical double)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, bands, k)
+    sh = shingles_expr(text_col, k)
+    idx = df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh")).distinct()
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = idx.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("doc_a", "doc_b", "inter", "jaccard")

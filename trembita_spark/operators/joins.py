@@ -24,7 +24,9 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` (direction='backward'; 'forward' = next
-    right row with ``right.ts >= left.ts``), matching on ``on``.
+    right row with ``right.ts >= left.ts``; 'nearest' = whichever of
+    the two is closer in time, ties to backward — pandas merge_asof's
+    three directions), matching on ``on``.
 
     ``tolerance_seconds`` (pandas merge_asof's ``tolerance``) nulls the
     match when the matched right row is further than that from the left
@@ -54,28 +56,48 @@ def asof_join(
         *[F.col(c) for c in lcols if c not in (on, ts)],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    if direction == "backward":
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(ts).asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        pick = F.last
-    else:
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(ts).asc(), F.col("__side").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        pick = F.first
+    w_back = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     out = unioned
-    for c in right_value_cols:
-        src = F.when(F.col("__side") == 0, F.col(f"__r_{c}"))
-        out = out.withColumn(f"__m_{c}", pick(src, ignorenulls=True).over(w))
+    src_of = {c: F.when(F.col("__side") == 0, F.col(f"__r_{c}")) for c in right_value_cols}
+    rts = F.when(F.col("__side") == 0, F.col(ts))
+    if direction == "nearest":
+        # both directions ride the SAME user-key partitioning (one
+        # Exchange, two window sorts); the closer match wins, ties to
+        # backward — pandas merge_asof 'nearest' semantics.
+        for c in right_value_cols:
+            out = out.withColumn(f"__mb_{c}", F.last(src_of[c], ignorenulls=True).over(w_back))
+            out = out.withColumn(f"__mf_{c}", F.first(src_of[c], ignorenulls=True).over(w_fwd))
+        out = out.withColumn("__mb_ts", F.last(rts, ignorenulls=True).over(w_back))
+        out = out.withColumn("__mf_ts", F.first(rts, ignorenulls=True).over(w_fwd))
+        gap_b = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__mb_ts"))
+        gap_f = F.unix_micros(F.col("__mf_ts")) - F.unix_micros(F.col(ts))
+        use_b = F.col("__mb_ts").isNotNull() & (
+            F.col("__mf_ts").isNull() | (gap_b <= gap_f)
+        )
+        for c in right_value_cols:
+            out = out.withColumn(
+                f"__m_{c}", F.when(use_b, F.col(f"__mb_{c}")).otherwise(F.col(f"__mf_{c}"))
+            )
+        out = out.withColumn(
+            "__m_ts", F.when(use_b, F.col("__mb_ts")).otherwise(F.col("__mf_ts"))
+        )
+    else:
+        w, pick = (w_back, F.last) if direction == "backward" else (w_fwd, F.first)
+        for c in right_value_cols:
+            out = out.withColumn(f"__m_{c}", pick(src_of[c], ignorenulls=True).over(w))
+        if tolerance_seconds is not None:
+            out = out.withColumn("__m_ts", pick(rts, ignorenulls=True).over(w))
     keep = None
     if tolerance_seconds is not None:
-        rts = F.when(F.col("__side") == 0, F.col(ts))
-        out = out.withColumn("__m_ts", pick(rts, ignorenulls=True).over(w))
         # microsecond-precision gap: unix_timestamp() truncates to whole
         # seconds, which silently widens the tolerance by up to 1s on
         # sub-second timestamps (matches pandas merge_asof semantics and

@@ -149,3 +149,28 @@ def interpolate_linear(
         F.col("h").alias("hour"),
         filled.alias("value"),
     )
+
+
+def ohlc_rollup(
+    bars: DataFrame,
+    key_col: str = "user_id",
+    bar_ts_col: str = "bar_ts",
+    grain: str = "day",
+) -> DataFrame:
+    """Merge fine OHLC bars into coarser ones WITHOUT re-reading ticks —
+    the hypertable/continuous-aggregate maintenance shape: OHLC is a
+    commutative monoid over bars (open = open of earliest bar, close =
+    close of latest, high/low = max/min, count = sum), so a day bar is
+    one partial+final hash aggregate over 24 hour-bars instead of a
+    rescan of the tick stream. ``bar_ts`` is unique per (key, fine bar)
+    — a deterministic min_by/max_by ordering key. At 100 TB: rollups
+    read |bars| ≪ |ticks|; chain hour→day→month without ever touching
+    raw data again."""
+    bucket = F.date_trunc(grain, F.col(bar_ts_col))
+    return bars.groupBy(F.col(key_col), bucket.alias(bar_ts_col)).agg(
+        F.min_by("open", bar_ts_col).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", bar_ts_col).alias("close"),
+        F.sum("n_ticks").alias("n_ticks"),
+    )
