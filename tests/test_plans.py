@@ -610,3 +610,11 @@ def test_near_verified_no_cartesian(spark):
 def test_degree_hist_partial_final(spark):
     plan = plan_of("q_graph_degree_hist", spark)
     assert plan.count("HashAggregate") >= 4, plan  # 2 aggs, each partial+final
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    # eqNullSafe must plan as a (broadcast) HASH join on coalesce-wrapped
+    # keys — not degrade to a nested loop.
+    plan = plan_of("q_join_null_safe", spark)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

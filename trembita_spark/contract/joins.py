@@ -615,3 +615,34 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("click_ts_asof").alias("nearest_click_ts")
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS rk FROM nation
+    ),
+    b AS (
+      SELECT r_regionkey, r_name, nullif(r_regionkey, 2) AS rk FROM region
+    )
+    SELECT a.n_nationkey, a.n_name, b.r_name
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-safe equi join (Spark <=> / SQL IS NOT DISTINCT FROM): NULL
+    # keys MATCH each other instead of silently dropping — the semantics
+    # gap that eats rows in plain equi joins over nullable keys. Spark
+    # plans eqNullSafe as a hash join on coalesce-wrapped keys (still
+    # broadcastable, still an equi join — NOT a nested loop), so the
+    # null-safe form costs the same as the plain one.
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk")
+    )
+    region = table(spark, sf_dir, "region").select(
+        "r_name", F.nullif(F.col("r_regionkey"), F.lit(2)).alias("rk2")
+    )
+    return nation.join(
+        F.broadcast(region), nation["rk"].eqNullSafe(region["rk2"])
+    ).select("n_nationkey", "n_name", "r_name")

@@ -1581,3 +1581,37 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").alias("min_deg"),
         F.max("deg").alias("max_deg"),
     )
+
+
+@register(
+    "q_sql_recursive",
+    oracle="""
+    WITH RECURSIVE r(custkey, anc, depth) AS (
+      SELECT c_custkey, c_custkey // 10, 1 FROM customer
+      UNION ALL
+      SELECT custkey, anc // 10, depth + 1 FROM r WHERE anc > 0
+    )
+    SELECT custkey, CAST(max(depth) AS INT) AS depth
+    FROM r GROUP BY custkey
+    """,
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4 recursive CTE (WITH RECURSIVE — new in Spark 4.0) through
+    # the SQL front door: ancestor-chain walk over the synthetic
+    # "parent = key div 10" hierarchy, depth = chain length to the
+    # virtual root. Each recursion step is one self-join the engine
+    # plans like any other join (AQE applies per step); DuckDB runs its
+    # own recursion for the oracle, so parity checks the fixpoint
+    # semantics, not one engine's implementation. Step count is
+    # O(log10 maxkey) — bounded recursion, the only safe recursion
+    # shape at 100 TB.
+    table(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
+    return spark.sql("""
+        WITH RECURSIVE r(custkey, anc, depth) AS (
+          SELECT c_custkey, c_custkey DIV 10, 1 FROM rec_customer
+          UNION ALL
+          SELECT custkey, anc DIV 10, depth + 1 FROM r WHERE anc > 0
+        )
+        SELECT custkey, CAST(max(depth) AS INT) AS depth
+        FROM r GROUP BY custkey
+    """)

@@ -488,3 +488,30 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("p_name").alias("h_md5"),
         F.sha2("p_name", 256).alias("h_sha256"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) / 2 AS k_half
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4's VARIANT type as the semi-structured fast path:
+    # parse_json once into the binary variant encoding, then typed
+    # variant_get extraction — the engine-native replacement for
+    # repeated string JSON parsing (one parse, many typed reads; the
+    # variant encoding is columnar-shreddable at the parquet layer).
+    # The oracle reaches the same values through plain JSON string
+    # extraction — parity proves the variant path preserves typed
+    # semantics.
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        (F.try_variant_get(v, "$.k", "double") / 2).alias("k_half"),
+    )
