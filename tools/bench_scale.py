@@ -189,6 +189,36 @@ def q_interpolate(ev):
     return interpolate_linear(ev)
 
 
+def q_interval_overlap(ev):
+    # purchase 30-min windows × click 10-min windows per user through
+    # the bucket-grid candidate join — work must track matches, not n·m.
+    from trembita_spark.operators.joins import interval_overlap_join
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_e"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id",
+        F.col("ts").alias("c_s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("c_e"),
+    )
+    return interval_overlap_join(
+        p, c, on="user_id",
+        left_start="p_s", left_end="p_e", right_start="c_s", right_end="c_e",
+        bucket_seconds=1800,
+    )
+
+
+def q_lsh_verified(docs):
+    # two-stage near-dup: LSH candidates then exact Jaccard verify —
+    # verify cost ∝ candidates × shingles.
+    from trembita_spark.operators.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(docs, bands=4, k=3, min_jaccard=0.25)
+
+
 def q_rfm(ev):
     # post-round-5 shape: three chained ntile_exact passes (distributed
     # prefix-sum + broadcast count) over the per-user purchase aggregate
@@ -311,6 +341,14 @@ def main():
         "rfm_ntile": (
             lambda: q_rfm(ev1).count(),
             lambda: q_rfm(ev8).count(),
+        ),
+        "interval_overlap": (
+            lambda: q_interval_overlap(ev1).count(),
+            lambda: q_interval_overlap(ev8).count(),
+        ),
+        "lsh_verified": (
+            lambda: q_lsh_verified(doc1).count(),
+            lambda: q_lsh_verified(doc8).count(),
         ),
         # .count() would let column pruning DELETE the window node (the
         # measurement then times a bare scan) — sum over the window
