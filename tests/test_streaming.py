@@ -358,3 +358,42 @@ def test_jdbc_reader_builder_partitioned_roundtrip(spark):
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 100
     assert df.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_repeat_datasource_parallel_read(spark):
+    # the custom Python DataSource must honor its declared partition
+    # split — 3 InputPartitions → 3 task partitions, rows striped.
+    from trembita_spark.connectors import register_repeat_source
+
+    register_repeat_source(spark)
+    df = (
+        spark.read.format("repeat")
+        .option("n", "10").option("parts", "3").option("items", "a:1")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 10
+    assert {r.rep for r in df.collect()} == set(range(10))
+
+
+def test_pydump_sink_task_parallel_write(spark):
+    # custom Python SINK: one part file per task partition, all rows
+    # present after the commit protocol completes.
+    import glob
+    import tempfile
+
+    from trembita_spark.connectors import register_pydump_sink
+
+    register_pydump_sink(spark)
+    d = tempfile.mkdtemp(prefix="pydump_")
+    (
+        spark.range(20).selectExpr("id", "id * 3 AS v").repartition(4)
+        .write.format("pydump").option("path", d).mode("append").save()
+    )
+    files = glob.glob(d + "/part-*.txt")
+    rows = sorted(
+        tuple(int(x) for x in line.strip().split("|"))
+        for f in files for line in open(f)
+    )
+    assert len(files) == 4
+    assert rows == [(i, i * 3) for i in range(20)]

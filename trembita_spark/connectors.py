@@ -165,3 +165,86 @@ def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: st
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def register_repeat_source(spark: SparkSession) -> None:
+    """Register the ``repeat`` custom source — the reference's
+    RepeatInput typeclass (a finite element sequence repeated N times)
+    as a Spark 4 Python DataSource (reference: kernel Input typeclasses,
+    SURVEY.md §3.1 — unverified). The scale-relevant part is
+    ``partitions()``: the source declares its own InputPartition split
+    (replicas striped over ``parts`` readers), so a custom source feeds
+    the cluster in parallel exactly like a file scan — the pattern any
+    bespoke ingest (API pagination, id-range pulls) should follow.
+    Options: ``n`` repeats, ``parts`` reader partitions, ``items`` as
+    ``name:value,name:value`` pairs."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class RepeatReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1))
+            self.parts = int(options.get("parts", 4))
+            raw = options.get("items", "a:1,b:2")
+            self.items = [
+                (p.split(":")[0], int(p.split(":")[1])) for p in raw.split(",")
+            ]
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            for rep in range(partition.value, self.n, self.parts):
+                for item, v in self.items:
+                    yield (rep, item, v)
+
+    class RepeatSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "repeat"
+
+        def schema(self):
+            return "rep int, item string, v int"
+
+        def reader(self, schema):
+            return RepeatReader(self.options)
+
+    spark.dataSource.register(RepeatSource)
+
+
+def register_pydump_sink(spark: SparkSession) -> None:
+    """Register the ``pydump`` custom SINK — the reference's Output
+    typeclass side of the custom-connector story as a Spark 4 Python
+    DataSource writer: each task's partition streams through ``write``
+    and lands one part file (task-parallel, commit-message protocol —
+    the same executor-side shape a real bespoke sink, e.g. an HTTP
+    batch uploader, would use). Pipe-delimited text, ``path`` option."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class DumpWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+            with open(fn, "w") as f:
+                for row in iterator:
+                    f.write("|".join(str(x) for x in row) + "\n")
+            return WriterCommitMessage()
+
+    class DumpSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pydump"
+
+        def writer(self, schema, overwrite):
+            return DumpWriter(self.options)
+
+    spark.dataSource.register(DumpSource)

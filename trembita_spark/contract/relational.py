@@ -1615,3 +1615,33 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT custkey, CAST(max(depth) AS INT) AS depth
         FROM r GROUP BY custkey
     """)
+
+
+@register(
+    "q_source_repeat",
+    oracle="""
+    SELECT CAST(g.rep AS INT) AS rep, t.item, CAST(t.v AS INT) AS v,
+           CAST(g.rep * t.v AS BIGINT) AS weighted
+    FROM generate_series(0, 5) g(rep), (VALUES ('x', 3), ('y', 7)) t(item, v)
+    """,
+)
+def q_source_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's RepeatInput as a REAL custom source: a Spark 4
+    # Python DataSource whose reader declares its own InputPartition
+    # split, so the synthetic sequence streams into the cluster in
+    # parallel like any file scan (connectors.py register_repeat_source).
+    # The oracle regenerates the sequence with generate_series — parity
+    # checks the source's row production, striping included.
+    from trembita_spark.connectors import register_repeat_source
+
+    register_repeat_source(spark)
+    df = (
+        spark.read.format("repeat")
+        .option("n", "6")
+        .option("parts", "3")
+        .option("items", "x:3,y:7")
+        .load()
+    )
+    return df.select(
+        "rep", "item", "v", (F.col("rep").cast("bigint") * F.col("v")).alias("weighted")
+    )
