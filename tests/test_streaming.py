@@ -397,3 +397,30 @@ def test_pydump_sink_task_parallel_write(spark):
     )
     assert len(files) == 4
     assert rows == [(i, i * 3) for i in range(20)]
+
+
+def test_pyticks_stream_source_no_gaps_no_dups(spark):
+    # custom STREAMING Python DataSource: several micro-batches must
+    # yield a gapless, duplicate-free prefix of the tick sequence —
+    # the offset-contract (exactly-once) property.
+    import time
+    import uuid
+
+    from trembita_spark.connectors import register_tick_stream_source
+
+    register_tick_stream_source(spark)
+    name = f"ticks_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("pyticks").load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 15:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = sorted((r.i, r.v) for r in spark.table(name).collect())
+    assert len(rows) >= 15
+    assert rows == [(j, j * 2) for j in range(len(rows))]  # gapless prefix
