@@ -1052,3 +1052,150 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
         )
     )
+
+
+@register(
+    "q_stat_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_a,
+        CAST(sum(CASE WHEN event_type = 'view'  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_b,
+        CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS ss_a,
+        CAST(sum(CASE WHEN event_type = 'view'  THEN CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS ss_b
+      FROM events
+    ),
+    v AS (
+      SELECT n_a, n_b, s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+             (ss_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+             (ss_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+      FROM m
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+           pow(var_a / n_a + var_b / n_b, 2) /
+             (pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1))
+             AS df_welch
+    FROM v
+    """,
+)
+def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Welch's unequal-variance t-test (click vs view event values) as
+    # ONE partial-agg pass: conditional decimal sums (n, sum, sum-of-
+    # squares per arm) are exact and merge-order-independent, then the
+    # t statistic and Welch-Satterthwaite df are closed-form scalar
+    # doubles over those exact sums — identical expression shape on
+    # both engines, bit-exact without rounding. At 100 TB this is a
+    # single map-side-combined scan: no shuffle carries more than one
+    # partial-moment row per partition.
+    ev = table(spark, sf_dir, "events")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "view"
+    vdec = F.col("value").cast("decimal(18,2)")
+    v2dec = (F.col("value") * F.col("value")).cast("decimal(18,4)")
+    m = ev.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, vdec)).cast("double").alias("s_a"),
+        F.sum(F.when(is_b, vdec)).cast("double").alias("s_b"),
+        F.sum(F.when(is_a, v2dec)).cast("double").alias("ss_a"),
+        F.sum(F.when(is_b, v2dec)).cast("double").alias("ss_b"),
+    )
+    v = m.select(
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a")).alias("mean_a"),
+        (F.col("s_b") / F.col("n_b")).alias("mean_b"),
+        ((F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1)).alias("var_a"),
+        ((F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1)).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return v.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b)).alias("t_stat"),
+        (
+            F.pow(se2_a + se2_b, 2)
+            / (F.pow(se2_a, 2) / (F.col("n_a") - 1) + F.pow(se2_b, 2) / (F.col("n_b") - 1))
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "q_stat_chisq",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c.event_type, c.dow, c.o,
+             sum(c.o) OVER (PARTITION BY c.event_type) AS rt,
+             sum(c.o) OVER (PARTITION BY c.dow) AS ct,
+             sum(c.o) OVER () AS n
+      FROM cells c
+    ),
+    contrib AS (
+      SELECT event_type, dow, o,
+             pow(o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 2)
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS x,
+             n
+      FROM tot
+    )
+    SELECT list_reduce(list(x ORDER BY event_type, dow), (a, b) -> a + b) AS chi2,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(any_value(n) AS BIGINT) AS n
+    FROM contrib
+    """,
+)
+def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chi-squared independence test (event_type x day-of-week): the
+    # contingency table is one partial-agg groupBy; marginals come from
+    # windows over the CELLS frame (35 rows, never the fact table); the
+    # final statistic folds the per-cell contributions in a SORTED
+    # sequential order (collect -> array_sort -> aggregate), matching
+    # DuckDB's ordered list_reduce left-fold bit-for-bit — a global
+    # float sum is only order-safe if the order is pinned. At 100 TB
+    # only the first groupBy touches data; everything after is
+    # cells-sized (|types| x 7).
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday.
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    contrib = tot.select(
+        "event_type",
+        "dow",
+        "o",
+        (F.pow(F.col("o") - e, 2) / e).alias("x"),
+        "n",
+    )
+    folded = contrib.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "dow", "x"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("chi2"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.any_value("n").cast("bigint").alias("n"),
+    )
+    return folded.select("chi2", "dof", "n")

@@ -2275,3 +2275,39 @@ def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_verified_pairs(
         table(spark, sf_dir, "documents"), bands=4, k=3, min_jaccard=0.25
     )
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sp AS (
+      SELECT doc_id, unnest({_sh_sql(8)}) AS gram FROM tok
+    ),
+    h AS (SELECT doc_id, {_HEX60.format(md5="md5(gram)")} AS h FROM sp),
+    dup AS (
+      SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM h GROUP BY 1
+    ),
+    dup_per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+      FROM h JOIN dup USING (h) GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_spans,
+           COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+           CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+             AS dup_frac
+    FROM per_doc p LEFT JOIN dup_per_doc d USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-substring (k-token span) duplication scoring across the
+    # corpus — the span-level complement to document-level MinHash: a
+    # span in >= 2 distinct docs is duplicated; each doc reports the
+    # fraction of its spans that are. Spans shuffle as 60-bit md5-fold
+    # ints (never strings); the dup-span set semi-joins back on the
+    # aggregate's own hash partitioning; dup_frac is one small-integer
+    # double division — bit-identical across engines.
+    return D.duplicated_span_report(table(spark, sf_dir, "documents"), k=8)

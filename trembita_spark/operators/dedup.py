@@ -490,3 +490,53 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
     )
     return out.select("doc_a", "doc_b", "inter", "jaccard")
+
+
+def duplicated_span_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Substring-level (span) duplication report, the scalable core of
+    exact-substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a k-token span that
+    appears in >= 2 DISTINCT documents is a duplicated span; each doc is
+    scored by the fraction of its spans that are duplicated.
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_frac) for docs with at
+    least one span. Downstream policy filters on dup_frac (drop or trim).
+
+    Scale shape: spans are hashed to 60-bit ints (md5 fold) so the heavy
+    groupBy shuffles fixed-width keys, never the span strings; the
+    distinct-doc count per span is a two-level partial agg; the dup-span
+    set joins back to the span stream ON THE SAME hash key, so the
+    exchange from the aggregate is reused (co-partitioned sort-merge
+    join, no extra shuffle of the big side); the per-doc rollup is one
+    final partial agg. Nothing is ever corpus x corpus.
+    """
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(text_col, k)).alias("gram"),
+    ).select("doc_id", _md5_int60(F.md5(F.col("gram"))).alias("h"))
+    # distinct-doc count per span hash (within-doc repeats do not count)
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = spans.join(dup_h, "h", "left_semi")
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
