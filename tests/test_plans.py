@@ -618,3 +618,30 @@ def test_null_safe_join_stays_hash_join(spark):
     plan = plan_of("q_join_null_safe", spark)
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    """q_join_bucketed: the sort-merge join over two tables bucketed on
+    the join key must read co-located buckets with NO shuffle — the only
+    Exchange allowed in the plan is the one feeding the final
+    per-priority rollup. A regression here silently reintroduces the
+    fact-fact shuffle the bucketing exists to eliminate."""
+    df = contract.QUERIES["q_join_bucketed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, "bucketed join must stay sort-merge"
+    join_part = plan.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_part, (
+        "no Exchange may appear below the SortMergeJoin: both sides are "
+        "bucketed on the join key\n" + plan
+    )
+    assert plan.count("Exchange") <= 1, "only the post-join rollup may shuffle"
+
+
+def test_geo_radius_join_is_band_equi_join(spark):
+    """q_join_geo_radius: the spatial self-join must compile to an
+    equi-join on the latitude band (hash-partitioned, linear candidate
+    generation) — never BroadcastNestedLoopJoin/CartesianProduct over
+    the points."""
+    df = contract.QUERIES["q_join_geo_radius"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

@@ -646,3 +646,114 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), nation["rk"].eqNullSafe(region["rk2"])
     ).select("n_nationkey", "n_name", "r_name")
+
+
+_GEO_PTS_SQL = """
+  SELECT c_custkey AS id,
+         CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+         CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+  FROM customer WHERE c_custkey < 3000
+"""
+
+
+@register(
+    "q_join_geo_radius",
+    oracle=f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    d AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2) +
+               cos(radians(a.lat)) * cos(radians(b.lat)) *
+               pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
+      FROM pts a, pts b WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 500.0
+    """,
+)
+def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spatial radius self-join (all customer pairs within 500 km on
+    # synthetic deterministic coordinates): latitude-band bucketing
+    # gives a lossless linear-cost candidate prefilter (each true pair
+    # lands in exactly one band cell), haversine verifies candidates
+    # only. The ORACLE is the brute-force quadratic join — the whole
+    # point is that Spark's plan never materializes points^2 (the
+    # operator caps work at bands-local candidates; the key size cap
+    # keeps the DuckDB O(n^2) oracle feasible at sweep scale).
+    from trembita_spark.operators.joins import geo_radius_join
+
+    pts = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 3000)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+            (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+        )
+    )
+    return geo_radius_join(pts, 500.0)
+
+
+import itertools as _it
+
+_BKT_SEQ = _it.count()
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucketed co-located join — THE 100 TB shuffle-elimination tool for
+    # repeated fact-fact joins: both sides are written as bucketed+
+    # sorted tables on the join key (8 buckets here; thousands on a real
+    # cluster), so the sort-merge join reads bucket i against bucket i
+    # directly from storage with NO Exchange on either side — the
+    # shuffle is paid once at write time and amortized over every
+    # subsequent join. (A cheap in-bucket Sort remains: Spark 3+ only
+    # trusts bucket-file ordering under the legacy outputOrdering flag.)
+    # The pre-write repartition(8, key) gives one file per bucket — the
+    # small-files discipline; without it every write task emits a file
+    # into every bucket. tests/test_plans.py asserts the exchange-free
+    # join plan; the oracle is the plain relational join.
+    from trembita_spark.contract import run_tmp
+
+    n = next(_BKT_SEQ)
+    base = run_tmp("bucketed")
+    ot, lt = f"bkt_orders_{n}", f"bkt_lineitem_{n}"
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, F.col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{ot}")
+        .mode("overwrite")
+        .saveAsTable(ot)
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, F.col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/{lt}")
+        .mode("overwrite")
+        .saveAsTable(lt)
+    )
+    o = spark.table(ot)
+    l = spark.table(lt)
+    joined = o.hint("merge").join(l, l.l_orderkey == o.o_orderkey)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return joined.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )

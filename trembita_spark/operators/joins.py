@@ -310,3 +310,59 @@ def interval_overlap_join(
         F.unix_micros(F.col(left_start)) < F.unix_micros(F.col(right_end))
     ) & (F.unix_micros(F.col(right_start)) < F.unix_micros(F.col(left_end)))
     return joined.where(keep)
+
+
+def geo_radius_join(
+    points: DataFrame,
+    radius_km: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """All point pairs within ``radius_km`` great-circle distance —
+    a distributed spatial self-join via latitude-band bucketing.
+
+    Any pair within R km satisfies |dlat| <= R / 110.574 degrees (the
+    tightest km-per-degree-latitude bound), so banding latitude into
+    ceil(R/110.574)-degree stripes and joining each LEFT point's
+    {band-1, band, band+1} explosion against the RIGHT point's single
+    band is a lossless candidate prefilter: every true pair lands in
+    exactly one (left-explosion, right-band) cell — no post-join dedup
+    needed — and the candidate set is bands-local, never |points|^2.
+    The haversine verify runs only on candidates. At 100 TB the band
+    join is an ordinary hash-partitioned equi-join on the band index;
+    skewed bands (equatorial pile-ups) fall to AQE skew splitting.
+
+    The verify compares round(dist, 6) <= R so the boundary predicate
+    sits on a fixed decimal grid instead of raw trig ulps (cross-engine
+    determinism; see q_fn_geo_nearest's ordering note).
+    """
+    import math
+
+    band_deg = float(math.ceil(radius_km / 110.574))
+    b = F.floor(F.col(lat_col) / band_deg).cast("int")
+    left = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("lat_a"),
+        F.col(lon_col).alias("lon_a"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("band"),
+    )
+    right = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lat_b"),
+        F.col(lon_col).alias("lon_b"),
+        b.alias("band"),
+    )
+    hav = (
+        "2 * 6371.0 * asin(sqrt("
+        "pow(sin(radians(lat_b - lat_a) / 2), 2) + "
+        "cos(radians(lat_a)) * cos(radians(lat_b)) * "
+        "pow(sin(radians(lon_b - lon_a) / 2), 2)))"
+    )
+    return (
+        left.join(right, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_km", F.round(F.expr(hav), 6))
+        .where(F.col("dist_km") <= radius_km)
+        .select("id_a", "id_b", "dist_km")
+    )
