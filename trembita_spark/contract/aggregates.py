@@ -1199,3 +1199,50 @@ def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n").cast("bigint").alias("n"),
     )
     return folded.select("chi2", "dof", "n")
+
+
+@register(
+    "q_stat_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                                 '([1-9])', 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+    )
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS obs_frac,
+           round(log10(1.0 + 1.0 / digit), 12) AS benford_frac
+    FROM c
+    """,
+)
+def q_stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-significant-digit audit (fraud/data-quality screen):
+    # the first digit is extracted from the CANONICAL DECIMAL STRING of
+    # the price, not via log10 bucketing — floor(log10(x)) can flip at
+    # power-of-10 boundaries when the two engines' libm log10 differ by
+    # an ulp, while decimal(18,2) renders identically everywhere. One
+    # partial-agg groupBy over 9 digit groups; the expected Benford
+    # share is a 9-row constant (rounded to a 1e-12 grid for the same
+    # libm reason). Compare obs_frac vs benford_frac downstream.
+    od = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = od.select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "([1-9])",
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    return c.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()).cast("double")).alias("obs_frac"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 12).alias("benford_frac"),
+    )

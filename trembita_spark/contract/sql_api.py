@@ -629,3 +629,40 @@ _sql_key(
     "anti self-joins on the same key. s_name is unique → the DESC "
     "numwait LIMIT is a total order (parity rule 8).",
 )
+
+
+_sql_key(
+    "q_sql_groupby_all",
+    ["orders"],
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+    "GROUP BY ALL (Spark 3.4+/DuckDB shared dialect): every non-aggregate "
+    "select item becomes a grouping key — the analyst shorthand resolves "
+    "in the analyzer, so the physical plan is the ordinary partial+final "
+    "hash aggregate with no extra cost.",
+)
+
+
+_sql_key(
+    "q_sql_window_named",
+    ["orders"],
+    """
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w AS rn,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "Named WINDOW clause (shared dialect): one window definition reused "
+    "by multiple select items — Catalyst collapses same-spec window "
+    "functions into ONE Window physical node (single sort+scan per "
+    "partition, not one per function). Running decimal sum is exact and "
+    "prefix-order pinned by the unique (o_orderdate, o_orderkey) order.",
+)

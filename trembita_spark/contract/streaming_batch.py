@@ -1163,3 +1163,126 @@ def q_ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup chains safe at 100 TB without tick rescans.
     hour_bars = TS.ohlc_bars(table(spark, sf_dir, "events"), grain="hour")
     return TS.ohlc_rollup(hour_bars, grain="day")
+
+
+@register(
+    "q_events_sequence_match",
+    oracle=r"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           regexp_matches(string_agg(left(event_type, 1), ''
+                                     ORDER BY ts, event_id),
+                          's[^e]*p') AS matched
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence-pattern matching over per-user event streams (the
+    # sequenceMatch / MATCH_RECOGNIZE family): each user's events —
+    # totally ordered by (ts, event_id) — collapse to a letter string
+    # (first letter of event_type is unique across the five types) and
+    # a regex detects "signup then purchase with no error between"
+    # ('s[^e]*p'). One shuffle on user_id; per-user state is that
+    # user's own events (bounded), the classic collect-sort-scan shape
+    # every sessionizer here uses; the regex engine then does the NFA
+    # work per user instead of a self-join chain per pattern stage.
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("us"),
+                                F.col("event_id").alias("eid"),
+                                F.substring("event_type", 1, 1).alias("l"),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    return seq.select(
+        "user_id", "n_events", F.col("seq").rlike("s[^e]*p").alias("matched")
+    )
+
+
+_FUNNEL_W_US = 7 * 24 * 3600 * 1_000_000  # 7 days in µs
+
+
+@register(
+    "q_events_window_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > s.t0
+        AND epoch_us(e.ts) <= s.t0 + {_FUNNEL_W_US}
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN c USING (user_id) JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.t1
+        AND epoch_us(e.ts) <= s.t0 + {_FUNNEL_W_US}
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS stage_signup,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS stage_click_7d,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS stage_purchase_7d
+    """,
+)
+def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-constrained funnel (the windowFunnel analogue): click must
+    # follow the FIRST signup within 7 days, purchase must follow that
+    # first qualifying click and still land inside the signup's 7-day
+    # window. Three conditional-min passes, every one grouped/joined on
+    # user_id — the single shuffle key — so each stage reuses the same
+    # hash partitioning (co-partitioned joins, no re-shuffle of the
+    # fact stream beyond the first). Integer-µs time math throughout.
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    c = (
+        ev.join(s, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("us") > F.col("t0"))
+            & (F.col("us") <= F.col("t0") + _FUNNEL_W_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .join(s, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t0") + _FUNNEL_W_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("stage_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click_7d")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase_7d")))
+    )

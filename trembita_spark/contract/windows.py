@@ -361,3 +361,69 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", ewma.alias("ewma"))
     )
+
+
+@register(
+    "q_window_regression",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             CAST(sum(rn) OVER w AS BIGINT) AS sx,
+             CAST(sum(rn * rn) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y) OVER w AS DOUBLE) AS sy,
+             CAST(sum(CAST(rn AS DECIMAL(14,0)) * y) OVER w AS DOUBLE) AS sxy
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           (20 * sxy - sx * sy) / CAST(20 * sxx - sx * sx AS DOUBLE) AS slope20
+    FROM s WHERE rn >= 20
+    """,
+)
+def q_window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling least-squares trend (regr_slope over a trailing 20-row
+    # frame per user): the x axis is the per-user row index, so every
+    # windowed sum is EXACT — integer sums for sx/sxx, decimal sums for
+    # sy/sxy (value is 2-decimal; rn*y is exact in decimal) — and the
+    # slope is one closed-form double expression over exact inputs,
+    # bit-identical across engines with no rounding. Emitted only for
+    # full frames (rn >= 20) so n is the constant 20 and the
+    # denominator is never zero. Partitioned window — per-user frames,
+    # no global sort; the heaviest state is 20 rows per frame.
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    s = x.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum("rn").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("rn") * F.col("rn")).over(w).cast("bigint").alias("sxx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("rn").cast("decimal(14,0)") * F.col("y")).over(w).cast("double").alias("sxy"),
+    )
+    return s.where(F.col("rn") >= 20).select(
+        "user_id",
+        "event_id",
+        (
+            (20 * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (20 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope20"),
+    )
