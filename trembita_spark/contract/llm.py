@@ -2311,3 +2311,122 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate's own hash partitioning; dup_frac is one small-integer
     # double division — bit-identical across engines.
     return D.duplicated_span_report(table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "q_similarity_mips",
+    oracle="""
+    WITH scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dot
+      FROM embeddings a JOIN embeddings b ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, vec_id, dot, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_similarity_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Maximum-inner-product top-3 (un-normalized dot — the dual-encoder
+    # retrieval objective): brute-force exact baseline; the documented
+    # scale path is the norm-augmentation reduction to cosine ANN
+    # (operators/similarity.py mips_topk). The dot is the same
+    # sequential left-fold both engines evaluate identically.
+    emb = table(spark, sf_dir, "embeddings")
+    return S.mips_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+
+
+@register(
+    "q_text_hashing_trick",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT doc_id,
+           CAST({_HEX60.format(md5="md5(token)")} % 64 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def q_text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Feature hashing (the hashing-trick vectorizer): token -> md5-fold
+    # 60-bit int -> bucket (64-dim sparse TF vector), no vocabulary pass
+    # at all — the property that makes it THE text featurizer at 100 TB
+    # (a dictionary-based vectorizer needs a global vocab build +
+    # broadcast; hashing needs nothing). One partial-agg groupBy on
+    # (doc, bucket); emitted sparse (bucket, tf) pairs pivot to dense
+    # downstream only if a consumer needs it.
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        tok.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"), F.lit(64)
+            ).cast("bigint").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
+    "q_text_keywords",
+    oracle="""
+    WITH tfc AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY 1, 2
+    ),
+    dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df, tf * (n_docs + 1) / (df + 1) AS tfidf
+      FROM tfc JOIN dfc USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyword extraction: top-3 tokens per doc by tf-idf. Builds on the
+    # same tf/df aggregates as q_text_tfidf (df side joins broadcast —
+    # it's vocabulary-sized); the per-doc top-3 materializes the rank
+    # VALUE so Spark 4's WindowGroupLimit prunes each doc's frame to 3
+    # rows before the filter instead of ranking every token. tfidf is
+    # integer-ratio arithmetic -> identical doubles; ties pinned by
+    # token.
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tfc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfc.join(F.broadcast(dfc), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1)).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )

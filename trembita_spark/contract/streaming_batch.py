@@ -1286,3 +1286,102 @@ def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click_7d")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase_7d")))
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    g AS (
+      SELECT CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dense
+    ),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(sum(a.x * bb.x) AS BIGINT) AS sab,
+             CAST(sum(a.x) AS BIGINT) AS sa,
+             CAST(sum(bb.x) AS BIGINT) AS sb,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM lags l
+      JOIN dense a ON true
+      JOIN dense bb ON bb.hr = a.hr + l.lag
+      GROUP BY 1
+    )
+    SELECT lag, nk,
+           (sab - (CAST(s AS DOUBLE) / n) * sa - (CAST(s AS DOUBLE) / n) * sb
+                + nk * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           / (sxx - 2 * (CAST(s AS DOUBLE) / n) * s
+                  + n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS acf
+    FROM pairs CROSS JOIN g
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Autocorrelation function of the hourly event-count series, lags
+    # 1..24: the series is densified onto the full hour spine (missing
+    # hours are true zeros), every moment is an EXACT integer sum
+    # (counts times counts), and the ACF is the closed-form expansion
+    # sum((x_t-m)(x_{t+k}-m)) = Sab - m*Sa - m*Sb + nk*m^2 over those
+    # exact sums — identical double arithmetic on both engines, no
+    # rounding. The heavy groupBy (events -> hourly counts) is the only
+    # fact-table pass; everything after runs on the hours spine
+    # (time-bounded, thousands of rows regardless of event volume — at
+    # 100 TB the spine is still just the calendar).
+    ev = table(spark, sf_dir, "events")
+    # hourly counts feed 2 branches (spine bounds + the dense join) and
+    # dense feeds 3 (global moments + both pair sides): checkpoint both
+    # lazily so the events scan runs ONCE, not once per branch.
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    g = dense.agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.range(1, 25).select(F.col("id").alias("lag"))
+    a = dense.select(F.col("hr").alias("hr_a"), F.col("x").alias("x_a"))
+    b = dense.select(F.col("hr").alias("hr_b"), F.col("x").alias("x_b"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("hr_b") == F.col("hr_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("x_a") * F.col("x_b")).alias("sab"),
+            F.sum("x_a").alias("sa"),
+            F.sum("x_b").alias("sb"),
+            F.count(F.lit(1)).alias("nk"),
+        )
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    return pairs.crossJoin(F.broadcast(g)).select(
+        "lag",
+        "nk",
+        (
+            (F.col("sab") - m * F.col("sa") - m * F.col("sb") + F.col("nk") * m * m)
+            / (F.col("sxx") - 2 * m * F.col("s") + F.col("n") * m * m)
+        ).alias("acf"),
+    )

@@ -534,3 +534,37 @@ def pq_topk_refined(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "dist", "rank")
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by MAXIMUM INNER PRODUCT (un-normalized dot), the
+    retrieval objective of dual-encoder rankers where vector norm
+    carries signal: (query_id, vec_id, dot, rank), ties by vec_id.
+
+    Brute force here is the correctness baseline; the scale path is the
+    standard MIPS->cosine reduction (Bachrach et al. 2014): augment
+    corpus vectors to [x, sqrt(M^2 - |x|^2)] with M = max |x| and
+    queries to [q, 0] — inner-product order becomes cosine order, so
+    any cosine ANN index (the sign-LSH / IVF machinery in this module)
+    answers MIPS after that one extra dimension. Queries broadcast; the
+    corpus never shuffles; the per-query top-k is a partitioned
+    row_number that Spark 4 prunes with WindowGroupLimit."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(q, F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "vec_id", "dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
