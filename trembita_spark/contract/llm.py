@@ -2430,3 +2430,101 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf", "rk")
     )
+
+
+@register(
+    "q_multimodal_dhash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + doc_id % 12 AS INT) AS h,
+             doc_id % 256 AS seed
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, d.seed, gx.gx, gy.gy,
+             (gx.gx * d.w) // 9 AS x, (gy.gy * d.h) // 8 AS y
+      FROM d
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS gx) gx
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) gy
+    ),
+    s AS (
+      SELECT doc_id, gx, gy,
+             ((7 * x + 13 * y + seed) % 256
+              + (7 * x + 13 * y + 3 + seed) % 256
+              + (7 * x + 13 * y + 6 + seed) % 256) // 3 AS g
+      FROM grid
+    ),
+    bits AS (
+      SELECT a.doc_id, a.gx, a.gy,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      WHERE a.gx < 8
+    ),
+    bands AS (
+      SELECT doc_id, CAST(gy // 2 AS INT) AS band_idx,
+             CAST(sum(bit * (1 << ((gy % 2) * 8 + gx))) AS BIGINT) AS band_val
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(bit_count(xor(ba.band_val, bb.band_val))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.doc_a
+      JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+    """,
+)
+def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Image near-duplicate detection: perceptual dHash computed from the
+    # REAL decoded pixels (PNG inflate+unfilter / BMP, same path as
+    # q_multimodal_pixels), banded 4x16-bit for LSH candidate
+    # generation (GROUP BY band — never corpus^2), then verified by
+    # exact Hamming distance (bit_count of xor per band). The oracle
+    # recomputes the whole pipeline in closed form from doc_id
+    # arithmetic, so a decoder or banding bug anywhere breaks parity.
+    # All integer math -> bit-exact. The bands frame feeds candidate
+    # generation AND both verify sides: checkpointed lazily so the
+    # (expensive) decode runs once.
+    docs = M.attach_pixel_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    bands = M.dhash_bands(docs).localCheckpoint(eager=False)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("va"),
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("vb"),
+    )
+    ham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "bi"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("va ^ vb"))).alias("hamming")
+        )
+    )
+    return ham.where(F.col("hamming") <= 6)

@@ -621,3 +621,53 @@ def resize_stats(
         f"{id_col} long, width int, height int, "
         "r_sum long, g_sum long, b_sum long",
     )
+
+
+def dhash_bands(
+    df: DataFrame, payload_col: str = "image", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the REAL decoded-pixel
+    path, emitted as 4 x 16-bit LSH bands: (id, band_idx, band_val).
+
+    Per image: decode (``decode_image_pixels``), sample integer
+    grayscale ((r+g+b)//3) on a fixed 9x8 nearest-neighbor grid
+    (gx*w//9, gy*h//8), set bit (gx, gy) when sample(gx) > sample(gx+1)
+    in the same row — the classic 64-bit dHash — then split the 64 bits
+    into 4 bands of two rows each. Banding IS the scale story: two
+    images within Hamming distance d share at least one identical band
+    when d < 4 bands... pigeonhole for d <= 3, and near-dups at larger d
+    still collide with high probability — so candidate generation is a
+    GROUP BY on (band_idx, band_val), never corpus x corpus, mirroring
+    the MinHash-LSH shape the text side uses. All math is integer ->
+    cross-engine exact. Undecodable payloads are skipped."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _fmt, w, h, px = decode_image_pixels(bytes(buf))
+                except ValueError:
+                    continue
+
+                def gray(x: int, y: int) -> int:
+                    o = 3 * (y * w + x)
+                    return (px[o] + px[o + 1] + px[o + 2]) // 3
+
+                s = [
+                    [gray(gx * w // 9, gy * h // 8) for gx in range(9)]
+                    for gy in range(8)
+                ]
+                for band in range(4):
+                    val = 0
+                    for j in range(2):
+                        gy = 2 * band + j
+                        for gx in range(8):
+                            if s[gy][gx] > s[gy][gx + 1]:
+                                val |= 1 << (j * 8 + gx)
+                    rows.append({id_col: _id, "band_idx": band, "band_val": val})
+            yield pd.DataFrame(rows, columns=[id_col, "band_idx", "band_val"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_batches, f"{id_col} long, band_idx int, band_val long"
+    )
