@@ -2440,7 +2440,7 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(8 + doc_id % 16 AS INT) AS w,
              CAST(8 + doc_id % 12 AS INT) AS h,
              doc_id % 256 AS seed
-      FROM documents
+      FROM documents WHERE doc_id < 2000
     ),
     grid AS (
       SELECT d.doc_id, d.seed, gx.gx, gy.gy,
@@ -2495,7 +2495,13 @@ def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All integer math -> bit-exact. The bands frame feeds candidate
     # generation AND both verify sides: checkpointed lazily so the
     # (expensive) decode runs once.
-    docs = M.attach_pixel_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    docs = M.attach_pixel_payload(
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 2000)  # cap: pair count is quadratic
+        # within same-dimension classes; 2000 docs keeps the sweep and
+        # the O(class^2) DuckDB oracle feasible at every sf
+        .select("doc_id")
+    )
     bands = M.dhash_bands(docs).localCheckpoint(eager=False)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
