@@ -1246,3 +1246,86 @@ def q_stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()).cast("double")).alias("obs_frac"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 12).alias("benford_frac"),
     )
+
+
+# Shared closed-form Cramer fragments for the 2-feature normal equations
+# (identical TEXT evaluated by Spark's F.expr and DuckDB — expression
+# shape equality is what makes the doubles bit-identical).
+_LR3_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
+    "+ s2 * (s1 * s12 - s11 * s2))"
+)
+_LR3_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
+    "+ s2 * (s1y * s12 - s11 * s2y))"
+)
+_LR3_DET1 = (
+    "(n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) "
+    "+ s2 * (s1 * s2y - s1y * s2))"
+)
+_LR3_DET2 = (
+    "(n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) "
+    "+ sy * (s1 * s12 - s11 * s2))"
+)
+
+
+@register(
+    "q_ml_linreg_multi",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS s2y
+      FROM (
+        SELECT CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(dayofweek(ts) AS BIGINT) AS x2,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+      )
+    )
+    SELECT {_LR3_DET0} / {_LR3_DET} AS b0,
+           {_LR3_DET1} / {_LR3_DET} AS b1,
+           {_LR3_DET2} / {_LR3_DET} AS b2,
+           CAST(n AS BIGINT) AS n_rows
+    FROM s
+    """,
+)
+def q_ml_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multiple linear regression (value ~ hour-of-day + day-of-week) by
+    # the normal equations: ONE partial-agg pass accumulates the 9
+    # exact moment sums (integer features, 2-decimal target -> decimal
+    # sums are merge-order-independent), then Cramer's rule solves the
+    # 3x3 system in closed form. Spark evaluates the SAME formula TEXT
+    # the DuckDB oracle runs (shared fragments above), so every double
+    # is bit-identical. The 100 TB cost is the single scan; the solve
+    # is O(1) on a 1-row frame. Spark dayofweek is 1..7 Sunday-first;
+    # DuckDB 0..6 — the Spark side subtracts 1.
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("x2"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    return s.selectExpr(
+        f"{_LR3_DET0} / {_LR3_DET} AS b0",
+        f"{_LR3_DET1} / {_LR3_DET} AS b1",
+        f"{_LR3_DET2} / {_LR3_DET} AS b2",
+        "CAST(n AS BIGINT) AS n_rows",
+    )

@@ -666,3 +666,60 @@ _sql_key(
     "partition, not one per function). Running decimal sum is exact and "
     "prefix-order pinned by the unique (o_orderdate, o_orderkey) order.",
 )
+
+
+@register(
+    "q_sql_params",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parameterized SQL (Spark 3.4+/4 named-parameter API): the query
+    # text carries :status / :floor placeholders and the literals bind
+    # at spark.sql() call time — injection-safe templating with zero
+    # plan difference (parameters fold to literals before optimization,
+    # so predicate pushdown still reaches the scan). The oracle is the
+    # same query with the constants inlined.
+    _register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )
+
+
+@register(
+    "q_sql_session_variable",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_high,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_high
+    FROM orders WHERE o_totalprice > 50000.0
+    """,
+)
+def q_sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL session variables (Spark 4 DECLARE/SET VARIABLE): procedural
+    # scripting state inside the SQL front door — the threshold lives in
+    # a typed session variable referenced by the query, the ANSI way to
+    # parameterize multi-statement SQL jobs. Variables resolve to
+    # literals in the analyzer, so pushdown is unaffected.
+    _register_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 50000.0")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_high,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_high
+        FROM orders WHERE o_totalprice > price_floor
+        """
+    )
