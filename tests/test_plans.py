@@ -645,3 +645,36 @@ def test_geo_radius_join_is_band_equi_join(spark):
     df = contract.QUERIES["q_join_geo_radius"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_keywords_topk_gets_window_group_limit(spark):
+    """q_text_keywords: the per-doc top-3 tf-idf rank filter must get
+    Spark 4's WindowGroupLimit pushdown (each doc's token frame prunes
+    to 3 rows before ranking materializes), and the vocabulary-sized df
+    side must broadcast — the corpus tf stream never shuffles for it."""
+    plan = plan_of("q_text_keywords", spark)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, "df (vocabulary) side must broadcast"
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Engine surface: per-join strategy hints map onto physical
+    operators — SHUFFLE_HASH avoids the sort-merge sort pair, MERGE
+    forces sort-merge, BROADCAST forces a broadcast even when stats
+    wouldn't pick it. These are the manual overrides a 100 TB operator
+    reaches for when AQE's estimate is wrong."""
+    from tests.conftest import SF_DIR
+    from trembita_spark.contract import table
+
+    od = table(spark, SF_DIR, "orders")
+    li = table(spark, SF_DIR, "lineitem")
+
+    def phys(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p1 = phys(li.join(od.hint("shuffle_hash"), li.l_orderkey == od.o_orderkey))
+    assert "ShuffledHashJoin" in p1, p1
+    p2 = phys(li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey))
+    assert "SortMergeJoin" in p2, p2
+    p3 = phys(li.join(od.hint("broadcast"), li.l_orderkey == od.o_orderkey))
+    assert "BroadcastHashJoin" in p3, p3

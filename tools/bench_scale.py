@@ -292,6 +292,28 @@ def q_covariance(emb):
     return covariance_matrix(emb)
 
 
+def q_substring_dedup(docs):
+    # span-level exact dedup: gram explosion → hash groupBy → semi-join
+    # back → per-doc rollup. Replica token-prefixing keeps each
+    # replica's gram space disjoint, so this measures pipeline scaling
+    # (work ∝ total tokens), not planted cross-replica duplication.
+    from trembita_spark.operators.dedup import duplicated_span_report
+
+    return duplicated_span_report(docs, k=8)
+
+
+def q_dhash_decode(docs):
+    # the decode+hash stage of image near-dup: real PNG/BMP pixel
+    # decode (Arrow-batched mapInPandas) → 4 band rows per image. Pure
+    # scan-local map work — must scale linearly with images. (The
+    # candidate/verify stage is excluded here: the 8x replica reuses
+    # doc_id arithmetic mod 256, so replicas share seeds and pair
+    # counts grow with DATA similarity, not plan cost.)
+    from trembita_spark.operators.multimodal import attach_pixel_payload, dhash_bands
+
+    return dhash_bands(attach_pixel_payload(docs.select("doc_id")))
+
+
 def median_time(fn, runs=3):
     fn()  # warm
     ts = []
@@ -360,6 +382,14 @@ def main():
         "window_count_distinct": (
             lambda: q_window_count_distinct(ev1).agg(F.sum("types_so_far")).collect(),
             lambda: q_window_count_distinct(ev8).agg(F.sum("types_so_far")).collect(),
+        ),
+        "substring_dedup": (
+            lambda: q_substring_dedup(doc1).count(),
+            lambda: q_substring_dedup(doc8).count(),
+        ),
+        "dhash_decode_hash": (
+            lambda: q_dhash_decode(doc1).count(),
+            lambda: q_dhash_decode(doc8).count(),
         ),
         "covariance_pass": (
             lambda: q_covariance(synth_embeddings(spark, 50_000)).count(),
