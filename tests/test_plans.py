@@ -678,3 +678,13 @@ def test_join_strategy_hints_are_honored(spark):
     assert "SortMergeJoin" in p2, p2
     p3 = phys(li.join(od.hint("broadcast"), li.l_orderkey == od.o_orderkey))
     assert "BroadcastHashJoin" in p3, p3
+
+
+def test_dpp_plants_runtime_partition_filter(spark):
+    """q_join_dpp: joining a date-partitioned fact against a selectively
+    filtered calendar dim must plant a dynamicpruning# subquery in the
+    fact scan's PartitionFilters — runtime partition pruning, the scan
+    eliminator for date-partitioned 100 TB facts."""
+    df = contract.QUERIES["q_join_dpp"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

@@ -1645,3 +1645,54 @@ def q_source_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "rep", "item", "v", (F.col("rep").cast("bigint") * F.col("v")).alias("weighted")
     )
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE dayofweek(CAST(ts AS DATE)) = 1
+    GROUP BY 1
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dynamic partition pruning: the fact side is a date-partitioned
+    # parquet sink; the dim side is a tiny calendar table filtered to
+    # Mondays. Catalyst turns the broadcast dim into a runtime partition
+    # filter (dynamicpruning# subquery on event_date), so the fact scan
+    # reads ONLY the matching date directories — at 100 TB this is the
+    # difference between scanning 30 partitions and 4, decided at run
+    # time with no literal date list in the query.
+    # tests/test_plans.py asserts the dynamicpruning filter is present.
+    from trembita_spark.contract import run_tmp
+
+    base = run_tmp("dpp")
+    ev = table(spark, sf_dir, "events")
+    (
+        ev.withColumn("event_date", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(f"{base}/fact")
+    )
+    # the calendar is written UNfiltered and filtered at query time —
+    # DPP's planner heuristic requires a selective predicate on the dim
+    # SCAN (a pre-filtered table shows none, and no pruning subquery is
+    # planted)
+    cal = ev.select(F.col("ts").cast("date").alias("d")).distinct().withColumn(
+        "dow", F.dayofweek("d")
+    )
+    cal.write.mode("overwrite").parquet(f"{base}/cal")
+    fact = spark.read.parquet(f"{base}/fact")
+    # Spark dayofweek: 1=Sunday..7 → Monday=2; DuckDB dayofweek: 1=Monday
+    dim = F.broadcast(spark.read.parquet(f"{base}/cal").where(F.col("dow") == 2))
+    return (
+        fact.join(dim, fact.event_date == dim.d)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
