@@ -1385,3 +1385,39 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sxx") - 2 * m * F.col("s") + F.col("n") * m * m)
         ).alias("acf"),
     )
+
+
+@register(
+    "q_stream_topk_types",
+    oracle="""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT wstart, event_type, n, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY wstart ORDER BY n DESC, event_type) AS INT) AS rk
+      FROM c
+    ) WHERE rk <= 2
+    """,
+)
+def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Windowed top-k over a LIVE stream: the streaming leg computes the
+    # per-hour per-type counts (stateful tumbling agg, the incremental
+    # part); the rank-and-prune runs sink-side on the materialized
+    # window counts — the standard streaming-top-k split, since rank
+    # functions can't ride inside a streaming agg. State is
+    # windows x types (bounded); the sink-side frame is aggregate-sized,
+    # never the event stream. Oracle = the identical batch computation.
+    from pyspark.sql.window import Window
+
+    name = f"stream_topk_{next(_STREAM_SEQ)}"
+    agg = tumbling_window_agg(events_stream(spark, sf_dir))
+    counts = run_to_completion(agg, name, output_mode="complete")
+    w = Window.partitionBy("wstart").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.select("wstart", "event_type", "n")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+    )
