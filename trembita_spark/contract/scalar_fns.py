@@ -515,3 +515,44 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         (F.try_variant_get(v, "$.k", "double") / 2).alias("k_half"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    SELECT doc_id,
+           'www.mirror' || (doc_id % 4) || '.example.com' AS host,
+           '/docs/' || (doc_id % 50) AS path,
+           CAST(doc_id % 5 AS VARCHAR) AS q_a,
+           'sec' || (doc_id % 7) AS frag,
+           'https' AS scheme
+    FROM documents
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL component extraction (parse_url family — host/path/named query
+    # param/fragment/protocol), the scalar toolkit behind web-corpus
+    # provenance splits (group by host, filter by path prefix). The
+    # Spark side BUILDS a url string per doc and parses it with the JVM
+    # parser; the oracle derives every component independently from
+    # doc_id arithmetic, so parity proves the parser against the URL
+    # spec, not against itself. Pure codegen expressions — scan-local,
+    # zero shuffle.
+    doc = table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www.mirror"), (d % 4).cast("string"),
+        F.lit(".example.com/docs/"), (d % 50).cast("string"),
+        F.lit("?a="), (d % 5).cast("string"),
+        F.lit("&b="), (d % 3).cast("string"),
+        F.lit("#sec"), (d % 7).cast("string"),
+    )
+    u = doc.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("a")).alias("q_a"),
+        F.parse_url("url", F.lit("REF")).alias("frag"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
+    )
