@@ -470,3 +470,95 @@ def test_interval_overlap_matches_bruteforce(spark, ivs, bucket):
         if a[1] == b[1] and a[2] < b[3] and b[2] < a[3]
     }
     assert got == want
+
+
+def test_geo_radius_band_prefilter_is_lossless(spark):
+    """Property: the latitude-band candidate prefilter loses no true
+    pair and yields each pair exactly once — including pairs that
+    straddle a band boundary and antimeridian-adjacent longitudes."""
+    import math
+
+    from trembita_spark.operators.joins import geo_radius_join
+
+    R = 300.0
+    pts = [
+        # straddle the band edge (band = ceil(300/110.574) = 3°)
+        (1, 2.999, 10.0), (2, 3.001, 10.0),
+        # identical location
+        (3, 45.0, 45.0), (4, 45.0, 45.0),
+        # just inside / outside the radius on a pure-lat offset
+        (5, 0.0, 0.0), (6, 300.0 / 111.0, 0.0), (7, 3.2, 0.0),
+        # far apart
+        (8, -60.0, 100.0), (9, 60.0, -100.0),
+        # near-antimeridian pair (lon wrap NOT handled by bands — both
+        # in the same lat band, verify must decide)
+        (10, 10.0, 179.9), (11, 10.0, -179.9),
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r.id_a, r.id_b) for r in geo_radius_join(df, R).collect()}
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[1], a[2], b[1], b[2]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(h))
+
+    want = {
+        (a[0], b[0])
+        for a in pts
+        for b in pts
+        if a[0] < b[0] and round(hav(a, b), 6) <= R
+    }
+    assert got == want
+    # and the self-pair / duplicate-emission guards held
+    assert len(got) == len(list(got))
+
+
+def test_substring_dedup_flags_verbatim_copies(spark):
+    """Property: a doc duplicated verbatim scores dup_frac == 1.0 on
+    both copies; a doc sharing no 8-gram with anything scores 0.0;
+    within-doc repetition alone does NOT count as duplication."""
+    from trembita_spark.operators.dedup import duplicated_span_report
+
+    words = lambda n, p: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    docs = [
+        (1, words(20, "a")),
+        (2, words(20, "a")),          # verbatim copy of 1
+        (3, words(20, "b")),          # unique
+        (4, " ".join([words(8, "c")] * 3)),  # self-repeating only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+           for r in duplicated_span_report(df, k=8).collect()}
+    assert got[1][2] == 1.0 and got[2][2] == 1.0
+    assert got[3][1] == 0 and got[3][2] == 0.0
+    assert got[4][1] == 0, "within-doc repeats must not self-flag"
+
+
+def test_dhash_identical_images_collide_and_differ_by_content(spark):
+    """Property: byte-identical images produce identical band rows (so
+    near-dup candidates collide), and images of different content
+    produce at least one differing band."""
+    from trembita_spark.operators.multimodal import (
+        attach_pixel_payload,
+        dhash_bands,
+    )
+
+    # ids 0 and 768 share (w, h, seed) → identical synthetic images.
+    # The synthetic pixels are smooth monotone gradients, on which dHash
+    # is DEGENERATE BY DESIGN (a constant gradient has constant
+    # difference signs — such images genuinely look alike), so a
+    # low-seed pair like (0, 1) hashes identically; discrimination comes
+    # from where the mod-256 gradient wrap lands, which moves with high
+    # seeds — id 200 (seed 200) wraps inside the sampled grid.
+    df = spark.createDataFrame([(0,), (768,), (200,)], "doc_id long")
+    bands = dhash_bands(attach_pixel_payload(df)).collect()
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r.doc_id, {})[r.band_idx] = r.band_val
+    assert by_doc[0] == by_doc[768], "identical images must hash identically"
+    assert by_doc[0] != by_doc[200], "wrap-bearing content must differ"
+    assert any(v != 0 for v in by_doc[200].values()), "hash must be non-trivial"
+    assert all(len(v) == 4 for v in by_doc.values())
