@@ -1329,3 +1329,84 @@ def q_ml_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_LR3_DET2} / {_LR3_DET} AS b2",
         "CAST(n AS BIGINT) AS n_rows",
     )
+
+
+@register(
+    "q_mining_copair",
+    oracle="""
+    WITH bask AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM bask),
+    supp1 AS (SELECT part, CAST(count(*) AS BIGINT) AS s FROM bask GROUP BY 1),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM bask a JOIN bask b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           CAST(support AS DOUBLE) * n_orders / (sa.s * sb.s) AS lift,
+           rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY support DESC, part_a, part_b) AS INT) AS rk
+      FROM pairs
+    ) p
+    JOIN supp1 sa ON sa.part = p.part_a
+    JOIN supp1 sb ON sb.part = p.part_b
+    CROSS JOIN n
+    WHERE rk <= 20
+    """,
+)
+def q_mining_copair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket co-occurrence mining: top-20 part pairs by support
+    # with lift. The pair generation is a SELF-JOIN ON THE BASKET KEY —
+    # co-partitioned, one shuffle, and pair fan-out is bounded by
+    # basket size squared (baskets are small by nature; a hot basket is
+    # a data bug, not a plan input), never |parts|^2. Per-part supports
+    # join back broadcast (vocabulary-sized); lift is exact-integer
+    # ratio arithmetic -> identical doubles. The global top-20 is an
+    # orderBy+limit (TakeOrderedAndProject — per-partition top-k then a
+    # 20-row merge, no global sort), ranked AFTER the limit for the
+    # unique (support desc, part_a, part_b) order.
+    from pyspark.sql.window import Window
+
+    bask = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds pairs (twice) + supports + N
+    )
+    n = bask.agg(F.countDistinct("okey").alias("n_orders"))
+    supp1 = bask.groupBy("part").agg(F.count(F.lit(1)).alias("s"))
+    a = bask.select(F.col("okey"), F.col("part").alias("part_a"))
+    b = bask.select(F.col("okey"), F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    top = pairs.orderBy(
+        F.col("support").desc(), "part_a", "part_b"
+    ).limit(20).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("support").desc(), "part_a", "part_b")
+        ),
+    )
+    sa = supp1.select(F.col("part").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp1.select(F.col("part").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        top.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (F.col("support").cast("double") * F.col("n_orders") / (F.col("sa") * F.col("sb"))).alias("lift"),
+            "rk",
+        )
+    )
