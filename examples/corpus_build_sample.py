@@ -1,9 +1,10 @@
 """End-to-end corpus construction sample — the round-4 operator chain a
 web-crawl→training-shards pipeline runs:
 
-markup strip → paragraph-level dedup scrub → semantic dedup (kmeans +
-within-cluster cosine) on embeddings → token-budget selection →
-deterministic shard assignment.
+markup strip → substring-span dup scoring (Lee-et-al style) →
+paragraph-level dedup scrub → semantic dedup (kmeans + within-cluster
+cosine) on embeddings → image near-dup (perceptual dHash bands) →
+token-budget selection → deterministic shard assignment.
 
 Every stage is the oracle-checked operator the contract registers; this
 file just shows them composed.
@@ -36,6 +37,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     clean = strip_markup(docs).select("doc_id", F.col("clean").alias("text"))
     print("stripped:", clean.count(), "docs")
 
+    # 1b. substring-span duplication scoring: drop docs where more than
+    #     half the 8-token spans also appear in another doc
+    from trembita_spark.operators.dedup import duplicated_span_report
+
+    span_scores = duplicated_span_report(clean, k=8)
+    keep_ids = span_scores.where(F.col("dup_frac") <= 0.5).select("doc_id")
+    clean = clean.join(keep_ids, "doc_id", "left_semi")
+    print("after substring-dup filter:", clean.count(), "docs")
+
     # 2. paragraph-granularity dedup: drop chunks already owned by a
     #    lower-id doc, reassemble survivors
     ch = chunk_documents(clean, chunk_tokens=3, overlap=0).select(
@@ -63,6 +73,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .distinct()
     )
     print("semantic dedup drops:", drops.count(), "vectors")
+
+    # 3b. image near-dup: perceptual dHash bands over the (synthetic)
+    #     image payloads — band collisions are the LSH candidates
+    from trembita_spark.operators.multimodal import attach_pixel_payload, dhash_bands
+
+    bands = dhash_bands(attach_pixel_payload(scrubbed.select("doc_id")))
+    img_cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    print("image near-dup candidates:", img_cand.count(), "pairs")
 
     # 4. token-budget selection (longest-first) on the scrubbed corpus
     weighted = scrubbed.select(
