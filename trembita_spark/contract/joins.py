@@ -668,11 +668,11 @@ _GEO_PTS_SQL = """
                pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
       FROM pts a, pts b WHERE a.id < b.id
     )
-    SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 500.0
+    SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 800.0
     """,
 )
 def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spatial radius self-join (all customer pairs within 500 km on
+    # Spatial radius self-join (all customer pairs within 800 km on
     # synthetic deterministic coordinates): latitude-band bucketing
     # gives a lossless linear-cost candidate prefilter (each true pair
     # lands in exactly one band cell), haversine verifies candidates
@@ -691,7 +691,9 @@ def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
         )
     )
-    return geo_radius_join(pts, 500.0)
+    # 800 km: the smallest radius that is non-vacuous on the sparse
+    # sf0.001 lattice (16 pairs) while staying bounded at sf0.1 (~19k)
+    return geo_radius_join(pts, 800.0)
 
 
 import itertools as _it
