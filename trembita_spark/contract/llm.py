@@ -2534,3 +2534,63 @@ def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.where(F.col("hamming") <= 6)
+
+
+@register(
+    "q_graph_components",
+    oracle="""
+    WITH RECURSIVE bask AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      FROM lineitem WHERE l_partkey < 2000
+    ),
+    pairs AS (
+      SELECT a.part AS pa, b.part AS pb
+      FROM bask a JOIN bask b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Standalone connected components over the part co-purchase graph
+    # (parts co-ordered in >= 2 distinct orders are linked): the Spark
+    # side runs the pointer-jumping min-label propagation
+    # (operators/dedup.py connected_components — O(log diameter)
+    # rounds, each a bounded co-keyed join), which at 100 TB is the
+    # large-star/small-star regime; the oracle computes min reachable
+    # label by brute recursive transitive closure — quadratic in
+    # component size, which is why BOTH sides cap the node universe
+    # (l_partkey < 2000) to keep the closure feasible at sweep scale.
+    # Parity proves the iterative algorithm equals the declarative
+    # fixpoint.
+    from trembita_spark.operators.dedup import connected_components
+
+    bask = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 2000)
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = bask.select("okey", F.col("part").alias("doc_a"))
+    b = bask.select("okey", F.col("part").alias("doc_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("node"), F.col("cluster_id").alias("component")
+    )

@@ -1421,3 +1421,104 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 2)
     )
+
+
+@register(
+    "q_ts_decompose",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    w AS (
+      SELECT hr, x,
+             CAST(sum(x) OVER fr AS BIGINT) AS ws,
+             CAST(count(*) OVER fr AS BIGINT) AS wn
+      FROM dense
+      WINDOW fr AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    full_w AS (SELECT hr, x, ws FROM w WHERE wn = 25),
+    seas AS (
+      SELECT hr % 24 AS h,
+             CAST(sum(x) AS BIGINT) AS sa,
+             CAST(sum(ws) AS BIGINT) AS wsum,
+             CAST(count(*) AS BIGINT) AS n_h
+      FROM full_w GROUP BY 1
+    )
+    SELECT f.hr, f.x,
+           f.ws / 25.0 AS trend,
+           CAST(s.sa AS DOUBLE) / s.n_h - CAST(s.wsum AS DOUBLE) / (25.0 * s.n_h)
+             AS seasonal,
+           f.x - f.ws / 25.0
+             - (CAST(s.sa AS DOUBLE) / s.n_h - CAST(s.wsum AS DOUBLE) / (25.0 * s.n_h))
+             AS residual
+    FROM full_w f JOIN seas s ON s.h = f.hr % 24
+    """,
+)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonal decomposition of the hourly event-count series (STL-lite:
+    # trend = centered 25-hour moving average; seasonal = hour-of-day
+    # mean of the detrended series; residual = remainder). EVERY input
+    # to the double arithmetic is an exact integer sum — the seasonal
+    # mean of (x - trend) is algebraically re-expressed as
+    # sa/n - wsum/(25*n) over integer group sums, so no
+    # order-dependent float accumulation exists anywhere; the final
+    # per-row expressions share their shape with the oracle and are
+    # bit-identical. The only fact-table pass is the hourly groupBy; the
+    # decomposition runs on the calendar-sized spine (the global-window
+    # moving average is over the HOURS SPINE — time-bounded, thousands
+    # of rows at any data volume — the documented benign exception to
+    # the global-window ban).
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = spine.join(c, "hr", "left").select(
+        "hr", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    fr = Window.orderBy("hr").rowsBetween(-12, 12)
+    w = dense.select(
+        "hr",
+        "x",
+        F.sum("x").over(fr).cast("bigint").alias("ws"),
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("wn"),
+    )
+    full_w = w.where(F.col("wn") == 25).drop("wn").localCheckpoint(eager=False)
+    seas = (
+        full_w.groupBy((F.col("hr") % 24).alias("h"))
+        .agg(
+            F.sum("x").alias("sa"),
+            F.sum("ws").alias("wsum"),
+            F.count(F.lit(1)).alias("n_h"),
+        )
+    )
+    # 25.0D: Spark parses a bare 25.0 literal as DECIMAL(3,1) (the whole
+    # expression then lands decimal/object-dtyped); the D suffix pins
+    # DOUBLE, matching DuckDB's float literal semantics.
+    s_expr = "CAST(sa AS DOUBLE) / n_h - CAST(wsum AS DOUBLE) / (25.0D * n_h)"
+    return (
+        full_w.withColumn("h", F.col("hr") % 24)
+        .join(F.broadcast(seas), "h")
+        .selectExpr(
+            "hr",
+            "x",
+            "ws / 25.0D AS trend",
+            f"{s_expr} AS seasonal",
+            f"x - ws / 25.0D - ({s_expr}) AS residual",
+        )
+    )
