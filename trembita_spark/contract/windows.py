@@ -427,3 +427,105 @@ def q_window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (20 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("slope20"),
     )
+
+
+@register(
+    "q_window_drawdown",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           max(peak - value) AS max_drawdown,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id
+    """,
+)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Maximum drawdown per user (largest drop from a running peak — the
+    # classic risk statistic): running max over the per-user prefix
+    # frame, per-row peak-minus-value, then a max rollup. Every step is
+    # order-insensitive (max) or per-row IEEE on identical inputs — no
+    # float accumulation at all, bit-exact without rounding. One
+    # shuffle on user_id shared by the window and the final agg.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "user_id", "value", F.max("value").over(w).alias("peak")
+    )
+    return r.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_window_zscore_rolling",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(value AS DOUBLE) AS v,
+             CAST(value AS DECIMAL(18,2)) AS vd,
+             CAST(value * value AS DECIMAL(18,4)) AS vd2
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn, v,
+             CAST(sum(vd) OVER w AS DOUBLE) AS sv,
+             CAST(sum(vd2) OVER w AS DOUBLE) AS svv
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN (svv - sv * sv / 20) / 19 > 0
+                THEN (v - sv / 20) / sqrt((svv - sv * sv / 20) / 19) END
+             AS z20
+    FROM s WHERE rn >= 20
+    """,
+)
+def q_window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling anomaly score: z of each value against its OWN trailing
+    # 20-row window (the streaming-friendly complement to the global
+    # q_anomaly_zscore). Windowed sums are exact decimals (2-decimal
+    # values, 4-decimal squares — the square of a 2-dec value is ON the
+    # 4-dec grid, so the decimal cast is exact), mean/var/z are
+    # closed-form doubles over them, null when the window is
+    # degenerate. Emitted for full frames only (n = 20 constant).
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        F.col("value").cast("double").alias("v"),
+        F.col("value").cast("decimal(18,2)").alias("vd"),
+        (F.col("value") * F.col("value")).cast("decimal(18,4)").alias("vd2"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    s = x.select(
+        "user_id",
+        "event_id",
+        "rn",
+        "v",
+        F.sum("vd").over(w).cast("double").alias("sv"),
+        F.sum("vd2").over(w).cast("double").alias("svv"),
+    )
+    var = (F.col("svv") - F.col("sv") * F.col("sv") / 20) / 19
+    return s.where(F.col("rn") >= 20).select(
+        "user_id",
+        "event_id",
+        F.when(var > 0, (F.col("v") - F.col("sv") / 20) / F.sqrt(var)).alias("z20"),
+    )
