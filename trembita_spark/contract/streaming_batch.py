@@ -1522,3 +1522,115 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"x - ws / 25.0D - ({s_expr}) AS residual",
         )
     )
+
+
+@register(
+    "q_events_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    win AS (
+      SELECT DISTINCT user_id, d + i AS wd
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) s
+    ),
+    wau AS (SELECT wd AS d, CAST(count(*) AS BIGINT) AS wau FROM win GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud)
+    SELECT d.d AS day_idx, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w USING (d) CROSS JOIN b
+    WHERE d.d >= b.lo + 6 AND d.d <= b.hi
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU / trailing-7-day-WAU stickiness: the sliding-window DISTINCT
+    # problem, solved by EXPLODING each (user, day) into the 7 window-
+    # end days it contributes to and counting distinct pairs — one
+    # extra 7x fan-out of the user-day table (already distinct, tiny
+    # vs the event stream) instead of re-scanning events once per
+    # window offset. Edge days with partial windows are trimmed.
+    # Integer day indexes and exact count ratios throughout.
+    ev = table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds dau, the window fan-out, bounds
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    win = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd"),
+        )
+        .distinct()
+    )
+    wau = win.groupBy(F.col("wd").alias("d")).agg(F.count(F.lit(1)).alias("wau"))
+    b = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(b))
+        .where((F.col("d") >= F.col("lo") + 6) & (F.col("d") <= F.col("hi")))
+        .select(
+            F.col("d").alias("day_idx"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "q_events_top_paths",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM seqs GROUP BY 1
+    )
+    SELECT path, n_users,
+           CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT) AS rk
+    FROM c
+    ORDER BY n_users DESC, path
+    LIMIT 5
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Path analysis: the 5 most common complete event-type journeys
+    # (each user's ordered letter string — same per-user
+    # collect-sort-fold as q_events_sequence_match), counted and
+    # top-k'd with the unique (count desc, path) order via
+    # orderBy+limit (TakeOrderedAndProject — never a global sort).
+    # Path cardinality is bounded by distinct journeys, not users; the
+    # two groupBys are both partial-agg shuffles.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("us"),
+                            F.col("event_id").alias("eid"),
+                            F.substring("event_type", 1, 1).alias("l"),
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            "",
+        ).alias("path")
+    )
+    c = seqs.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = c.orderBy(F.col("n_users").desc(), "path").limit(5)
+    return top.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n_users").desc(), "path")),
+    )
