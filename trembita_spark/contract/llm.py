@@ -2594,3 +2594,41 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node"), F.col("cluster_id").alias("component")
     )
+
+
+@register(
+    "q_multimodal_audio_fp",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 509 AS seed FROM documents
+    ),
+    bits AS (
+      SELECT d.doc_id, j.j,
+             CASE WHEN (7 * (2 * j.j + 2) + seed) % 2048 - 1024
+                     > (7 * (2 * j.j) + seed) % 2048 - 1024
+                  THEN 1 ELSE 0 END AS bit
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS j) j
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(bit * (1 << j)) AS INT) AS fp
+      FROM bits GROUP BY 1
+    )
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_clips, min(doc_id) AS keep_id
+    FROM fp GROUP BY 1
+    """,
+)
+def q_multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Audio near-duplicate grouping by perceptual fingerprint: the REAL
+    # WAV decode (chunk walk, endianness — same path as
+    # q_multimodal_audio) feeds a 15-bit delta-sign signature
+    # (operators/multimodal.py audio_fingerprint), grouped exact-dedup
+    # style. The oracle recomputes the fingerprint in closed form from
+    # the sample formula — a decoder OR fingerprint bug breaks parity.
+    # Completes the perceptual-dedup triad: text MinHash, image dHash,
+    # audio delta-sign.
+    docs = M.attach_audio_payload(table(spark, sf_dir, "documents").select("doc_id"))
+    fp = M.audio_fingerprint(docs)
+    return fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("doc_id").alias("keep_id"),
+    )

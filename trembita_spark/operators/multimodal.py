@@ -671,3 +671,37 @@ def dhash_bands(
     return df.select(id_col, payload_col).mapInPandas(
         hash_batches, f"{id_col} long, band_idx int, band_val long"
     )
+
+
+def audio_fingerprint(
+    df: DataFrame, payload_col: str = "audio", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual audio fingerprint over the REAL decoded-sample path:
+    (id, fp) where fp is a 15-bit delta-sign signature — bit j set when
+    sample[2j+2] > sample[2j] over the first 32 samples (every clip in
+    the fixture has >= 32; real pipelines frame + window first). The
+    audio analogue of image dHash: identical audio collides exactly,
+    level-shifted audio collides too (delta signs ignore DC offset),
+    and grouping by fp is one fixed-width hash shuffle — the exact-dedup
+    plan shape on a perceptual key. Undecodable payloads are skipped."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _rate, n, xs = decode_wav(bytes(buf))
+                except ValueError:
+                    continue
+                if n < 32:
+                    continue
+                fp = 0
+                for j in range(15):
+                    if xs[2 * j + 2] > xs[2 * j]:
+                        fp |= 1 << j
+                rows.append({id_col: _id, "fp": fp})
+            yield pd.DataFrame(rows, columns=[id_col, "fp"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fp_batches, f"{id_col} long, fp int"
+    )
