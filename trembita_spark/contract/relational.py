@@ -1696,3 +1696,56 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+@register(
+    "q_scan_csv_malformed",
+    oracle="""
+    WITH src AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000)
+    SELECT CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS total_good
+    FROM src
+    """,
+)
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust CSV ingestion: the Spark side WRITES a csv with a
+    # deterministic corruption pattern (every o_orderkey % 7 == 0 row
+    # carries a non-numeric price), reads it back PERMISSIVE with a
+    # corrupt-record column, and reports good/bad counts + the exact
+    # decimal sum over surviving rows. The oracle derives the same
+    # numbers from the clean fixture by the corruption rule — parity
+    # proves the malformed-row QUARANTINE path (schema enforcement,
+    # corrupt-record capture), not just the happy path. At 100 TB,
+    # PERMISSIVE + quarantine column is the ingestion posture: one bad
+    # row must never kill a load, and must never silently vanish
+    # either.
+    from trembita_spark.contract import run_tmp
+
+    base = run_tmp("csv_malformed")
+    od = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    lines = od.select(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(","),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("N/A")).otherwise(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{base}/raw")
+    df = (
+        spark.read.schema("okey BIGINT, price DOUBLE, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(f"{base}/raw")
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias("n_bad"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("price").cast("decimal(18,2)"))
+        ).cast("double").alias("total_good"),
+    )
