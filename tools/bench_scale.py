@@ -314,6 +314,23 @@ def q_dhash_decode(docs):
     return dhash_bands(attach_pixel_payload(docs.select("doc_id")))
 
 
+def q_copair(li):
+    # market-basket pair mining: basket-keyed self-join — pair fan-out
+    # is per-basket-squared (baskets are bounded), so total work must
+    # track |orders|, not |parts|².
+    bask = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = bask.select("okey", F.col("part").alias("pa"))
+    b = bask.select("okey", F.col("part").alias("pb"))
+    return (
+        a.join(b, "okey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+
+
 def median_time(fn, runs=3):
     fn()  # warm
     ts = []
@@ -382,6 +399,10 @@ def main():
         "window_count_distinct": (
             lambda: q_window_count_distinct(ev1).agg(F.sum("types_so_far")).collect(),
             lambda: q_window_count_distinct(ev8).agg(F.sum("types_so_far")).collect(),
+        ),
+        "copair_mining": (
+            lambda: q_copair(li1).count(),
+            lambda: q_copair(li8).count(),
         ),
         "substring_dedup": (
             lambda: q_substring_dedup(doc1).count(),
