@@ -2632,3 +2632,43 @@ def q_multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clips"),
         F.min("doc_id").alias("keep_id"),
     )
+
+
+@register(
+    "q_text_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_ratio
+    FROM tc GROUP BY doc_id
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lexical diversity per doc: type-token ratio and hapax-legomenon
+    # share — the standard quick screens for templated/spam text (low
+    # TTR) vs natural prose. One explode + one (doc, token) partial-agg
+    # groupBy + one doc rollup; all exact integer ratios.
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias("ttr"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_ratio"),
+    )
