@@ -688,3 +688,17 @@ def test_dpp_plants_runtime_partition_filter(spark):
     df = contract.QUERIES["q_join_dpp"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_interval_stabbing_prefix_sum_is_distributed(spark):
+    """q_interval_stabbing: the concurrency curve's running sum must be
+    the two-phase distributed prefix sum — data rides a range-partition
+    exchange with a __pid-partitioned local window; the only
+    SinglePartition exchange feeds the per-partition offsets frame
+    (one row per partition), never the boundary stream."""
+    plan = plan_of("q_interval_stabbing", spark)
+    assert "rangepartitioning" in plan.lower(), plan
+    for line in plan.splitlines():
+        if "Window [sum(delta" in line:
+            assert "windowspecdefinition(__pid" in line, line
+    assert plan.count("Exchange SinglePartition") == plan.count("Window [sum(__t"), plan

@@ -1749,3 +1749,70 @@ def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_bad").isNull(), F.col("price").cast("decimal(18,2)"))
         ).cast("double").alias("total_good"),
     )
+
+
+@register(
+    "q_interval_stabbing",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey AS okey, epoch_us(o_orderdate) AS us, 1 AS delta
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, epoch_us(o_orderdate + INTERVAL 30 DAY), -1
+      FROM orders
+    ),
+    c AS (
+      SELECT us, delta, okey,
+             CAST(sum(delta) OVER (ORDER BY us, delta, okey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_now
+      FROM b
+    )
+    SELECT CAST(date_trunc('month', to_timestamp(us / 1e6)) AS TIMESTAMP) AS month,
+           max(open_now) AS peak_open,
+           CAST(count(*) AS BIGINT) AS n_boundaries
+    FROM c GROUP BY 1
+    """,
+)
+def q_interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concurrent-interval counting (how many orders are simultaneously
+    # open, peak per month): the classic interval-stabbing reduction —
+    # each order contributes a +1 boundary at open and a -1 at
+    # open+30d, and the concurrency curve is the EXACT integer prefix
+    # sum of deltas under the unique (time, delta, key) total order
+    # (closures tie-break before opens at the same instant). The
+    # prefix sum is the DISTRIBUTED one (operators/ranking.py
+    # prefix_sum: range partition + local running window + broadcast
+    # offsets) — the oracle states the same curve with a plain global
+    # window, which DuckDB may run single-threaded but Spark must not:
+    # the plan never has a single-partition window over the boundary
+    # stream.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    od = table(spark, sf_dir, "orders")
+    # o_orderdate loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP —
+    # the session is pinned UTC so the cast is an identity relabel
+    opens = od.select(
+        F.col("o_orderkey").alias("okey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        F.lit(1).alias("delta"),
+    )
+    closes = od.select(
+        F.col("o_orderkey").alias("okey"),
+        F.unix_micros(
+            F.expr("o_orderdate + INTERVAL 30 DAY").cast("timestamp")
+        ).alias("us"),
+        F.lit(-1).alias("delta"),
+    )
+    b = opens.unionAll(closes)
+    c = prefix_sum(b, "delta", ["us", "delta", "okey"], name="open_now")
+    return (
+        c.select(
+            F.date_trunc("month", F.timestamp_micros(F.col("us"))).alias("month"),
+            F.col("open_now").cast("bigint").alias("open_now"),
+        )
+        .groupBy("month")
+        .agg(
+            F.max("open_now").alias("peak_open"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+    )

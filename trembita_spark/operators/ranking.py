@@ -64,3 +64,43 @@ def ntile_exact(
     small = r + F.floor((p0 - cutoff) / F.greatest(q, F.lit(1))) + 1
     tile = F.when(p0 < cutoff, big).otherwise(small).cast("int")
     return out.withColumn(name, tile).drop(pos_col, n_col)
+
+
+def prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[Column | str],
+    name: str = "cum",
+) -> DataFrame:
+    """Distributed EXACT prefix sum of ``value_col`` under a unique total
+    order — the general-value sibling of ``Pipeline.zip_with_index``
+    (which is prefix_sum of the constant 1).
+
+    Shape: range-partition by the order key, partition-local running-sum
+    window, per-partition totals cumulated on the (tiny, one row per
+    partition) counts frame and broadcast back as offsets. No
+    single-partition window ever touches the data-bearing frame, so this
+    is the 100 TB-safe form of ``sum(x) OVER (ORDER BY ...)``. The value
+    should be an exact type (integer / decimal): floating prefix sums
+    are order-defined but partial-offset composition reorders the
+    additions across partitions.
+    """
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    out = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    out = out.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("__local_cum", F.sum(value_col).over(w_local))
+    totals = out.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
+    return (
+        out.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(name, F.col("__off") + F.col("__local_cum"))
+        .drop("__pid", "__local_cum", "__off")
+    )
