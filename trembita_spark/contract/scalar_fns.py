@@ -556,3 +556,34 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("REF")).alias("frag"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
     )
+
+
+@register(
+    "q_fn_datetime_tz",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 9 HOUR AS tokyo,
+           ts + INTERVAL 345 MINUTE AS kathmandu,
+           ts - INTERVAL 5 HOUR AS lima,
+           CAST(hour(ts + INTERVAL 9 HOUR) AS INT) AS tokyo_hour
+    FROM events WHERE event_id < 500
+    """,
+)
+def q_fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Timezone projection via the JVM tz database (from_utc_timestamp
+    # into Asia/Tokyo, Asia/Kathmandu — a :45 offset zone — and
+    # America/Lima): all three are FIXED-OFFSET zones in the fixture's
+    # 2024 window (no DST transitions), so the oracle states them as
+    # plain interval arithmetic — parity proves Spark's tz lookup
+    # agrees with the IANA offsets. DST-transitioning zones are
+    # deliberately excluded: their oracle would need the full tz
+    # database in SQL, which is the point of using the engine instead.
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        tokyo.alias("tokyo"),
+        F.from_utc_timestamp("ts", "Asia/Kathmandu").alias("kathmandu"),
+        F.from_utc_timestamp("ts", "America/Lima").alias("lima"),
+        F.hour(tokyo).cast("int").alias("tokyo_hour"),
+    )

@@ -723,3 +723,21 @@ def q_sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_totalprice > price_floor
         """
     )
+
+
+_sql_key(
+    "q_sql_lateral_alias",
+    ["lineitem"],
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net,
+           CAST(net * (1 + l_tax) AS DOUBLE) AS gross,
+           CAST(gross - net AS DOUBLE) AS tax_paid
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    "Lateral column aliases (Spark 3.4+/DuckDB shared dialect): later "
+    "select items reference earlier ones by alias — the analyzer "
+    "inlines the chain, so the plan is a single projection with no "
+    "subquery nesting; per-row double arithmetic is engine-identical.",
+)

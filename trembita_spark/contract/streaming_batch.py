@@ -1634,3 +1634,46 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(Window.orderBy(F.col("n_users").desc(), "path")),
     )
+
+
+@register(
+    "q_events_gap_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us,
+           quantile_cont(gap_us, 0.99) AS p99_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    """,
+)
+def q_events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inter-event gap distribution (the latency-histogram shape every
+    # ops dashboard needs): per-user lag over the unique (ts, event_id)
+    # order yields integer-µs gaps; exact interpolating percentiles
+    # over integers are rational arithmetic both engines compute
+    # identically (same guarantee q_agg_percentile pins). One shuffle
+    # for the lag window; the percentile agg is a single-pass sort
+    # within the aggregation buffer.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    g = ev.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
+        F.expr("percentile(gap_us, 0.99)").alias("p99_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
