@@ -1410,3 +1410,113 @@ def q_mining_copair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "q_agg_mom_change",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) AS mom_change
+    FROM m
+    """,
+)
+def q_agg_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Month-over-month revenue change — the BI staple: one partial-agg
+    # monthly rollup (the only fact-table pass), then lag + ratio over
+    # the MONTHS frame (calendar-sized at any data volume — the benign
+    # aggregate-frame window). Exact decimal monthly sums; the ratio is
+    # per-row double arithmetic on identical inputs.
+    from pyspark.sql.window import Window
+
+    od = table(spark, sf_dir, "orders")
+    m = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_change"),
+    )
+
+
+@register(
+    "q_agg_pareto_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(rev) AS DECIMAL(18,2)) AS total FROM per_cust),
+    c AS (
+      SELECT o_custkey, rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum
+      FROM per_cust
+    )
+    SELECT CAST((SELECT count(*) FROM per_cust) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN cum - rev < CAST(0.8 AS DECIMAL(3,2)) * total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           CAST(sum(CASE WHEN cum - rev < CAST(0.8 AS DECIMAL(3,2)) * total
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT count(*) FROM per_cust) AS top80_frac
+    FROM c CROSS JOIN t
+    """,
+)
+def q_agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Revenue concentration (the 80/20 audit): how many customers,
+    # ranked by exact decimal revenue, does it take to cover 80% of the
+    # total. The running total is the DISTRIBUTED prefix sum
+    # (operators/ranking.py prefix_sum) over the unique
+    # (rev desc, custkey) order — never a single-partition window on
+    # the customer frame — and the 80% threshold test is pure decimal
+    # arithmetic (a customer counts while the revenue BEFORE them is
+    # under the cutoff), exact on both engines.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    od = table(spark, sf_dir, "orders")
+    per_cust = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)  # feeds total + the ranked curve
+    )
+    t = per_cust.agg(F.sum("rev").cast("decimal(18,2)").alias("total"))
+    c = prefix_sum(
+        per_cust, "rev", [F.col("rev").desc(), F.col("o_custkey")], name="cum"
+    ).withColumn("cum", F.col("cum").cast("decimal(18,2)"))
+    n = per_cust.agg(F.count(F.lit(1)).alias("n_customers"))
+    in_top = (
+        (F.col("cum") - F.col("rev"))
+        < F.lit("0.8").cast("decimal(3,2)") * F.col("total")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.any_value("n_customers").alias("n_customers"),
+            F.sum(F.when(in_top, 1).otherwise(0)).alias("n_top80"),
+            (
+                F.sum(F.when(in_top, 1).otherwise(0)).cast("double")
+                / F.any_value("n_customers")
+            ).alias("top80_frac"),
+        )
+    )
