@@ -1816,3 +1816,42 @@ def q_interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_boundaries"),
         )
     )
+
+
+@register(
+    "q_sequence_islands",
+    oracle="""
+    WITH present AS (
+      SELECT o_orderkey AS id FROM orders
+      WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3
+    ),
+    g AS (
+      SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM present
+    )
+    SELECT min(id) AS island_start, max(id) AS island_end,
+           CAST(count(*) AS BIGINT) AS island_len
+    FROM g GROUP BY grp
+    """,
+)
+def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands over an id sequence (missing-key audit): the
+    # classic id-minus-rank grouping, with the rank supplied by the
+    # DISTRIBUTED zip_with_index (range partition + local row_number +
+    # broadcast offsets) instead of the oracle's single global window —
+    # consecutive present ids share (id - rank) and collapse to one
+    # island row. The fixture's keys are dense, so a deterministic
+    # %7/%11 knockout synthesizes the gaps. One range shuffle + one
+    # groupBy; islands are output-sized.
+    from trembita_spark.pipeline import Pipeline
+
+    od = table(spark, sf_dir, "orders")
+    present = od.where(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 11 != 3)
+    ).select(F.col("o_orderkey").alias("id"))
+    idx = Pipeline(present).zip_with_index(["id"], "idx").df
+    g = idx.withColumn("grp", F.col("id") - (F.col("idx") + 1))
+    return g.groupBy("grp").agg(
+        F.min("id").alias("island_start"),
+        F.max("id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    ).drop("grp")
