@@ -702,3 +702,53 @@ def test_interval_stabbing_prefix_sum_is_distributed(spark):
         if "Window [sum(delta" in line:
             assert "windowspecdefinition(__pid" in line, line
     assert plan.count("Exchange SinglePartition") == plan.count("Window [sum(__t"), plan
+
+
+def test_no_key_degrades_to_cartesian(spark):
+    """Sweeping plan-smell audit: EVERY registered contract key's
+    physical plan is checked for the two silent scale-killers —
+    CartesianProduct and BroadcastNestedLoopJoin — with an explicit
+    whitelist for the keys whose SEMANTICS are a cross/theta join (tiny
+    broadcast side by construction). The hand-written plan tests above
+    pin specific shapes; this one guarantees no key in the whole
+    registry quietly plans a pairwise blowup as the registry grows."""
+    # semantically-cross keys: cross join (explicit), theta join
+    # (arbitrary predicate, broadcast dim), lateral (correlated per-row
+    # subquery over a broadcast frame), skyline (broadcast frontier
+    # join-back), and the scalar-bounds joins that broadcast a 1-row agg
+    allow_bnlj = {
+        "q_join_cross", "q_join_theta", "q_join_lateral", "q_join_fuzzy",
+        "q_skyline", "q_join_band", "q_join_range", "q_join_interval_overlap",
+        # broadcast-queries ANN / broadcast-dim argmin: the BNLJ side is
+        # a handful of query vectors / 5 stations by construction
+        "q_similarity_topk", "q_similarity_mips", "q_fn_geo_nearest",
+    }
+    skip = {
+        k for k in contract.QUERIES
+        if k.startswith("q_stream_")  # plans are post-sink memory scans
+    }
+    bad = []
+    for key in sorted(contract.QUERIES):
+        if key in skip:
+            continue
+        try:
+            df = contract.QUERIES[key](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - surface builder breakage
+            bad.append(f"{key}: failed to plan: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            bad.append(f"{key}: CartesianProduct in plan")
+        if "BroadcastNestedLoopJoin" in plan and key not in allow_bnlj:
+            # two benign shapes need no whitelist entry: a BNLJ against
+            # a LocalTableScan (literal frame), and the scalar-bounds
+            # pattern crossJoin(broadcast(<1-row aggregate>)) — the
+            # latter shows an aggregated/single-partition frame in the
+            # plan. Anything else is a real pairwise blowup.
+            if (
+                "LocalTableScan" not in plan
+                and "HashAggregate" not in plan
+                and "Exchange SinglePartition" not in plan
+            ):
+                bad.append(f"{key}: unexpected BroadcastNestedLoopJoin")
+    assert not bad, "\n".join(bad)
