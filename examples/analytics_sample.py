@@ -4,7 +4,10 @@ over the event/order fixtures:
 behavioral: Markov transition matrix + EWMA smoothing + linear
 interpolation of gaps; graph: triangle counting and k-core peeling of
 the co-basket graph; decision support: Pareto skyline + weighted
-priority sampling; audit: snapshot diff between two table versions.
+priority sampling; audit: snapshot diff between two table versions;
+statistics (second-session additions): Welch t-test between event
+populations, seasonal decomposition of the hourly series, concurrent-
+open-orders curve via the distributed prefix sum.
 
 Every stage is the oracle-checked operator the contract registers; this
 file just shows them composed.
@@ -79,6 +82,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     diff = snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"])
     diff.groupBy("change_type").count().show()
+
+    # statistics: is the click-value population different from view's?
+    from trembita_spark.contract import QUERIES, load_all
+
+    load_all()
+    QUERIES["q_stat_ttest"](spark, sf_dir).show()
+
+    # seasonal decomposition of the hourly event-count series (head)
+    QUERIES["q_ts_decompose"](spark, sf_dir).orderBy("hr").limit(5).show()
+
+    # concurrent open orders per month (distributed prefix sum)
+    QUERIES["q_interval_stabbing"](spark, sf_dir).orderBy("month").show(5)
 
     spark.stop()
 
