@@ -2672,3 +2672,81 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("hapax_ratio"),
     )
+
+
+_DBSCAN_HAV = """round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2) +
+               cos(radians(a.lat)) * cos(radians(b.lat)) *
+               pow(sin(radians(b.lon - a.lon) / 2), 2))), 6)"""
+
+
+@register(
+    "q_cluster_dbscan",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer WHERE c_custkey < 1200
+    ),
+    pr AS (
+      SELECT a.id AS ia, b.id AS ib FROM pts a, pts b
+      WHERE a.id < b.id AND {_DBSCAN_HAV} <= 1200.0
+    ),
+    und AS (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib, ia FROM pr),
+    deg AS (SELECT id, count(*) AS n FROM und GROUP BY 1),
+    core AS (SELECT id FROM deg WHERE n >= 3),
+    ce AS (
+      SELECT ia, ib FROM pr
+      WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+    ),
+    cund AS (SELECT ia AS src, ib AS dst FROM ce UNION ALL SELECT ib, ia FROM ce),
+    reach(node, lbl) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN cund e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS id, min(lbl) AS cluster FROM reach GROUP BY 1),
+    core_c AS (
+      SELECT c.id, COALESCE(m.cluster, c.id) AS cluster
+      FROM core c LEFT JOIN comp m USING (id)
+    ),
+    border AS (
+      SELECT u.id, min(cc.cluster) AS cluster
+      FROM und u JOIN core_c cc ON cc.id = u.nb
+      WHERE u.id NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT id, 'core' AS role, cluster FROM core_c
+    UNION ALL
+    SELECT id, 'border', cluster FROM border
+    UNION ALL
+    SELECT p.id, 'noise', CAST(-1 AS BIGINT)
+    FROM pts p
+    WHERE p.id NOT IN (SELECT id FROM core_c)
+      AND p.id NOT IN (SELECT id FROM border)
+    """,
+)
+def q_cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed DBSCAN (eps=1200 km, minPts=3) over the synthetic
+    # customer coordinates: radius join (lossless lat-band prefilter) →
+    # degree count → core set → connected components of the core-core
+    # subgraph (pointer jumping) → deterministic min-cluster border
+    # attachment → noise. The oracle replays the whole algorithm
+    # declaratively (brute-force pairs + recursive-CTE closure) — so
+    # parity certifies the ITERATIVE distributed implementation against
+    # the fixpoint definition, the same proof shape as
+    # q_graph_components. The 1200-key cap keeps the oracle's O(n²)
+    # pair scan and O(component²) closure feasible at sweep scale.
+    from trembita_spark.operators.similarity import dbscan_geo
+
+    pts = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 1200)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+            (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+        )
+    )
+    return dbscan_geo(pts, eps_km=1200.0, min_pts=3)

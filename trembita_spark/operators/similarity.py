@@ -568,3 +568,68 @@ def mips_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def dbscan_geo(
+    points: DataFrame,
+    eps_km: float,
+    min_pts: int,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Distributed DBSCAN over geographic points: density clusters with
+    core/border/noise roles — composed entirely from the engine's
+    scale-safe primitives, the way DBSCAN distributes in practice:
+
+    1. neighbor pairs within eps via the lossless latitude-band radius
+       join (``joins.geo_radius_join`` — candidates bands-local, never
+       points²);
+    2. core points = >= min_pts neighbors (one partial-agg count over
+       the undirected pair list);
+    3. clusters = connected components of the core-core subgraph
+       (pointer-jumping min-label propagation, O(log diameter) rounds);
+    4. border points attach to the MIN cluster among adjacent cores
+       (deterministic tie-break); everything else is noise.
+
+    Returns (id, role, cluster) with cluster = min core id of the
+    component, -1 for noise. Every step is an equi-join or partial agg;
+    density explosion is bounded by the radius join's candidate shape.
+    """
+    from trembita_spark.operators.dedup import connected_components
+    from trembita_spark.operators.joins import geo_radius_join
+
+    pts = points.select(
+        F.col(id_col).alias("id"), F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon")
+    ).localCheckpoint(eager=False)
+    pairs = geo_radius_join(pts, eps_km).localCheckpoint(eager=False)
+    und = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionAll(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = deg.where(F.col("n_nb") >= min_pts).select("id").localCheckpoint(eager=False)
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    comp = connected_components(core_edges).select(
+        F.col("node").alias("id"), F.col("cluster_id").alias("cluster")
+    )
+    # isolated cores (no core neighbor) form singleton clusters
+    core_clustered = core.join(comp, "id", "left").select(
+        "id", F.coalesce("cluster", F.col("id")).alias("cluster")
+    ).localCheckpoint(eager=False)
+    border = (
+        und.join(core_clustered.withColumnRenamed("id", "nb"), "nb")
+        .join(core_clustered.select("id"), "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    core_out = core_clustered.select("id", F.lit("core").alias("role"), "cluster")
+    border_out = border.select("id", F.lit("border").alias("role"), "cluster")
+    claimed = core_out.select("id").unionAll(border_out.select("id"))
+    noise = pts.join(claimed, "id", "left_anti").select(
+        "id", F.lit("noise").alias("role"), F.lit(-1).cast("long").alias("cluster")
+    )
+    return core_out.unionAll(border_out).unionAll(noise)
