@@ -1520,3 +1520,56 @@ def q_agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top80_frac"),
         )
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS wt,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS BIGINT) AS total
+      FROM lineitem
+    )
+    SELECT flag,
+           min(CASE WHEN 2 * cum >= total THEN price END) AS wmedian_price,
+           CAST(any_value(total) AS BIGINT) AS total_weight
+    FROM w GROUP BY flag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted median (quantity-weighted price per return flag — the
+    # lower weighted median: smallest price whose cumulative weight
+    # reaches half the total): per-group running INTEGER weight sums
+    # under the unique (price, orderkey, linenumber) order, threshold
+    # test in exact integer arithmetic (2*cum >= total — no division),
+    # then a conditional min. Partitioned windows only — per-flag
+    # frames, one shuffle shared by both windows and the final rollup.
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    wt = F.col("l_quantity").cast("bigint")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wt).over(w_run).cast("bigint").alias("cum"),
+        F.sum(wt).over(w_all).cast("bigint").alias("total"),
+    )
+    return x.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("price"))).alias(
+            "wmedian_price"
+        ),
+        F.any_value("total").cast("bigint").alias("total_weight"),
+    )
