@@ -1677,3 +1677,46 @@ def q_events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.99)").alias("p99_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@register(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_s,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_p
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT t_p - t_s AS dt_us FROM f
+      WHERE t_s IS NOT NULL AND t_p IS NOT NULL AND t_p > t_s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(dt_us, 0.5) AS p50_us,
+           quantile_cont(dt_us, 0.9) AS p90_us,
+           CAST(max(dt_us) AS BIGINT) AS max_us
+    FROM d
+    """,
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-to-convert distribution (first signup -> first purchase):
+    # one conditional-min pass per user (partial-agg, the funnel
+    # machinery), integer-µs deltas, exact interpolating percentiles —
+    # the product-analytics companion to q_funnel that reports HOW LONG
+    # conversion takes, not just how many convert.
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t_s"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_p"),
+    )
+    d = f.where(
+        F.col("t_s").isNotNull() & F.col("t_p").isNotNull() & (F.col("t_p") > F.col("t_s"))
+    ).select((F.col("t_p") - F.col("t_s")).alias("dt_us"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(dt_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(dt_us, 0.9)").alias("p90_us"),
+        F.max("dt_us").alias("max_us"),
+    )
