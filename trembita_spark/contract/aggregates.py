@@ -1573,3 +1573,55 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.any_value("total").cast("bigint").alias("total_weight"),
     )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT rev,
+             CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+      FROM per_cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rev) AS DOUBLE) AS total_rev,
+           (2.0 * CAST(sum(CAST(i AS DECIMAL(18,0)) * rev) AS DOUBLE))
+             / (count(*) * CAST(sum(rev) AS DOUBLE))
+             - (count(*) + 1.0) / count(*) AS gini
+    FROM r
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini coefficient of customer revenue (the inequality companion to
+    # q_agg_pareto_concentration): closed form over the ascending-rank
+    # weighted sum G = 2*Σ(i·x_i)/(n·Σx) − (n+1)/n. Ranks come from the
+    # DISTRIBUTED zip_with_index under the unique (rev, custkey) order
+    # — no global window on the customer frame — and both Σx and
+    # Σ(i·x_i) are exact decimal sums (rank times 2-decimal revenue is
+    # exactly representable), so the final doubles are bit-identical.
+    from trembita_spark.pipeline import Pipeline
+
+    od = table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    r = (
+        Pipeline(per_cust)
+        .zip_with_index([F.col("rev"), F.col("o_custkey")], "idx")
+        .df.select("rev", (F.col("idx") + 1).cast("bigint").alias("i"))
+    )
+    n = F.count(F.lit(1))
+    total = F.sum("rev").cast("double")
+    iwsum = F.sum(F.col("i").cast("decimal(18,0)") * F.col("rev")).cast("double")
+    return r.agg(
+        n.alias("n"),
+        total.alias("total_rev"),
+        ((2.0 * iwsum) / (n * total) - (n + 1.0) / n).alias("gini"),
+    )

@@ -587,3 +587,55 @@ def q_fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp("ts", "America/Lima").alias("lima"),
         F.hour(tokyo).cast("int").alias("tokyo_hour"),
     )
+
+
+@register(
+    "q_fn_geo_knn",
+    oracle=f"""
+    WITH stations(station_id, s_lat, s_lon) AS (VALUES {_STATIONS_SQL}),
+    pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    ),
+    d AS (
+      SELECT c_custkey, station_id,
+             {_HAV.format(lat1="lat", lon1="lon", lat2="s_lat", lon2="s_lon")} AS dist
+      FROM pts, stations
+    )
+    SELECT c_custkey, station_id, round(dist, 6) AS dist_km, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY round(dist, 9), station_id) AS INT) AS rk
+      FROM d
+    ) WHERE rk <= 2
+    """,
+)
+def q_fn_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-nearest stations per customer (k=2): the top-k generalization
+    # of q_fn_geo_nearest — broadcast station dim, per-customer ranked
+    # by the quantized-distance + station_id unique order so ties can't
+    # flip across engines, and the rank VALUE materialized so Spark 4's
+    # WindowGroupLimit prunes each customer's frame to 2 rows below the
+    # shuffle. At 100 TB the big side still never shuffles for the
+    # distance; only the per-key top-k moves data.
+    from pyspark.sql.window import Window
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+    )
+    stations = F.broadcast(
+        spark.createDataFrame(_STATIONS, "station_id int, s_lat double, s_lon double")
+    )
+    d = cust.crossJoin(stations).withColumn(
+        "dist",
+        F.expr(_HAV.format(lat1="lat", lon1="lon", lat2="s_lat", lon2="s_lon")),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.round("dist", 9), "station_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("c_custkey", "station_id", F.round("dist", 6).alias("dist_km"), "rk")
+    )
