@@ -180,3 +180,58 @@ def q_udtf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(
         stats, "doc_id long, n_tokens int, n_chars int"
     )
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+    WITH f AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'fr')
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM f
+    """,
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Polymorphic TABLE-argument UDTF (Spark 3.5+/4): the function is
+    # invoked as my_udtf(TABLE(v)) and receives whole input ROWS — the
+    # SQL-native way to hand a relation to Python (the reference's
+    # "pipeline as a value" handed to a user function). This one folds
+    # a running summary over its partition and emits ONE row at
+    # terminate() — the partial-aggregation shape: per-partition
+    # summaries stream out of Python, and the tiny final re-agg
+    # combines them, so Python never sees more than its partition and
+    # the shuffle carries one row per partition.
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_docs long, total_chars long, max_chars long")
+    class DocStats:
+        def __init__(self):
+            self.n = 0
+            self.total = 0
+            self.mx = None
+
+        def eval(self, row):
+            self.n += 1
+            self.total += int(row["n_chars"])
+            v = int(row["n_chars"])
+            self.mx = v if self.mx is None or v > self.mx else self.mx
+
+        def terminate(self):
+            if self.n:
+                yield (self.n, self.total, self.mx)
+
+    spark.udtf.register("trembita_doc_stats", DocStats)
+    view = f"udtf_tablearg_{uuid.uuid4().hex[:8]}"
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    docs.select("doc_id", "n_chars").createOrReplaceTempView(view)
+    partials = spark.sql(
+        f"SELECT * FROM trembita_doc_stats(TABLE(SELECT doc_id, n_chars FROM {view}))"
+    )
+    return partials.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.max("max_chars").cast("bigint").alias("max_chars"),
+    )
