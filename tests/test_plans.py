@@ -722,6 +722,7 @@ def test_no_key_degrades_to_cartesian(spark):
         # broadcast-queries ANN / broadcast-dim argmin: the BNLJ side is
         # a handful of query vectors / 5 stations by construction
         "q_similarity_topk", "q_similarity_mips", "q_fn_geo_nearest",
+        "q_fn_geo_knn",
     }
     skip = {
         k for k in contract.QUERIES
