@@ -1625,3 +1625,31 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_rev"),
         ((2.0 * iwsum) / (n * total) - (n + 1.0) / n).alias("gini"),
     )
+
+
+@register(
+    "q_histogram_log",
+    oracle="""
+    WITH b AS (
+      SELECT length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)) AS magnitude
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT magnitude, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY magnitude
+    """,
+)
+def q_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Log-scale (order-of-magnitude) histogram of order values — the
+    # latency/money-histogram staple. The magnitude bucket is the DIGIT
+    # COUNT of the integer part (a string property of the exact
+    # integer), NOT floor(log10(x)): the two engines' libm log10 can
+    # disagree by an ulp exactly at the power-of-10 bucket boundaries,
+    # where it matters most (same determinism rule as q_stat_benford).
+    # One partial-agg groupBy over ~7 buckets.
+    od = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    magnitude = F.length(
+        F.floor("o_totalprice").cast("bigint").cast("string")
+    ).alias("magnitude")
+    return od.select(magnitude).groupBy("magnitude").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1720,3 +1720,36 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(dt_us, 0.9)").alias("p90_us"),
         F.max("dt_us").alias("max_us"),
     )
+
+
+@register(
+    "q_events_bounce_rate",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">")
+    + """
+    , per_session AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS bounce_rate
+    FROM per_session
+    """,
+)
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounce rate (single-event sessions / all sessions) composed on
+    # the engine's own sessionizer — the same 30-minute gap islands the
+    # FSM flagship uses — then two partial-agg rollups. Exact integer
+    # ratio. One shuffle (the sessionizer's) plus session-frame aggs.
+    ev = sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
+    per_session = ev.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )
