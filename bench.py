@@ -3,7 +3,14 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Protocol (BASELINE.md): 1 warm-up run per query (discarded), then N timed
-runs, median wall-clock per query; `value` is the sum of medians.
+trips run ROUND-ROBIN across the whole headline set (A,B,...,N repeated N
+times — not N-consecutive-per-query), median wall-clock per query; `value`
+is the sum of medians. Interleaving matters on a shared box: a co-tenant
+load spike then inflates every query a little instead of landing 3/3 of
+one query's samples inside the spike and printing a fake 2x per-query
+regression (exactly what BENCH_r05.json's q_fsm_sessionize line was —
+2.60s under loadavg 7, 1.11s quiet, plan unchanged). Per-trip loadavg is
+recorded in `load_per_trip` so any residual inflation is attributable.
 """
 
 from __future__ import annotations
@@ -52,16 +59,17 @@ def main() -> None:
     # 1/5/15-min loadavg makes the judge's ratio call mechanical.
     load_before = [round(x, 2) for x in os.getloadavg()]
     spark = get_session(app_name="trembita_spark_bench")
-    timings: dict[str, float] = {}
-    for key in keys:
-        fn = contract.QUERIES[key]
-        fn(spark, SF_DIR).collect()  # warm-up (JIT, file listing, broadcast)
-        samples = []
-        for _ in range(RUNS):
+    for key in keys:  # warm-up trip (JIT, file listing, broadcast) — discarded
+        contract.QUERIES[key](spark, SF_DIR).collect()
+    samples: dict[str, list[float]] = {k: [] for k in keys}
+    load_per_trip = []
+    for _ in range(RUNS):
+        load_per_trip.append([round(x, 2) for x in os.getloadavg()])
+        for key in keys:
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            samples.append(time.perf_counter() - t0)
-        timings[key] = round(statistics.median(samples), 4)
+            contract.QUERIES[key](spark, SF_DIR).collect()
+            samples[key].append(time.perf_counter() - t0)
+    timings = {k: round(statistics.median(v), 4) for k, v in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -72,6 +80,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR,
                 "runs": RUNS,
+                "protocol": "interleaved-round-robin",
+                "load_per_trip": load_per_trip,
                 "load_before": load_before,
                 "load_after": [round(x, 2) for x in os.getloadavg()],
                 "ncpus": os.cpu_count(),

@@ -704,6 +704,122 @@ def test_interval_stabbing_prefix_sum_is_distributed(spark):
     assert plan.count("Exchange SinglePartition") == plan.count("Window [sum(__t"), plan
 
 
+def _plan_depth(line: str) -> int:
+    """Tree depth of a plan line = offset of the operator name past the
+    ASCII tree-drawing margin (' ', ':', '+', '-')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _plan_children(subtree: list[str]) -> list[list[str]]:
+    """Split a node's subtree lines into direct-child subtrees (direct
+    children sit at the minimal depth inside the subtree)."""
+    # drop pure-margin connector lines (spaces + ':' only — the vertical
+    # alignment rails Spark prints next to subquery blocks): their
+    # "depth" is their full length, which would glue children wrongly
+    subtree = [ln for ln in subtree if ln.strip(" :") != ""]
+    if not subtree:
+        return []
+    cd = min(_plan_depth(ln) for ln in subtree)
+    out: list[list[str]] = []
+    for ln in subtree:
+        if _plan_depth(ln) == cd or not out:
+            out.append([ln])
+        else:
+            out[-1].append(ln)
+    return out
+
+
+def _bnlj_violations(plan: str) -> list[str]:
+    """Tree-scoped BroadcastNestedLoopJoin audit: a BNLJ is benign ONLY
+    when its OWN build-side subtree is literal or aggregate-sized — a
+    LocalTableScan (literal frame), a HashAggregate (the scalar-bounds
+    ``crossJoin(broadcast(<1-row agg>))`` pattern), or an
+    ``Exchange SinglePartition`` feeding it. Whole-plan substring
+    membership is NOT accepted: nearly every contract plan contains a
+    HashAggregate *somewhere*, so the old whole-plan check exempted an
+    accidental data×data BNLJ the moment anything downstream aggregated
+    (round-5 verdict item 1). Returns the offending BNLJ lines."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        d = _plan_depth(line)
+        j = i + 1
+        subtree = []
+        while j < len(lines) and _plan_depth(lines[j]) > d:
+            subtree.append(lines[j])
+            j += 1
+        children = _plan_children(subtree)
+        if len(children) < 2:
+            bad.append(line.strip())
+            continue
+        build = children[0] if "BuildLeft" in line else children[-1]
+        btxt = "\n".join(build)
+        benign = (
+            "LocalTableScan" in btxt
+            or "HashAggregate" in btxt
+            or "SortAggregate" in btxt
+            or "ObjectHashAggregate" in btxt
+            or "Exchange SinglePartition" in btxt
+            # a reused broadcast re-points at an exchange that is audited
+            # at its original site (or belongs to a size-bounded BHJ)
+            or "ReusedExchange" in btxt
+            # a literal bounded generator (salt range, lag offsets):
+            # Range (a, b, ...) with a SMALL span is a constant frame
+            or _small_range(btxt)
+        )
+        if not benign:
+            bad.append(line.strip())
+    return bad
+
+
+_RANGE_RE = re.compile(r"Range \((-?\d+), (-?\d+),")
+
+
+def _small_range(subtree_text: str) -> bool:
+    """True iff the subtree's leaf is a literal Range generator spanning
+    <= 4096 rows (salt factors, lag offsets, calendar spines — constant
+    frames a broadcast nested loop against is fine at any data scale)."""
+    m = _RANGE_RE.search(subtree_text)
+    return m is not None and int(m.group(2)) - int(m.group(1)) <= 4096
+
+
+def test_bnlj_audit_catches_planted_regression(spark):
+    """The floor's teeth, proven on a deliberately-planted scale-killer:
+    a theta-join of two data-bearing parquet frames FOLLOWED by a
+    groupBy — the exact shape the old whole-plan escape clause waved
+    through (HashAggregate appeared anywhere → exempt). The tree-scoped
+    audit must flag it, and must still clear the legitimate
+    scalar-bounds crossJoin(broadcast(1-row agg)) pattern."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    from pyspark.sql import functions as F
+
+    planted = (
+        li.join(od, li.l_quantity < od.o_totalprice)  # non-equi => BNLJ
+        .groupBy("l_orderkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    plan = planted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert _bnlj_violations(plan), f"planted data-x-data BNLJ not flagged:\n{plan}"
+
+    benign = li.crossJoin(
+        F.broadcast(od.agg(F.max("o_totalprice").alias("mx")))
+    ).where(F.col("l_quantity") < F.col("mx") / 1000)
+    bplan = benign._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bplan, bplan
+    assert not _bnlj_violations(bplan), f"benign scalar-bounds BNLJ flagged:\n{bplan}"
+
+
 def test_no_key_degrades_to_cartesian(spark):
     """Sweeping plan-smell audit: EVERY registered contract key's
     physical plan is checked for the two silent scale-killers —
@@ -723,6 +839,12 @@ def test_no_key_degrades_to_cartesian(spark):
         # a handful of query vectors / 5 stations by construction
         "q_similarity_topk", "q_similarity_mips", "q_fn_geo_nearest",
         "q_fn_geo_knn",
+        # k-bounded seed/codebook frames: the BNLJ build side is the
+        # k=8 seed-vector / codebook-training frame (plan shows
+        # `Filter (vec_id < 8)` over the embeddings scan) — bounded by
+        # the literal k, but a pushed-filter bound isn't mechanically
+        # provable from the plan string, so these are explicit.
+        "q_cluster_kmeans", "q_dedup_semantic", "q_similarity_pq",
     }
     skip = {
         k for k in contract.QUERIES
@@ -741,15 +863,10 @@ def test_no_key_degrades_to_cartesian(spark):
         if "CartesianProduct" in plan:
             bad.append(f"{key}: CartesianProduct in plan")
         if "BroadcastNestedLoopJoin" in plan and key not in allow_bnlj:
-            # two benign shapes need no whitelist entry: a BNLJ against
-            # a LocalTableScan (literal frame), and the scalar-bounds
-            # pattern crossJoin(broadcast(<1-row aggregate>)) — the
-            # latter shows an aggregated/single-partition frame in the
-            # plan. Anything else is a real pairwise blowup.
-            if (
-                "LocalTableScan" not in plan
-                and "HashAggregate" not in plan
-                and "Exchange SinglePartition" not in plan
-            ):
-                bad.append(f"{key}: unexpected BroadcastNestedLoopJoin")
+            # tree-scoped: benign only when the BNLJ's OWN build-side
+            # subtree is a literal frame / 1-row aggregate (see
+            # _bnlj_violations) — whole-plan substring membership is a
+            # hole, since almost every key aggregates somewhere.
+            for off in _bnlj_violations(plan):
+                bad.append(f"{key}: unexpected BroadcastNestedLoopJoin: {off}")
     assert not bad, "\n".join(bad)
