@@ -106,6 +106,38 @@ def test_asof_join_forward(spark):
     assert out == {100: 11.0, 200: None}
 
 
+def test_asof_join_null_value_column_attaches_matched_row(spark):
+    """pandas merge_asof semantics: when the MATCHED right row carries a
+    NULL value column, the attached value is that NULL — not a fallback
+    to an older right row's non-null value. All value columns and the
+    match timestamp must come from the same matched right row (round-5
+    ADVICE: per-column last/first(ignorenulls) mixed rows)."""
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0, 1000.0), (1, ts(10), None, 1100.0)],
+        "sym long, ts timestamp, px double, sz double",
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(15), 100)], "sym long, ts timestamp, qty long"
+    )
+    row = asof_join(
+        trades, quotes, on="sym", ts="ts", right_value_cols=["px", "sz"]
+    ).collect()[0]
+    # nearest-preceding quote is ts(10) whose px is NULL: attach NULL px
+    # with its sibling sz from the SAME row, never ts(0)'s 10.0
+    assert row.px_asof is None and row.sz_asof == 1100.0
+
+    # nearest direction: matched row ts(10) (gap 5 vs 15) — same rule
+    row_n = asof_join(
+        trades,
+        quotes,
+        on="sym",
+        ts="ts",
+        right_value_cols=["px", "sz"],
+        direction="nearest",
+    ).collect()[0]
+    assert row_n.px_asof is None and row_n.sz_asof == 1100.0
+
+
 def test_pipeline_zip_with_index_dense(spark):
     df = spark.createDataFrame([(c,) for c in "edcba"], "c string")
     out = Pipeline(df).zip_with_index(order_by=["c"], name="i").collect()
@@ -958,6 +990,33 @@ def test_interval_overlap_join_half_open_and_buckets(spark):
     ).select("lid", "rid").collect()
     pairs = sorted((r.lid, r.rid) for r in out)
     assert pairs == [(1, 12), (2, 11)], pairs
+
+
+def test_interval_overlap_join_preserves_duplicate_multiplicity(spark):
+    """Theta-join multiplicity: duplicate input rows produce duplicate
+    output pairs (2 identical left x 2 identical right = 4 rows), even
+    when the pair co-occupies many buckets — the canonical-bucket dedup
+    keeps exactly one bucket per pair without collapsing genuine input
+    duplicates the way a full-row .distinct() did (round-5 ADVICE)."""
+    from trembita_spark.operators.joins import interval_overlap_join
+
+    def t(sec):
+        return f"1970-01-01 00:00:{sec:02d}"
+
+    left = spark.createDataFrame(
+        [("a", t(0), t(40)), ("a", t(0), t(40))],  # identical duplicates
+        "k string, s_s string, e_s string",
+    ).selectExpr("k", "CAST(s_s AS TIMESTAMP) AS ls", "CAST(e_s AS TIMESTAMP) AS le")
+    right = spark.createDataFrame(
+        [("a", t(5), t(35)), ("a", t(5), t(35))],
+        "k string, s_s string, e_s string",
+    ).selectExpr("k", "CAST(s_s AS TIMESTAMP) AS rs", "CAST(e_s AS TIMESTAMP) AS re")
+    out = interval_overlap_join(
+        left, right, on="k",
+        left_start="ls", left_end="le", right_start="rs", right_end="re",
+        bucket_seconds=10,  # both intervals span 4+ buckets
+    )
+    assert out.count() == 4
 
 
 def test_asof_join_nearest(spark):

@@ -67,35 +67,37 @@ def asof_join(
         .rowsBetween(0, Window.unboundedFollowing)
     )
     out = unioned
-    src_of = {c: F.when(F.col("__side") == 0, F.col(f"__r_{c}")) for c in right_value_cols}
-    rts = F.when(F.col("__side") == 0, F.col(ts))
+    # ONE struct(ts, *values) per direction — null for left rows — so
+    # the attached timestamp and every value column always come from the
+    # SAME matched right row. Attaching columns independently with
+    # last/first(col, ignorenulls) diverges from pandas merge_asof when
+    # the matched right row has a NULL value column: the value would
+    # fall back to an older right row while __m_ts tracks the nearest.
+    src_row = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(ts).alias("__ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
+        ),
+    )
     if direction == "nearest":
         # both directions ride the SAME user-key partitioning (one
         # Exchange, two window sorts); the closer match wins, ties to
         # backward — pandas merge_asof 'nearest' semantics.
-        for c in right_value_cols:
-            out = out.withColumn(f"__mb_{c}", F.last(src_of[c], ignorenulls=True).over(w_back))
-            out = out.withColumn(f"__mf_{c}", F.first(src_of[c], ignorenulls=True).over(w_fwd))
-        out = out.withColumn("__mb_ts", F.last(rts, ignorenulls=True).over(w_back))
-        out = out.withColumn("__mf_ts", F.first(rts, ignorenulls=True).over(w_fwd))
-        gap_b = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__mb_ts"))
-        gap_f = F.unix_micros(F.col("__mf_ts")) - F.unix_micros(F.col(ts))
-        use_b = F.col("__mb_ts").isNotNull() & (
-            F.col("__mf_ts").isNull() | (gap_b <= gap_f)
+        out = out.withColumn("__mb", F.last(src_row, ignorenulls=True).over(w_back))
+        out = out.withColumn("__mf", F.first(src_row, ignorenulls=True).over(w_fwd))
+        gap_b = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__mb.__ts"))
+        gap_f = F.unix_micros(F.col("__mf.__ts")) - F.unix_micros(F.col(ts))
+        use_b = F.col("__mb").isNotNull() & (
+            F.col("__mf").isNull() | (gap_b <= gap_f)
         )
-        for c in right_value_cols:
-            out = out.withColumn(
-                f"__m_{c}", F.when(use_b, F.col(f"__mb_{c}")).otherwise(F.col(f"__mf_{c}"))
-            )
-        out = out.withColumn(
-            "__m_ts", F.when(use_b, F.col("__mb_ts")).otherwise(F.col("__mf_ts"))
-        )
+        out = out.withColumn("__m", F.when(use_b, F.col("__mb")).otherwise(F.col("__mf")))
     else:
         w, pick = (w_back, F.last) if direction == "backward" else (w_fwd, F.first)
-        for c in right_value_cols:
-            out = out.withColumn(f"__m_{c}", pick(src_of[c], ignorenulls=True).over(w))
-        if tolerance_seconds is not None:
-            out = out.withColumn("__m_ts", pick(rts, ignorenulls=True).over(w))
+        out = out.withColumn("__m", pick(src_row, ignorenulls=True).over(w))
+    for c in right_value_cols:
+        out = out.withColumn(f"__m_{c}", F.col("__m")[c])
+    out = out.withColumn("__m_ts", F.col("__m")["__ts"])
     keep = None
     if tolerance_seconds is not None:
         # microsecond-precision gap: unix_timestamp() truncates to whole
@@ -284,12 +286,17 @@ def interval_overlap_join(
     :func:`band_join` (|a-b| <= eps): both sides carry intervals. A raw
     theta join is a per-key cartesian; instead each interval explodes to
     the time buckets it covers (bucket = ``bucket_seconds``), candidates
-    come from ONE (key, bucket) hash equi-join, duplicates from
-    multi-bucket spans drop with a distinct, and the exact predicate
-    filters last. Work is ∝ overlaps + bucket collisions, never n·m per
-    key. Pick ``bucket_seconds`` ≈ the typical interval length: each
-    interval then explodes to ≤ len/bucket + 1 rows (the 100 TB knob —
-    too small explodes rows, too big degrades toward per-key cartesian).
+    come from ONE (key, bucket) hash equi-join, multi-bucket duplicates
+    drop by keeping only each pair's CANONICAL bucket — the bucket of
+    ``greatest(l_start, r_start)``, which every overlapping pair
+    co-occupies exactly once — and the exact predicate filters last.
+    Canonical-bucket dedup (not ``.distinct()``) preserves join
+    multiplicity: genuinely duplicate input rows still produce duplicate
+    output pairs, exactly like the theta join this implements. Work is
+    ∝ overlaps + bucket collisions, never n·m per key. Pick
+    ``bucket_seconds`` ≈ the typical interval length: each interval then
+    explodes to ≤ len/bucket + 1 rows (the 100 TB knob — too small
+    explodes rows, too big degrades toward per-key cartesian).
 
     Microsecond-exact: bucket ids and the predicate compare
     ``unix_micros``, no whole-second truncation.
@@ -305,11 +312,21 @@ def interval_overlap_join(
 
     lb = buckets(left, left_start, left_end)
     rb = buckets(right, right_start, right_end)
-    joined = lb.join(rb, [on, "__bkt"]).drop("__bkt").distinct()
+    joined = lb.join(rb, [on, "__bkt"])
+    # canonical bucket: any overlapping pair's overlap region starts at
+    # max(l_start, r_start), which lies inside both intervals (strict
+    # overlap ⇒ max_start <= min_end - 1µs), so both sides explode into
+    # that bucket — keep the pair there and only there.
+    canonical = F.col("__bkt") == F.floor(
+        F.greatest(
+            F.unix_micros(F.col(left_start)), F.unix_micros(F.col(right_start))
+        )
+        / B
+    )
     keep = (
         F.unix_micros(F.col(left_start)) < F.unix_micros(F.col(right_end))
     ) & (F.unix_micros(F.col(right_start)) < F.unix_micros(F.col(left_end)))
-    return joined.where(keep)
+    return joined.where(canonical & keep).drop("__bkt")
 
 
 def geo_radius_join(
