@@ -1396,7 +1396,10 @@ def _kcore_round_sql(prev: str, this: str) -> str:
     {_kcore_round_sql("b0", "b1")},
     {_kcore_round_sql("b1", "b2")},
     {_kcore_round_sql("b2", "b3")}
-    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM b3 GROUP BY node
+    SELECT k.node, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+    FROM k_b3 k
+    LEFT JOIN (SELECT node, count(*) AS deg FROM b3 GROUP BY node) d
+      ON k.node = d.node
     """,
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:

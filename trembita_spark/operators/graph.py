@@ -223,7 +223,12 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     subgraph each round). With enough rounds this converges to the
     exact k-core; a FIXED round count keeps the result a deterministic
     linear recurrence — oracle-checkable the same way the fixed-k
-    PageRank is. Returns surviving (node, deg) after ``rounds`` peels.
+    PageRank is. Returns surviving (node, deg) after ``rounds`` peels,
+    where "surviving" is the NODE set that passed the final round's
+    degree test — a survivor whose neighbors were all simultaneously
+    peeled that round is reported with deg 0, matching the sequential
+    reference (simultaneous removal, then residual degree vs the final
+    alive set).
 
     Scale posture: each round is one degree aggregate + two semi joins,
     all hash-partitioned on the node id; lineage is cut per round
@@ -235,12 +240,24 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     both = und.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("peer"))
     ).localCheckpoint(eager=True)
+    keep = None
     for _ in range(rounds):
         deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("node")
+        # Survivor NODE set, not the edge list: a node absent from the
+        # post-filter edge list can still be a survivor (it passed this
+        # round's test; its neighbors were removed in the same round).
+        # Intermediate rounds are unaffected for k >= 1 — a 0-degree
+        # survivor fails the NEXT round's test either way — but the
+        # final report must come from this set.
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
         both = (
             both.join(keep, "node", "left_semi")
             .join(keep.withColumnRenamed("node", "peer"), "peer", "left_semi")
             .localCheckpoint(eager=True)
         )
-    return both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    resid = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    if keep is None:  # rounds == 0: every edge endpoint, full degree
+        return resid
+    return keep.join(resid, "node", "left").select(
+        "node", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
