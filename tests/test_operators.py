@@ -400,6 +400,43 @@ def test_ivf_recall_vs_exact(spark):
     assert kmeans_recall > arbitrary_recall + 0.2, (kmeans_recall, arbitrary_recall)
 
 
+def test_ivf_refined_recall(spark):
+    # The serving path (IVF probe → SQ8 shortlist → exact re-rank) must
+    # reach recall@10 >= 0.9 on kmeans cells at nprobe=6 — the knob a
+    # user would actually deploy with. Deterministic end to end (exact
+    # decimal centroid sums, exact-IEEE quantization, id tiebreaks):
+    # measured 0.940 at nprobe=6 / 0.840 at nprobe=4 on the sf0.001
+    # embeddings vs 0.648 for plain ivf_topk at nprobe=2.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.io import load_table
+    from trembita_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F2.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.join(
+        S.kmeans(emb, k=8, iters=3).select("vec_id", "cluster"), "vec_id"
+    )
+    queries = corpus.filter("vec_id < 25")
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    ex = topk_sets(S.cosine_topk(corpus, queries, k=10))
+    total = sum(len(v) for v in ex.values())
+    rf = topk_sets(
+        S.ivf_topk_refined(
+            corpus, queries, k=10, cell_col="cluster", nprobe=6, shortlist=40
+        )
+    )
+    recall = sum(len(ex[q] & rf.get(q, set())) for q in ex) / total
+    assert recall >= 0.9, recall
+
+
 def test_pagerank_dangling_preserves_mass(spark):
     # c→s edges make every supplier node dangling; the default variant
     # leaks its mass each step, the redistribute variant keeps Σscore=1.

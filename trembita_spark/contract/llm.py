@@ -187,8 +187,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
-_IVF_ORACLE = f"""
-    WITH cent AS (
+# Shared IVF probe pipeline (centroids → route queries → nprobe=2
+# nearest cells) — prefix of both the plain and the SQ8-refined oracle.
+_IVF_PROBE_CTES = f"""cent AS (
       SELECT label AS cell, i,
              CAST(sum(CAST(embedding[i] AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
       FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
@@ -216,7 +217,11 @@ _IVF_ORACLE = f"""
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_c DESC, cell) AS r
         FROM routed
       ) WHERE r <= 2
-    ),
+    )"""
+
+
+_IVF_ORACLE = f"""
+    WITH {_IVF_PROBE_CTES},
     c AS (SELECT vec_id, label AS cell, embedding AS c_vec, {_NORM_SQL} AS c_norm FROM embeddings),
     scored AS (
       SELECT p.query_id, c.vec_id, c.cell,
@@ -239,6 +244,82 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-checked (the oracle replays the whole routing+rerank).
     emb = table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=2)
+
+
+_IVF_REFINED_ORACLE = f"""
+    WITH {_IVF_PROBE_CTES},
+    stats AS (
+      SELECT i AS dim,
+             min(CAST(embedding[i] AS DOUBLE)) AS lo,
+             max(CAST(embedding[i] AS DOUBLE)) AS hi
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+      GROUP BY i
+    ),
+    sarr AS (
+      SELECT list(lo ORDER BY dim) AS lo_arr, list(hi ORDER BY dim) AS hi_arr
+      FROM stats
+    ),
+    recon AS (
+      SELECT vec_id, label AS cell,
+             list_transform(generate_series(1, 64), i ->
+               CASE WHEN hi_arr[i] = lo_arr[i] THEN lo_arr[i]
+               ELSE lo_arr[i]
+                    + (least(255, floor((CAST(embedding[i] AS DOUBLE) - lo_arr[i])
+                                        / (hi_arr[i] - lo_arr[i]) * 256)) + 0.5)
+                      * (hi_arr[i] - lo_arr[i]) / 256
+               END) AS rv
+      FROM embeddings CROSS JOIN sarr
+    ),
+    rn AS (
+      SELECT vec_id, cell, rv,
+             sqrt(list_reduce(list_transform(rv, x -> x * x), (a, b) -> a + b)) AS r_norm
+      FROM recon
+    ),
+    cand AS (
+      SELECT p.query_id, r.vec_id, r.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(p.q_vec[i] AS DOUBLE) * r.rv[i]), (x, y) -> x + y)
+               / (p.q_norm * r.r_norm) AS cos_q
+      FROM rn r JOIN probe p ON r.cell = p.cell AND r.vec_id <> p.query_id
+    ),
+    short AS (
+      SELECT query_id, vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id) AS r
+        FROM cand
+      ) WHERE r <= 12
+    ),
+    cfull AS (SELECT vec_id, embedding AS c_vec, {_NORM_SQL} AS c_norm FROM embeddings),
+    qfull AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, {_NORM_SQL} AS q_norm
+      FROM embeddings WHERE vec_id < 8
+    ),
+    rescored AS (
+      SELECT s.query_id, s.vec_id, s.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(qf.q_vec[i] AS DOUBLE) * CAST(cf.c_vec[i] AS DOUBLE)), (x, y) -> x + y)
+               / (qf.q_norm * cf.c_norm) AS cos
+      FROM short s
+      JOIN cfull cf ON s.vec_id = cf.vec_id
+      JOIN qfull qf ON s.query_id = qf.query_id
+    )
+    SELECT query_id, vec_id, cell, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM rescored
+    ) WHERE rank <= 3
+"""
+
+
+@register("q_similarity_ivf_refined", oracle=_IVF_REFINED_ORACLE)
+def q_similarity_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF + SQ8 + exact re-rank (operators/similarity.py:
+    # ivf_topk_refined): probe 2 cells, score candidates on 256-level
+    # scalar-quantized reconstructions, keep a 12-wide shortlist, exact
+    # cosine re-rank only the shortlist. Quantization is exact-IEEE
+    # (sub/div/mul/floor, no round()) so DuckDB replays it bit-for-bit.
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk_refined(
+        emb, emb.filter(F.col("vec_id") < 8), k=3, nprobe=2, shortlist=12
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,12 @@ from trembita_spark.operators.fsm import fsm_scan, sessionize, sessionize_fsm
 from trembita_spark.operators.joins import asof_join, interval_overlap_join, range_join
 from trembita_spark.operators.multimodal import attach_payload, extract_features
 from trembita_spark.operators.ranking import ntile_exact
-from trembita_spark.operators.similarity import cosine_pairs_within, cosine_topk, ivf_topk
+from trembita_spark.operators.similarity import (
+    cosine_pairs_within,
+    cosine_topk,
+    ivf_topk,
+    ivf_topk_refined,
+)
 from trembita_spark.operators.text import (
     canonical_url,
     fingerprint,
@@ -42,6 +47,7 @@ __all__ = [
     "cosine_topk",
     "cosine_pairs_within",
     "ivf_topk",
+    "ivf_topk_refined",
     "word_counts",
     "tf_idf_ratio",
     "lang_id",

@@ -222,9 +222,10 @@ def ivf_topk_refined(
     either contains the true neighbor's cell or nothing downstream can
     recover it) and ``shortlist`` (the SQ8 ordering must not push a true
     neighbor below the cut); the re-rank then restores exact ordering
-    within the shortlist. tests/test_operators.py pins recall@10 ≥ 0.9
-    on kmeans cells at nprobe=6/8 cells, vs 0.648 for plain ivf_topk at
-    nprobe=2.
+    within the shortlist. tests/test_operators.py::
+    test_ivf_refined_recall pins recall@10 ≥ 0.9 on kmeans cells at
+    nprobe=6 (vs 0.648 for plain ivf_topk at nprobe=2 in
+    test_ivf_recall_vs_exact).
 
     Deterministic / oracle-replayable end to end: quantization uses only
     exact IEEE ops (sub/div/mul/floor — no round()), per-dim [lo, hi]
