@@ -45,6 +45,7 @@ HEADLINE = [
     "q_text_tfidf",        # two-pass text agg
     "q_sql_q5",            # 6-table star join (SQL front door)
     "q_join_salted",       # salted skew join
+    "q_pipeline_clean_corpus",  # chained dedup→quality→lang policy (corpus E2E)
 ]
 
 

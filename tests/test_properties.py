@@ -397,6 +397,62 @@ def test_kcore_peel_matches_reference(spark, es, k):
     assert got == expect
 
 
+@given(es=edges_small)
+@settings(**SETTINGS)
+def test_sssp_matches_reference(spark, es):
+    """Bounded-round Bellman-Ford must equal min path weight over all
+    paths of <= rounds edges, computed by sequential relaxation."""
+    from trembita_spark.operators.graph import sssp
+
+    dir_edges = sorted(
+        {(u, v) for u, v in es if u != v}
+    )  # directed, de-duplicated
+    if not dir_edges:
+        return
+    # deterministic integer-valued weights (exact in double)
+    wedges = [(u, v, float((u * 7 + v * 3) % 10 + 1)) for u, v in dir_edges]
+    srcs = sorted({u for u, v, w in wedges})[:2]
+    dist = {s: 0.0 for s in srcs}
+    for _ in range(3):
+        cand = dict(dist)
+        for u, v, w in wedges:
+            if u in dist and dist[u] + w < cand.get(v, float("inf")):
+                cand[v] = dist[u] + w
+        dist = cand
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {r.node: r.dist for r in sssp(df, sdf, rounds=3).collect()}
+    assert got == dist
+
+
+@given(es=edges_small)
+@settings(**SETTINGS)
+def test_label_propagation_matches_reference(spark, es):
+    """Synchronous LPA with (count DESC, label ASC) tie-break must equal
+    the sequential simultaneous-update reference."""
+    from trembita_spark.operators.graph import label_propagation
+
+    und = {(min(u, v), max(u, v)) for u, v in es if u != v}
+    if not und:
+        return
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n in adj:
+            counts = {}
+            for p in adj[n]:
+                counts[labels[p]] = counts.get(labels[p], 0) + 1
+            nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    df = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert got == labels
+
+
 @given(
     n=st.integers(min_value=0, max_value=60),
     k=st.integers(min_value=1, max_value=7),

@@ -426,6 +426,78 @@ def test_pyticks_stream_source_no_gaps_no_dups(spark):
     assert rows == [(j, j * 2) for j in range(len(rows))]  # gapless prefix
 
 
+@pytest.mark.parametrize(
+    "provider",
+    [
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs", "rocksdb"],
+)
+def test_stateful_restart_recovers_state(spark, tmp_path, provider):
+    """STATEFUL exactly-once across a restart, parametrized over the
+    state-store provider: dropDuplicates keeps every seen event_id in
+    the state store, and the second batch deliberately re-sends half of
+    the first batch's ids — they may be suppressed only if the restart
+    actually RECOVERED the state from the checkpoint. RocksDB is the
+    credible 100 TB state backend (state spills to local disk instead
+    of executor heap), so the same contract is pinned on both
+    providers, not just the default HDFS-backed one."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    part1 = ev.where(F.col("event_id") < 500)
+    part2 = ev.where((F.col("event_id") >= 250) & (F.col("event_id") < 750))
+    part1.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    try:
+        run_once()
+        n_first = spark.read.parquet(sink).count()
+        assert n_first == part1.count()
+
+        part2.write.mode("append").parquet(src)
+        run_once()
+
+        got = spark.read.parquet(sink)
+        assert got.count() == ev.where(F.col("event_id") < 750).count(), (
+            "restart must emit exactly the ids not already in recovered state"
+        )
+        assert got.select("event_id").distinct().count() == got.count(), (
+            "an id re-sent after the restart leaked through: state was lost"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     """Fault-tolerance contract: stopping a checkpointed streaming query
     and RESTARTING it over a grown source must process only the new

@@ -331,6 +331,76 @@ def q_copair(li):
     )
 
 
+def q_sssp_scale(od):
+    # bounded-round Bellman-Ford on a graph whose NODE count grows with
+    # the input (same construction rationale as q_triangles): relaxation
+    # work per round ∝ |E|, sources ∝ |V| so the reached region scales.
+    from trembita_spark.operators.graph import sssp
+
+    base = F.floor(F.col("o_orderkey") / 10)
+    edges = od.select(
+        base.alias("src"),
+        (base + 1 + F.col("o_orderkey") % 5).alias("dst"),
+        ((F.col("o_orderkey") % 10) + 1).cast("double").alias("weight"),
+    )
+    sources = (
+        edges.select("src").where(F.col("src") % 100 == 0).distinct()
+        .withColumnRenamed("src", "node")
+    )
+    return sssp(edges, sources, rounds=3)
+
+
+def q_labelprop_scale(od):
+    # synchronous LPA, 3 rounds, growing node set: per-round cost is one
+    # join + two co-partitioned aggregates ∝ |E|.
+    from trembita_spark.operators.graph import label_propagation
+
+    base = F.floor(F.col("o_orderkey") / 10)
+    edges = od.select(
+        base.alias("src"), (base + 1 + F.col("o_orderkey") % 5).alias("dst")
+    )
+    return label_propagation(edges, rounds=3)
+
+
+def q_corpus_pipeline(docs, budget):
+    # the end-to-end corpus-build chain (closest shape to the real
+    # 100 TB workload): exact-dedup keep-first → quality policy
+    # (length / repetition / lang allowlist) → token-budget selection
+    # (distributed two-phase prefix sum; budget ∝ scale so the selected
+    # fraction stays constant) → deterministic shard assignment →
+    # per-shard rollup.
+    from pyspark.sql import Window
+
+    from trembita_spark.operators.sampling import budget_select, shard_assign
+
+    toks = F.split(F.col("text"), " ")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    policy = (
+        docs.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("distinct_ratio", F.size(F.array_distinct(toks)) / F.size(toks))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("distinct_ratio") >= 0.3)
+            & F.col("lang").isin("en", "de", "es", "fr")
+        )
+        .select("doc_id", "n_tokens")
+    )
+    sel = budget_select(
+        policy,
+        "n_tokens",
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        budget,
+        cum_col="cum",
+    )
+    return (
+        shard_assign(sel, "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+    )
+
+
 def median_time(fn, runs=3):
     fn()  # warm
     ts = []
@@ -416,7 +486,23 @@ def main():
             lambda: q_covariance(synth_embeddings(spark, 50_000)).count(),
             lambda: q_covariance(synth_embeddings(spark, 50_000 * SCALE)).count(),
         ),
+        "sssp": (
+            lambda: q_sssp_scale(od1).count(),
+            lambda: q_sssp_scale(od8).count(),
+        ),
+        "labelprop": (
+            lambda: q_labelprop_scale(od1).count(),
+            lambda: q_labelprop_scale(od8).count(),
+        ),
+        "corpus_pipeline": (
+            lambda: q_corpus_pipeline(doc1, 300_000).count(),
+            lambda: q_corpus_pipeline(doc8, 300_000 * SCALE).count(),
+        ),
     }
+    only = os.environ.get("SPARK_GRAFT_SCALE_CASES")
+    if only:
+        wanted = {c.strip() for c in only.split(",")}
+        cases = {k: v for k, v in cases.items() if k in wanted}
     out = {}
     for name, (f1, f8) in cases.items():
         t1 = median_time(f1)

@@ -1428,6 +1428,140 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=_KCORE_K, rounds=3)
 
 
+def _sssp_round_sql(prev: str, this: str) -> str:
+    # one Bellman-Ford relaxation: candidates = keep ∪ (relax through
+    # one edge), then min per node. Every candidate double is the same
+    # left-to-right add chain both engines — min() is exact, no rounding.
+    return f"""
+    r_{this} AS (
+      SELECT e.dst AS node, d.dist + e.w AS dist
+      FROM {prev} d JOIN wedges e ON e.src = d.node
+    ),
+    {this} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev} UNION ALL SELECT node, dist FROM r_{this}
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "q_graph_sssp",
+    oracle=f"""
+    WITH base AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(min(l_quantity) AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    wedges AS (
+      SELECT src, dst, w FROM base
+      UNION ALL SELECT dst AS src, src AS dst, w FROM base
+    ),
+    d0 AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+             CAST(0 AS DOUBLE) AS dist
+      FROM customer WHERE c_nationkey = 0
+    ),
+    {_sssp_round_sql("d0", "d1")},
+    {_sssp_round_sql("d1", "d2")},
+    {_sssp_round_sql("d2", "d3")}
+    SELECT node, dist FROM d3
+    """,
+)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-round Bellman-Ford (operators/graph.py: sssp) over the
+    # UNDIRECTED weighted customer-supplier graph (weight = min
+    # l_quantity per pair), seeded with nation-0 customers, 3
+    # relaxations — min total weight over paths of <= 3 edges. The fixed
+    # round count makes it a deterministic recurrence the oracle unrolls
+    # as CTEs (the q_graph_kcore pattern); distances are exact IEEE add
+    # chains, identical both engines, so no rounding is needed.
+    from trembita_spark.operators.graph import sssp
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("double").alias("weight"))
+    )
+    edges = fwd.unionAll(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    sources = cu.where(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return sssp(edges, sources, rounds=3)
+
+
+def _lpa_round_sql(prev: str, this: str) -> str:
+    # one synchronous LPA step: neighbor-label counts, then argmax with
+    # the deterministic (count DESC, label ASC) tie-break.
+    return f"""
+    c_{this} AS (
+      SELECT b.node, l.label, count(*) AS c
+      FROM b0 b JOIN {prev} l ON b.peer = l.node
+      GROUP BY b.node, l.label
+    ),
+    {this} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+        FROM c_{this}
+      ) WHERE r = 1
+    )"""
+
+
+@register(
+    "q_graph_labelprop",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                      's' || CAST(l_suppkey AS VARCHAR) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    b0 AS (
+      SELECT u AS node, v AS peer FROM e0
+      UNION ALL SELECT v, u FROM e0
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM b0),
+    {_lpa_round_sql("l0", "l1")},
+    {_lpa_round_sql("l1", "l2")},
+    {_lpa_round_sql("l2", "l3")}
+    SELECT node, label FROM l3
+    """,
+)
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synchronous label propagation (operators/graph.py:
+    # label_propagation) on the undirected customer-supplier graph, 3
+    # rounds: every node starts as its own community, then adopts the
+    # most frequent neighbor label (previous round's labels; ties to
+    # the minimum label) — fully deterministic, RNG-free, so the fixed
+    # round count unrolls into CTEs exactly like kcore/sssp. ASCII
+    # labels compare identically under Spark's and DuckDB's binary
+    # string order, so the min-label tie-break is engine-stable.
+    from trembita_spark.operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=3)
+
+
 @register(
     "q_except_all",
     oracle="""

@@ -13,6 +13,14 @@ from trembita_spark.operators.dedup import (
     simhash,
 )
 from trembita_spark.operators.fsm import fsm_scan, sessionize, sessionize_fsm
+from trembita_spark.operators.graph import (
+    bfs,
+    kcore_peel,
+    label_propagation,
+    pagerank,
+    sssp,
+    triangle_count,
+)
 from trembita_spark.operators.joins import asof_join, interval_overlap_join, range_join
 from trembita_spark.operators.multimodal import attach_payload, extract_features
 from trembita_spark.operators.ranking import ntile_exact
@@ -33,6 +41,12 @@ from trembita_spark.operators.text import (
 )
 
 __all__ = [
+    "bfs",
+    "kcore_peel",
+    "label_propagation",
+    "pagerank",
+    "sssp",
+    "triangle_count",
     "fsm_scan",
     "sessionize",
     "sessionize_fsm",

@@ -261,3 +261,97 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     return keep.join(resid, "node", "left").select(
         "node", F.coalesce("deg", F.lit(0)).alias("deg")
     )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford single/multi-source shortest paths
+    over directed weighted ``edges`` (src, dst, ``weight_col``):
+    ``rounds`` synchronous relaxations starting from ``sources`` (one
+    ``node`` column, dist 0). After r rounds, dist(v) = min total weight
+    over all paths from any source to v using <= r edges — a
+    deterministic recurrence (like the fixed-k pagerank), so the result
+    is oracle-checkable by unrolling the rounds as CTEs.
+
+    Float determinism: every candidate distance is the same
+    left-to-right chain of IEEE double adds in both engines, and min()
+    over identical candidate sets is exact — no rounding needed.
+    Negative weights are fine (it's Bellman-Ford, not Dijkstra); the
+    fixed round count sidesteps negative-cycle divergence.
+
+    Scale posture: each round is one join dist⨝edges on the node id
+    (both sides hash-partition on it — co-partitioned across rounds)
+    plus one min-aggregate; lineage is cut per round (localCheckpoint)
+    so round r doesn't re-execute rounds 1..r-1. The frontier never
+    materializes more than |reached| rows."""
+    dist = (
+        sources.select("node")
+        .distinct()
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    )
+    for _ in range(rounds):
+        relax = dist.join(e, dist.node == e.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    UNDIRECTED graph: every node starts labeled with its own id; each
+    round, every node adopts the most frequent label among its
+    neighbors' PREVIOUS-round labels, ties broken by the MINIMUM label
+    — fully deterministic (no RNG, no update-order sensitivity), so a
+    FIXED round count is an oracle-checkable recurrence like pagerank's.
+
+    Returns (node, label) after ``rounds`` synchronous updates.
+
+    Scale posture: each round is one join both⨝labels on the peer id +
+    a (node, label) count + a per-node argmax folded into ONE
+    min(struct(-count, label)) aggregate (no window — the second agg is
+    co-partitioned with the first on node). Lineage cut per round."""
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    both = und.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    ).localCheckpoint(eager=True)
+    labels = both.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        cnt = (
+            both.join(
+                labels.select(
+                    F.col("node").alias("peer"), F.col("label")
+                ),
+                "peer",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("label"))
+                ).alias("s")
+            )
+            .select("node", F.col("s.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
