@@ -1577,7 +1577,12 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_flag = x.groupBy("flag").agg(
         F.sum("wt").cast("bigint").alias("total"),
         # first row of the flag in the global order: its gcum - wt is the
-        # cumulative weight of everything BEFORE the flag
+        # cumulative weight of everything BEFORE the flag. PRECONDITION:
+        # min() equals that first-row offset only because gcum is
+        # monotone under the order, i.e. weights are NONNEGATIVE — true
+        # here (l_quantity is 1..50). With signed weights, derive the
+        # offset from the flag's first row under the unique
+        # (price, orderkey, linenumber) order instead of min().
         F.min(F.col("gcum") - F.col("wt")).cast("bigint").alias("off"),
     )
     x = x.join(F.broadcast(per_flag), "flag")

@@ -1223,7 +1223,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACT 10%-per-language sample, md5-rank selection: deterministic
     # (retry/partitioning-independent — no RNG, unlike sampleBy), quota
-    # met exactly per stratum. One shuffle on the stratum key.
+    # met exactly per stratum. Ranks ride the distributed prefix sum
+    # over the (lang, md5, id) range order — no |langs|-task window.
     from trembita_spark.operators.sampling import stratified_sample
 
     docs = table(spark, sf_dir, "documents")
@@ -1373,10 +1374,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per source shard in doc_id order into a contiguous token stream cut
     # every 2048 tokens (the GPT-style concat-and-chunk regime; a doc
     # knows its pack and intra-pack offset, crossing docs span packs).
-    # One running integer sum per shard — the shard column is the
-    # parallelism unit, so at 100 TB packing is embarrassingly parallel
-    # across shards and each shard's window is a single ordered scan.
-    from pyspark.sql.window import Window
+    # Scale shape: `source` has only a HANDFUL of distinct values, so a
+    # window partitioned by it would funnel a whole shard (25 TB at
+    # 100 TB / 4 sources) through one task — the low-cardinality window
+    # the repo's audit bans (the weighted-median lesson). Instead the
+    # running token count rides the DISTRIBUTED two-phase prefix sum
+    # over the global (source, doc_id) range-partitioned order; each
+    # source's rows are contiguous in that order, so the within-source
+    # cumulative is global_cum minus the source's starting offset,
+    # recovered from a per-source MIN(gcum - n_tok) aggregate broadcast
+    # back. (min() equals the source's first-row offset only because
+    # gcum is monotone under the order, i.e. n_tok >= 0 — guaranteed
+    # here: token counts are >= 1.)
+    from trembita_spark.operators.ranking import prefix_sum
 
     docs = table(spark, sf_dir, "documents")
     t = docs.select(
@@ -1384,13 +1394,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    c = prefix_sum(
+        t, "n_tok", order_by=[F.col("source"), F.col("doc_id")], name="gcum"
     )
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
-    start = F.col("cum") - F.col("n_tok")
+    per_src = c.groupBy("source").agg(
+        F.min(F.col("gcum") - F.col("n_tok")).alias("__src_off")
+    )
+    c = c.join(F.broadcast(per_src), "source")
+    start = F.col("gcum") - F.col("n_tok") - F.col("__src_off")
     return c.select(
         "doc_id",
         "source",

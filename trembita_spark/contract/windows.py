@@ -217,23 +217,28 @@ def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Percent-of-total (ratio_to_report): agg then a windowed sum of the
-    # aggregate over the group's parent — both operands stay decimal
+    # Percent-of-total (ratio_to_report): agg, then the parent totals as
+    # a 3-ROW aggregate broadcast back — NOT a window partitioned by
+    # l_returnflag, which has 3 distinct values and would funnel the
+    # whole supplier-level frame through 3 tasks (the low-cardinality
+    # window the registry audit bans). Both operands stay decimal
     # (exact) until one final double division. Two shuffles total (agg
-    # + window on the coarser key).
+    # + the tiny flag rollup); the join back is a broadcast.
     li = table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag")
     dec = F.col("l_extendedprice").cast("decimal(18,2)")
     agg = li.groupBy("l_returnflag", "l_suppkey").agg(
         F.sum(dec).alias("supp_rev_dec")
     )
-    return agg.select(
+    tot = agg.groupBy("l_returnflag").agg(
+        F.sum("supp_rev_dec").alias("flag_rev_dec")
+    )
+    return agg.join(F.broadcast(tot), "l_returnflag").select(
         "l_returnflag",
         "l_suppkey",
         F.col("supp_rev_dec").cast("double").alias("supp_rev"),
         (
             F.col("supp_rev_dec").cast("double")
-            / F.sum("supp_rev_dec").over(w).cast("double")
+            / F.col("flag_rev_dec").cast("double")
         ).alias("rev_share"),
     )
 

@@ -49,17 +49,40 @@ def stratified_sample(
     strata are never accidentally emptied, which matters when strata are
     low-resource languages in a corpus-balancing job.
 
-    One shuffle on the stratum key (window rank + windowed count share
-    the same partitioning — Catalyst plans a single Exchange).
+    Scale shape: strata are FEW (languages), so a window partitioned by
+    the stratum column would funnel the whole corpus through |strata|
+    tasks — the low-cardinality window the registry audit bans. The
+    per-stratum rank instead rides the DISTRIBUTED two-phase prefix sum
+    (of the constant 1) over the global (stratum, md5(id), id)
+    range-partitioned order: each stratum's rows are contiguous in that
+    order, so its rank is the global position minus the stratum's
+    starting offset — recovered, with the per-stratum totals, from one
+    tiny |strata|-row aggregate broadcast back. (min(pos)-1 equals the
+    offset because positions are strictly increasing under the unique
+    order.)
     """
-    order = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(stratum_col).orderBy(order, id_col)
-    wn = Window.partitionBy(stratum_col)
+    from trembita_spark.operators.ranking import prefix_sum
+
+    x = df.withColumn("__one", F.lit(1)).withColumn(
+        "__ord", F.md5(F.col(id_col).cast("string"))
+    )
+    x = prefix_sum(
+        x,
+        "__one",
+        order_by=[F.col(stratum_col), F.col("__ord"), F.col(id_col)],
+        name="__pos",
+    )
+    per = x.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.min("__pos") - 1).alias("__off"),
+    )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wn))
-        .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
-        .drop("_rn", "_n")
+        x.join(F.broadcast(per), stratum_col)
+        .where(
+            F.col("__pos") - F.col("__off")
+            <= F.ceil(F.col("__n") * F.lit(fraction))
+        )
+        .drop("__one", "__ord", "__pos", "__n", "__off")
     )
 
 
