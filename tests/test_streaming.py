@@ -73,6 +73,42 @@ def test_stream_stateful_sessionize_matches_batch(spark):
     assert len(emitted) >= len(batch_set) - n_users
 
 
+def test_stream_stateful_sessionize_rocksdb_provider(spark):
+    """The applyInPandasWithState FSM sessionizer under the RocksDB
+    state-store provider — the credible 100 TB state backend (session
+    state spills to local disk instead of executor heap). Same
+    subset-vs-batch contract as the default-provider test above."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_completion(
+            sessionize_stream(events_stream(spark, SF_DIR_SMALL), gap_minutes=30),
+            "t_stream_sessions_rocksdb",
+            output_mode="append",
+        ).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    batch = (
+        sessionize(load_table(spark, SF_DIR_SMALL, "events"), gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .collect()
+    )
+    batch_set = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    emitted = {(r.user_id, r.session_start, r.n_events) for r in out}
+    assert emitted, "RocksDB-backed FSM must emit closed sessions"
+    assert emitted <= batch_set
+    n_users = len({r.user_id for r in batch})
+    assert len(emitted) >= len(batch_set) - n_users
+
+
 def test_stream_static_join(spark):
     # stream-static join: enrich the event stream with a static dimension.
     ev = events_stream(spark, SF_DIR_SMALL)
