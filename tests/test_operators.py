@@ -304,6 +304,9 @@ def test_similarity_topk_routes_approximate_by_default(spark):
     assert got == [(1, 2)]
     exact = S.topk(corpus, queries, k=1, exact=True, cell_col="label")
     assert [(r.query_id, r.vec_id) for r in exact.collect()] == [(1, 2)]
+    refined = S.topk(corpus, queries, k=1, refined=True, cell_col="label", nprobe=2)
+    assert refined.columns == ["query_id", "vec_id", "cell", "cos", "rank"]
+    assert [(r.query_id, r.vec_id) for r in refined.collect()] == [(1, 2)]
 
 
 def test_query_alias_recovery_exact(spark):

@@ -46,18 +46,24 @@ def topk(
     queries: DataFrame,
     k: int = 3,
     exact: bool = False,
+    refined: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Top-k similar vectors per query — the routing entry point.
 
     Defaults to the scalable approximate path (:func:`ivf_topk`); pass
-    ``exact=True`` for the brute-force verification mode
+    ``refined=True`` for the serving-quality IVF + SQ8 + exact-re-rank
+    pipeline (:func:`ivf_topk_refined` — recall@10 ≥ 0.9 at nprobe=6),
+    or ``exact=True`` for the brute-force verification mode
     (:func:`cosine_topk`). Keyword args are forwarded to the chosen
     implementation."""
     if exact:
         kwargs.pop("cell_col", None)
         kwargs.pop("nprobe", None)
+        kwargs.pop("shortlist", None)
         return cosine_topk(corpus, queries, k=k, **kwargs)
+    if refined:
+        return ivf_topk_refined(corpus, queries, k=k, **kwargs)
     return ivf_topk(corpus, queries, k=k, **kwargs)
 
 
