@@ -1127,6 +1127,103 @@ def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stat_mannwhitney",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT na, nb, na + nb AS n,
+             CAST(sum(na + nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             CAST(sum(na * (2 * (cumn - n) + n + 1)) AS BIGINT) AS r2a,
+             CAST(sum(CASE WHEN n > 1 THEN n * n * n - n ELSE 0 END) AS BIGINT) AS ties
+      FROM c
+    )
+    SELECT n_a, n_b,
+           CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
+           (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2)
+             / sqrt(
+                 CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                      * (CAST(n_a + n_b + 1 AS HUGEINT) * CAST(n_a + n_b AS HUGEINT)
+                         * CAST(n_a + n_b - 1 AS HUGEINT)
+                         - CAST(ties AS HUGEINT)) AS DOUBLE)
+                 / CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)
+               ) AS z_stat
+    FROM s
+    """,
+)
+def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Whitney U (Wilcoxon rank-sum, purchase vs click values) with
+    # the normal approximation and tie correction. Ranks come from the
+    # VALUE-level aggregate, not a row-level sort: group by distinct
+    # value (na/nb per value), run the distributed prefix sum over the
+    # value order, and the tied-average rank of a value is
+    # (cum_before + (n+1)/2) — so doubling gives the exact INTEGER
+    # 2·rank, and every moment (rank sum, tie term Σ(t³-t)) stays in
+    # exact integer/decimal arithmetic until one final double division
+    # chain that both engines evaluate with the identical expression
+    # tree (no rounding needed, the t-test discipline). At 100 TB:
+    # one value-level hash agg + the range-partitioned prefix sum +
+    # a scalar rollup — no row-level global sort, no low-card window.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    x = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    pv = x.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    pv = pv.withColumn("n", F.col("na") + F.col("nb"))
+    c = prefix_sum(pv, "n", order_by=[F.col("v")], name="cumn")
+    s = c.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1)
+        ).cast("bigint").alias("r2a"),
+        F.sum(
+            F.when(
+                F.col("n") > 1, F.col("n") * F.col("n") * F.col("n") - F.col("n")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    bigint_u2 = F.col("r2a") - n_a * (n_a + 1)
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact big-integer lane
+    s_dec = dec(n_a) * dec(n_b) * (
+        dec(n_a + n_b + 1) * dec(n_a + n_b) * dec(n_a + n_b - 1) - dec(F.col("ties"))
+    )
+    denom = F.sqrt(
+        s_dec.cast("double")
+        / (12 * (n_a + n_b) * (n_a + n_b - 1)).cast("double")
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (bigint_u2.cast("double") / 2).alias("u_stat"),
+        ((bigint_u2 - n_a * n_b).cast("double") / 2 / denom).alias("z_stat"),
+    )
+
+
+@register(
     "q_stat_chisq",
     oracle="""
     WITH cells AS (
