@@ -1224,6 +1224,88 @@ def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stat_ks",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT CAST(sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+      FROM pv
+    )
+    SELECT n_a, n_b,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_stat,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             AS ks_scaled
+    FROM c CROSS JOIN t GROUP BY n_a, n_b
+    """,
+)
+def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Kolmogorov-Smirnov (purchase vs click values):
+    # D = max_v |F_a(v) - F_b(v)| over the pooled value support. The
+    # two ECDFs come from ONE multi-column distributed prefix sum over
+    # the distinct-value frame (running na and nb share the range
+    # shuffle), and the max runs on the EXACT integer cross-difference
+    # |ca*n_b - cb*n_a| — only the final normalization (and the
+    # sqrt(n_a*n_b/N) effect scaling) divides in double, with the
+    # identical expression tree both engines. Same 100 TB shape as
+    # mannwhitney: value-level hash agg + range-partitioned prefix sum
+    # + scalar rollup; no row-level global sort.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    x = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    pv = x.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    c = prefix_sum_multi(pv, ["na", "nb"], order_by=[F.col("v")], names=["ca", "cb"])
+    tot = pv.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+    )
+    num = F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+    ks = num.cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            ks.alias("ks_stat"),
+            (
+                ks
+                * F.sqrt(
+                    (F.col("n_a") * F.col("n_b")).cast("double")
+                    / (F.col("n_a") + F.col("n_b")).cast("double")
+                )
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+@register(
     "q_stat_chisq",
     oracle="""
     WITH cells AS (

@@ -85,6 +85,20 @@ def prefix_sum(
     are order-defined but partial-offset composition reorders the
     additions across partitions.
     """
+    return prefix_sum_multi(df, [value_col], order_by, [name])
+
+
+def prefix_sum_multi(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    names: Sequence[str],
+) -> DataFrame:
+    """Prefix sums of SEVERAL value columns under one shared total order
+    — one range shuffle, one local-window pass, and one tiny offsets
+    frame for all of them (a two-sample ECDF comparison needs the
+    running count of each arm; running them as two prefix_sum calls
+    would pay the range shuffle twice)."""
     from pyspark.sql.window import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -95,12 +109,22 @@ def prefix_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = out.withColumn("__local_cum", F.sum(value_col).over(w_local))
-    totals = out.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    for vc, nm in zip(value_cols, names):
+        out = out.withColumn(f"__lc_{nm}", F.sum(vc).over(w_local))
+    totals = out.groupBy("__pid").agg(
+        *[F.sum(vc).alias(f"__t_{nm}") for vc, nm in zip(value_cols, names)]
+    )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn("__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
-    return (
-        out.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
-        .withColumn(name, F.col("__off") + F.col("__local_cum"))
-        .drop("__pid", "__local_cum", "__off")
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{nm}").over(w_off), F.lit(0)).alias(f"__off_{nm}")
+            for nm in names
+        ],
+    )
+    out = out.join(F.broadcast(offsets), "__pid")
+    for nm in names:
+        out = out.withColumn(nm, F.col(f"__off_{nm}") + F.col(f"__lc_{nm}"))
+    return out.drop(
+        "__pid", *[f"__lc_{nm}" for nm in names], *[f"__off_{nm}" for nm in names]
     )
