@@ -482,6 +482,40 @@ def test_ntile_exact_matches_sql_ntile(spark, n, k):
 
 
 @given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_prefix_sum_multi_matches_sequential(spark, vals):
+    """Multi-column two-phase prefix sum must equal the sequential
+    cumulative sums of BOTH columns under the shared order — including
+    negative values (offsets compose by addition, not monotonicity)."""
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    if not vals:
+        return
+    rows = [(i, a, b) for i, (a, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = prefix_sum_multi(
+        df.repartition(5), ["a", "b"], order_by=[F.col("id")], names=["ca", "cb"]
+    )
+    got = {r.id: (r.ca, r.cb) for r in out.collect()}
+    ca = cb = 0
+    want = {}
+    for i, (a, b) in enumerate(vals):
+        ca += a
+        cb += b
+        want[i] = (ca, cb)
+    assert got == want
+
+
+@given(
     ivs=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=1),    # key
