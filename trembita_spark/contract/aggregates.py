@@ -1306,6 +1306,68 @@ def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stat_psi",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM b)
+    SELECT n_a, n_b,
+           CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins,
+           round(sum(CASE WHEN ca > 0 AND cb > 0 THEN
+               (CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)
+               * ln((CAST(ca AS DOUBLE) / n_a) / (CAST(cb AS DOUBLE) / n_b))
+             END), 12) AS psi
+    FROM b CROSS JOIN t GROUP BY n_a, n_b
+    """,
+)
+def q_stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population stability index (purchase vs click value distributions)
+    # — THE standard production drift metric a training-data pipeline
+    # monitors between corpus snapshots: PSI = Σ_bins (p-q)·ln(p/q)
+    # over fixed-width value bins, restricted to bins populated in BOTH
+    # arms (the conventional zero-handling, stated rather than epsilon-
+    # fudged). One hash agg to (bin, ca, cb) + a broadcast scalar total
+    # + one fold — a single data-touching pass at any scale. Counts and
+    # the both-arms filter are exact integers; the p/q divisions are
+    # identical double trees, and ln is libm (1-ulp engine skew) →
+    # round-12, the q_agg_entropy discipline (parity rule 5).
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    b = ev.groupBy(
+        F.floor(F.col("value") / 25).cast("bigint").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    t = b.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    both = (F.col("ca") > 0) & (F.col("cb") > 0)
+    p = F.col("ca").cast("double") / F.col("n_a")
+    q = F.col("cb").cast("double") / F.col("n_b")
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_bins"),
+            F.round(F.sum(F.when(both, (p - q) * F.log(p / q))), 12).alias("psi"),
+        )
+    )
+
+
+@register(
     "q_stat_chisq",
     oracle="""
     WITH cells AS (
