@@ -409,8 +409,9 @@ def test_sssp_matches_reference(spark, es):
     )  # directed, de-duplicated
     if not dir_edges:
         return
-    # deterministic integer-valued weights (exact in double)
-    wedges = [(u, v, float((u * 7 + v * 3) % 10 + 1)) for u, v in dir_edges]
+    # deterministic integer-valued weights (exact in double), including
+    # NEGATIVE ones — it's Bellman-Ford, and the docstring promises them
+    wedges = [(u, v, float((u * 7 + v * 3) % 13 - 3)) for u, v in dir_edges]
     srcs = sorted({u for u, v, w in wedges})[:2]
     dist = {s: 0.0 for s in srcs}
     for _ in range(3):
