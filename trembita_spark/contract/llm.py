@@ -59,7 +59,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
     sig AS (
       SELECT doc_id, band,
-             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
       FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
       WHERE len(shingles) > 0
     )
@@ -1000,7 +1000,7 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
     sig AS (
       SELECT doc_id, band,
-             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
       FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
       WHERE len(shingles) > 0
     ),
@@ -1590,7 +1590,7 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM btok),
     bsig AS (
       SELECT doc_id, band,
-             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
       FROM bsh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
       WHERE len(shingles) > 0
     ),
@@ -1598,7 +1598,7 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     csh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM ctok),
     csig AS (
       SELECT DISTINCT band,
-             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
       FROM csh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
       WHERE len(shingles) > 0
     ),
@@ -2329,7 +2329,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
     sig AS (
       SELECT doc_id, band,
-             list_min(list_transform(shingles, s -> md5(concat('b', band, '|', s)))) AS sig
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
       FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
       WHERE len(shingles) > 0
     ),
