@@ -1100,3 +1100,36 @@ def test_asof_join_nearest_tolerance(spark):
     }
     # ts(4) is 4 min away (<=10min) -> attaches; ts(20) is 20 min -> masked
     assert out == {100: 10.0, 200: None}
+
+
+def test_mann_whitney_hand_computed(spark):
+    # A=[1,1], B=[1,2]: tied-average rank of the three 1s is 2, rank of
+    # 2 is 4 -> R_a=4, U = R_a - n_a(n_a+1)/2 = 1; tie term t=3 -> 24,
+    # sigma^2 = (n_a n_b/12)((N+1) - ties/(N(N-1))) = 1 -> z = (1-2)/1.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "a"), (1.0, "b"), (2.0, "b")], "x double, g string"
+    )
+    r = mann_whitney_u(df, "x", F2.col("g") == "a").collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.u_stat == 1.0
+    assert r.z_stat == -1.0
+
+
+def test_ks_2samp_hand_computed(spark):
+    # A=[1,2], B=[3,4]: ECDFs separate completely at v=2 -> D=1;
+    # scaled D * sqrt(n_a n_b / N) = sqrt(4/4) = 1.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.stats import ks_2samp
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")], "x double, g string"
+    )
+    r = ks_2samp(df, "x", F2.col("g") == "a").collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.ks_stat == 1.0
+    assert r.ks_scaled == 1.0

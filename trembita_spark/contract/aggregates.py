@@ -1178,49 +1178,12 @@ def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tree (no rounding needed, the t-test discipline). At 100 TB:
     # one value-level hash agg + the range-partitioned prefix sum +
     # a scalar rollup — no row-level global sort, no low-card window.
-    from trembita_spark.operators.ranking import prefix_sum
+    from trembita_spark.operators.stats import mann_whitney_u
 
     ev = table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+        F.col("event_type").isin("purchase", "click")
     )
-    x = ev.select(
-        F.col("value").alias("v"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
-    )
-    pv = x.groupBy("v").agg(
-        F.sum("is_a").cast("bigint").alias("na"),
-        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("nb"),
-    )
-    pv = pv.withColumn("n", F.col("na") + F.col("nb"))
-    c = prefix_sum(pv, "n", order_by=[F.col("v")], name="cumn")
-    s = c.agg(
-        F.sum("na").cast("bigint").alias("n_a"),
-        F.sum("nb").cast("bigint").alias("n_b"),
-        F.sum(
-            F.col("na") * (2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1)
-        ).cast("bigint").alias("r2a"),
-        F.sum(
-            F.when(
-                F.col("n") > 1, F.col("n") * F.col("n") * F.col("n") - F.col("n")
-            ).otherwise(F.lit(0))
-        ).cast("bigint").alias("ties"),
-    )
-    n_a, n_b = F.col("n_a"), F.col("n_b")
-    bigint_u2 = F.col("r2a") - n_a * (n_a + 1)
-    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact big-integer lane
-    s_dec = dec(n_a) * dec(n_b) * (
-        dec(n_a + n_b + 1) * dec(n_a + n_b) * dec(n_a + n_b - 1) - dec(F.col("ties"))
-    )
-    denom = F.sqrt(
-        s_dec.cast("double")
-        / (12 * (n_a + n_b) * (n_a + n_b - 1)).cast("double")
-    )
-    return s.select(
-        "n_a",
-        "n_b",
-        (bigint_u2.cast("double") / 2).alias("u_stat"),
-        ((bigint_u2 - n_a * n_b).cast("double") / 2 / denom).alias("z_stat"),
-    )
+    return mann_whitney_u(ev, "value", F.col("event_type") == "purchase")
 
 
 @register(
@@ -1267,42 +1230,12 @@ def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical expression tree both engines. Same 100 TB shape as
     # mannwhitney: value-level hash agg + range-partitioned prefix sum
     # + scalar rollup; no row-level global sort.
-    from trembita_spark.operators.ranking import prefix_sum_multi
+    from trembita_spark.operators.stats import ks_2samp
 
     ev = table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+        F.col("event_type").isin("purchase", "click")
     )
-    x = ev.select(
-        F.col("value").alias("v"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
-    )
-    pv = x.groupBy("v").agg(
-        F.sum("is_a").cast("bigint").alias("na"),
-        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("nb"),
-    )
-    c = prefix_sum_multi(pv, ["na", "nb"], order_by=[F.col("v")], names=["ca", "cb"])
-    tot = pv.agg(
-        F.sum("na").cast("bigint").alias("n_a"),
-        F.sum("nb").cast("bigint").alias("n_b"),
-    )
-    num = F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
-    ks = num.cast("double") / (
-        F.col("n_a").cast("double") * F.col("n_b").cast("double")
-    )
-    return (
-        c.crossJoin(F.broadcast(tot))
-        .groupBy("n_a", "n_b")
-        .agg(
-            ks.alias("ks_stat"),
-            (
-                ks
-                * F.sqrt(
-                    (F.col("n_a") * F.col("n_b")).cast("double")
-                    / (F.col("n_a") + F.col("n_b")).cast("double")
-                )
-            ).alias("ks_scaled"),
-        )
-    )
+    return ks_2samp(ev, "value", F.col("event_type") == "purchase")
 
 
 @register(

@@ -24,6 +24,7 @@ from trembita_spark.operators.graph import (
 from trembita_spark.operators.joins import asof_join, interval_overlap_join, range_join
 from trembita_spark.operators.multimodal import attach_payload, extract_features
 from trembita_spark.operators.ranking import ntile_exact
+from trembita_spark.operators.stats import ks_2samp, mann_whitney_u
 from trembita_spark.operators.similarity import (
     cosine_pairs_within,
     cosine_topk,
@@ -53,6 +54,8 @@ __all__ = [
     "asof_join",
     "interval_overlap_join",
     "ntile_exact",
+    "ks_2samp",
+    "mann_whitney_u",
     "range_join",
     "exact_dedup",
     "minhash_lsh_candidates",
