@@ -266,6 +266,24 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     assert got == got2
 
 
+def test_stratified_sample_null_stratum_kept(spark):
+    # A NULL stratum (unidentified language) is a real stratum: the
+    # join back to per-stratum counts must be null-safe or every
+    # NULL-stratum row silently disappears.
+    from trembita_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i < 40 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", "doc_id", 0.25)
+    by_lang = {}
+    for r in out.collect():
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    # ceil(0.25*40)=10 en, ceil(0.25*20)=5 NULL
+    assert by_lang == {"en": 10, None: 5}
+    # output schema is clean: no helper columns leak
+    assert set(out.columns) == {"doc_id", "lang"}
+
+
 def test_weighted_mix_rates_and_stability(spark):
     from trembita_spark.operators.sampling import weighted_mix
 

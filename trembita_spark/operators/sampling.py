@@ -8,12 +8,14 @@ id), so the sample is a pure function of the data: re-running the job,
 re-trying a task, or changing the partitioning never changes the
 selected set.
 
-Scale posture: all operators are single-pass expressions or one
-window/aggregation over the stratum key — no collect, no RNG, no
-cross-partition coordination. At 100 TB the stratified sampler's only
-shuffle is the per-stratum window (partition count = distinct strata,
-skew-safe when strata are coarse like language/source); the weighted mix
-is shuffle-FREE (pure map-side filter).
+Scale posture: all operators are single-pass expressions, the
+distributed two-phase prefix sum, or a tiny per-stratum aggregate —
+no collect, no RNG, no cross-partition coordination. The stratified
+sampler's data shuffle is a RANGE partitioning over (stratum, md5, id)
+(strata are few — language/source — so a stratum-partitioned window
+would funnel the corpus through |strata| tasks, which the registry's
+low-cardinality-window audit bans); the weighted mix is shuffle-FREE
+(pure map-side filter).
 
 Reference parity: the trembita reference has no sampling surface
 (SURVEY.md §3.10 — north-star extension); semantics follow standard
@@ -72,17 +74,24 @@ def stratified_sample(
         order_by=[F.col(stratum_col), F.col("__ord"), F.col(id_col)],
         name="__pos",
     )
+    # NULL-SAFE join back: a NULL stratum (e.g. unidentified language)
+    # is a real stratum and must be sampled like any other — a plain
+    # equi join would silently drop every NULL-stratum row (the old
+    # window version kept them; regression caught in review).
     per = x.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("__n"),
         (F.min("__pos") - 1).alias("__off"),
-    )
+    ).withColumnRenamed(stratum_col, "__stratum")
     return (
-        x.join(F.broadcast(per), stratum_col)
+        x.join(
+            F.broadcast(per),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        )
         .where(
             F.col("__pos") - F.col("__off")
             <= F.ceil(F.col("__n") * F.lit(fraction))
         )
-        .drop("__one", "__ord", "__pos", "__n", "__off")
+        .drop("__one", "__ord", "__pos", "__n", "__off", "__stratum")
     )
 
 
