@@ -1133,3 +1133,60 @@ def test_ks_2samp_hand_computed(spark):
     assert (r.n_a, r.n_b) == (2, 2)
     assert r.ks_stat == 1.0
     assert r.ks_scaled == 1.0
+
+
+def test_spearman_rho_hand_computed(spark):
+    # x=[1,2,2,3], y=[10,20,20,5]: tied ranks rx=[1,2.5,2.5,4],
+    # ry=[2,3.5,3.5,1]; centered products sum to -1.5 over
+    # sqrt(4.5*4.5) -> rho = -1/3 exactly (all moments integer-exact
+    # in the doubled-rank lane, so the double division is 1/3-exact).
+    from trembita_spark.operators.stats import spearman_rho
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 5.0)],
+        "x double, y double",
+    )
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r.n == 4
+    assert abs(r.rho - (-1.0 / 3.0)) < 1e-15
+
+
+def test_spearman_rho_monotone_and_null(spark):
+    # perfect monotone -> +1; perfect reverse -> -1; NULLs dropped.
+    from trembita_spark.operators.stats import spearman_rho
+
+    up = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 7.0), (3.0, 11.0), (None, 99.0), (4.0, None)],
+        "x double, y double",
+    )
+    r = spearman_rho(up, "x", "y").collect()[0]
+    assert (r.n, r.rho) == (3, 1.0)
+    down = spark.createDataFrame(
+        [(1.0, 11.0), (2.0, 7.0), (3.0, 5.0)], "x double, y double"
+    )
+    assert spearman_rho(down, "x", "y").collect()[0].rho == -1.0
+
+
+def test_cusum_changepoint_hand_computed(spark):
+    # counts [1,1,10,10]: S=[1,2,12,22], T=4, S_T=22; D_t=|4*S_t-22t|
+    # = [18,36,18,0] -> argmax t=2, score 36/88 = 9/22.
+    from trembita_spark.operators.stats import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("d1", 1), ("d2", 1), ("d3", 10), ("d4", 10)], "day string, n long"
+    )
+    r = cusum_changepoint(df, "day", "n").collect()[0]
+    assert (r.day, r.t, r.steps) == ("d2", 2, 4)
+    assert abs(r.score - 9.0 / 22.0) < 1e-15
+
+
+def test_cusum_changepoint_tie_breaks_earliest(spark):
+    # counts [2,0,2]: D = [2,2,0] -> tie between t=1 and t=2, earliest
+    # key wins.
+    from trembita_spark.operators.stats import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("d1", 2), ("d2", 0), ("d3", 2)], "day string, n long"
+    )
+    r = cusum_changepoint(df, "day", "n").collect()[0]
+    assert (r.day, r.t) == ("d1", 1)

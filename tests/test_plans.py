@@ -983,9 +983,11 @@ def test_no_key_runs_low_cardinality_window(spark):
     _low_card_window_violations). Keys whose window INPUT is already
     aggregate-sized by construction are whitelisted with the bound."""
     allow = {
-        # chi-sq: windows run over the (event_type x dow) cell frame —
-        # <= |event_type|*7 rows after the first (data-touching) groupBy
+        # chi-sq family: windows run over the (event_type x dow) cell
+        # frame — <= |event_type|*7 rows after the first (data-touching)
+        # groupBy (cramers_v shares the exact same fold)
         "q_stat_chisq",
+        "q_stat_cramers_v",
     }
     skip = {k for k in contract.QUERIES if k.startswith("q_stream_")}
     bad = []

@@ -1301,6 +1301,127 @@ def q_stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stat_spearman",
+    oracle="""
+    WITH rows0 AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    rx AS (
+      SELECT v, 2 * (cum - cnt) + cnt + 1 AS rx2 FROM (
+        SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM rows0 GROUP BY x)
+    ),
+    ry AS (
+      SELECT v, 2 * (cum - cnt) + cnt + 1 AS ry2 FROM (
+        SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM rows0 GROUP BY y)
+    ),
+    j AS (
+      SELECT rx2, ry2 FROM rows0
+      JOIN rx ON rows0.x = rx.v JOIN ry ON rows0.y = ry.v
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rx2 AS HUGEINT)) AS sx,
+             sum(CAST(ry2 AS HUGEINT)) AS sy,
+             sum(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS sxx,
+             sum(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS syy,
+             sum(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS sxy
+      FROM j
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt(
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             ) AS rho
+    FROM s
+    """,
+)
+def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spearman rank correlation of quantity vs extended price (heavy
+    # ties on the quantity side — 50 distinct values — exercising the
+    # tied-average-rank lane). The operator never sorts rows globally:
+    # each column's 2·rank map comes from a value-level hash agg + the
+    # distributed prefix sum, joined back onto the rows; the five moment
+    # sums ride the exact decimal(38,0)/HUGEINT lanes and only the final
+    # Pearson expression is double, with the identical tree both engines
+    # (parity rule 2 — no rounding). 100 TB: two value-level prefix
+    # sums + two hash joins ∝ data + one scalar rollup.
+    from trembita_spark.operators.stats import spearman_rho
+
+    li = table(spark, sf_dir, "lineitem")
+    return spearman_rho(li, "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q_stat_jsd",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM b)
+    SELECT n_a, n_b,
+           round(sum(
+             CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / n_a)
+               * ln((CAST(ca AS DOUBLE) / n_a)
+                    / (0.5 * (CAST(ca AS DOUBLE) / n_a) + 0.5 * (CAST(cb AS DOUBLE) / n_b)))
+             ELSE 0 END
+             + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / n_b)
+               * ln((CAST(cb AS DOUBLE) / n_b)
+                    / (0.5 * (CAST(ca AS DOUBLE) / n_a) + 0.5 * (CAST(cb AS DOUBLE) / n_b)))
+             ELSE 0 END), 12) AS jsd
+    FROM b CROSS JOIN t GROUP BY n_a, n_b
+    """,
+)
+def q_stat_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jensen-Shannon divergence between the purchase and click value
+    # distributions (same fixed-width bins as q_stat_psi). Unlike PSI,
+    # JSD is defined on single-arm bins — the zero arm contributes 0 and
+    # the nonzero arm tests against the mixture m = (p+q)/2 — so it is
+    # bounded (≤ ln 2) and never needs the both-arms restriction: the
+    # better drift metric when new bins appear in one snapshot, which is
+    # exactly what corpus drift looks like. One hash agg + broadcast
+    # scalar totals + one fold; ln is libm → round-12 (parity rule 5).
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    b = ev.groupBy(
+        F.floor(F.col("value") / 25).cast("bigint").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    t = b.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    p = F.col("ca").cast("double") / F.col("n_a")
+    q = F.col("cb").cast("double") / F.col("n_b")
+    m = 0.5 * p + 0.5 * q
+    term = F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0)
+    ) + F.when(F.col("cb") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("n_a", "n_b")
+        .agg(F.round(F.sum(term), 12).alias("jsd"))
+    )
+
+
+@register(
     "q_stat_chisq",
     oracle="""
     WITH cells AS (
@@ -1329,15 +1450,25 @@ def q_stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Chi-squared independence test (event_type x day-of-week): the
-    # contingency table is one partial-agg groupBy; marginals come from
-    # windows over the CELLS frame (35 rows, never the fact table); the
-    # final statistic folds the per-cell contributions in a SORTED
-    # sequential order (collect -> array_sort -> aggregate), matching
-    # DuckDB's ordered list_reduce left-fold bit-for-bit — a global
-    # float sum is only order-safe if the order is pinned. At 100 TB
-    # only the first groupBy touches data; everything after is
-    # cells-sized (|types| x 7).
+    # Chi-squared independence test (event_type x day-of-week); the
+    # contingency fold is shared with q_stat_cramers_v — see
+    # _chisq_event_dow for the shape and the ordered-fold discipline.
+    folded = _chisq_event_dow(spark, sf_dir)
+    return folded.select(
+        "chi2", (F.col("r1") * F.col("c1")).cast("bigint").alias("dof"), "n"
+    )
+
+
+def _chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (chi2, r1, c1, n) for the event_type × day-of-week
+    contingency: the table is one partial-agg groupBy; marginals come
+    from windows over the CELLS frame (35 rows, never the fact table);
+    the statistic folds the per-cell contributions in a SORTED
+    sequential order (collect → array_sort → aggregate), matching
+    DuckDB's ordered list_reduce left-fold bit-for-bit — a global float
+    sum is only order-safe if the order is pinned. At 100 TB only the
+    first groupBy touches data; everything after is cells-sized
+    (|types| × 7)."""
     from pyspark.sql.window import Window
 
     ev = table(spark, sf_dir, "events")
@@ -1361,18 +1492,72 @@ def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pow(F.col("o") - e, 2) / e).alias("x"),
         "n",
     )
-    folded = contrib.agg(
+    return contrib.agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("event_type", "dow", "x"))),
             F.lit(0.0),
             lambda acc, s: acc + s["x"],
         ).alias("chi2"),
-        ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
-        .cast("bigint")
-        .alias("dof"),
+        (F.countDistinct("event_type") - 1).cast("bigint").alias("r1"),
+        (F.countDistinct("dow") - 1).cast("bigint").alias("c1"),
         F.any_value("n").cast("bigint").alias("n"),
     )
-    return folded.select("chi2", "dof", "n")
+
+
+@register(
+    "q_stat_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c.event_type, c.dow, c.o,
+             sum(c.o) OVER (PARTITION BY c.event_type) AS rt,
+             sum(c.o) OVER (PARTITION BY c.dow) AS ct,
+             sum(c.o) OVER () AS n
+      FROM cells c
+    ),
+    contrib AS (
+      SELECT event_type, dow, o,
+             pow(o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 2)
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS x,
+             n
+      FROM tot
+    ),
+    s AS (
+      SELECT list_reduce(list(x ORDER BY event_type, dow), (a, b) -> a + b) AS chi2,
+             CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS r1,
+             CAST(count(DISTINCT dow) - 1 AS BIGINT) AS c1,
+             CAST(any_value(n) AS BIGINT) AS n
+      FROM contrib
+    )
+    SELECT chi2, n,
+           sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r1, c1) AS DOUBLE))) AS cramers_v
+    FROM s
+    """,
+)
+def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cramér's V effect size — chi2 alone grows with n, so at corpus
+    # scale every association is "significant"; V = sqrt(chi2 / (n ·
+    # min(r-1, c-1))) is the scale-free [0,1] strength a monitoring
+    # pipeline actually thresholds on. Rides the same ordered
+    # contingency fold as q_stat_chisq (one data-touching groupBy);
+    # the normalization is one extra double expression with the
+    # identical tree both engines.
+    folded = _chisq_event_dow(spark, sf_dir)
+    return folded.select(
+        "chi2",
+        "n",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r1"), F.col("c1")).cast("double")
+            )
+        ).alias("cramers_v"),
+    )
 
 
 @register(

@@ -1388,6 +1388,51 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st
+      FROM d
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS steps, CAST(sum(n) AS BIGINT) AS s
+      FROM d
+    )
+    SELECT day, t, steps,
+           CAST(abs(st * steps - t * s) AS DOUBLE)
+             / (CAST(steps AS DOUBLE) * CAST(s AS DOUBLE)) AS score
+    FROM c CROSS JOIN tot
+    ORDER BY abs(st * steps - t * s) DESC, day
+    LIMIT 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM changepoint on the daily event-count series: the day whose
+    # cumulative count deviates most from the no-change linear ramp —
+    # the standard first-alarm question ("when did ingest volume
+    # change?") a pipeline monitor asks of any counter series. The
+    # argmax runs on the EXACT integer cross-product |S_t·T − t·S_T|
+    # (no per-step division → deterministic, engine-independent), with
+    # ties broken toward the earliest day; only the reported score is a
+    # double. One data-touching groupBy; the prefix sum, totals, and
+    # TakeOrdered(1) all run on the days spine (calendar-bounded at any
+    # data scale).
+    from trembita_spark.operators.stats import cusum_changepoint
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cusum_changepoint(d, "day", "n")
+
+
+@register(
     "q_stream_topk_types",
     oracle="""
     WITH c AS (

@@ -76,6 +76,73 @@ def mann_whitney_u(df: DataFrame, value_col: str, is_a: Column) -> DataFrame:
     )
 
 
+def _tied_rank2(rows: DataFrame, col: str, out: str) -> DataFrame:
+    """Value-level (v, 2·tied-average-rank) frame for one column: the
+    tied-average rank of a value with ``cum_before`` rows below it and
+    ``cnt`` occurrences is cum_before + (cnt+1)/2, so 2·rank is the
+    exact integer 2·cum_before + cnt + 1 (the mann_whitney_u lane)."""
+    pv = rows.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    return c.select(
+        "v",
+        (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(out),
+    )
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation of two numeric columns with
+    tied-average ranks (the textbook definition: Pearson on ranks).
+    Returns one row: (n, rho).
+
+    Shape: one value-level hash agg + distributed prefix sum PER COLUMN
+    to get each value's 2·rank (an exact integer), a shuffle join of the
+    two rank maps back onto the rows (work ∝ data, never |support|²),
+    then a single scalar rollup of the five moment sums in the exact
+    decimal(38,0) lane. Only the final Pearson expression is double —
+    and because the doubled ranks scale numerator and denominator by
+    the same 4, rho needs no un-doubling. No row-level global sort, no
+    low-cardinality window; same 100 TB posture as mann_whitney_u.
+    """
+    rows = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    # rows feeds three branches (two rank maps + the join spine); a lazy
+    # localCheckpoint materializes it once instead of re-scanning per
+    # branch (the ntile_exact pattern).
+    rows = rows.localCheckpoint(eager=False)
+    rx = _tied_rank2(rows, "x", "rx2")
+    ry = _tied_rank2(rows, "y", "ry2")
+    j = (
+        rows.join(rx, rows["x"] == rx["v"])
+        .drop("v")
+        .join(ry, F.col("y") == ry["v"])
+        .drop("v")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact lane
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("rx2"))).alias("sx"),
+        F.sum(dec(F.col("ry2"))).alias("sy"),
+        # products in the decimal lane too: a bigint rx2·rx2 overflows
+        # once n exceeds ~2.1e9 rows (rx2 ≤ 2n+1)
+        F.sum(dec(F.col("rx2")) * dec(F.col("rx2"))).alias("sxx"),
+        F.sum(dec(F.col("ry2")) * dec(F.col("ry2"))).alias("syy"),
+        F.sum(dec(F.col("rx2")) * dec(F.col("ry2"))).alias("sxy"),
+    )
+    # all six inputs are exact integers; cast once to double and keep a
+    # FIXED expression tree so any engine replays it bit-for-bit.
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double") - sxd * sxd)
+        * (nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return s.select("n", (num / den).alias("rho"))
+
+
 def ks_2samp(df: DataFrame, value_col: str, is_a: Column) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D = max |F_a - F_b| over the pooled
     value support, plus the sqrt(n_a·n_b/N)-scaled effect statistic.
@@ -102,5 +169,49 @@ def ks_2samp(df: DataFrame, value_col: str, is_a: Column) -> DataFrame:
                     / (F.col("n_a") + F.col("n_b")).cast("double")
                 )
             ).alias("ks_scaled"),
+        )
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame, key_col: str, n_col: str
+) -> DataFrame:
+    """CUSUM changepoint over an ordered (key, count) series: the step
+    ``t`` maximizing |S_t·T − t·S_T| — the deviation of the cumulative
+    count from the no-change linear ramp — with ties broken toward the
+    earliest key. Returns one row: (key_col, t, steps, score) where
+    ``score`` = D_t / (T·S_T) ∈ [0, 1).
+
+    The deviation is kept as the EXACT integer cross-product (the
+    ks_2samp trick — no per-step division), so the argmax is
+    deterministic and engine-independent; only the reported score
+    divides in double. Shape: one distributed prefix sum over the
+    series order + a broadcast scalar total + a TakeOrdered(1) — the
+    series frame is usually already aggregate-sized (days/hours), and
+    nothing here collapses data rows to one task.
+    """
+    one = series.withColumn("__one", F.lit(1))
+    one = one.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum_multi(
+        one, ["__one", n_col], order_by=[F.col(key_col)], names=["t", "st"]
+    )
+    tot = one.agg(
+        F.count(F.lit(1)).cast("bigint").alias("steps"),
+        F.sum(n_col).cast("bigint").alias("s"),
+    )
+    d = F.abs(F.col("st") * F.col("steps") - F.col("t") * F.col("s"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("__d", d)
+        .orderBy(F.col("__d").desc(), F.col(key_col))
+        .limit(1)
+        .select(
+            key_col,
+            "t",
+            "steps",
+            (
+                F.col("__d").cast("double")
+                / (F.col("steps").cast("double") * F.col("s").cast("double"))
+            ).alias("score"),
         )
     )
