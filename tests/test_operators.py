@@ -1190,3 +1190,38 @@ def test_cusum_changepoint_tie_breaks_earliest(spark):
     )
     r = cusum_changepoint(df, "day", "n").collect()[0]
     assert (r.day, r.t) == ("d1", 1)
+
+
+def test_adamic_adar_hand_computed(spark):
+    # triangle 1-2-3 plus pendant 3-4: non-adjacent pairs with common
+    # neighbors are (1,4) and (2,4), each through center 3 (deg 3) ->
+    # score 1/ln(3); the adjacent pair (1,2) is excluded by the anti
+    # join even though it shares neighbor 3.
+    import math
+
+    from trembita_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r.a, r.b): (r.common, r.score) for r in adamic_adar(edges).collect()
+    }
+    expect = round(1.0 / math.log(3.0), 12)
+    assert got == {(1, 4): (1, expect), (2, 4): (1, expect)}
+
+
+def test_adamic_adar_center_degree_cap(spark):
+    # path 1-2-3-4: centers 2 and 3 have degree 2; capping at 1
+    # excludes every center -> empty result.
+    from trembita_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert adamic_adar(edges, max_center_degree=1).count() == 0
+    got = {
+        (r.a, r.b): r.common
+        for r in adamic_adar(edges, max_center_degree=2).collect()
+    }
+    assert got == {(1, 3): 1, (2, 4): 1}

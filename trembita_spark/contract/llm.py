@@ -2842,3 +2842,62 @@ def q_cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dbscan_geo(pts, eps_km=1200.0, min_pts=3)
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, lang, words, sentences, syllables,
+           CASE WHEN words > 0 THEN
+             206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                     - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+           END AS flesch
+    FROM f
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch reading-ease per document — the classic text-quality
+    # band a corpus-filtering pipeline thresholds on (alongside
+    # q_text_quality's lexical score). Syllables use the standard
+    # vowel-group heuristic (maximal [aeiouy]+ runs in the lowercased
+    # text — deterministic and regex-replayable in any engine, unlike
+    # dictionary syllabifiers); sentences are [.!?]+ runs clamped to
+    # ≥1 so fragment docs don't divide by zero. Pure per-row
+    # expressions — map-side only, zero shuffle at any scale; the
+    # score is one fixed double tree over integer counts (parity rule
+    # 2, no rounding).
+    docs = table(spark, sf_dir, "documents")
+    words = F.regexp_count("text", F.lit(r"\S+")).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")).cast(
+        "bigint"
+    )
+    f = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    return f.select(
+        "doc_id",
+        "lang",
+        "words",
+        "sentences",
+        "syllables",
+        F.when(
+            F.col("words") > 0,
+            206.835
+            - 1.015 * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+            - 84.6 * (F.col("syllables").cast("double") / F.col("words").cast("double")),
+        ).alias("flesch"),
+    )

@@ -1721,6 +1721,70 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_graph_adamic_adar",
+    oracle="""
+    WITH pairs AS (
+      SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l2.l_linenumber = l1.l_linenumber + 1
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pairs),
+    adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (
+      SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z
+      HAVING count(*) <= 40
+    ),
+    centers AS (SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg USING (z)),
+    wedges AS (
+      SELECT l.n AS a, r.n AS b, l.deg
+      FROM centers l JOIN centers r ON l.z = r.z AND l.n < r.n
+    ),
+    scored AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+             round(sum(1.0 / ln(CAST(deg AS DOUBLE))), 12) AS score
+      FROM wedges GROUP BY a, b
+    )
+    SELECT a, b, common, score FROM scored
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = scored.a AND e.v = scored.b)
+    ORDER BY score DESC, a, b LIMIT 100
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adamic-Adar link prediction over the adjacent-line co-basket part
+    # graph (the triangle key's edge set): top-100 non-adjacent pairs
+    # by Σ 1/ln(deg) over common neighbors. Center degree is capped at
+    # 40 AS SEMANTICS (operators/graph.py: adamic_adar — hubs cost
+    # deg² wedges and contribute the least score), so work is
+    # ∝ |E|·cap at any scale; the top-100 is a TakeOrdered under the
+    # unique (score desc, a, b) order. Per-pair sums of 1/ln are
+    # merge-order floats → round-12 (parity rule 5).
+    from trembita_spark.operators.graph import adamic_adar
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    pairs = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l2.l_linenumber") == F.col("l1.l_linenumber") + 1),
+        )
+        .where(F.col("l1.l_partkey") != F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+    )
+    return (
+        adamic_adar(pairs, max_center_degree=40)
+        .orderBy(F.col("score").desc(), "a", "b")
+        .limit(100)
+    )
+
+
+@register(
     "q_sql_recursive",
     oracle="""
     WITH RECURSIVE r(custkey, anc, depth) AS (

@@ -534,3 +534,84 @@ def q_window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(var > 0, (F.col("v") - F.col("sv") / 20) / F.sqrt(var)).alias("z20"),
     )
+
+
+@register(
+    "q_window_rolling_skew",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(value AS DECIMAL(18,2)) AS vd,
+             CAST(value * value AS DECIMAL(18,4)) AS vd2,
+             CAST(value * value * value AS DECIMAL(18,6)) AS vd3
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             CAST(sum(vd) OVER w AS DOUBLE) AS sv,
+             CAST(sum(vd2) OVER w AS DOUBLE) AS svv,
+             CAST(sum(vd3) OVER w AS DOUBLE) AS svvv
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT user_id, event_id, rn, sv, svv, svvv,
+             sv / 5 AS mu, svv / 5 - (sv / 5) * (sv / 5) AS varp
+      FROM s
+    )
+    SELECT user_id, event_id,
+           CASE WHEN varp > 0 THEN
+             (svvv / 5 - 3 * mu * (svv / 5) + 2 * mu * mu * mu)
+             / (varp * sqrt(varp))
+           END AS skew5
+    FROM m WHERE rn >= 5
+    """,
+)
+def q_window_rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling (population) skewness of each user's trailing 5 values —
+    # the distribution-shape complement to q_window_zscore_rolling's
+    # location score (burst/heavy-tail detection per entity). All three
+    # windowed moment sums ride the exact decimal lane (2-dec values →
+    # squares on the 4-dec grid, cubes on the 6-dec grid; double
+    # rounding error ≪ half-grid, so the casts are exact and the window
+    # sums order-independent); the central-moment expansion
+    # m3 = E[x³] − 3µE[x²] + 2µ³ and the var^{3/2} = var·sqrt(var)
+    # denominator are pure IEEE expressions (multiply + sqrt only, no
+    # libm pow) → bit-identical cross-engine, NO rounding (parity rule
+    # 2). Emitted for full frames only (n = 5 constant). The window
+    # partitions on user_id (data-cardinality) — audit-safe.
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        F.col("value").cast("decimal(18,2)").alias("vd"),
+        (F.col("value") * F.col("value")).cast("decimal(18,4)").alias("vd2"),
+        (F.col("value") * F.col("value") * F.col("value"))
+        .cast("decimal(18,6)")
+        .alias("vd3"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    s = x.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum("vd").over(w).cast("double").alias("sv"),
+        F.sum("vd2").over(w).cast("double").alias("svv"),
+        F.sum("vd3").over(w).cast("double").alias("svvv"),
+    )
+    mu = F.col("sv") / 5
+    varp = F.col("svv") / 5 - mu * mu
+    num = F.col("svvv") / 5 - 3 * mu * (F.col("svv") / 5) + 2 * mu * mu * mu
+    return s.where(F.col("rn") >= 5).select(
+        "user_id",
+        "event_id",
+        F.when(varp > 0, num / (varp * F.sqrt(varp))).alias("skew5"),
+    )

@@ -355,3 +355,55 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def adamic_adar(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Adamic-Adar link prediction over an UNDIRECTED graph: for every
+    NON-adjacent pair (a < b) with at least one common neighbor,
+    AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1 / ln(deg(z)) — the classic
+    "people you may know" score (common neighbors, rare ones weighted
+    up). Returns (a, b, common, score) with ``score`` rounded to the
+    1e-12 grid (the per-pair sum order differs between engines; libm
+    ln is 1-ulp — the q_stat_psi discipline).
+
+    Scale posture: wedge fan-out at a center z is deg(z)², so hubs —
+    which contribute the LEAST signal (1/ln deg → small) at the MOST
+    cost — dominate the join. ``max_center_degree`` makes the standard
+    cap part of the SEMANTICS (centers above it are excluded, not
+    sampled): with a cap c, work is ≤ Σ_z min(deg_z, c)² ∝ |E|·c, and
+    the result is deterministic and oracle-replayable. Leave it None
+    only on degree-bounded graphs. Each undirected edge is stored once
+    (u < v); the non-adjacency filter is one anti join against that
+    canonical edge set.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: adjacency + anti join
+    )
+    adj = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    if max_center_degree is not None:
+        deg = deg.where(F.col("deg") <= max_center_degree)
+    centers = adj.join(deg, "z")
+    left = centers.select("z", F.col("n").alias("a"), "deg")
+    right = centers.select("z", F.col("n").alias("b"))
+    wedges = left.join(right, "z").where(F.col("a") < F.col("b"))
+    pairs = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))), 12).alias(
+            "score"
+        ),
+    )
+    return pairs.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
