@@ -1225,3 +1225,51 @@ def test_adamic_adar_center_degree_cap(spark):
         for r in adamic_adar(edges, max_center_degree=2).collect()
     }
     assert got == {(1, 3): 1, (2, 4): 1}
+
+
+def test_kendall_tau_b_hand_computed(spark):
+    # (1,1),(2,3),(3,2),(4,4): 6 pairs, one discordant ((2,3)-(3,2)),
+    # no ties -> tau = (5-1)/6 = 2/3 exactly.
+    from trembita_spark.operators.stats import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 3), (3.0, 2), (4.0, 4), (None, 1), (5.0, None)],
+        "x double, y int",
+    )
+    r = kendall_tau_b(df, "x", "y", [1, 2, 3, 4]).collect()[0]
+    assert (r.n, r.concordant, r.discordant) == (4, 5, 1)
+    assert abs(r.tau_b - 2.0 / 3.0) < 1e-15
+
+
+def test_kendall_tau_b_matches_bruteforce_with_ties(spark):
+    # heavy ties on both axes: the operator's cell/prefix-sum form must
+    # agree with the O(n^2) textbook definition (C, D over strictly
+    # differing pairs; n1/n2 from the tie marginals).
+    import math
+
+    from trembita_spark.operators.stats import kendall_tau_b
+
+    pts = [
+        (1.0, 1), (1.0, 2), (1.0, 2), (2.0, 1), (2.0, 3),
+        (3.0, 2), (3.0, 3), (3.0, 3), (4.0, 1), (4.0, 4),
+    ]
+    C = D = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (x1, y1), (x2, y2) = pts[i], pts[j]
+            if x1 == x2:
+                tx += 1
+            if y1 == y2:
+                ty += 1
+            if x1 != x2 and y1 != y2:
+                if (x1 < x2) == (y1 < y2):
+                    C += 1
+                else:
+                    D += 1
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    expect = (C - D) / math.sqrt((n0 - tx) * (n0 - ty))
+    df = spark.createDataFrame(pts, "x double, y int")
+    r = kendall_tau_b(df, "x", "y", [1, 2, 3, 4]).collect()[0]
+    assert (r.n, r.concordant, r.discordant) == (n, C, D)
+    assert abs(r.tau_b - expect) < 1e-15

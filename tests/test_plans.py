@@ -988,6 +988,7 @@ def test_no_key_runs_low_cardinality_window(spark):
         # groupBy (cramers_v shares the exact same fold)
         "q_stat_chisq",
         "q_stat_cramers_v",
+        "q_stat_gtest",
     }
     skip = {k for k in contract.QUERIES if k.startswith("q_stream_")}
     bad = []

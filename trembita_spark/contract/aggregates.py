@@ -1459,16 +1459,13 @@ def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row (chi2, r1, c1, n) for the event_type × day-of-week
-    contingency: the table is one partial-agg groupBy; marginals come
-    from windows over the CELLS frame (35 rows, never the fact table);
-    the statistic folds the per-cell contributions in a SORTED
-    sequential order (collect → array_sort → aggregate), matching
-    DuckDB's ordered list_reduce left-fold bit-for-bit — a global float
-    sum is only order-safe if the order is pinned. At 100 TB only the
-    first groupBy touches data; everything after is cells-sized
-    (|types| × 7)."""
+def _event_dow_tot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event_type × day-of-week contingency CELLS frame with
+    marginals: (event_type, dow, o, rt, ct, n). One data-touching
+    partial-agg groupBy; the marginal windows run over the cells frame
+    (|types| × 7 ≈ 35 rows, never the fact table) — shared by the
+    chi-square family (q_stat_chisq / q_stat_cramers_v) and the
+    G-test (q_stat_gtest)."""
     from pyspark.sql.window import Window
 
     ev = table(spark, sf_dir, "events")
@@ -1476,7 +1473,7 @@ def _chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
     ).agg(F.count(F.lit(1)).alias("o"))
-    tot = cells.select(
+    return cells.select(
         "event_type",
         "dow",
         "o",
@@ -1484,6 +1481,17 @@ def _chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
+
+
+def _chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (chi2, r1, c1, n) over `_event_dow_tot`'s cell frame:
+    the statistic folds the per-cell contributions in a SORTED
+    sequential order (collect → array_sort → aggregate), matching
+    DuckDB's ordered list_reduce left-fold bit-for-bit — a global float
+    sum is only order-safe if the order is pinned. At 100 TB only the
+    first groupBy touches data; everything after is cells-sized
+    (|types| × 7)."""
+    tot = _event_dow_tot(spark, sf_dir)
     e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
     contrib = tot.select(
         "event_type",
@@ -2031,4 +2039,242 @@ def q_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("magnitude")
     return od.select(magnitude).groupBy("magnitude").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_stat_anova",
+    oracle="""
+    WITH md AS (
+      SELECT
+        CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sd_a,
+        sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sd_n,
+        sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sd_r,
+        sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)) END) AS ssd_a,
+        sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)) END) AS ssd_n,
+        sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)) END) AS ssd_r
+      FROM lineitem
+    ),
+    m AS (
+      -- split-cast decimal->double: floor part (< 2^53, exact) + small
+      -- fraction part, each a single correctly-rounded conversion in
+      -- both engines; a direct CAST of a wide decimal double-rounds in
+      -- DuckDB (int128 -> double -> /10^scale) and can differ by ulps.
+      SELECT n_a, n_n, n_r,
+        CAST(floor(sd_a) AS DOUBLE) + CAST(sd_a - floor(sd_a) AS DOUBLE) AS s_a,
+        CAST(floor(sd_n) AS DOUBLE) + CAST(sd_n - floor(sd_n) AS DOUBLE) AS s_n,
+        CAST(floor(sd_r) AS DOUBLE) + CAST(sd_r - floor(sd_r) AS DOUBLE) AS s_r,
+        CAST(floor(ssd_a) AS DOUBLE) + CAST(ssd_a - floor(ssd_a) AS DOUBLE) AS ss_a,
+        CAST(floor(ssd_n) AS DOUBLE) + CAST(ssd_n - floor(ssd_n) AS DOUBLE) AS ss_n,
+        CAST(floor(ssd_r) AS DOUBLE) + CAST(ssd_r - floor(ssd_r) AS DOUBLE) AS ss_r
+      FROM md
+    ),
+    v AS (
+      SELECT n_a + n_n + n_r AS n,
+             s_a + s_n + s_r AS s,
+             s_a * s_a / n_a + s_n * s_n / n_n + s_r * s_r / n_r AS sg,
+             ss_a + ss_n + ss_r AS sst
+      FROM m
+    ),
+    w AS (
+      SELECT n,
+             sg - s * s / n AS ss_between,
+             sst - sg AS ss_within
+      FROM v
+    )
+    SELECT n, ss_between, ss_within,
+           (ss_between / 2) / (ss_within / (n - 3)) AS f_stat,
+           ss_between / (ss_between + ss_within) AS eta_sq
+    FROM w
+    """,
+)
+def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-way ANOVA of l_extendedprice across the three l_returnflag
+    # arms (k = 3 fixed by the flag domain): per-arm conditional
+    # decimal sums (count, sum, sum-of-squares — price² lands exactly
+    # on the 4-dec grid, 1.1e14 units < 2⁵³) in ONE partial-agg scan,
+    # then SS_between = Σ s_g²/n_g − S²/N and SS_within = SS_total −
+    # Σ s_g²/n_g as fixed-order double expressions over the exact
+    # moments — identical tree both engines, bit-exact, NO rounding
+    # (parity rule 2). At 100 TB: one map-side-combined scan; the
+    # shuffle carries one partial-moment row per partition.
+    ev = table(spark, sf_dir, "lineitem")
+    arms = [("a", "A"), ("n", "N"), ("r", "R")]
+    vdec = F.col("l_extendedprice").cast("decimal(18,2)")
+    v2dec = (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+        "decimal(24,4)"
+    )
+    md = ev.agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == fv, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{a}")
+            for a, fv in arms
+        ],
+        *[
+            F.sum(F.when(F.col("l_returnflag") == fv, vdec)).alias(f"sd_{a}")
+            for a, fv in arms
+        ],
+        *[
+            F.sum(F.when(F.col("l_returnflag") == fv, v2dec)).alias(f"ssd_{a}")
+            for a, fv in arms
+        ],
+    )
+    # split-cast decimal->double (see the oracle comment): floor part +
+    # fraction part are each one correctly-rounded conversion in both
+    # engines, so the doubles agree bit-for-bit while the integer part
+    # is < 2^53 (holds far past the fixture scales; the statistic
+    # itself loses meaning before the bound does).
+    d2d = lambda c: F.floor(c).cast("double") + (c - F.floor(c)).cast("double")  # noqa: E731
+    m = md.select(
+        "n_a",
+        "n_n",
+        "n_r",
+        *[d2d(F.col(f"sd_{a}")).alias(f"s_{a}") for a, _ in arms],
+        *[d2d(F.col(f"ssd_{a}")).alias(f"ss_{a}") for a, _ in arms],
+    )
+    v = m.select(
+        (F.col("n_a") + F.col("n_n") + F.col("n_r")).alias("n"),
+        (F.col("s_a") + F.col("s_n") + F.col("s_r")).alias("s"),
+        (
+            F.col("s_a") * F.col("s_a") / F.col("n_a")
+            + F.col("s_n") * F.col("s_n") / F.col("n_n")
+            + F.col("s_r") * F.col("s_r") / F.col("n_r")
+        ).alias("sg"),
+        (F.col("ss_a") + F.col("ss_n") + F.col("ss_r")).alias("sst"),
+    )
+    w = v.select(
+        "n",
+        (F.col("sg") - F.col("s") * F.col("s") / F.col("n")).alias("ss_between"),
+        (F.col("sst") - F.col("sg")).alias("ss_within"),
+    )
+    return w.select(
+        "n",
+        "ss_between",
+        "ss_within",
+        (
+            (F.col("ss_between") / 2) / (F.col("ss_within") / (F.col("n") - 3))
+        ).alias("f_stat"),
+        (
+            F.col("ss_between") / (F.col("ss_between") + F.col("ss_within"))
+        ).alias("eta_sq"),
+    )
+
+
+@register(
+    "q_stat_gtest",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c.event_type, c.dow, c.o,
+             sum(c.o) OVER (PARTITION BY c.event_type) AS rt,
+             sum(c.o) OVER (PARTITION BY c.dow) AS ct,
+             sum(c.o) OVER () AS n
+      FROM cells c
+    ),
+    contrib AS (
+      SELECT event_type, dow,
+             2 * o * ln(CAST(o AS DOUBLE)
+                        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) AS x,
+             n
+      FROM tot
+    )
+    SELECT round(list_reduce(list(x ORDER BY event_type, dow), (a, b) -> a + b), 12) AS g_stat,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(any_value(n) AS BIGINT) AS n
+    FROM contrib
+    """,
+)
+def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G-test (log-likelihood ratio) of event_type × day-of-week
+    # independence: G = 2 Σ o·ln(o/e) over the same contingency cell
+    # frame as q_stat_chisq (`_event_dow_tot` — one data-touching
+    # groupBy, marginal windows over the 35-row cells frame). The fold
+    # is the chisq family's sorted sequential order; ln is libm so the
+    # folded statistic is round-12 (parity rule 5), unlike chisq's
+    # pow-only contributions. G is additive across partitions of the
+    # table (chisq is not) — the reason a corpus pipeline monitors G.
+    tot = _event_dow_tot(spark, sf_dir)
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = tot.select(
+        "event_type",
+        "dow",
+        (2 * F.col("o") * F.log(F.col("o").cast("double") / e)).alias("x"),
+        "n",
+    )
+    return contrib.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("event_type", "dow", "x"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ),
+            12,
+        ).alias("g_stat"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+        F.any_value("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "q_stat_kendall",
+    oracle="""
+    WITH cells AS (
+      SELECT l_quantity AS x, l_linenumber AS y, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS HUGEINT) AS cc,
+        CAST(coalesce(sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS HUGEINT) AS dd
+      FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    mx AS (SELECT x, CAST(sum(c) AS HUGEINT) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(sum(c) AS HUGEINT) AS ny FROM cells GROUP BY y),
+    m AS (
+      SELECT CAST(sum(nx) AS HUGEINT) AS n,
+             CAST(sum(nx * (nx - 1)) AS HUGEINT) AS tx2
+      FROM mx
+    ),
+    m2 AS (SELECT CAST(sum(ny * (ny - 1)) AS HUGEINT) AS ty2 FROM my)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(cc AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           CAST(cc - dd AS DOUBLE) * 2
+             / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE) * CAST(n * (n - 1) - ty2 AS DOUBLE)) AS tau_b
+    FROM p, m, m2
+    """,
+)
+def q_stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kendall's tau-b of quantity vs line number (heavy ties on both
+    # sides — 50×7 support). The operator
+    # (operators/stats.py: kendall_tau_b) never forms the O(n²) pair
+    # set: one groupBy to the contingency cells, the bounded y-domain
+    # (1..7, fixed by the fixture schema) pivoted into columns, and ONE
+    # distributed prefix sum over the x-support gives every cell its
+    # (x'<x, y'<y) dominance count as a fixed expression. The oracle
+    # replays the statistic from the quadratic CELL join (350 rows —
+    # fine in SQL, wrong shape at scale). Pair/tie moments ride the
+    # exact decimal lane; only the final tau is double with the
+    # identical tree (parity rule 2 — no rounding).
+    from trembita_spark.operators.stats import kendall_tau_b
+
+    li = table(spark, sf_dir, "lineitem")
+    return kendall_tau_b(
+        li, "l_quantity", "l_linenumber", [1, 2, 3, 4, 5, 6, 7]
     )

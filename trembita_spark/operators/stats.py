@@ -215,3 +215,93 @@ def cusum_changepoint(
             ).alias("score"),
         )
     )
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: str, y_col: str, y_values: list
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between ``x_col`` (any ordered
+    support) and ``y_col`` (a SMALL ENUMERATED domain, ``y_values``),
+    tie-corrected. Returns one row: (n, concordant, discordant, tau_b).
+
+    Shape: the naive statistic is an all-pairs O(n²) comparison; this
+    operator instead aggregates to the (x, y) CONTINGENCY CELLS (one
+    data-touching groupBy), pivots the bounded y-domain into columns,
+    and takes ONE distributed prefix sum over the x-support — the
+    number of (x'<x, y'<y) pairs below each cell is then a fixed
+    per-row expression over the exclusive per-y running counts. Work
+    after the first groupBy is ∝ |x-support|·|y-domain|, never n², and
+    there is no theta join and no low-cardinality window. Pair counts
+    and tie moments ride the exact decimal(38,0) lane; only the final
+    tau expression is double (identical tree in a SQL oracle). The
+    bigint output cast is safe while pair counts < 2⁶³ (n ≲ 4e9 rows);
+    widen to decimal output past that.
+    """
+    ys = list(y_values)
+    k = len(ys)
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wide = cells.groupBy("x").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("y") == F.lit(yv), F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, yv in enumerate(ys)
+        ]
+    )
+    wide = prefix_sum_multi(
+        wide,
+        [f"c{i}" for i in range(k)],
+        order_by=[F.col("x")],
+        names=[f"p{i}" for i in range(k)],
+    )
+    # exclusive prefix: rows with x' < x at each y level
+    for i in range(k):
+        wide = wide.withColumn(f"e{i}", F.col(f"p{i}") - F.col(f"c{i}"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact pair lane
+    conc = sum(
+        (
+            dec(F.col(f"c{i}")) * dec(sum((F.col(f"e{j}") for j in range(i)), F.lit(0)))
+            for i in range(1, k)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    disc = sum(
+        (
+            dec(F.col(f"c{i}"))
+            * dec(sum((F.col(f"e{j}") for j in range(i + 1, k)), F.lit(0)))
+            for i in range(k - 1)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    nx = sum((F.col(f"c{i}") for i in range(k)), F.lit(0))
+    s = wide.agg(
+        F.sum(nx).cast("bigint").alias("n"),
+        F.sum(conc).alias("cc"),
+        F.sum(disc).alias("dd"),
+        F.sum(dec(nx) * dec(nx - 1)).alias("tx2"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"ny{i}") for i in range(k)],
+    )
+    ty2 = sum(
+        (dec(F.col(f"ny{i}")) * dec(F.col(f"ny{i}") - 1) for i in range(k)),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    n02 = dec(F.col("n")) * dec(F.col("n") - 1)
+    return s.select(
+        "n",
+        F.col("cc").cast("bigint").alias("concordant"),
+        F.col("dd").cast("bigint").alias("discordant"),
+        (
+            (F.col("cc") - F.col("dd")).cast("double")
+            * 2
+            / F.sqrt(
+                (n02 - F.col("tx2")).cast("double") * (n02 - ty2).cast("double")
+            )
+        ).alias("tau_b"),
+    )
