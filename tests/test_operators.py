@@ -1273,3 +1273,44 @@ def test_kendall_tau_b_matches_bruteforce_with_ties(spark):
     r = kendall_tau_b(df, "x", "y", [1, 2, 3, 4]).collect()[0]
     assert (r.n, r.concordant, r.discordant) == (n, C, D)
     assert abs(r.tau_b - expect) < 1e-15
+
+
+def test_degree_assortativity_hand_computed(spark):
+    # star 0-1, 0-2, 0-3: double cover (da,db) = (3,1)x3 and (1,3)x3.
+    # m=6, sa=12, sab=18, saa=30 -> r = (108-144)/(180-144) = -1.
+    from trembita_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r.m2, r.r) == (6, -1.0)
+    # 4-cycle: every endpoint degree is 2 -> denominator 0 -> NULL
+    # (no variance, coefficient undefined), and a triangle (complete
+    # graph) likewise; check the cycle yields None not a crash.
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rc = degree_assortativity(cyc).collect()[0]
+    assert rc.m2 == 8 and rc.r is None
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    # triangle 1-2-3 plus pendant 3-4: deg = {1:2, 2:2, 3:3, 4:1};
+    # every triangle count is 1 for 1,2,3. coeff(1)=coeff(2)=1,
+    # coeff(3)=2/6=1/3; node 4 (deg 1) excluded.
+    from trembita_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {r.node: r for r in clustering_coefficient(edges).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].deg, rows[1].triangles, rows[1].coeff) == (2, 1, 1.0)
+    assert (rows[2].deg, rows[2].triangles, rows[2].coeff) == (2, 1, 1.0)
+    assert rows[3].deg == 3 and rows[3].triangles == 1
+    assert abs(rows[3].coeff - 1.0 / 3.0) < 1e-15
+    # wedge only (1-2, 2-3): no triangles -> center coeff 0
+    wedge = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    w = {r.node: r for r in clustering_coefficient(wedge).collect()}
+    assert set(w) == {2} and w[2].coeff == 0.0

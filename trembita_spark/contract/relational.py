@@ -1217,22 +1217,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle spells the identical wedge-close with EXISTS.
     from trembita_spark.operators.graph import triangle_count
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    pairs = (
-        li.alias("l1")
-        .join(
-            li.alias("l2"),
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l2.l_linenumber") == F.col("l1.l_linenumber") + 1),
-        )
-        .where(F.col("l1.l_partkey") != F.col("l2.l_partkey"))
-        .select(
-            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
-        )
-    )
-    return triangle_count(pairs)
+    return triangle_count(_cobasket_pairs(spark, sf_dir))
 
 
 @register(
@@ -1762,23 +1747,8 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge-order floats → round-12 (parity rule 5).
     from trembita_spark.operators.graph import adamic_adar
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    pairs = (
-        li.alias("l1")
-        .join(
-            li.alias("l2"),
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l2.l_linenumber") == F.col("l1.l_linenumber") + 1),
-        )
-        .where(F.col("l1.l_partkey") != F.col("l2.l_partkey"))
-        .select(
-            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
-        )
-    )
     return (
-        adamic_adar(pairs, max_center_degree=40)
+        adamic_adar(_cobasket_pairs(spark, sf_dir), max_center_degree=40)
         .orderBy(F.col("score").desc(), "a", "b")
         .limit(100)
     )
@@ -2056,3 +2026,116 @@ def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").alias("island_end"),
         F.count(F.lit(1)).alias("island_len"),
     ).drop("grp")
+
+
+def _cobasket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adjacent-line co-basket part graph shared by the triangle /
+    adamic-adar / assortativity / clustering keys: parts on CONSECUTIVE
+    lines of the same order are connected (sparse, node set grows with
+    the data — see q_graph_triangles)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l2.l_linenumber") == F.col("l1.l_linenumber") + 1),
+        )
+        .where(F.col("l1.l_partkey") != F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+    )
+
+
+_COBASKET_EDGES_SQL = """
+      SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS u,
+                      greatest(l1.l_partkey, l2.l_partkey) AS v
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                       AND l2.l_linenumber = l1.l_linenumber + 1
+      WHERE l1.l_partkey <> l2.l_partkey
+"""
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH e AS ({_COBASKET_EDGES_SQL}),
+    adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a),
+    cover AS (
+      SELECT d1.deg AS da, d2.deg AS db
+      FROM adj JOIN deg d1 ON adj.a = d1.node JOIN deg d2 ON adj.b = d2.node
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             sum(CAST(da AS HUGEINT)) AS sa,
+             sum(CAST(da AS HUGEINT) * db) AS sab,
+             sum(CAST(da AS HUGEINT) * da) AS saa
+      FROM cover
+    )
+    SELECT m2,
+           CAST(m2 * sab - sa * sa AS DOUBLE)
+             / CAST(m2 * saa - sa * sa AS DOUBLE) AS r
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree assortativity (operators/graph.py: degree_assortativity —
+    # Newman's r, Pearson over the directed double cover) of the
+    # co-basket part graph: do high-degree parts co-occur with other
+    # high-degree parts? Negative r = hub-and-spoke (the usual retail
+    # shape). One degree agg + two hash joins + a scalar rollup;
+    # moments in the exact decimal(38,0)/HUGEINT lane, final division
+    # over exactly-convertible scale-0 integers (parity rule 2 — no
+    # rounding).
+    from trembita_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_cobasket_pairs(spark, sf_dir))
+
+
+@register(
+    "q_graph_clustering",
+    oracle=f"""
+    WITH e AS ({_COBASKET_EDGES_SQL}),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.u = ab.u AND ac.v = bc.v)
+    ),
+    tcnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+             / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+    FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+    WHERE d.deg >= 2
+    """,
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-node local clustering coefficient (operators/graph.py:
+    # clustering_coefficient) of the co-basket part graph — the
+    # "how clique-ish is each part's neighborhood" companion to the
+    # raw triangle counts, and the standard small-world diagnostic.
+    # T(v) rides the degree-ordered triangle_count (hub-safe wedge
+    # fan-out); the coefficient is one integer/integer double division,
+    # correctly rounded both engines — no rounding.
+    from trembita_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_cobasket_pairs(spark, sf_dir))

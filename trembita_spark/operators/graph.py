@@ -407,3 +407,94 @@ def adamic_adar(
         (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
         "left_anti",
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of an UNDIRECTED graph: the
+    Pearson correlation of the endpoint degrees over the directed
+    double cover (every edge counted in both directions — Newman's r).
+    Returns one row: (m2, r) with ``m2`` = 2·|E|.
+
+    Shape: canonicalize to distinct u<v edges, one degree aggregate,
+    two hash joins to attach both endpoint degrees, then a single
+    scalar moment rollup — shuffles ∝ |E| at any scale, no window, no
+    pairwise blowup. Moments ride the exact decimal(38,0) lane; by
+    symmetry Σda = Σdb and Σda² = Σdb², so r =
+    (m·Σdadb − (Σda)²) / (m·Σda² − (Σda)²) — a double expression over
+    scale-0 integers, bit-exact across engines while the moment
+    products stay below 2⁵³ (integers convert exactly; past that the
+    coefficient itself has no meaningful ulps left).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: adjacency both directions
+    )
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    cover = (
+        adj.join(deg.select(F.col("a"), F.col("deg").alias("da")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("db")), "b"
+        )
+        .select("da", "db")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact moment lane
+    m = cover.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum(dec(F.col("da"))).alias("sa"),
+        F.sum(dec(F.col("da")) * dec(F.col("db"))).alias("sab"),
+        F.sum(dec(F.col("da")) * dec(F.col("da"))).alias("saa"),
+    )
+    num = dec(F.col("m2")) * F.col("sab") - F.col("sa") * F.col("sa")
+    den = dec(F.col("m2")) * F.col("saa") - F.col("sa") * F.col("sa")
+    # try_divide: a degree-regular graph has zero degree variance and
+    # the coefficient is undefined -> NULL (ANSI division would raise).
+    return m.select(
+        "m2", F.try_divide(num.cast("double"), den.cast("double")).alias("r")
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of an UNDIRECTED graph:
+    c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for nodes with deg ≥ 2, where
+    T(v) is the node's triangle participation count. Returns
+    (node, deg, triangles, coeff).
+
+    Rides ``triangle_count`` (degree-ordered wedge-close — hub-safe)
+    for T and one degree aggregate over the canonical edge set; nodes
+    with no triangles keep coeff 0 via the left join's coalesce. The
+    coefficient is one integer-over-integer double division —
+    correctly rounded in both engines, no rounding needed.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: degrees + triangle pass
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tri = triangle_count(e.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    out = deg.where(F.col("deg") >= 2).join(tri, "node", "left")
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint")
+    return out.select(
+        "node",
+        "deg",
+        t.alias("triangles"),
+        (
+            (2 * t).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+        ).alias("coeff"),
+    )
