@@ -615,3 +615,112 @@ def q_window_rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(varp > 0, num / (varp * F.sqrt(varp))).alias("skew5"),
     )
+
+
+@register(
+    "q_window_rolling_kurt",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(value AS DECIMAL(18,2)) AS vd,
+             CAST(value * value AS DECIMAL(18,4)) AS vd2,
+             CAST(value * value * value AS DECIMAL(18,6)) AS vd3
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             CAST(sum(vd)  OVER w AS DOUBLE) AS sv,
+             CAST(sum(vd2) OVER w AS DOUBLE) AS svv,
+             CAST(sum(vd3) OVER w AS DOUBLE) AS svvv,
+             sum(CAST(vd2 AS DECIMAL(10,4)) * CAST(vd2 AS DECIMAL(10,4))) OVER w AS sv4d
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    sc AS (
+      -- split-cast: sv4d's scaled integer exceeds 2^53 (8-dec grid,
+      -- values up to ~5*490^4), so a direct decimal->double cast
+      -- double-rounds in DuckDB's int128 path; floor + fraction are
+      -- each one correctly-rounded conversion (the q_stat_anova trick)
+      SELECT user_id, event_id, rn, sv, svv, svvv,
+             CAST(floor(sv4d) AS DOUBLE) + CAST(sv4d - floor(sv4d) AS DOUBLE) AS sv4
+      FROM s
+    ),
+    m AS (
+      SELECT user_id, event_id, rn, sv4, svv, svvv,
+             sv / 5 AS mu, svv / 5 - (sv / 5) * (sv / 5) AS varp
+      FROM sc
+    )
+    SELECT user_id, event_id,
+           CASE WHEN varp > 0 THEN
+             (sv4 / 5 - 4 * mu * (svvv / 5) + 6 * mu * mu * (svv / 5)
+              - 3 * mu * mu * mu * mu)
+             / (varp * varp) - 3
+           END AS kurt5
+    FROM m WHERE rn >= 5
+    """,
+)
+def q_window_rolling_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling excess kurtosis of each user's trailing 5 values — the
+    # tail-weight complement to q_window_rolling_skew (same frame, one
+    # more moment). The 4th-power lane CANNOT round-trip through
+    # double (490^4 on the 8-dec grid is 5.8e18 units > 2^53), so x^4
+    # is the exact DECIMAL product vd2*vd2 — on the NARROW decimal(10,4)
+    # lane (|value| < 1000 by the fixture bound), so neither engine's
+    # decimal-typing rules clamp the scale (Spark truncates the
+    # fraction of a (38,8)−(31,0) subtraction to scale 6) — and its
+    # window sum converts to double via the split-cast (floor +
+    # fraction — see the oracle comment); the lower moments' 5-row windowed sums are value-
+    # bounded (sf-independent) and cast directly. The central-moment
+    # expansion and var^2 denominator are multiply-only IEEE — bit
+    # exact, NO rounding (parity rule 2). Partitions on user_id
+    # (data-cardinality) — audit-safe.
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        F.col("value").cast("decimal(18,2)").alias("vd"),
+        (F.col("value") * F.col("value")).cast("decimal(18,4)").alias("vd2"),
+        (F.col("value") * F.col("value") * F.col("value"))
+        .cast("decimal(18,6)")
+        .alias("vd3"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    s = x.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum("vd").over(w).cast("double").alias("sv"),
+        F.sum("vd2").over(w).cast("double").alias("svv"),
+        F.sum("vd3").over(w).cast("double").alias("svvv"),
+        F.sum(
+            F.col("vd2").cast("decimal(10,4)") * F.col("vd2").cast("decimal(10,4)")
+        )
+        .over(w)
+        .alias("sv4d"),
+    )
+    sc = s.withColumn(
+        "sv4",
+        F.floor(F.col("sv4d")).cast("double")
+        + (F.col("sv4d") - F.floor(F.col("sv4d"))).cast("double"),
+    )
+    mu = F.col("sv") / 5
+    varp = F.col("svv") / 5 - mu * mu
+    m4 = (
+        F.col("sv4") / 5
+        - 4 * mu * (F.col("svvv") / 5)
+        + 6 * mu * mu * (F.col("svv") / 5)
+        - 3 * mu * mu * mu * mu
+    )
+    return sc.where(F.col("rn") >= 5).select(
+        "user_id",
+        "event_id",
+        F.when(varp > 0, m4 / (varp * varp) - 3).alias("kurt5"),
+    )
