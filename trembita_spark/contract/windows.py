@@ -633,7 +633,7 @@ def q_window_rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(vd)  OVER w AS DOUBLE) AS sv,
              CAST(sum(vd2) OVER w AS DOUBLE) AS svv,
              CAST(sum(vd3) OVER w AS DOUBLE) AS svvv,
-             sum(CAST(vd2 AS DECIMAL(10,4)) * CAST(vd2 AS DECIMAL(10,4))) OVER w AS sv4d
+             sum(CAST(vd2 AS DECIMAL(19,4)) * CAST(vd2 AS DECIMAL(19,4))) OVER w AS sv4d
       FROM x
       WINDOW w AS (PARTITION BY user_id ORDER BY rn
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -666,10 +666,15 @@ def q_window_rolling_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tail-weight complement to q_window_rolling_skew (same frame, one
     # more moment). The 4th-power lane CANNOT round-trip through
     # double (490^4 on the 8-dec grid is 5.8e18 units > 2^53), so x^4
-    # is the exact DECIMAL product vd2*vd2 — on the NARROW decimal(10,4)
-    # lane (|value| < 1000 by the fixture bound), so neither engine's
-    # decimal-typing rules clamp the scale (Spark truncates the
-    # fraction of a (38,8)−(31,0) subtraction to scale 6) — and its
+    # is the exact DECIMAL product vd2*vd2. The factor lanes DIFFER per
+    # engine (but both products are exact, so the sums agree digit for
+    # digit): Spark uses the NARROW decimal(10,4) lane (|value| < 1000
+    # by the fixture bound) because a (19,4)x(19,4) multiply would hit
+    # Spark's 38-precision cap and shave the scale to 7 (rounding the
+    # 8th fractional digit); DuckDB uses the WIDE decimal(19,4) lane
+    # because width-19 operands force its int128 multiply path — the
+    # (10,4) lane let its statistics optimizer run the multiply in
+    # int64/DECIMAL(18), which overflows at vd2 ~ 1.2e5 — and its
     # window sum converts to double via the split-cast (floor +
     # fraction — see the oracle comment); the lower moments' 5-row windowed sums are value-
     # bounded (sf-independent) and cast directly. The central-moment
