@@ -362,6 +362,45 @@ def q_labelprop_scale(od):
     return label_propagation(edges, rounds=3)
 
 
+def q_kcore_scale(od):
+    # 3-round k-core peel, growing node set: per-round cost is one
+    # explode→count degree aggregate + two semi joins ∝ |E| (canonical
+    # u<v edge list, half the doubled-adjacency volume).
+    from trembita_spark.operators.graph import kcore_peel
+
+    base = F.floor(F.col("o_orderkey") / 10)
+    edges = od.select(
+        base.alias("src"), (base + 1 + F.col("o_orderkey") % 5).alias("dst")
+    )
+    return kcore_peel(edges, k=3, rounds=3)
+
+
+def q_mannwhitney_scale(ev):
+    # value-level contingency + ONE distributed prefix sum over the
+    # value support: work after the first groupBy ∝ |support|, which
+    # grows with the perturbed event values.
+    from trembita_spark.operators.stats import mann_whitney_u
+
+    return mann_whitney_u(ev, "value", F.col("user_id") % 2 == 0)
+
+
+def q_ks_scale(ev):
+    # per-value arm counts + prefix sum + one max — same contingency+
+    # prefix-sum shape as mann-whitney.
+    from trembita_spark.operators.stats import ks_2samp
+
+    return ks_2samp(ev, "value", F.col("user_id") % 2 == 0)
+
+
+def q_kendall_scale(ev):
+    # contingency cells over (x-support × bounded y-domain) + one
+    # prefix sum over x — never n² pairs.
+    from trembita_spark.operators.stats import kendall_tau_b
+
+    e = ev.withColumn("yb", (F.col("event_id") % 4).cast("int"))
+    return kendall_tau_b(e, "value", "yb", [0, 1, 2, 3])
+
+
 def q_corpus_pipeline(docs, budget):
     # the end-to-end corpus-build chain (closest shape to the real
     # 100 TB workload): exact-dedup keep-first → quality policy
@@ -493,6 +532,23 @@ def main():
         "labelprop": (
             lambda: q_labelprop_scale(od1).count(),
             lambda: q_labelprop_scale(od8).count(),
+        ),
+        "kcore": (
+            lambda: q_kcore_scale(od1).count(),
+            lambda: q_kcore_scale(od8).count(),
+        ),
+        # single-row outputs: collect() forces the full aggregate
+        "mannwhitney": (
+            lambda: q_mannwhitney_scale(ev1).collect(),
+            lambda: q_mannwhitney_scale(ev8).collect(),
+        ),
+        "ks_2samp": (
+            lambda: q_ks_scale(ev1).collect(),
+            lambda: q_ks_scale(ev8).collect(),
+        ),
+        "kendall": (
+            lambda: q_kendall_scale(ev1).collect(),
+            lambda: q_kendall_scale(ev8).collect(),
         ),
         "corpus_pipeline": (
             lambda: q_corpus_pipeline(doc1, 300_000).count(),

@@ -230,32 +230,53 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     reference (simultaneous removal, then residual degree vs the final
     alive set).
 
-    Scale posture: each round is one degree aggregate + two semi joins,
-    all hash-partitioned on the node id; lineage is cut per round
-    (localCheckpoint) so round r doesn't re-execute rounds 1..r-1 —
-    the connected-components lesson applied here."""
-    und = edges.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).where(F.col("u") != F.col("v")).distinct()
-    both = und.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionAll(
-        und.select(F.col("v").alias("node"), F.col("u").alias("peer"))
-    ).localCheckpoint(eager=True)
+    Scale posture: the peel runs on the CANONICAL u<v edge list (half
+    the rows of the doubled adjacency — every per-round shuffle moves
+    |E| rows, not 2|E|); degrees come from one explode→count aggregate
+    and the survivor filter is two semi joins, all hash-partitioned on
+    the node id. Lineage is cut per round with LAZY localCheckpoints
+    (the logical plan is replaced by a LogicalRDD immediately, so round
+    r never re-plans rounds 1..r-1, but materialization folds into the
+    one final action instead of one blocking job per round — eager
+    checkpoints cost a scheduler round-trip each, measurably dominant
+    at small |E|). Unlike bfs(), no per-round isEmpty() forces eager
+    evaluation here."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
     keep = None
     for _ in range(rounds):
-        deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
         # Survivor NODE set, not the edge list: a node absent from the
         # post-filter edge list can still be a survivor (it passed this
         # round's test; its neighbors were removed in the same round).
         # Intermediate rounds are unaffected for k >= 1 — a 0-degree
         # survivor fails the NEXT round's test either way — but the
         # final report must come from this set.
-        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
-        both = (
-            both.join(keep, "node", "left_semi")
-            .join(keep.withColumnRenamed("node", "peer"), "peer", "left_semi")
-            .localCheckpoint(eager=True)
+        keep = (
+            degrees(und)
+            .where(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
         )
-    resid = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        und = (
+            und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    resid = degrees(und)
     if keep is None:  # rounds == 0: every edge endpoint, full degree
         return resid
     return keep.join(resid, "node", "left").select(
@@ -285,14 +306,15 @@ def sssp(
 
     Scale posture: each round is one join dist⨝edges on the node id
     (both sides hash-partition on it — co-partitioned across rounds)
-    plus one min-aggregate; lineage is cut per round (localCheckpoint)
-    so round r doesn't re-execute rounds 1..r-1. The frontier never
-    materializes more than |reached| rows."""
+    plus one min-aggregate; lineage is cut per round with LAZY
+    localCheckpoints (plan truncated immediately, materialization folds
+    into the final action — see kcore_peel's rationale). The state
+    never materializes more than |reached| rows."""
     dist = (
         sources.select("node")
         .distinct()
         .select("node", F.lit(0.0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e = edges.select(
         "src", "dst", F.col(weight_col).cast("double").alias("w")
@@ -305,7 +327,7 @@ def sssp(
             dist.unionAll(relax)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -323,13 +345,14 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     Scale posture: each round is one join both⨝labels on the peer id +
     a (node, label) count + a per-node argmax folded into ONE
     min(struct(-count, label)) aggregate (no window — the second agg is
-    co-partitioned with the first on node). Lineage cut per round."""
+    co-partitioned with the first on node). Lineage cut per round with
+    LAZY localCheckpoints (see kcore_peel's rationale)."""
     und = edges.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     ).where(F.col("u") != F.col("v")).distinct()
     both = und.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("peer"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # reused 1+rounds x
     labels = both.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -352,7 +375,7 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
                 ).alias("s")
             )
             .select("node", F.col("s.label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
