@@ -28,6 +28,14 @@ from trembita_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# Floor cost of the calibration probe: min of 30 back-to-back samples
+# (2026-08-15, guest loadavg 5 — min-of-many lands between co-tenant
+# spikes, so this approximates the quiet cost from a loaded box;
+# observed min=0.161 p10=0.167 med=0.215 max=0.582). Trips whose probe
+# exceeds this are host-inflated by ~that ratio; the normalization
+# clamps the ratio at 1.0, so a quieter-than-pinned box just reports
+# raw = calibrated. Re-pin if Spark or the box changes.
+CAL_QUIET = float(os.environ.get("SPARK_GRAFT_CAL_QUIET", "0.16"))
 
 # Headline set: one representative per operator family (SURVEY.md §7).
 HEADLINE = [
@@ -49,6 +57,24 @@ HEADLINE = [
 ]
 
 
+def _calibration_frame(spark):
+    """A fixed, cached 100-row frame for the per-trip calibration probe:
+    timing a constant 1-row aggregate over it measures pure scheduler +
+    JVM round-trip cost — the part of every measurement the host's
+    co-tenancy inflates uniformly. Dividing a trip's headline times by
+    (trip calibration / quiet-box calibration) normalizes away that
+    inflation (BASELINE.md §14)."""
+    df = spark.range(100).selectExpr("id", "id % 7 AS g").cache()
+    df.count()  # materialize the cache before any timed probe
+    return df
+
+
+def _calibrate(df) -> float:
+    t0 = time.perf_counter()
+    df.groupBy("g").count().collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     contract.load_all()
     keys = [k for k in HEADLINE if k in contract.QUERIES]
@@ -62,16 +88,34 @@ def main() -> None:
     spark = get_session(app_name="trembita_spark_bench")
     for key in keys:  # warm-up trip (JIT, file listing, broadcast) — discarded
         contract.QUERIES[key](spark, SF_DIR).collect()
+    cal_df = _calibration_frame(spark)
+    _calibrate(cal_df)  # warm the probe's codegen path too
     samples: dict[str, list[float]] = {k: [] for k in keys}
     load_per_trip = []
+    calibration_sec = []
     for _ in range(RUNS):
         load_per_trip.append([round(x, 2) for x in os.getloadavg()])
+        calibration_sec.append(round(_calibrate(cal_df), 4))
         for key in keys:
             t0 = time.perf_counter()
             contract.QUERIES[key](spark, SF_DIR).collect()
             samples[key].append(time.perf_counter() - t0)
     timings = {k: round(statistics.median(v), 4) for k, v in samples.items()}
     total = round(sum(timings.values()), 4)
+    # Normalized total: each trip's headline sum divided by that trip's
+    # calibration inflation vs CAL_QUIET (the pinned probe floor,
+    # BASELINE.md §14), then the median across trips. The probe is
+    # scheduler-bound, so its inflation ratio UPPER-bounds the
+    # inflation of the compute-bound headline queries:
+    # [value_calibrated, value] brackets the quiet-box total. Raw
+    # `value` stays the official metric; this field makes cross-round
+    # spreads attributable to the host rather than the plans.
+    trip_totals = [sum(samples[k][i] for k in keys) for i in range(RUNS)]
+    norm = [
+        t / max(c / CAL_QUIET, 1.0)
+        for t, c in zip(trip_totals, calibration_sec)
+    ]
+    value_calibrated = round(statistics.median(norm), 4)
     print(
         json.dumps(
             {
@@ -82,6 +126,9 @@ def main() -> None:
                 "sf": SF_DIR,
                 "runs": RUNS,
                 "protocol": "interleaved-round-robin",
+                "calibration_sec": calibration_sec,
+                "calibration_quiet_sec": CAL_QUIET,
+                "value_calibrated": value_calibrated,
                 "load_per_trip": load_per_trip,
                 "load_before": load_before,
                 "load_after": [round(x, 2) for x in os.getloadavg()],

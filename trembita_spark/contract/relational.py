@@ -2078,8 +2078,10 @@ _COBASKET_EDGES_SQL = """
       FROM cover
     )
     SELECT m2,
-           CAST(m2 * sab - sa * sa AS DOUBLE)
-             / CAST(m2 * saa - sa * sa AS DOUBLE) AS r
+           CASE WHEN m2 * saa - sa * sa <> 0 THEN
+             CAST(m2 * sab - sa * sa AS DOUBLE)
+               / CAST(m2 * saa - sa * sa AS DOUBLE)
+           END AS r
     FROM m
     """,
 )

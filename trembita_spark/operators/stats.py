@@ -236,8 +236,17 @@ def kendall_tau_b(
     tau expression is double (identical tree in a SQL oracle). The
     bigint output cast is safe while pair counts < 2⁶³ (n ≲ 4e9 rows);
     widen to decimal output past that.
+
+    ``y_values`` must be sorted ascending (the concordant/discordant
+    orientation is read off the column order) and must cover the full
+    non-null y domain — rows whose y is outside it are treated as
+    null-y and EXCLUDED from n, the pair counts, and the tie moments
+    (asserted below, so a stale enumeration fails loudly instead of
+    silently flipping pair orientations or shrinking n).
     """
     ys = list(y_values)
+    if ys != sorted(ys):
+        raise ValueError(f"y_values must be sorted ascending, got {ys}")
     k = len(ys)
     cells = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
