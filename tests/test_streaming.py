@@ -588,3 +588,98 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
         "no event may be emitted twice across the restart"
     )
     assert got.count() > n_first, "the second run must have made progress"
+
+
+def test_stream_outer_join_eviction_exactly_once(spark):
+    """q_stream_outer_join's watermark contract, observed per micro-batch
+    via foreachBatch: (a) NO null-padded row is emitted in batch 0 (the
+    click watermark hasn't passed any purchase yet — outer results are
+    state, not passthrough); (b) every null-padded row is emitted in a
+    batch whose INCOMING watermark has passed its purchase_ts (batch 1
+    runs under max(real ts) - 1h; the post-sentinel flush under
+    sentinel - 1h); (c) each unmatched purchase appears EXACTLY once
+    across all batches (state evicted on emission, never re-emitted)."""
+    from datetime import timedelta
+
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.streaming.sources import staged_dir, staged_stream
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent_ts = max_ts + timedelta(hours=10)
+    sentinels = spark.createDataFrame(
+        [(-1, sent_ts, -1, "purchase", 0.0), (-2, sent_ts, -2, "click", 0.0)],
+        schema=ev.schema,
+    )
+    base = run_tmp("stream_outer_evict")
+    schema = staged_dir(spark, [ev, sentinels], base)
+    p = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "purchase_ts")
+
+    batches: list[tuple[int, list]] = []
+
+    def sink(bdf, bid):
+        batches.append((bid, bdf.collect()))
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    null_rows = {
+        bid: [r for r in rows if r.click_id is None and r.purchase_id >= 0]
+        for bid, rows in batches
+    }
+    assert not null_rows.get(0), "no null-padded row may precede any watermark"
+    # watermark in effect while batch b executes = what batch b-1's data set
+    wm = {1: max_ts - timedelta(hours=1)}
+    for bid, rows in null_rows.items():
+        if bid == 0:
+            continue
+        bound = wm.get(bid, sent_ts - timedelta(hours=1))
+        for r in rows:
+            assert r.purchase_ts < bound, (
+                f"batch {bid} emitted {r.purchase_id} at {r.purchase_ts} "
+                f"before the watermark ({bound}) passed it"
+            )
+    emitted = [r.purchase_id for rows in null_rows.values() for r in rows]
+    assert len(emitted) == len(set(emitted)), "an unmatched row was re-emitted"
+    want_unmatched = 200  # sf0.001: purchases with no same-user click in window
+    assert len(emitted) == want_unmatched

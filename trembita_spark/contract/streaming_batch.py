@@ -300,6 +300,86 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL stream-stream LEFT OUTER join: every purchase, matched to
+    # same-user clicks in the preceding 30 minutes OR null-padded if no
+    # click exists. Unlike the inner join, the null-padded rows are
+    # WATERMARK-GATED state: Spark may only emit "no match" once the
+    # click-side watermark has passed purchase_ts (no future click can
+    # match), so the fixture is replayed via staged_stream as TWO
+    # micro-batches — the real events, then a sentinel pair 10h past
+    # max(ts) on each side — because watermarks only advance between
+    # batches: batch 1's sentinels push the watermark past every real
+    # purchase, and the availableNow no-data flush batch then emits the
+    # remaining null-padded rows before termination. Sentinels carry
+    # negative ids joining nothing and are dropped from the result. The
+    # driver-side max(ts) lookup is one single-row aggregate (scalar,
+    # sf-independent — the budget_select pattern). Oracle = the batch
+    # left range-join over the same integer epoch-µs bounds. At 100 TB
+    # this is the always-on attribution-with-completeness shape; state
+    # for both sides is evicted at watermark+range exactly as in
+    # q_stream_join, plus the unmatched-left buffer the outer variant
+    # needs (bounded by the same horizon).
+    from datetime import timedelta
+
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.streaming.sources import staged_dir, staged_stream
+
+    name = f"stream_outer_join_{next(_STREAM_SEQ)}"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent_ts = max_ts + timedelta(hours=10)
+    sentinels = spark.createDataFrame(
+        [(-1, sent_ts, -1, "purchase", 0.0), (-2, sent_ts, -2, "click", 0.0)],
+        schema=ev.schema,
+    )
+    base = run_tmp("stream_outer")
+    schema = staged_dir(spark, [ev, sentinels], base)
+    p = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    out = run_to_completion(joined, name, output_mode="append")
+    return out.where(F.col("purchase_id") >= 0)
+
+
+@register(
     "q_stream_sink",
     oracle="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'",
 )

@@ -71,3 +71,48 @@ def run_to_completion(df: DataFrame, query_name: str, output_mode: str = "comple
         if q.isActive:
             q.stop()
     return df.sparkSession.table(query_name)
+
+
+def staged_dir(spark: SparkSession, stages: list, base_dir: str) -> T.StructType:
+    """Write each batch DataFrame in ``stages`` as one parquet file under
+    ``base_dir`` with strictly increasing mtimes, so a file-source stream
+    with maxFilesPerTrigger=1 (oldest-first, Spark's default order)
+    replays them as SEPARATE micro-batches. That separation is the whole
+    point: the event-time watermark only advances BETWEEN micro-batches,
+    so watermark-gated state transitions (outer-join null padding, late
+    eviction) never fire if the fixture arrives as one batch. Returns the
+    written schema (streams need it explicitly).
+
+    All stages must share one schema. Files get explicit utimes (base+i)
+    rather than trusting write-order timestamps — two sub-second writes
+    can otherwise tie and collapse into one trigger."""
+    import os as _os
+    import time as _time
+
+    schema = None
+    t0 = _time.time()
+    for i, sdf in enumerate(stages):
+        d = f"{base_dir}/stage{i}"
+        sdf.coalesce(1).write.mode("overwrite").parquet(d)
+        if schema is None:
+            schema = spark.read.parquet(d).schema
+        for root, _dirs, files in _os.walk(d):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t0 + 10 * i, t0 + 10 * i))
+    return schema
+
+
+def staged_stream(
+    spark: SparkSession, base_dir: str, schema: T.StructType
+) -> DataFrame:
+    """A one-file-per-trigger reader over a ``staged_dir`` layout. Each
+    call creates an INDEPENDENT source (each side of a self-join must
+    track its own file offsets)."""
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(base_dir)
+    )
