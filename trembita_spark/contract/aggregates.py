@@ -2278,3 +2278,268 @@ def q_stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau_b(
         li, "l_quantity", "l_linenumber", [1, 2, 3, 4, 5, 6, 7]
     )
+
+
+_LEVENE_ARMS = [("a", "click"), ("b", "purchase"), ("c", "view")]
+
+
+@register(
+    "q_stat_levene",
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100,
+             CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_b,
+             CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS c_c
+      FROM events
+      WHERE event_type IN ('click', 'purchase', 'view') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v100, c_a, c_b, c_c,
+             sum(c_a) OVER w AS cum_a,
+             sum(c_b) OVER w AS cum_b,
+             sum(c_c) OVER w AS cum_c
+      FROM pv WINDOW w AS (ORDER BY v100 ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(c_b) AS BIGINT) AS n_b,
+             CAST(sum(c_c) AS BIGINT) AS n_c
+      FROM pv
+    ),
+    meds AS (
+      SELECT
+        min(CASE WHEN cum_a >= CAST(floor((n_a + 1) / 2) AS BIGINT) THEN v100 END)
+      + min(CASE WHEN cum_a >= CAST(floor(n_a / 2) + 1 AS BIGINT) THEN v100 END) AS med2_a,
+        min(CASE WHEN cum_b >= CAST(floor((n_b + 1) / 2) AS BIGINT) THEN v100 END)
+      + min(CASE WHEN cum_b >= CAST(floor(n_b / 2) + 1 AS BIGINT) THEN v100 END) AS med2_b,
+        min(CASE WHEN cum_c >= CAST(floor((n_c + 1) / 2) AS BIGINT) THEN v100 END)
+      + min(CASE WHEN cum_c >= CAST(floor(n_c / 2) + 1 AS BIGINT) THEN v100 END) AS med2_c
+      FROM cum, tot
+    ),
+    dm AS (
+      SELECT
+        sum(CAST(c_a * abs(2 * v100 - med2_a) AS DECIMAL(38,0))) AS sd_a,
+        sum(CAST(c_b * abs(2 * v100 - med2_b) AS DECIMAL(38,0))) AS sd_b,
+        sum(CAST(c_c * abs(2 * v100 - med2_c) AS DECIMAL(38,0))) AS sd_c,
+        sum(CAST(c_a * abs(2 * v100 - med2_a) * abs(2 * v100 - med2_a) AS DECIMAL(38,0))) AS ssd_a,
+        sum(CAST(c_b * abs(2 * v100 - med2_b) * abs(2 * v100 - med2_b) AS DECIMAL(38,0))) AS ssd_b,
+        sum(CAST(c_c * abs(2 * v100 - med2_c) * abs(2 * v100 - med2_c) AS DECIMAL(38,0))) AS ssd_c
+      FROM pv, meds
+    ),
+    m AS (
+      SELECT n_a, n_b, n_c,
+        CAST(floor(sd_a) AS DOUBLE) + CAST(sd_a - floor(sd_a) AS DOUBLE) AS s_a,
+        CAST(floor(sd_b) AS DOUBLE) + CAST(sd_b - floor(sd_b) AS DOUBLE) AS s_b,
+        CAST(floor(sd_c) AS DOUBLE) + CAST(sd_c - floor(sd_c) AS DOUBLE) AS s_c,
+        CAST(floor(ssd_a) AS DOUBLE) + CAST(ssd_a - floor(ssd_a) AS DOUBLE) AS ss_a,
+        CAST(floor(ssd_b) AS DOUBLE) + CAST(ssd_b - floor(ssd_b) AS DOUBLE) AS ss_b,
+        CAST(floor(ssd_c) AS DOUBLE) + CAST(ssd_c - floor(ssd_c) AS DOUBLE) AS ss_c
+      FROM dm, tot
+    ),
+    v AS (
+      SELECT n_a + n_b + n_c AS n,
+             s_a + s_b + s_c AS s,
+             s_a * s_a / n_a + s_b * s_b / n_b + s_c * s_c / n_c AS sg,
+             ss_a + ss_b + ss_c AS sst
+      FROM m
+    ),
+    w AS (
+      SELECT n, sg - s * s / n AS ss_between, sst - sg AS ss_within FROM v
+    )
+    SELECT n, ss_between, ss_within,
+           (ss_between / 2) / (ss_within / (n - 3)) AS f_stat
+    FROM w
+    """,
+)
+def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brown-Forsythe test (Levene with median centers — the
+    # recommended robust variant) of value-spread homogeneity across
+    # the click/purchase/view arms. Two scale tricks make it exact AND
+    # 100 TB-safe: (1) the per-arm MEDIAN is computed on the integer
+    # lane as the SUM of the two middle order statistics (med2 =
+    # 2·100·median) read off ONE distributed prefix sum over the
+    # (v100 × arm) contingency frame — no percentile interpolation, so
+    # no cross-engine ulp risk, and no low-cardinality window (the
+    # prefix sum is operators/ranking.py's range-partitioned form);
+    # (2) the deviations |2·v100 − med2| = 200·|x − med| are integers,
+    # so the ANOVA moments ride the exact decimal(38,0) lane and the F
+    # statistic (scale-invariant, so the 200× factor cancels) is a
+    # fixed-order double tree over exact moments — bit-identical in
+    # both engines, NO rounding (parity rule 2). One data-touching
+    # groupBy; everything after is support-sized (≤ |value domain|).
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    ev = table(spark, sf_dir, "events")
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    pv = (
+        ev.where(
+            F.col("event_type").isin([t for _, t in _LEVENE_ARMS])
+            & F.col("value").isNotNull()
+        )
+        .select(v100.alias("v100"), "event_type")
+        .groupBy("v100")
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c_{a}")
+                for a, t in _LEVENE_ARMS
+            ]
+        )
+    )
+    cum = prefix_sum_multi(
+        pv,
+        [f"c_{a}" for a, _ in _LEVENE_ARMS],
+        order_by=[F.col("v100")],
+        names=[f"cum_{a}" for a, _ in _LEVENE_ARMS],
+    )
+    tot = pv.agg(
+        *[F.sum(f"c_{a}").cast("bigint").alias(f"n_{a}") for a, _ in _LEVENE_ARMS]
+    )
+    meds = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            (
+                F.min(
+                    F.when(
+                        F.col(f"cum_{a}")
+                        >= F.floor((F.col(f"n_{a}") + 1) / 2).cast("bigint"),
+                        F.col("v100"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col(f"cum_{a}")
+                        >= (F.floor(F.col(f"n_{a}") / 2) + 1).cast("bigint"),
+                        F.col("v100"),
+                    )
+                )
+            ).alias(f"med2_{a}")
+            for a, _ in _LEVENE_ARMS
+        ]
+    )
+    d = {
+        a: F.abs(2 * F.col("v100") - F.col(f"med2_{a}")) for a, _ in _LEVENE_ARMS
+    }
+    dm = pv.crossJoin(F.broadcast(meds)).agg(
+        *[
+            F.sum((F.col(f"c_{a}") * d[a]).cast("decimal(38,0)")).alias(f"sd_{a}")
+            for a, _ in _LEVENE_ARMS
+        ],
+        *[
+            F.sum((F.col(f"c_{a}") * d[a] * d[a]).cast("decimal(38,0)")).alias(
+                f"ssd_{a}"
+            )
+            for a, _ in _LEVENE_ARMS
+        ],
+    )
+    d2d = lambda c: F.floor(c).cast("double") + (c - F.floor(c)).cast("double")  # noqa: E731
+    m = dm.crossJoin(F.broadcast(tot)).select(
+        *[F.col(f"n_{a}") for a, _ in _LEVENE_ARMS],
+        *[d2d(F.col(f"sd_{a}")).alias(f"s_{a}") for a, _ in _LEVENE_ARMS],
+        *[d2d(F.col(f"ssd_{a}")).alias(f"ss_{a}") for a, _ in _LEVENE_ARMS],
+    )
+    v = m.select(
+        (F.col("n_a") + F.col("n_b") + F.col("n_c")).alias("n"),
+        (F.col("s_a") + F.col("s_b") + F.col("s_c")).alias("s"),
+        (
+            F.col("s_a") * F.col("s_a") / F.col("n_a")
+            + F.col("s_b") * F.col("s_b") / F.col("n_b")
+            + F.col("s_c") * F.col("s_c") / F.col("n_c")
+        ).alias("sg"),
+        (F.col("ss_a") + F.col("ss_b") + F.col("ss_c")).alias("sst"),
+    )
+    w = v.select(
+        "n",
+        (F.col("sg") - F.col("s") * F.col("s") / F.col("n")).alias("ss_between"),
+        (F.col("sst") - F.col("sg")).alias("ss_within"),
+    )
+    return w.select(
+        "n",
+        "ss_between",
+        "ss_within",
+        (
+            (F.col("ss_between") / 2) / (F.col("ss_within") / (F.col("n") - 3))
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "q_stat_wilcoxon",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+      FROM events WHERE value IS NOT NULL
+    ),
+    us AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click'    THEN v100 END) AS sc,
+             sum(CASE WHEN event_type = 'purchase' THEN v100 END) AS sp
+      FROM r GROUP BY user_id
+    ),
+    d AS (
+      SELECT CAST(sc - sp AS BIGINT) AS d
+      FROM us WHERE sc IS NOT NULL AND sp IS NOT NULL AND sc <> sp
+    ),
+    lv AS (
+      SELECT abs(d) AS v,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT v, na, n,
+             sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumn
+      FROM lv
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(na * (2 * (cumn - n) + n + 1)) AS BIGINT) AS w2,
+             CAST(sum(CASE WHEN n > 1 THEN n * n * n - n ELSE 0 END) AS BIGINT)
+               AS ties
+      FROM c
+    )
+    SELECT n_tot AS n, w2,
+           (CAST(w2 AS DOUBLE)
+              - CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1) / 2)
+           / sqrt(CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1)
+                    * (2 * CAST(n_tot AS DOUBLE) + 1) / 6
+                  - CAST(ties AS DOUBLE) / 12) AS z_stat
+    FROM m
+    """,
+)
+def q_stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wilcoxon signed-rank (operators/stats.py: wilcoxon_signed_rank)
+    # on naturally paired data: per user, total click spend vs total
+    # purchase spend, both as exact cent sums, restricted to users with
+    # at least one of each (the paired complement to q_stat_mannwhitney's
+    # independent-arm test). The difference column is an exact bigint,
+    # so the |d|-level ranking, W+ = sum of positive-arm tied ranks
+    # (kept doubled: w2 = 2·W+), and the tie moments all stay integer;
+    # only the final tie-corrected z is a fixed-order double tree —
+    # bit-identical in both engines, NO rounding (parity rule 2). One
+    # user-cardinality groupBy + one |d|-support contingency + one
+    # distributed prefix sum — mann_whitney_u's 100 TB shape.
+    from trembita_spark.operators.stats import wilcoxon_signed_rank
+
+    ev = table(spark, sf_dir, "events")
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    us = (
+        ev.where(F.col("value").isNotNull())
+        .select("user_id", "event_type", v100.alias("v100"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v100"))).alias(
+                "sc"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v100"))
+            ).alias("sp"),
+        )
+    )
+    pairs = us.where(
+        F.col("sc").isNotNull() & F.col("sp").isNotNull()
+    ).select((F.col("sc") - F.col("sp")).cast("bigint").alias("d"))
+    return wilcoxon_signed_rank(pairs, "d")

@@ -863,6 +863,72 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("score", 12).alias("score"))
 
 
+def _hits_iter_sql(hprev: str, tag: str) -> str:
+    # one L1-normalized HITS step: auth from hubs, then hub from the
+    # NEW auth (classic update order); totals are scalar subqueries.
+    return f"""
+    ar_{tag} AS (
+      SELECT e.dst AS node, sum(h.hub) AS r
+      FROM edges e JOIN {hprev} h ON e.src = h.node GROUP BY e.dst
+    ),
+    au_{tag} AS (
+      SELECT n.node, COALESCE(ar.r, CAST(0 AS DOUBLE)) AS r
+      FROM nodes n LEFT JOIN ar_{tag} ar ON n.node = ar.node
+    ),
+    a_{tag} AS (
+      SELECT node, r / (SELECT sum(r) FROM au_{tag}) AS auth FROM au_{tag}
+    ),
+    hr_{tag} AS (
+      SELECT e.src AS node, sum(a.auth) AS r
+      FROM edges e JOIN a_{tag} a ON e.dst = a.node GROUP BY e.src
+    ),
+    hu_{tag} AS (
+      SELECT n.node, COALESCE(hr.r, CAST(0 AS DOUBLE)) AS r
+      FROM nodes n LEFT JOIN hr_{tag} hr ON n.node = hr.node
+    ),
+    h_{tag} AS (
+      SELECT node, r / (SELECT sum(r) FROM hu_{tag}) AS hub FROM hu_{tag}
+    )"""
+
+
+@register(
+    "q_graph_hits",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    h_it0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+    {_hits_iter_sql("h_it0", "it1")},
+    {_hits_iter_sql("h_it1", "it2")}
+    SELECT h.node, round(h.hub, 12) AS hub, round(a.auth, 12) AS auth
+    FROM h_it2 h JOIN a_it2 a ON h.node = a.node
+    """,
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs & authorities (operators/graph.py: hits — 2 fixed
+    # L1-normalized iterations) over the same customer->supplier order
+    # graph as q_graph_pagerank; on this bipartite graph customers are
+    # pure hubs (auth 0) and suppliers pure authorities (hub 0), so the
+    # two scores separate cleanly. Oracle unrolls the identical
+    # recurrence as CTEs; round-12 covers the merge-order double sums
+    # (parity rule 5, error ~1e-16 vs a 5e-13 half-grid).
+    from trembita_spark.operators.graph import hits
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    hs = hits(edges, iters=2)
+    return hs.select(
+        "node", F.round("hub", 12).alias("hub"), F.round("auth", 12).alias("auth")
+    )
+
+
 def _pr_dangling_iter_sql(prev: str, this: str) -> str:
     # one sum-preserving power-method step: neighbor mass + the dangling
     # mass (scores of no-out-edge nodes) spread uniformly.

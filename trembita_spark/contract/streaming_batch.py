@@ -470,6 +470,52 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_session_append",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">=")
+    + """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL streaming session windows in APPEND mode: a session is only
+    # emitted once the watermark passes its end (start of the gap
+    # after the last event) — the always-on production shape, where
+    # complete mode (q_stream_session) would re-emit the whole result
+    # every batch. Same staged two-batch replay as q_stream_outer_join:
+    # the sentinel event 10h past max(ts) pushes the watermark beyond
+    # every real session's end+gap, and the availableNow no-data flush
+    # emits the remaining merged session state before termination.
+    # Sentinel (user -1) joins no real session and is dropped. Oracle =
+    # the batch gap-islands SQL (identical to q_window_session's). At
+    # 100 TB: per-user merging session state, evicted on emission —
+    # state is bounded by OPEN sessions, not history.
+    from datetime import timedelta
+
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.streaming.sources import staged_dir, staged_stream
+
+    name = f"stream_session_append_{next(_STREAM_SEQ)}"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinels = spark.createDataFrame(
+        [(-1, max_ts + timedelta(hours=10), -1, "view", 0.0)], schema=ev.schema
+    )
+    base = run_tmp("stream_session_append")
+    schema = staged_dir(spark, [ev, sentinels], base)
+    agg = session_window_agg(
+        staged_stream(spark, base, schema).withWatermark("ts", "1 hour")
+    )
+    out = run_to_completion(agg, name, output_mode="append")
+    return out.where(F.col("user_id") >= 0)
+
+
+@register(
     "q_funnel",
     oracle="""
     WITH firsts AS (

@@ -314,3 +314,54 @@ def kendall_tau_b(
             )
         ).alias("tau_b"),
     )
+
+
+def wilcoxon_signed_rank(df: DataFrame, diff_col: str) -> DataFrame:
+    """Wilcoxon signed-rank test over a column of EXACT paired
+    differences (integer/decimal — float diffs would make the rank
+    grouping ulp-fragile): zero differences dropped (the standard
+    convention), |d| ranked with tied averages, W+ = Σ ranks of the
+    positive arm, tie-corrected normal approximation. Returns one row:
+    (n, w2, z_stat) where w2 = 2·W+ (an exact integer — tied-average
+    ranks are half-integers, so doubling keeps the whole pipeline on
+    the integer lane until the final z expression).
+
+    Shape: one groupBy to the |d|-level contingency (na = positive
+    count, n = total per level), ONE distributed prefix sum over the
+    |d| support (operators/ranking.py — no global window), and a
+    scalar rollup. The 2·rank identity is mann_whitney_u's: a level
+    with cum_before rows below it contributes tied rank
+    cum_before + (n+1)/2, i.e. 2·rank = 2·cum_before + n + 1. Work
+    after the first groupBy is ∝ |support|, never n.
+    """
+    from trembita_spark.operators.ranking import prefix_sum
+
+    d = df.select(F.col(diff_col).alias("d")).where(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    )
+    lv = d.groupBy(F.abs(F.col("d")).alias("v")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    c = prefix_sum(lv, "n", order_by=[F.col("v")], name="cumn")
+    s = c.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.col("na") * (2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1)
+        ).cast("bigint").alias("w2"),
+        F.sum(
+            F.when(
+                F.col("n") > 1, F.col("n") * F.col("n") * F.col("n") - F.col("n")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("ties"),
+    )
+    nd = F.col("n_tot").cast("double")
+    mu2 = nd * (nd + 1) / 2  # 2·E[W+]
+    var4 = (
+        nd * (nd + 1) * (2 * nd + 1) / 6 - F.col("ties").cast("double") / 12
+    )  # 4·Var[W+]
+    return s.select(
+        F.col("n_tot").alias("n"),
+        "w2",
+        ((F.col("w2").cast("double") - mu2) / F.sqrt(var4)).alias("z_stat"),
+    )
