@@ -2901,3 +2901,114 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 84.6 * (F.col("syllables").cast("double") / F.col("words").cast("double")),
         ).alias("flesch"),
     )
+
+
+@register(
+    "q_corpus_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tb AS (
+      SELECT doc_id,
+             CAST({_HEX60.format(md5="md5(token)")} % 256 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    raw AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS rb FROM tb GROUP BY 1),
+    tgt AS (
+      SELECT tb.bucket, CAST(sum(tb.tf) AS BIGINT) AS gb
+      FROM tb JOIN documents d ON tb.doc_id = d.doc_id
+      WHERE d.lang = 'en' GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT CAST(sum(rb) AS BIGINT) FROM raw) AS r_tot,
+             (SELECT CAST(COALESCE(sum(gb), 0) AS BIGINT) FROM tgt) AS t_tot
+    ),
+    llr AS (
+      SELECT raw.bucket,
+             ln((COALESCE(tgt.gb, 0) + 1.0) / (t_tot + 256))
+           - ln((raw.rb + 1.0) / (r_tot + 256)) AS llr
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tots
+    )
+    SELECT tb.doc_id,
+           CAST(sum(tb.tf) AS BIGINT) AS n_tokens,
+           round(sum(tb.tf * llr.llr), 6) AS dsir_weight
+    FROM tb JOIN llr ON tb.bucket = llr.bucket
+    GROUP BY tb.doc_id
+    """,
+)
+def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR-style importance weights for data selection (Xie et al.,
+    # "Data Selection for Language Models via Importance Resampling",
+    # public NeurIPS'23 method): score every raw document by how much
+    # its hashed-n-gram profile looks like the TARGET domain (here the
+    # lang='en' slice) vs the raw corpus — w_doc = Σ_b tf_b · [ln
+    # p_target(b) − ln p_raw(b)] over 256 hashed unigram buckets with
+    # Laplace smoothing. The hashing trick means NO vocabulary build:
+    # the two profiles are 256-row aggregates (broadcast), and scoring
+    # is one groupBy over (doc, bucket) — the property that lets this
+    # run as a single pass over 100 TB. Bucket ids ride the md5-fold
+    # 60-bit lane (q_text_hashing_trick); the ln-ratio per bucket is a
+    # fixed expression tree; the per-doc tf-weighted sum is merge-order
+    # float → round 6 (the q_text_perplexity convention).
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tb = (
+        tok.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(256),
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # one profile pass: per-bucket raw AND target counts from the same
+    # frame (the target marker joins on doc_id BEFORE the bucket
+    # aggregate), so the scalar totals are ONE 1-row aggregate over the
+    # 256-row profile — a mechanically-benign BNLJ build side for the
+    # broadcast below (the two-agg crossJoin form trips the registry's
+    # first-significant-node audit).
+    is_tgt = docs.where(F.col("lang") == "en").select(
+        "doc_id", F.lit(1).alias("is_t")
+    )
+    prof = (
+        tb.join(is_tgt, "doc_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.sum("tf").cast("bigint").alias("rb"),
+            F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias("gb"),
+        )
+    )
+    tots = prof.agg(
+        F.sum("rb").cast("bigint").alias("r_tot"),
+        F.sum("gb").cast("bigint").alias("t_tot"),
+    )
+    llr = (
+        prof.crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("gb") + 1.0) / (F.col("t_tot") + 256))
+                - F.log((F.col("rb") + 1.0) / (F.col("r_tot") + 256))
+            ).alias("llr"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("llr")), 6).alias("dsir_weight"),
+        )
+    )

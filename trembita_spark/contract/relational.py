@@ -2126,6 +2126,99 @@ _COBASKET_EDGES_SQL = """
 """
 
 
+def _truss_round_sql(prev: str, this: str, min_sup: int) -> str:
+    # one simultaneous-removal truss peel: enumerate each triangle once
+    # (u<v edges make a<b<c automatic), credit its three edges, filter.
+    # MATERIALIZED: each round references its predecessor three times
+    # (two wedge sides + the closing join); without the hint DuckDB
+    # re-inlines the CTE per reference and the base self-join re-runs
+    # 3^rounds times (measured: >550s at sf0.1 inlined, ~3s hinted).
+    return f"""
+    tri_{this} AS MATERIALIZED (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM {prev} ab JOIN {prev} bc ON ab.v = bc.u
+      JOIN {prev} ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    sup_{this} AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM tri_{this}
+        UNION ALL SELECT a AS u, c AS v FROM tri_{this}
+        UNION ALL SELECT b AS u, c AS v FROM tri_{this}
+      ) GROUP BY 1, 2
+    ),
+    {this} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e LEFT JOIN sup_{this} s
+        ON e.u = s.u AND e.v = s.v
+      WHERE COALESCE(s.support, 0) >= {min_sup}
+    )"""
+
+
+_BASKET_CLIQUE_SQL = """
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey < l2.l_partkey
+"""
+
+
+@register(
+    "q_graph_ktruss",
+    oracle=f"""
+    WITH t0 AS MATERIALIZED ({_BASKET_CLIQUE_SQL}),
+    {_truss_round_sql("t0", "t1", 3)},
+    {_truss_round_sql("t1", "t2", 3)},
+    tri_fin AS MATERIALIZED (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM t2 ab JOIN t2 bc ON ab.v = bc.u
+      JOIN t2 ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    sup_fin AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM tri_fin
+        UNION ALL SELECT a AS u, c AS v FROM tri_fin
+        UNION ALL SELECT b AS u, c AS v FROM tri_fin
+      ) GROUP BY 1, 2
+    )
+    SELECT CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM t2 e LEFT JOIN sup_fin s ON e.u = s.u AND e.v = s.v
+    GROUP BY 1
+    """,
+)
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-round 5-truss peeling (operators/graph.py: ktruss_peel —
+    # every surviving edge must sit in >= 3 triangles of the surviving
+    # subgraph; 2 simultaneous-removal rounds) over the FULL-PAIRWISE
+    # co-basket part graph (parts in the same order form a clique —
+    # pair fan-out bounded by basket size, and clique structure keeps
+    # the truss non-degenerate at every fixture scale, unlike the
+    # sparse adjacent-line graph whose 4-truss empties at sf0.1). The
+    # cohesive-subgraph complement to q_graph_kcore (edge cohesion vs
+    # node degree). Emitted as the residual-support histogram over the
+    # surviving edges — fully determined by the edge-level result,
+    # compact at any scale. The oracle unrolls the identical recurrence
+    # with id-ordered triangle enumeration; Spark's degree-ordered
+    # enumeration finds the same triangle set, so supports agree
+    # exactly (all-integer, parity rule 1).
+    from trembita_spark.operators.graph import ktruss_peel
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .where(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("src"),
+            F.col("l2.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        ktruss_peel(edges, k=5, rounds=2)
+        .groupBy("support")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+
+
 @register(
     "q_graph_assortativity",
     oracle=f"""

@@ -1924,3 +1924,105 @@ def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.alias("n_bounces"),
         (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+@register(
+    "q_ts_crosscorr",
+    oracle="""
+    WITH cx AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM cx),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN cx c USING (hr)
+    ),
+    lags AS (SELECT unnest(generate_series(0, 12)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(a.x) AS BIGINT) AS sa,
+             CAST(sum(bb.y) AS BIGINT) AS sb,
+             CAST(sum(a.x * bb.y) AS BIGINT) AS sab,
+             CAST(sum(a.x * a.x) AS BIGINT) AS saa,
+             CAST(sum(bb.y * bb.y) AS BIGINT) AS sbb
+      FROM lags l
+      JOIN dense a ON true
+      JOIN dense bb ON bb.hr = a.hr + l.lag
+      GROUP BY 1
+    )
+    SELECT lag, nk,
+           (nk * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
+           / sqrt((nk * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                * (nk * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)) AS xcf
+    FROM pairs
+    """,
+)
+def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lead-lag cross-correlation between the hourly click and purchase
+    # count series, lags 0..12 ("do clicks now predict purchases k
+    # hours later?") — the two-series sibling of q_ts_autocorr: both
+    # series densified onto one hour spine (missing hours are true
+    # zeros), per-lag windowed Pearson over EXACT integer moment sums,
+    # final r a fixed double tree — bit-identical both engines, NO
+    # rounding (parity rule 2). Same 100 TB shape as autocorr: one
+    # fact-table pass to hourly counts, everything after runs on the
+    # calendar-bounded spine.
+    ev = table(spark, sf_dir, "events")
+    cx = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            "event_type",
+        )
+        .groupBy("hr")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        cx.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = (
+        spine.join(cx, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(0, 13).select(F.col("id").alias("lag"))
+    a = dense.select(F.col("hr").alias("hr_a"), F.col("x").alias("x_a"))
+    b = dense.select(F.col("hr").alias("hr_b"), F.col("y").alias("y_b"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("hr_b") == F.col("hr_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("x_a").cast("bigint").alias("sa"),
+            F.sum("y_b").cast("bigint").alias("sb"),
+            F.sum(F.col("x_a") * F.col("y_b")).cast("bigint").alias("sab"),
+            F.sum(F.col("x_a") * F.col("x_a")).cast("bigint").alias("saa"),
+            F.sum(F.col("y_b") * F.col("y_b")).cast("bigint").alias("sbb"),
+        )
+    )
+    nk = F.col("nk")
+    num = nk * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb")
+    den = F.sqrt(
+        (nk * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa"))
+        * (nk * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    return pairs.select("lag", "nk", (num / den).alias("xcf"))

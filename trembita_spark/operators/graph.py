@@ -573,3 +573,103 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
             "node", (F.col("r") / F.col("t")).alias("hub")
         )
     return h.join(a, "node").select("node", "hub", "auth")
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(u, v, support) = per-edge triangle counts over a canonical
+    (u < v, distinct) edge frame — triangle_count's degree-ordered
+    wedge enumeration (each triangle found at its unique all-out apex,
+    fan-out bounded by outdeg ≤ O(√|E|)), then each triangle credited
+    to its THREE edges via one explode. Edges in no triangle are
+    absent (callers coalesce to 0)."""
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("x"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dx"),
+        )
+    )
+    o1 = oriented.select("a", F.col("x").alias("b"), F.col("dx").alias("db"))
+    o2 = oriented.select("a", F.col("x").alias("c"), F.col("dx").alias("dc"))
+    wedges = (
+        o1.join(o2, "a")
+        .where(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        .select("a", "b", "c")
+    )
+    tri = wedges.join(
+        e,
+        (F.least("b", "c") == F.col("u")) & (F.greatest("b", "c") == F.col("v")),
+        "left_semi",
+    )
+    edges3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    return edges3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
+
+def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-truss peeling: repeatedly drop edges in fewer than
+    k-2 triangles (support recomputed on the surviving subgraph each
+    round — simultaneous removal, like kcore_peel). With enough rounds
+    this converges to the exact k-truss; a FIXED round count keeps the
+    result a deterministic recurrence, oracle-checkable by unrolling.
+    Returns the surviving canonical edges with their RESIDUAL support
+    (computed on the final edge set; 0 for an edge whose triangles all
+    dissolved in the last round — kcore_peel's reporting convention).
+
+    Scale posture: each round is one degree-ordered triangle
+    enumeration (Σ outdeg² work, never hub-quadratic — see
+    triangle_count) + one explode + one count + one join, all
+    hash-partitioned on the edge key; lineage cut per round with LAZY
+    localCheckpoints (kcore_peel's rationale)."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = (
+            e.join(sup, ["u", "v"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    sup = _edge_support(e)
+    return (
+        e.join(sup, ["u", "v"], "left")
+        .select(
+            "u", "v", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+        )
+    )
