@@ -653,3 +653,116 @@ def test_dhash_identical_images_collide_and_differ_by_content(spark):
     assert by_doc[0] != by_doc[200], "wrap-bearing content must differ"
     assert any(v != 0 for v in by_doc[200].values()), "hash must be non-trivial"
     assert all(len(v) == 4 for v in by_doc.values())
+
+
+@given(
+    diffs=st.lists(st.integers(-50, 50), min_size=2, max_size=40).filter(
+        lambda xs: any(x != 0 for x in xs)
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_wilcoxon_matches_bruteforce(spark, diffs):
+    """wilcoxon_signed_rank's contingency+prefix-sum W+ must equal the
+    brute-force tied-average-rank computation on arbitrary integer
+    difference lists (zeros dropped, ties everywhere)."""
+    from trembita_spark.operators.stats import wilcoxon_signed_rank
+
+    nz = [d for d in diffs if d != 0]
+    by_abs = sorted(range(len(nz)), key=lambda i: abs(nz[i]))
+    ranks = [0.0] * len(nz)
+    i = 0
+    while i < len(by_abs):
+        j = i
+        while j < len(by_abs) and abs(nz[by_abs[j]]) == abs(nz[by_abs[i]]):
+            j += 1
+        avg = (i + 1 + j) / 2  # average of positions i+1..j (1-indexed)
+        for t in range(i, j):
+            ranks[by_abs[t]] = avg
+        i = j
+    w_plus = sum(r for r, d in zip(ranks, nz) if d > 0)
+
+    df = spark.createDataFrame([(d,) for d in diffs], "d long")
+    row = wilcoxon_signed_rank(df, "d").collect()[0]
+    assert row.n == len(nz)
+    assert row.w2 == int(round(2 * w_plus))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=60,
+    ),
+    k=st.integers(3, 5),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ktruss_matches_bruteforce_peel(spark, edges, k):
+    """ktruss_peel (single triangle enumeration + per-round triangle-set
+    filtering) must agree with a brute-force sequential peel that
+    re-enumerates triangles from scratch every round."""
+    from trembita_spark.operators.graph import ktruss_peel
+
+    rounds = 3
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def tri_support(s):
+        sup = {e: 0 for e in s}
+        nodes = sorted({n for e in s for n in e})
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if (a, b) not in s:
+                    continue
+                for c in nodes:
+                    if c <= b:
+                        continue
+                    if (a, c) in s and (b, c) in s:
+                        for e in ((a, b), (a, c), (b, c)):
+                            sup[e] += 1
+        return sup
+
+    cur = set(es)
+    for _ in range(rounds):
+        sup = tri_support(cur)
+        cur = {e for e in cur if sup[e] >= k - 2}
+    expected = {(u, v, tri_support(cur)[(u, v)]) for u, v in cur}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    got = {
+        (r.u, r.v, r.support)
+        for r in ktruss_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == expected
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        st.integers(1, 500),
+        min_size=1, max_size=5,
+    ),
+    budget_frac=st.integers(1, 12),
+    epochs=st.integers(1, 4),
+)
+@settings(max_examples=25, deadline=None)
+def test_unimax_quotas_water_level(counts, budget_frac, epochs):
+    """unimax_quotas' max-feasible-candidate water level must satisfy the
+    defining property exactly: total <= budget, and if anything was
+    capped, raising the level by 1 would overflow the budget."""
+    from trembita_spark.operators.sampling import unimax_quotas
+
+    budget = (sum(counts.values()) * budget_frac) // 4
+    q = unimax_quotas(counts, budget, epochs)
+    caps = {l: epochs * n for l, n in counts.items()}
+    assert set(q) == set(caps)
+    assert all(0 <= q[l] <= caps[l] for l in caps)
+    total = sum(q.values())
+    if total < sum(caps.values()):  # something was capped by the level
+        assert total <= budget
+        level = max(q.values(), default=0)
+        assert all(q[l] == caps[l] or q[l] == level for l in caps)
+        assert sum(min(caps[l], level + 1) for l in caps) > budget
+    else:
+        assert total == sum(caps.values())

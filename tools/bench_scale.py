@@ -362,6 +362,24 @@ def q_labelprop_scale(od):
     return label_propagation(edges, rounds=3)
 
 
+def q_ktruss_scale(li):
+    # 2-round 4-truss peel on the basket clique graph: ONE triangle
+    # enumeration (degree-ordered), then per-round explode+count over
+    # the monotonically shrinking triangle set.
+    from trembita_spark.operators.graph import ktruss_peel
+
+    e = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .where(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return ktruss_peel(e, k=4, rounds=2)
+
+
 def q_kcore_scale(od):
     # 3-round k-core peel, growing node set: per-round cost is one
     # explode→count degree aggregate + two semi joins ∝ |E| (canonical
@@ -536,6 +554,10 @@ def main():
         "kcore": (
             lambda: q_kcore_scale(od1).count(),
             lambda: q_kcore_scale(od8).count(),
+        ),
+        "ktruss": (
+            lambda: q_ktruss_scale(li1.select("l_orderkey", "l_partkey")).count(),
+            lambda: q_ktruss_scale(li8.select("l_orderkey", "l_partkey")).count(),
         ),
         # single-row outputs: collect() forces the full aggregate
         "mannwhitney": (

@@ -3012,3 +3012,78 @@ def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("tf") * F.col("llr")), 6).alias("dsir_weight"),
         )
     )
+
+
+@register(
+    "q_corpus_unimax",
+    oracle="""
+    WITH lc AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    par AS (
+      SELECT CAST(count(*) AS BIGINT) AS nl,
+             CAST((6 * sum(n)) // 10 AS BIGINT) AS b
+      FROM lc
+    ),
+    caps AS (SELECT lang, n, 3 * n AS cap FROM lc),
+    sorted AS (
+      SELECT cap,
+             row_number() OVER (ORDER BY cap, lang) - 1 AS i,
+             COALESCE(sum(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      FROM caps
+    ),
+    cands AS (
+      SELECT CAST((b - pre) // (nl - i) AS BIGINT) AS q FROM sorted, par
+    ),
+    feas AS (
+      SELECT q FROM cands, par
+      WHERE q >= 0 AND (SELECT sum(least(cap, cands.q)) FROM caps) <= b
+    ),
+    qlevel AS (
+      SELECT CASE WHEN (SELECT sum(cap) FROM caps) <= (SELECT b FROM par)
+                  THEN (SELECT max(cap) FROM caps)
+                  ELSE (SELECT max(q) FROM feas) END AS q
+    ),
+    quota AS (
+      SELECT lang, n, CAST(least(cap, q) AS BIGINT) AS quota
+      FROM caps, qlevel
+    ),
+    sel AS (
+      SELECT d.lang, d.doc_id,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS r
+      FROM documents d
+    )
+    SELECT q.lang, q.n AS n_docs, q.quota,
+           CAST(q.quota // q.n AS BIGINT) AS full_epochs,
+           CAST(q.quota % q.n AS BIGINT) AS n_partial,
+           CAST(COALESCE(sum(CASE WHEN s.r <= q.quota % q.n
+                                  THEN s.doc_id ELSE 0 END), 0) AS BIGINT)
+             AS sum_partial_ids
+    FROM quota q JOIN sel s ON q.lang = s.lang
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_corpus_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UniMax multilingual budget allocation (operators/sampling.py:
+    # unimax_quotas/unimax_select — Chung et al. 2023, the public
+    # method): every language gets up to 3 epochs, capped by the
+    # largest integer water level keeping the total inside a 60%-of-
+    # corpus budget; each language's allocation is reported as FULL
+    # passes plus a deterministic md5-ordered partial-epoch subset
+    # whose exact membership is pinned by sum_partial_ids. All-integer
+    # water-filling (the oracle replays it as the max feasible
+    # candidate over cap-sorted segments — exact, parity rule 1); the
+    # only data-proportional work is one lang-count aggregate and one
+    # distributed prefix sum for in-language positions (no
+    # low-cardinality window). The language registry and the scalar
+    # doc total are config-sized driver values (the budget_select
+    # pattern).
+    from trembita_spark.operators.sampling import unimax_select
+
+    docs = table(spark, sf_dir, "documents")
+    n_tot = docs.count()
+    return unimax_select(
+        docs, "lang", "doc_id", budget=(6 * n_tot) // 10, epochs=3
+    )

@@ -575,13 +575,13 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     return h.join(a, "node").select("node", "hub", "auth")
 
 
-def _edge_support(e: DataFrame) -> DataFrame:
-    """(u, v, support) = per-edge triangle counts over a canonical
-    (u < v, distinct) edge frame — triangle_count's degree-ordered
-    wedge enumeration (each triangle found at its unique all-out apex,
-    fan-out bounded by outdeg ≤ O(√|E|)), then each triangle credited
-    to its THREE edges via one explode. Edges in no triangle are
-    absent (callers coalesce to 0)."""
+def _triangles(e: DataFrame) -> DataFrame:
+    """(a, b, c) with a < b < c: every triangle of a canonical
+    (u < v, distinct) edge frame exactly once — triangle_count's
+    degree-ordered wedge enumeration (each triangle found at its
+    unique all-out apex, fan-out bounded by outdeg ≤ O(√|E|)), with
+    the apex triple re-sorted to id order so downstream edge
+    projections (a,b)/(a,c)/(b,c) are already canonical."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -617,22 +617,10 @@ def _edge_support(e: DataFrame) -> DataFrame:
         (F.least("b", "c") == F.col("u")) & (F.greatest("b", "c") == F.col("v")),
         "left_semi",
     )
-    edges3 = tri.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-                ),
-                F.struct(
-                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
-                ),
-                F.struct(
-                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
-                ),
-            )
-        ).alias("e")
-    ).select("e.u", "e.v")
-    return edges3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    arr = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        arr[0].alias("a"), arr[1].alias("b"), arr[2].alias("c")
+    )
 
 
 def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
@@ -645,10 +633,13 @@ def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     (computed on the final edge set; 0 for an edge whose triangles all
     dissolved in the last round — kcore_peel's reporting convention).
 
-    Scale posture: each round is one degree-ordered triangle
-    enumeration (Σ outdeg² work, never hub-quadratic — see
-    triangle_count) + one explode + one count + one join, all
-    hash-partitioned on the edge key; lineage cut per round with LAZY
+    Scale posture: triangles only DISAPPEAR as edges are peeled, so the
+    degree-ordered wedge enumeration (Σ outdeg² work, never
+    hub-quadratic — see triangle_count) runs exactly ONCE; each round
+    is then one explode+count over the surviving triangle set, one edge
+    filter, and three semi joins shrinking the triangle set to those
+    whose edges all survived — every frame hash-partitioned on the edge
+    key and monotonically shrinking. Lineage cut per round with LAZY
     localCheckpoints (kcore_peel's rationale)."""
     e = (
         edges.select(
@@ -658,17 +649,48 @@ def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    tri = _triangles(e).localCheckpoint(eager=False)
+
+    def support(t: DataFrame) -> DataFrame:
+        edges3 = t.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        return edges3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
     for _ in range(rounds):
-        sup = _edge_support(e)
+        sup = support(tri)
         e = (
             e.join(sup, ["u", "v"], "left")
             .where(F.coalesce("support", F.lit(0)) >= k - 2)
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
-    sup = _edge_support(e)
+        tri = (
+            tri.join(
+                e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+                ["a", "b"],
+                "left_semi",
+            )
+            .join(
+                e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+                ["a", "c"],
+                "left_semi",
+            )
+            .join(
+                e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+                ["b", "c"],
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
     return (
-        e.join(sup, ["u", "v"], "left")
+        e.join(support(tri), ["u", "v"], "left")
         .select(
             "u", "v", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
         )

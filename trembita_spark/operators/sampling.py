@@ -177,3 +177,118 @@ def budget_select(
         .drop("__pid", "__local_cum", "__off")
     )
     return out.where(F.col(cum_col) <= budget)
+
+
+def unimax_quotas(
+    lang_counts: dict, budget: int, epochs: int
+) -> dict:
+    """UniMax budget allocation (Chung et al. 2023, public method):
+    give every language up to ``epochs`` passes over its data, capped
+    by a shared integer water level q chosen as the LARGEST q with
+    Σ_l min(epochs·n_l, q) ≤ budget — low-resource languages get all
+    their epochs, high-resource ones are capped fairly. Pure exact
+    integer arithmetic over the CONFIG-SIZED language registry (a
+    driver-side dict — the language list is configuration, never data;
+    the data-proportional work stays in unimax_select's prefix sum).
+
+    The true water level always equals floor((budget − pre_i)/(L − i))
+    for the correct segment i of the cap-sorted prefix, so taking the
+    max FEASIBLE candidate over all i is exact (feasibility is
+    downward-closed in q because the total is monotone)."""
+    caps = {l: epochs * int(n) for l, n in lang_counts.items()}
+    total = sum(caps.values())
+    if total <= budget:
+        return caps
+    svals = sorted(caps.values())
+    nl = len(svals)
+    cands = []
+    pre = 0
+    for i in range(nl):
+        cands.append((budget - pre) // (nl - i))
+        pre += svals[i]
+    q = max(
+        (
+            c
+            for c in cands
+            if c >= 0 and sum(min(v, c) for v in caps.values()) <= budget
+        ),
+        default=0,
+    )
+    return {l: min(c, q) for l, c in caps.items()}
+
+
+def unimax_select(
+    docs: DataFrame,
+    lang_col: str,
+    id_col: str,
+    budget: int,
+    epochs: int,
+) -> DataFrame:
+    """Per-language UniMax allocation report over a corpus: quota from
+    ``unimax_quotas`` split into FULL passes (quota // n_l) plus a
+    deterministic PARTIAL-epoch subset (the first quota % n_l docs of
+    the language in md5-of-id order — no RNG, the repo's sampling
+    convention). Returns one row per language:
+    (lang, n_docs, quota, full_epochs, n_partial, sum_partial_ids) —
+    sum_partial_ids pins the exact selected set, not just its size.
+
+    Scale posture: one lang-count aggregate (collected — config-sized),
+    then ONE distributed prefix sum over (lang, md5, id) for in-language
+    positions (operators/ranking.py — no low-cardinality window over
+    the data), a broadcast quota join, and a per-lang rollup."""
+    from trembita_spark.operators.ranking import prefix_sum
+
+    counts_rows = (
+        docs.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    lang_counts = {r["lang"]: r["n"] for r in counts_rows}
+    quotas = unimax_quotas(lang_counts, budget, epochs)
+    offsets = {}
+    off = 0
+    for lang in sorted(lang_counts):
+        offsets[lang] = off
+        off += lang_counts[lang]
+    spark = docs.sparkSession
+    qf = spark.createDataFrame(
+        [
+            (
+                lang,
+                int(lang_counts[lang]),
+                int(quotas[lang]),
+                int(offsets[lang]),
+            )
+            for lang in sorted(lang_counts)
+        ],
+        "lang string, n_docs long, quota long, off long",
+    )
+    rows = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("id"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+        F.lit(1).alias("one"),
+    )
+    pos = prefix_sum(
+        rows, "one", order_by=[F.col("lang"), F.col("h"), F.col("id")], name="pos"
+    )
+    j = pos.join(F.broadcast(qf), "lang").withColumn(
+        "pos_in_lang", F.col("pos") - F.col("off")
+    )
+    partial = F.col("quota") % F.col("n_docs")
+    return (
+        j.groupBy("lang", "n_docs", "quota")
+        .agg(
+            F.sum(F.when(F.col("pos_in_lang") <= partial, F.col("id")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_partial_ids"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "quota",
+            F.expr("quota div n_docs").cast("bigint").alias("full_epochs"),
+            (F.col("quota") % F.col("n_docs")).cast("bigint").alias("n_partial"),
+            "sum_partial_ids",
+        )
+    )
