@@ -2543,3 +2543,119 @@ def q_stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sc").isNotNull() & F.col("sp").isNotNull()
     ).select((F.col("sc") - F.col("sp")).cast("bigint").alias("d"))
     return wilcoxon_signed_rank(pairs, "d")
+
+
+@register(
+    "q_anomaly_robust_z",
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT v100, c, sum(c) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS cn
+      FROM pv
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+    med AS (
+      SELECT min(CASE WHEN cn >= CAST(floor((n + 1) / 2) AS BIGINT) THEN v100 END)
+           + min(CASE WHEN cn >= CAST(floor(n / 2) + 1 AS BIGINT) THEN v100 END)
+             AS med2
+      FROM cum, tot
+    ),
+    dc AS (
+      SELECT abs(2 * v100 - med2) AS d, CAST(sum(c) AS BIGINT) AS c
+      FROM pv, med GROUP BY 1
+    ),
+    dcum AS (
+      SELECT d, c, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cn
+      FROM dc
+    ),
+    mad AS (
+      SELECT min(CASE WHEN cn >= CAST(floor((n + 1) / 2) AS BIGINT) THEN d END)
+           + min(CASE WHEN cn >= CAST(floor(n / 2) + 1 AS BIGINT) THEN d END)
+             AS mad2
+      FROM dcum, tot
+    )
+    SELECT n, med2, mad2,
+           CAST(sum(CASE WHEN 1349 * abs(2 * v100 - med2) > 3500 * mad2
+                         THEN c ELSE 0 END) AS BIGINT) AS n_out,
+           CAST(sum(CASE WHEN 1349 * abs(2 * v100 - med2) > 3500 * mad2
+                         THEN c * v100 ELSE 0 END) AS BIGINT) AS sum_out_v100
+    FROM pv, med, mad, tot
+    GROUP BY n, med2, mad2
+    """,
+)
+def q_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust z-score outlier detection over event values — the
+    # median/MAD criterion (|0.6745·(x−med)/MAD| > 3.5, Iglewicz-
+    # Hoaglin's modified z): immune to the outliers it hunts, unlike
+    # mean/stddev. Everything rides the integer lane: both medians are
+    # the sum of the two middle order statistics (med2 = 2·100·median,
+    # mad2 = 2·100·MAD·2... the doubled-tied-middle trick twice — once
+    # over the v100 contingency, once over the |2·v100 − med2|
+    # deviation cells), and the threshold test folds the constants into
+    # the EXACT integer comparison 1349·|2·v100 − med2| > 3500·mad2 —
+    # the whole output is integers, parity rule 1, no floats anywhere.
+    # Two distributed prefix sums over support-sized frames; one
+    # data-touching groupBy (q_stat_levene's shape).
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    pv = (
+        ev.where(F.col("value").isNotNull())
+        .select(v100.alias("v100"))
+        .groupBy("v100")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = pv.agg(F.sum("c").cast("bigint").alias("n"))
+
+    def two_middle(cells: DataFrame, val: str, out: str) -> DataFrame:
+        cum = prefix_sum(cells, "c", order_by=[F.col(val)], name="cn")
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .agg(
+                (
+                    F.min(
+                        F.when(
+                            F.col("cn")
+                            >= F.floor((F.col("n") + 1) / 2).cast("bigint"),
+                            F.col(val),
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.col("cn")
+                            >= (F.floor(F.col("n") / 2) + 1).cast("bigint"),
+                            F.col(val),
+                        )
+                    )
+                ).alias(out)
+            )
+        )
+
+    med = two_middle(pv, "v100", "med2")
+    dc = (
+        pv.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(2 * F.col("v100") - F.col("med2")).alias("d"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    mad = two_middle(dc, "d", "mad2")
+    d = F.abs(2 * F.col("v100") - F.col("med2"))
+    is_out = 1349 * d > 3500 * F.col("mad2")
+    return (
+        pv.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "med2", "mad2")
+        .agg(
+            F.sum(F.when(is_out, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_out"),
+            F.sum(F.when(is_out, F.col("c") * F.col("v100")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_out_v100"),
+        )
+    )

@@ -2026,3 +2026,53 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (nk * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
     )
     return pairs.select("lag", "nk", (num / den).alias("xcf"))
+
+
+@register(
+    "q_stream_distinct_users",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT distinct users per tumbling hour as a REAL streaming query —
+    # COUNT(DISTINCT) is unsupported in streaming aggregation (state per
+    # distinct value), so this runs the production two-stage pattern:
+    # watermarked dropDuplicates on (window-start, user) feeding a
+    # windowed count — TWO chained stateful operators in one query
+    # (Spark 4 multi-stateful append mode). Replayed via staged_stream
+    # (events, then a sentinel 10h past max ts) so the watermark flush
+    # emits every closed window before availableNow terminates; the
+    # sentinel's window is dropped from the result. Oracle = the batch
+    # COUNT(DISTINCT) per hour bucket. At 100 TB: dedup state is
+    # (window × active users) and evicted at the watermark; the count
+    # state is one row per open window.
+    from datetime import timedelta
+
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.streaming.sources import staged_dir, staged_stream
+
+    name = f"stream_distinct_users_{next(_STREAM_SEQ)}"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent_ts = max_ts + timedelta(hours=10)
+    sentinels = spark.createDataFrame(
+        [(-1, sent_ts, -1, "view", 0.0)], schema=ev.schema
+    )
+    base = run_tmp("stream_distinct_users")
+    schema = staged_dir(spark, [ev, sentinels], base)
+    s = staged_stream(spark, base, schema).withWatermark("ts", "1 hour")
+    dedup = s.select(
+        "ts", "user_id", F.window("ts", "1 hour").alias("w")
+    ).dropDuplicates(["w", "user_id"])
+    agg = (
+        dedup.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.col("w.start").alias("wstart"), "n_users")
+    )
+    out = run_to_completion(agg, name, output_mode="append")
+    return out.where(F.col("wstart") < F.lit(sent_ts) - F.expr("INTERVAL 2 HOURS"))
