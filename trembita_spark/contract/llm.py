@@ -3087,3 +3087,177 @@ def q_corpus_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_select(
         docs, "lang", "doc_id", budget=(6 * n_tot) // 10, epochs=3
     )
+
+
+_NB_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "q_ml_naive_bayes",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    lab AS (SELECT doc_id, lang FROM documents),
+    tc AS (
+      SELECT t.token,
+             CAST(sum(CASE WHEN l.lang = 'de' THEN t.tf ELSE 0 END) AS BIGINT) AS c_de,
+             CAST(sum(CASE WHEN l.lang = 'en' THEN t.tf ELSE 0 END) AS BIGINT) AS c_en,
+             CAST(sum(CASE WHEN l.lang = 'es' THEN t.tf ELSE 0 END) AS BIGINT) AS c_es,
+             CAST(sum(CASE WHEN l.lang = 'fr' THEN t.tf ELSE 0 END) AS BIGINT) AS c_fr,
+             CAST(sum(CASE WHEN l.lang = 'zh' THEN t.tf ELSE 0 END) AS BIGINT) AS c_zh
+      FROM tf t JOIN lab l USING (doc_id) GROUP BY 1
+    ),
+    par AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS nd_de,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nd_en,
+             CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS nd_es,
+             CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS nd_fr,
+             CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS nd_zh
+      FROM documents
+    ),
+    toks AS (
+      SELECT CAST((SELECT count(*) FROM tc) AS BIGINT) AS v,
+             CAST(sum(c_de) AS BIGINT) AS tk_de,
+             CAST(sum(c_en) AS BIGINT) AS tk_en,
+             CAST(sum(c_es) AS BIGINT) AS tk_es,
+             CAST(sum(c_fr) AS BIGINT) AS tk_fr,
+             CAST(sum(c_zh) AS BIGINT) AS tk_zh
+      FROM tc
+    ),
+    ds AS (
+      SELECT t.doc_id,
+             sum(t.tf * ln((c.c_de + 1.0) / (tk_de + v))) AS s_de,
+             sum(t.tf * ln((c.c_en + 1.0) / (tk_en + v))) AS s_en,
+             sum(t.tf * ln((c.c_es + 1.0) / (tk_es + v))) AS s_es,
+             sum(t.tf * ln((c.c_fr + 1.0) / (tk_fr + v))) AS s_fr,
+             sum(t.tf * ln((c.c_zh + 1.0) / (tk_zh + v))) AS s_zh
+      FROM tf t JOIN tc c USING (token), toks
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT doc_id, cand, round(prior + s, 6) AS sc FROM (
+        SELECT ds.doc_id, x.cand, x.s,
+               CASE x.cand
+                 WHEN 'de' THEN ln(CAST(nd_de AS DOUBLE) / n_docs)
+                 WHEN 'en' THEN ln(CAST(nd_en AS DOUBLE) / n_docs)
+                 WHEN 'es' THEN ln(CAST(nd_es AS DOUBLE) / n_docs)
+                 WHEN 'fr' THEN ln(CAST(nd_fr AS DOUBLE) / n_docs)
+                 WHEN 'zh' THEN ln(CAST(nd_zh AS DOUBLE) / n_docs)
+               END AS prior
+        FROM ds, par,
+          LATERAL (VALUES ('de', s_de), ('en', s_en), ('es', s_es),
+                          ('fr', s_fr), ('zh', s_zh)) AS x(cand, s)
+      )
+    ),
+    pred AS (
+      SELECT doc_id, cand AS pred FROM (
+        SELECT doc_id, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY sc DESC, cand) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT l.lang, p.pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred p JOIN lab l USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multinomial Naive Bayes language classifier, trained AND scored on
+    # the corpus in pure aggregates (the classic from-scratch text
+    # classifier — no MLlib, no iteration): Laplace-smoothed per-class
+    # token log-probabilities from ONE wide conditional aggregate over
+    # the (token × class) counts, per-doc class scores from one join +
+    # groupBy, argmax with the unique (rounded score desc, lang) order,
+    # emitted as the actual×predicted CONFUSION MATRIX. ln sums are
+    # merge-order floats → scores rounded to 6 BEFORE the argmax on
+    # both sides, so the tie-break is deterministic cross-engine (the
+    # q_text_perplexity convention). At 100 TB: the token-class table
+    # shuffles on token (vocabulary-sized, broadcast when small), the
+    # class registry is fixed — two data-touching passes total.
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lab = docs.select("doc_id", "lang")
+    tfl = tf.join(lab, "doc_id")
+    tc = tfl.groupBy("token").agg(
+        *[
+            F.sum(F.when(F.col("lang") == lg, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{lg}")
+            for lg in _NB_LANGS
+        ]
+    )
+    par = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nd_{lg}")
+            for lg in _NB_LANGS
+        ],
+    )
+    toks = tc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        *[
+            F.sum(f"c_{lg}").cast("bigint").alias(f"tk_{lg}")
+            for lg in _NB_LANGS
+        ],
+    )
+    ds = (
+        tf.join(tc, "token")
+        .crossJoin(F.broadcast(toks))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.col("tf")
+                    * F.log(
+                        (F.col(f"c_{lg}") + 1.0) / (F.col(f"tk_{lg}") + F.col("v"))
+                    )
+                ).alias(f"s_{lg}")
+                for lg in _NB_LANGS
+            ]
+        )
+    )
+    # rounded score + class index packed into structs; array_max picks
+    # max score then max(-index) = lexicographically smallest class.
+    scored = ds.crossJoin(F.broadcast(par)).select(
+        "doc_id",
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.log(
+                            F.col(f"nd_{lg}").cast("double") / F.col("n_docs")
+                        )
+                        + F.col(f"s_{lg}"),
+                        6,
+                    ).alias("sc"),
+                    F.lit(-i).alias("ni"),
+                )
+                for i, lg in enumerate(_NB_LANGS)
+            ]
+        ).alias("cands"),
+    )
+    langs_arr = F.array(*[F.lit(lg) for lg in _NB_LANGS])
+    pred = scored.select(
+        "doc_id",
+        F.element_at(
+            langs_arr, (-F.array_max("cands").getField("ni") + 1).cast("int")
+        ).alias("pred"),
+    )
+    return (
+        pred.join(lab, "doc_id")
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

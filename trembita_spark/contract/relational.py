@@ -1821,6 +1821,59 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_graph_jaccard",
+    oracle="""
+    WITH pairs AS (
+      SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l2.l_linenumber = l1.l_linenumber + 1
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pairs),
+    adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+    centers AS (
+      SELECT adj.z, adj.n FROM adj JOIN deg USING (z) WHERE deg.deg <= 40
+    ),
+    common AS (
+      SELECT l.n AS a, r.n AS b, CAST(count(*) AS BIGINT) AS common
+      FROM centers l JOIN centers r ON l.z = r.z AND l.n < r.n
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.a, c.b, c.common,
+             CAST(da.deg + db.deg - c.common AS BIGINT) AS union_size,
+             CAST(c.common AS DOUBLE)
+               / CAST(da.deg + db.deg - c.common AS DOUBLE) AS score
+      FROM common c
+      JOIN deg da ON c.a = da.z
+      JOIN deg db ON c.b = db.z
+    )
+    SELECT a, b, common, union_size, score FROM scored
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = scored.a AND e.v = scored.b)
+    ORDER BY score DESC, a, b LIMIT 100
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Neighborhood-Jaccard link prediction (operators/graph.py:
+    # jaccard_link_prediction) over the same co-basket graph and
+    # degree-40 center cap as q_graph_adamic_adar: top-100 non-adjacent
+    # pairs by |N(a)∩N(b)| / |N(a)∪N(b)| (common neighbors counted
+    # through capped centers; union from the FULL endpoint degrees).
+    # Unlike adamic_adar's ln-sum, the score is one exact-integer
+    # division — bit-identical, NO rounding (parity rule 2); top-100
+    # under the unique (score desc, a, b) order.
+    from trembita_spark.operators.graph import jaccard_link_prediction
+
+    return (
+        jaccard_link_prediction(_cobasket_pairs(spark, sf_dir), max_center_degree=40)
+        .orderBy(F.col("score").desc(), "a", "b")
+        .limit(100)
+    )
+
+
+@register(
     "q_sql_recursive",
     oracle="""
     WITH RECURSIVE r(custkey, anc, depth) AS (

@@ -695,3 +695,70 @@ def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             "u", "v", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
         )
     )
+
+
+def jaccard_link_prediction(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over an UNDIRECTED graph:
+    for every NON-adjacent pair (a < b) with at least one common
+    neighbor, J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| — adamic_adar's
+    set-overlap sibling (no rarity weighting, pure structural
+    similarity). Returns (a, b, common, union_size, score); the score
+    is one exact-integer division (common / (deg_a + deg_b − common)) —
+    bit-identical cross-engine, NO rounding, unlike adamic_adar's
+    ln-sum.
+
+    Scale posture: identical wedge shape to adamic_adar (hub centers
+    cost deg² — ``max_center_degree`` makes the cap part of the
+    semantics); the per-endpoint degrees join back via two broadcastable
+    aggregate frames keyed on the node id.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: adjacency + anti join
+    )
+    adj = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj
+    if max_center_degree is not None:
+        centers = adj.join(
+            deg.where(F.col("deg") <= max_center_degree), "z"
+        ).select("z", "n")
+    left = centers.select("z", F.col("n").alias("a"))
+    right = centers.select("z", F.col("n").alias("b"))
+    pairs = (
+        left.join(right, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    da = deg.select(F.col("z").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("z").alias("b"), F.col("deg").alias("db"))
+    scored = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            (F.col("da") + F.col("db") - F.col("common"))
+            .cast("bigint")
+            .alias("union_size"),
+            (
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double")
+            ).alias("score"),
+        )
+    )
+    return scored.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
