@@ -729,3 +729,74 @@ def q_window_rolling_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(varp > 0, m4 / (varp * varp) - 3).alias("kurt5"),
     )
+
+
+@register(
+    "q_window_rolling_mad",
+    oracle="""
+    WITH arrs AS (
+      SELECT event_id, user_id,
+             list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id, list_sort(arr) AS s, len(arr) AS n
+      FROM arrs
+    ),
+    md AS (
+      SELECT event_id, user_id, s, n,
+             s[CAST(floor((n + 1) / 2) AS BIGINT)]
+           + s[CAST(floor(n / 2) + 1 AS BIGINT)] AS med2
+      FROM m
+    ),
+    dv AS (
+      SELECT event_id, user_id, n, med2,
+             list_sort(list_transform(s, x -> abs(2 * x - med2))) AS ds
+      FROM md
+    )
+    SELECT event_id, user_id, med2,
+           ds[CAST(floor((n + 1) / 2) AS BIGINT)]
+         + ds[CAST(floor(n / 2) + 1 AS BIGINT)] AS mad2
+    FROM dv
+    """,
+)
+def q_window_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling median absolute deviation (5-row trailing frame) per user
+    # — the robust-dispersion companion to q_window_median and the
+    # windowed sibling of q_anomaly_robust_z, on the SAME all-integer
+    # lane: med2 = sum of the frame's two middle order statistics of
+    # v100 (= 2·100·median), deviations |2·v100 − med2| are integers,
+    # and mad2 is their two-middle sum (= 4·100·MAD) — the entire
+    # output is integers, parity rule 1, no floats and no rounding
+    # anywhere (q_window_median needs a float (a+b)/2; the doubled
+    # lane avoids even that). State is O(frame) per row; the window
+    # partitions on user_id (data-cardinality) — audit-safe.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    arr = F.array_sort(F.collect_list(v100).over(w))
+    n = F.size(arr)
+    lo = F.floor((n + 1) / 2).cast("int")
+    hi = (F.floor(n / 2) + 1).cast("int")
+    med2 = F.element_at(arr, lo) + F.element_at(arr, hi)
+    x = ev.select(
+        "event_id", "user_id", arr.alias("s"), n.alias("n"), med2.alias("med2")
+    )
+    ds = F.array_sort(
+        F.transform("s", lambda v: F.abs(2 * v - F.col("med2")))
+    )
+    nlo = F.floor((F.col("n") + 1) / 2).cast("int")
+    nhi = (F.floor(F.col("n") / 2) + 1).cast("int")
+    return x.select(
+        "event_id",
+        "user_id",
+        "med2",
+        (F.element_at(ds, nlo) + F.element_at(ds, nhi)).alias("mad2"),
+    )
