@@ -2659,3 +2659,66 @@ def q_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_out_v100"),
         )
     )
+
+
+@register(
+    "q_stat_kruskal",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v, event_type AS g
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    gv AS (
+      SELECT v, g, CAST(count(*) AS BIGINT) AS ngv FROM x GROUP BY v, g
+    ),
+    pv AS (SELECT v, CAST(sum(ngv) AS BIGINT) AS n FROM gv GROUP BY v),
+    c AS (
+      SELECT v, n,
+             CAST(sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumn
+      FROM pv
+    ),
+    r AS (SELECT v, 2 * (cumn - n) + n + 1 AS r2v FROM c),
+    pg AS (
+      SELECT g, CAST(sum(ngv) AS BIGINT) AS n_g,
+             CAST(sum(ngv * r2v) AS BIGINT) AS r2_g
+      FROM gv JOIN r USING (v) GROUP BY g
+    ),
+    gs AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(CAST(r2_g AS HUGEINT) * CAST(r2_g AS HUGEINT) AS DOUBLE)
+                 / CAST(n_g AS DOUBLE)) AS s_term
+      FROM pg
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(CASE WHEN n > 1 THEN n * n * n - n ELSE 0 END) AS BIGINT)
+               AS tie3
+      FROM c
+    )
+    SELECT k, n_tot,
+           round(3.0 * s_term / CAST(n_tot * (n_tot + 1) AS DOUBLE)
+                 - CAST(3 * (n_tot + 1) AS DOUBLE), 6) AS h_stat,
+           round((3.0 * s_term / CAST(n_tot * (n_tot + 1) AS DOUBLE)
+                  - CAST(3 * (n_tot + 1) AS DOUBLE))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / CAST(n_tot * n_tot * n_tot - n_tot AS DOUBLE)),
+                 6) AS h_corrected
+    FROM gs CROSS JOIN t
+    """,
+)
+def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kruskal-Wallis H (operators/stats.py: kruskal_wallis) across ALL
+    # FIVE event_type arms of events.value — the k-group generalization
+    # of q_stat_mannwhitney's rank machinery: (value, group) contingency
+    # agg, exact doubled tied ranks via the distributed prefix sum, a
+    # support-sized join of the rank map, per-group integer moments
+    # (n_g, 2R_g), and tie correction 1 - Σ(t³-t)/(N³-N). Only the
+    # Σ(2R_g)²/n_g rollup sums k doubles in engine order, so H is
+    # rounded to 6 decimals on both sides (parity rule 5). 100 TB: one
+    # hash agg + one prefix sum + one |support|-sized join — no global
+    # sort, no low-cardinality window, shuffles ∝ value support.
+    from trembita_spark.operators.stats import kruskal_wallis
+
+    ev = table(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "value", F.col("event_type"))

@@ -365,3 +365,65 @@ def wilcoxon_signed_rank(df: DataFrame, diff_col: str) -> DataFrame:
         "w2",
         ((F.col("w2").cast("double") - mu2) / F.sqrt(var4)).alias("z_stat"),
     )
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: Column) -> DataFrame:
+    """Kruskal-Wallis H (one-way rank ANOVA, k independent groups) with
+    tie correction. Returns one row: (k, n_tot, h_stat, h_corrected).
+
+    Same distinct-value lane as ``mann_whitney_u`` generalized to k
+    groups: a (value, group) contingency agg, a value-level prefix sum
+    for the exact doubled tied rank 2r = 2·cum_before + n + 1, a join of
+    the rank map back onto the contingency (work ∝ |support|·k), and a
+    k-row per-group rollup of exact integer moments (n_g, 2·rank-sum).
+    The Σ (2R_g)²/n_g sum is k double terms whose addition order is
+    engine-defined, so the final H is rounded to 6 decimals on both
+    sides (parity rule 5 — error ~1e-10 ≪ half-grid). 100 TB: one
+    value-level hash agg + one prefix sum + one support-sized join; no
+    row-level sort, no low-cardinality window.
+    """
+    x = df.select(
+        F.col(value_col).alias("v"), group_col.alias("g")
+    ).where(F.col(value_col).isNotNull() & group_col.isNotNull())
+    gv = x.groupBy("v", "g").agg(F.count(F.lit(1)).cast("bigint").alias("ngv"))
+    pv = gv.groupBy("v").agg(F.sum("ngv").cast("bigint").alias("n"))
+    c = prefix_sum(pv, "n", order_by=[F.col("v")], name="cumn")
+    r = c.select(
+        "v", (2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1).alias("r2v")
+    )
+    pg = gv.join(r, "v").groupBy("g").agg(
+        F.sum("ngv").cast("bigint").alias("n_g"),
+        F.sum(F.col("ngv") * F.col("r2v")).cast("bigint").alias("r2_g"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact big-integer lane
+    gs = pg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            (dec(F.col("r2_g")) * dec(F.col("r2_g"))).cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("s_term"),
+    )
+    tot = c.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.when(
+                F.col("n") > 1, F.col("n") * F.col("n") * F.col("n") - F.col("n")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("tie3"),
+    )
+    z = gs.crossJoin(F.broadcast(tot))
+    nd = F.col("n_tot")
+    # H with doubled rank sums: R_g² = (2R_g)²/4 → 12/4 = 3 multiplier.
+    h_raw = (
+        F.lit(3.0) * F.col("s_term") / (nd * (nd + 1)).cast("double")
+        - (3 * (nd + 1)).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        nd * nd * nd - nd
+    ).cast("double")
+    return z.select(
+        "k",
+        "n_tot",
+        F.round(h_raw, 6).alias("h_stat"),
+        F.round(h_raw / corr, 6).alias("h_corrected"),
+    )
