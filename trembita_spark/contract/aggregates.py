@@ -2722,3 +2722,78 @@ def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return kruskal_wallis(ev, "value", F.col("event_type"))
+
+
+@register(
+    "q_stat_jarque_bera",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n, s1, s2, s3, s4,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS v
+      FROM s
+    ),
+    k AS (
+      SELECT l_returnflag, n,
+             (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu)
+               / (v * sqrt(v)) AS skew,
+             (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+              - 3 * mu * mu * mu * mu) / (v * v) - 3 AS kurt_excess
+      FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, skew, kurt_excess,
+           n / 6 * (skew * skew + kurt_excess * kurt_excess / 4) AS jb_stat
+    FROM k
+    """,
+)
+def q_stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jarque-Bera normality statistic JB = n/6·(S² + K²/4) per return
+    # flag, on q_agg_skewkurt's exact integer power-sum lane: raw sums
+    # q..q⁴ are a commutative bigint monoid (order-independent, map-side
+    # combined), and the entire standardized-moment + JB chain is one
+    # fixed double expression tree both engines replay bit-for-bit — NO
+    # rounding (parity rule 2). σ³ spelled v·sqrt(v) (correctly-rounded
+    # ops), never pow(v,1.5) (libm, 1-ulp risk). 100 TB: one partial-agg
+    # scan, one row per group out — nothing else moves.
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    m = s.select(
+        "l_returnflag", "n", "s1", "s2", "s3", "s4",
+        (s1 / n).alias("mu"),
+        (s2 / n - (s1 / n) * (s1 / n)).alias("v"),
+    )
+    mu, v = F.col("mu"), F.col("v")
+    k = m.select(
+        "l_returnflag", "n",
+        ((s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu) / (v * F.sqrt(v))).alias("skew"),
+        (
+            (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu)
+            / (v * v) - 3
+        ).alias("kurt_excess"),
+    )
+    sk, ku = F.col("skew"), F.col("kurt_excess")
+    return k.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        "skew",
+        "kurt_excess",
+        (n / 6 * (sk * sk + ku * ku / 4)).alias("jb_stat"),
+    )
