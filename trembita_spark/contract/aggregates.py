@@ -2797,3 +2797,65 @@ def q_stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kurt_excess",
         (n / 6 * (sk * sk + ku * ku / 4)).alias("jb_stat"),
     )
+
+
+@register(
+    "q_stat_runs",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b,
+             CASE WHEN lag(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NOT NULL
+                   AND lag(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    <> CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+              THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(b) AS BIGINT) AS n1,
+             CAST(1 + sum(chg) AS BIGINT) AS r
+      FROM b GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(n1) AS BIGINT) AS n_ones,
+             CAST(sum(n - n1) AS BIGINT) AS n_zeros,
+             CAST(sum(r) AS BIGINT) AS runs,
+             sum(CAST(2 * n1 * (n - n1) AS DOUBLE) / CAST(n AS DOUBLE) + 1)
+               AS e_runs,
+             sum(CASE WHEN n > 1 THEN
+                   CAST(2 * n1 * (n - n1) AS DOUBLE)
+                   * (CAST(2 * n1 * (n - n1) AS DOUBLE) - CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1))
+                 ELSE 0.0 END) AS v_runs
+      FROM per
+    )
+    SELECT n_blocks, n_ones, n_zeros, runs,
+           round((CAST(runs AS DOUBLE) - e_runs) / sqrt(v_runs), 6) AS z_stat
+    FROM s
+    """,
+)
+def q_stat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocked Wald-Wolfowitz runs test (operators/stats.py: runs_test)
+    # on each user's click/non-click sequence under the unique
+    # (ts, event_id) order: per-user run counts are exact integers from
+    # a user-partitioned lag window (data-cardinality partitioning, not
+    # a global sort), the independent-block null moments add, and only
+    # the cross-user sum of per-block rational E/Var terms is
+    # engine-order-sensitive — hence round(z, 6) both sides (parity
+    # rule 5). 100 TB: one user-key shuffle + scalar rollup; nothing
+    # collapses to a single task.
+    from trembita_spark.operators.stats import runs_test
+
+    ev = table(spark, sf_dir, "events")
+    return runs_test(
+        ev,
+        "user_id",
+        [F.col("ts"), F.col("event_id")],
+        F.col("event_type") == "click",
+    )

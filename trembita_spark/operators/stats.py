@@ -16,6 +16,8 @@ expression chain a SQL oracle can replay bit-for-bit.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -426,4 +428,70 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: Column) -> DataFram
         "n_tot",
         F.round(h_raw, 6).alias("h_stat"),
         F.round(h_raw / corr, 6).alias("h_corrected"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    order_by: Sequence[Column],
+    is_one: Column,
+) -> DataFrame:
+    """Blocked Wald-Wolfowitz runs test: within each ``key_col`` block the
+    binary sequence (``is_one`` under ``order_by``) contributes its run
+    count, and because blocks are independent the null mean/variance add,
+    giving one pooled z. Returns one row:
+    (n_blocks, n_ones, n_zeros, runs, z_stat).
+
+    Runs per block = 1 + #sign-changes, an exact integer from a lag
+    window PARTITIONED BY the block key (data-cardinality partitioning —
+    never a global sort). Per-block E[R] = 1 + 2·n1·n0/n and Var[R] =
+    2·n1·n0·(2·n1·n0 − n)/(n²(n−1)) are rational; they are summed as
+    per-block doubles across blocks (engine addition order), so z is
+    rounded to 6 decimals on both sides (parity rule 5). 100 TB: one
+    block-key shuffle + a scalar rollup."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    b = df.withColumn("__b", F.when(is_one, 1).otherwise(0))
+    b = b.withColumn(
+        "__chg",
+        F.when(
+            F.lag("__b").over(w).isNotNull()
+            & (F.lag("__b").over(w) != F.col("__b")),
+            1,
+        ).otherwise(0),
+    )
+    per = b.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__b").cast("bigint").alias("n1"),
+        (F.lit(1) + F.sum("__chg")).cast("bigint").alias("r"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    n0 = n - n1
+    two_p = (2 * n1 * n0).cast("double")
+    nd = n.cast("double")
+    e_r = two_p / nd + 1
+    v_r = F.when(
+        n > 1,
+        two_p * (two_p - nd) / (nd * nd * (nd - 1)),
+    ).otherwise(F.lit(0.0))
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("n1").cast("bigint").alias("n_ones"),
+        F.sum(n0).cast("bigint").alias("n_zeros"),
+        F.sum("r").cast("bigint").alias("runs"),
+        F.sum(e_r).alias("e_runs"),
+        F.sum(v_r).alias("v_runs"),
+    )
+    return s.select(
+        "n_blocks",
+        "n_ones",
+        "n_zeros",
+        "runs",
+        F.round(
+            (F.col("runs").cast("double") - F.col("e_runs"))
+            / F.sqrt(F.col("v_runs")),
+            6,
+        ).alias("z_stat"),
     )
