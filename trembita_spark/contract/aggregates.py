@@ -2859,3 +2859,72 @@ def q_stat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("ts"), F.col("event_id")],
         F.col("event_type") == "click",
     )
+
+
+@register(
+    "q_stat_friedman",
+    oracle="""
+    WITH us AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    full_blocks AS (
+      SELECT user_id FROM us GROUP BY user_id HAVING count(*) = 5
+    ),
+    cb AS (SELECT us.* FROM us JOIN full_blocks USING (user_id)),
+    r AS (
+      SELECT a.user_id, a.event_type,
+             CAST(2 * sum(CASE WHEN b.t < a.t THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.t = a.t THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM cb a JOIN cb b USING (user_id)
+      GROUP BY a.user_id, a.event_type
+    ),
+    pt AS (
+      SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_t FROM r
+      GROUP BY event_type
+    ),
+    gs AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(r2_t AS HUGEINT) * CAST(r2_t AS HUGEINT))
+                  AS HUGEINT) AS ssr2
+      FROM pt
+    ),
+    nb AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_blocks FROM r
+    )
+    SELECT n_blocks, k,
+           3.0 * CAST(ssr2 AS DOUBLE)
+             / CAST(n_blocks * k * (k + 1) AS DOUBLE)
+           - CAST(3 * n_blocks * (k + 1) AS DOUBLE) AS chi2
+    FROM gs CROSS JOIN nb
+    """,
+)
+def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Friedman rank test (operators/stats.py: friedman_test): blocks =
+    # users, treatments = the 5 event types, response = each user's
+    # exact cent-total spend per type (bigint — rank comparisons are
+    # integer-exact, never float). Only complete blocks (users with all
+    # 5 types) enter. Within-block tied-average ranks come from a
+    # user-key k² self-join (doubled → exact integers), rank sums and
+    # ΣR² stay in the decimal lane, and chi2 is ONE final double tree —
+    # bit-exact both engines, NO rounding (parity rule 2). Because the
+    # doubled-rank identity Σ2r = k(k+1) holds per block, the classic
+    # statistic needs only the 3/(nk(k+1)) multiplier on the doubled
+    # lane. 100 TB: two user-key shuffles, work ∝ users·k².
+    from trembita_spark.operators.stats import friedman_test
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    us = ev.groupBy("user_id", "event_type").agg(
+        F.sum(v100).cast("bigint").alias("t")
+    )
+    us = us.localCheckpoint(eager=False)  # feeds the block filter + join
+    full_blocks = us.groupBy("user_id").agg(F.count(F.lit(1)).alias("__k")).where(
+        F.col("__k") == 5
+    ).select("user_id")
+    cb = us.join(full_blocks, "user_id")
+    return friedman_test(cb, "user_id", "event_type", "t")

@@ -495,3 +495,56 @@ def runs_test(
             6,
         ).alias("z_stat"),
     )
+
+
+def friedman_test(
+    totals: DataFrame, block_col: str, treat_col: str, t_col: str
+) -> DataFrame:
+    """Friedman rank test over a complete-block (block, treatment, exact
+    integer total) frame: within each block the k treatments are ranked
+    (tied-average, kept doubled = exact integer), per-treatment rank
+    sums accumulate across blocks, and the classic
+    chi2 = 12/(nk(k+1))·ΣR_j² − 3n(k+1) closes the form. Returns one
+    row: (n_blocks, k, chi2). Every moment is an exact integer until
+    the single final double tree — NO rounding (parity rule 2).
+
+    Within-block ranks come from a block-key equi self-join (k² rows per
+    block, k small), not a window: 2r = 2·#less + #equal + 1. 100 TB:
+    two block-key shuffles (self-join + rollup), work ∝ blocks·k²."""
+    a = totals.select(
+        F.col(block_col).alias("blk"),
+        F.col(treat_col).alias("trt"),
+        F.col(t_col).alias("t"),
+    )
+    b = a.select(
+        F.col("blk"), F.col("trt").alias("trt_b"), F.col("t").alias("t_b")
+    )
+    r = (
+        a.join(b, "blk")
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("t_b") < F.col("t"), 1).otherwise(0))
+                + F.sum(F.when(F.col("t_b") == F.col("t"), 1).otherwise(0))
+                + 1
+            ).cast("bigint").alias("r2")
+        )
+    )
+    per_t = r.groupBy("trt").agg(F.sum("r2").cast("bigint").alias("r2_t"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact lane
+    gs = per_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(dec(F.col("r2_t")) * dec(F.col("r2_t"))).cast("decimal(38,0)").alias("ssr2"),
+    )
+    nb = r.agg(F.count_distinct(F.col("blk")).cast("bigint").alias("n_blocks"))
+    z = gs.crossJoin(F.broadcast(nb))
+    n, k = F.col("n_blocks"), F.col("k")
+    return z.select(
+        "n_blocks",
+        "k",
+        (
+            F.lit(3.0) * F.col("ssr2").cast("double")
+            / (n * k * (k + 1)).cast("double")
+            - (3 * n * (k + 1)).cast("double")
+        ).alias("chi2"),
+    )
