@@ -2076,3 +2076,88 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(agg, name, output_mode="append")
     return out.where(F.col("wstart") < F.lit(sent_ts) - F.expr("INTERVAL 2 HOURS"))
+
+
+@register(
+    "q_events_kaplan_meier",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(ts) AS entry_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    pu AS (
+      SELECT CAST(CASE WHEN purch_ts IS NOT NULL
+                  THEN CAST(purch_ts AS DATE) - CAST(entry_ts AS DATE)
+                  ELSE CAST(last_ts AS DATE) - CAST(entry_ts AS DATE) END
+                  AS BIGINT) AS t,
+             CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM per
+    ),
+    lv AS (
+      SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m
+      FROM pu GROUP BY t
+    ),
+    c AS (
+      SELECT t, d, m,
+             CAST(sum(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumm
+      FROM lv
+    ),
+    tt AS (SELECT CAST(sum(m) AS BIGINT) AS n_tot FROM lv),
+    r AS (
+      SELECT t, d, CAST(n_tot - (cumm - m) AS BIGINT) AS n_risk
+      FROM c CROSS JOIN tt
+    ),
+    ev AS (
+      SELECT t, d, n_risk,
+             CASE WHEN n_risk > d
+                  THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             END AS lnf
+      FROM r WHERE d >= 1
+    ),
+    s AS (
+      SELECT t, d, n_risk,
+             sum(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumln
+      FROM ev
+    )
+    SELECT t AS t_days, n_risk, d AS d_events,
+           CASE WHEN n_risk = d THEN 0.0 ELSE round(exp(cumln), 6) END
+             AS survival
+    FROM s
+    """,
+)
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kaplan-Meier time-to-first-purchase (operators/stats.py:
+    # kaplan_meier): each user enters at their first event; users who
+    # never purchase are right-censored at their last activity. The
+    # survival table is built on the duration-level frame — exact
+    # integer at-risk counts from ONE distributed prefix sum plus a
+    # broadcast total, then the cumulative ln-product for S(t) with the
+    # terminal d = n_risk row pinned to exact 0.0 and round-6 elsewhere
+    # (ln/exp are libm, parity rule 5). 100 TB: one user-key agg, then
+    # everything is support-sized (distinct whole-day durations).
+    from trembita_spark.operators.stats import kaplan_meier
+
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("entry_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    pu = per.select(
+        F.when(
+            F.col("purch_ts").isNotNull(),
+            F.datediff(F.to_date("purch_ts"), F.to_date("entry_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("entry_ts")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("purch_ts").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    return kaplan_meier(pu, "t", "obs")

@@ -548,3 +548,49 @@ def friedman_test(
             - (3 * n * (k + 1)).cast("double")
         ).alias("chi2"),
     )
+
+
+def kaplan_meier(per: DataFrame, dur_col: str, obs_col: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over a per-subject
+    (duration, observed∈{0,1}) frame. Returns one row per distinct
+    observed-event time: (t_days, n_risk, d_events, survival) where
+    survival = Π_{t_i ≤ t} (1 − d_i/n_i).
+
+    Shape: one duration-level hash agg (d, m per t), one distributed
+    prefix sum for at-risk counts n_risk(t) = N − Σ_{t'<t} m (exact
+    integers), then a second prefix sum of ln(1 − d/n) on the
+    event-time rows with survival = exp(cum) — ln/exp are ≤1-ulp
+    libm calls and the float prefix sum composes partial offsets, so
+    survival rounds to 6 decimals on both sides (parity rule 5); the
+    d = n_risk terminal row is pinned to exactly 0.0 (ln(0) guard —
+    DuckDB raises on it). 100 TB: everything after the subject agg is
+    support-sized; no global sort, no low-cardinality window."""
+    lv = per.groupBy(F.col(dur_col).alias("t")).agg(
+        F.sum(obs_col).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    lv = lv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(lv, "m", order_by=[F.col("t")], name="cumm")
+    tot = lv.agg(F.sum("m").cast("bigint").alias("n_tot"))
+    r = c.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", (F.col("n_tot") - (F.col("cumm") - F.col("m"))).cast("bigint")
+    )
+    ev = r.where(F.col("d") >= 1).withColumn(
+        "lnf",
+        F.when(
+            F.col("n_risk") > F.col("d"),
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+        ),
+    )
+    s = prefix_sum(ev, "lnf", order_by=[F.col("t")], name="cumln")
+    return s.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.when(F.col("n_risk") == F.col("d"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cumln")), 6))
+        .alias("survival"),
+    )
