@@ -3261,3 +3261,29 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "q_text_bpe_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT pr[1] AS t1, pr[2] AS t2 FROM (
+        SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS pr
+        FROM (SELECT string_split(text, ' ') AS a FROM documents)
+      )
+    )
+    SELECT t1, t2, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY t1, t2
+    ORDER BY n DESC, t1, t2 LIMIT 20
+    """,
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The counting step of one BPE merge iteration (operators/text.py:
+    # bpe_pair_counts): adjacent whitespace-token pairs from zipping
+    # each document's token array against its own shifted slice —
+    # pure JVM array expressions, one explode + one map-side-combined
+    # hash agg + TakeOrdered(20) under the unique (n DESC, t1, t2)
+    # order. At 100 TB the shuffle carries only distinct-pair partials.
+    from trembita_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(table(spark, sf_dir, "documents"))

@@ -364,3 +364,33 @@ def canonical_url(url: Column) -> Column:
     ).otherwise(F.lit(""))
     path_norm = F.when(path == "", F.lit("/")).otherwise(path)
     return F.concat(scheme, F.lit("://"), host, path_norm, qpart)
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Adjacent token-pair frequencies — the counting step of one BPE
+    merge iteration over a whitespace-tokenized corpus. Returns the
+    ``top_n`` pairs as (t1, t2, n) under the unique total order
+    (n DESC, t1, t2).
+
+    Pairs come from zipping each document's token array against its
+    own 1-shifted slice (pure JVM array expressions — no posexplode
+    self-join, no Python). 100 TB: one explode + one hash agg with
+    map-side combine + a TakeOrdered(top_n); shuffle carries only the
+    distinct-pair partials, never the corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("t1"), F.slice(toks, 2, n1).alias("t2")
+    )
+    pairs = df.select(F.explode(z).alias("p")).select(
+        F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
+    )
+    return (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2")
+        .limit(top_n)
+    )
