@@ -2928,3 +2928,82 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id")
     cb = us.join(full_blocks, "user_id")
     return friedman_test(cb, "user_id", "event_type", "t")
+
+
+# Ridge variants of the shared Cramer fragments: the Gram diagonal of the
+# non-intercept features carries +lambda (s11 -> s11l, s22 -> s22l); the
+# intercept row/column is unpenalized (standard ridge).
+_RIDGE_DET = _LR3_DET.replace("s11", "s11l").replace("s22", "s22l")
+_RIDGE_DET0 = _LR3_DET0.replace("s11", "s11l").replace("s22", "s22l")
+_RIDGE_DET1 = _LR3_DET1.replace("s11", "s11l").replace("s22", "s22l")
+_RIDGE_DET2 = _LR3_DET2.replace("s11", "s11l").replace("s22", "s22l")
+_RIDGE_LAMBDA = "1000.0"
+
+
+@register(
+    "q_ml_ridge",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS s2y
+      FROM (
+        SELECT CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(dayofweek(ts) AS BIGINT) AS x2,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+      )
+    ),
+    s AS (
+      SELECT *, s11 + {_RIDGE_LAMBDA} AS s11l, s22 + {_RIDGE_LAMBDA} AS s22l
+      FROM s0
+    )
+    SELECT {_RIDGE_DET0} / {_RIDGE_DET} AS b0,
+           {_RIDGE_DET1} / {_RIDGE_DET} AS b1,
+           {_RIDGE_DET2} / {_RIDGE_DET} AS b2,
+           CAST({_RIDGE_LAMBDA} AS DOUBLE) AS lambda_l2,
+           CAST(n AS BIGINT) AS n_rows
+    FROM s
+    """,
+)
+def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ridge regression (value ~ hour-of-day + day-of-week, lambda=1000)
+    # by the regularized normal equations: q_ml_linreg_multi's single
+    # exact-moment scan, then Cramer on the Gram matrix with +lambda on
+    # the non-intercept diagonal (the intercept stays unpenalized).
+    # Spark evaluates the SAME formula TEXT as the DuckDB oracle
+    # (string-rewritten shared fragments), so every double is
+    # bit-identical — no rounding. 100 TB cost: the one scan; the
+    # solve is O(1) on a 1-row frame.
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("x2"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    ).withColumn("s11l", F.col("s11") + F.lit(1000.0)).withColumn(
+        "s22l", F.col("s22") + F.lit(1000.0)
+    )
+    return s.selectExpr(
+        f"{_RIDGE_DET0} / {_RIDGE_DET} AS b0",
+        f"{_RIDGE_DET1} / {_RIDGE_DET} AS b1",
+        f"{_RIDGE_DET2} / {_RIDGE_DET} AS b2",
+        f"CAST({_RIDGE_LAMBDA} AS DOUBLE) AS lambda_l2",
+        "CAST(n AS BIGINT) AS n_rows",
+    )
