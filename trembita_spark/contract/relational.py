@@ -2353,3 +2353,71 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.operators.graph import clustering_coefficient
 
     return clustering_coefficient(_cobasket_pairs(spark, sf_dir))
+
+
+@register(
+    "q_graph_closeness",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT src, dst FROM base
+      UNION ALL SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    seeds AS (
+      SELECT node FROM deg ORDER BY d DESC, node LIMIT 5
+    ),
+    walk(seed, node, d) AS (
+      SELECT node, node, 0 FROM seeds
+      UNION
+      SELECT w.seed, e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 4
+    ),
+    md AS (
+      SELECT seed, node, min(d) AS d FROM walk GROUP BY seed, node
+    )
+    SELECT seed AS node,
+           CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum(d) AS BIGINT) AS sum_dist,
+           CAST(count(*) - 1 AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
+    FROM md GROUP BY seed
+    """,
+)
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hop-capped closeness centrality (operators/graph.py: closeness)
+    # for the 5 highest-degree nodes (ties -> smallest node key) of the
+    # undirected customer-supplier order graph: per-seed BFS to 4 hops
+    # lifted to (seed, node) keys on the shared frontier machinery, then
+    # closeness = (reached-1)/Sigma(dist) — exact integers into one
+    # double division, no rounding. The oracle replays the recurrence as
+    # a recursive CTE + min(d) (the q_graph_bfs equivalence). 100 TB:
+    # k·BFS cost, hash-partitioned on the expansion key; seed selection
+    # is one degree agg + TakeOrdered(5).
+    from trembita_spark.operators.graph import bfs, closeness  # noqa: F401
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # feeds degree + 4 BFS levels
+    seeds = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(5)
+        .select("node")
+    )
+    return closeness(edges, seeds, max_hops=4)

@@ -762,3 +762,56 @@ def jaccard_link_prediction(
         (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
         "left_anti",
     )
+
+
+def closeness(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Capped closeness centrality for the ``seeds`` (one ``node``
+    column): per seed, a BFS to ``max_hops`` and
+    closeness = (reached − 1) / Σ dist over the reached set — the
+    classic formula restricted to the hop-capped ball (documented:
+    disconnected remainders simply don't contribute, the standard
+    Wasserman-Faust workaround without a float harmonic sum). Returns
+    (node, reached, sum_dist, closeness); every input to the one final
+    double division is an exact integer — no rounding.
+
+    Shape: the ``bfs`` frontier loop lifted to (seed, node) keys — the
+    k seeds ride the same per-level join/anti-join/eager-checkpoint
+    machinery, so the traversal costs k·BFS with identical partitioning
+    (hash on the expansion key). k is small by contract (centrality
+    probes), so the frontier blowup is bounded."""
+    dist = (
+        seeds.select(F.col("node").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(
+            nxt.select("seed", "node", F.lit(hop).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "node")
+    per = dist.groupBy(F.col("seed").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("reached"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    )
+    return per.select(
+        "node",
+        "reached",
+        "sum_dist",
+        (
+            (F.col("reached") - 1).cast("double")
+            / F.col("sum_dist").cast("double")
+        ).alias("closeness"),
+    )
