@@ -1314,3 +1314,111 @@ def test_clustering_coefficient_hand_computed(spark):
     wedge = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     w = {r.node: r for r in clustering_coefficient(wedge).collect()}
     assert set(w) == {2} and w[2].coeff == 0.0
+
+
+def test_kruskal_wallis_two_groups_equals_mw_z_squared(spark):
+    # With k=2 the tie-corrected Kruskal-Wallis H is EXACTLY the square
+    # of the tie-corrected Mann-Whitney z (same rank moments) — a strong
+    # cross-operator identity on ties-heavy data.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.stats import kruskal_wallis, mann_whitney_u
+
+    rows = [(float(v), g) for v, g in
+            [(1, "a"), (1, "a"), (2, "a"), (3, "a"), (1, "b"), (2, "b"),
+             (2, "b"), (5, "b"), (3, "b")]]
+    df = spark.createDataFrame(rows, "x double, g string")
+    h = kruskal_wallis(df, "x", F2.col("g")).collect()[0]
+    z = mann_whitney_u(df, "x", F2.col("g") == "a").collect()[0].z_stat
+    assert h.k == 2 and h.n_tot == 9
+    assert abs(h.h_corrected - z * z) < 1e-5
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    # Three singleton groups [1],[2],[3]: ranks 1,2,3, no ties ->
+    # H = 12/(3*4)*(1+4+9) - 3*4 = 2.0 exactly.
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (3.0, "c")], "x double, g string"
+    )
+    r = kruskal_wallis(df, "x", F2.col("g")).collect()[0]
+    assert (r.k, r.n_tot) == (3, 3)
+    assert r.h_stat == 2.0
+    assert r.h_corrected == 2.0
+
+
+def test_runs_test_hand_computed(spark):
+    # One block, sequence 1,0,1,0 -> 4 runs; n1=n0=2, E[R]=3,
+    # Var[R]=2/3 -> z = 1/sqrt(2/3) = 1.224745 (round-6).
+    from pyspark.sql import functions as F2
+
+    from trembita_spark.operators.stats import runs_test
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (1, 3, "x"), (1, 4, "y")],
+        "blk int, pos int, v string",
+    )
+    r = runs_test(df, "blk", [F2.col("pos")], F2.col("v") == "x").collect()[0]
+    assert (r.n_blocks, r.n_ones, r.n_zeros, r.runs) == (1, 2, 2, 4)
+    assert r.z_stat == 1.224745
+
+
+def test_kaplan_meier_hand_computed(spark):
+    # Durations (t, observed): (1,1),(2,1),(2,0),(3,1) ->
+    # S(1)=3/4, S(2)=3/4*2/3=1/2, S(3)=0 (terminal d=n_risk row pinned).
+    from trembita_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1)], "t int, obs int"
+    )
+    rows = {r.t_days: r for r in kaplan_meier(df, "t", "obs").collect()}
+    assert (rows[1].n_risk, rows[1].d_events, rows[1].survival) == (4, 1, 0.75)
+    assert (rows[2].n_risk, rows[2].d_events, rows[2].survival) == (3, 1, 0.5)
+    assert (rows[3].n_risk, rows[3].d_events, rows[3].survival) == (1, 1, 0.0)
+
+
+def test_friedman_hand_computed(spark):
+    # Two blocks, identical ordering [1,2,3] -> R=[2,4,6],
+    # chi2 = 12/(2*3*4)*(4+16+36) - 3*2*4 = 4.0; reversed second block
+    # cancels to chi2 = 0.
+    from trembita_spark.operators.stats import friedman_test
+
+    same = spark.createDataFrame(
+        [(1, "t1", 10), (1, "t2", 20), (1, "t3", 30),
+         (2, "t1", 1), (2, "t2", 2), (2, "t3", 3)],
+        "blk int, trt string, t long",
+    )
+    r = friedman_test(same, "blk", "trt", "t").collect()[0]
+    assert (r.n_blocks, r.k) == (2, 3)
+    assert r.chi2 == 4.0
+    opp = spark.createDataFrame(
+        [(1, "t1", 10), (1, "t2", 20), (1, "t3", 30),
+         (2, "t1", 3), (2, "t2", 2), (2, "t3", 1)],
+        "blk int, trt string, t long",
+    )
+    assert friedman_test(opp, "blk", "trt", "t").collect()[0].chi2 == 0.0
+
+
+def test_closeness_hand_computed(spark):
+    # Path a-b-c (undirected), seed a: reached 3, sum_dist 0+1+2=3,
+    # closeness = (3-1)/3.
+    from trembita_spark.operators.graph import closeness
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    s = spark.createDataFrame([("a",)], "node string")
+    r = closeness(e, s, max_hops=4).collect()[0]
+    assert (r.node, r.reached, r.sum_dist) == ("a", 3, 3)
+    assert abs(r.closeness - 2 / 3) < 1e-15
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from trembita_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([("a b a b",), ("b a",), ("solo",)], "text string")
+    rows = [(r.t1, r.t2, r.n) for r in bpe_pair_counts(df).collect()]
+    assert rows == [("a", "b", 2), ("b", "a", 2)]
