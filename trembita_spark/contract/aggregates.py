@@ -3007,3 +3007,120 @@ def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({_RIDGE_LAMBDA} AS DOUBLE) AS lambda_l2",
         "CAST(n AS BIGINT) AS n_rows",
     )
+
+
+def _split_top_level(fragment: str) -> list[str]:
+    """Split a shared SQL fragment on top-level commas (commas inside
+    parentheses — e.g. round(x, 6) — stay put) so Spark's selectExpr
+    evaluates exactly the comma-separated expressions the oracle text
+    declares."""
+    parts, depth, cur = [], 0, []
+    for ch in fragment:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+# Shared logistic-IRLS formula text (identical in Spark and DuckDB — the
+# q_ml_linreg_multi discipline): step 1 from beta=0 is closed-form on
+# EXACT decimal moments (H = 0.25*[[n,sx],[sx,sxx]], g = [Sy - n/2,
+# Sxy - Sx/2]); step 2 re-weights per row with p = sigma(eta).
+_LOGR_S1 = (
+    "CAST(n_b AS DOUBLE) AS n, CAST(svd AS DOUBLE)/100 AS sx, "
+    "CAST(svv AS DOUBLE)/10000 AS sxx, "
+    "CAST(syn AS DOUBLE) - CAST(n_b AS DOUBLE)/2 AS g0, "
+    "CAST(svp AS DOUBLE)/100 - (CAST(svd AS DOUBLE)/100)/2 AS g1, n_b"
+)
+_LOGR_B1 = (
+    "n_b, 4*(sxx*g0 - sx*g1)/(n*sxx - sx*sx) AS b0, "
+    "4*(n*g1 - sx*g0)/(n*sxx - sx*sx) AS b1"
+)
+_LOGR_FINAL = (
+    "round(b0 + (swxx*h0 - swx*h1)/(sw*swxx - swx*swx), 6) AS b0_fit, "
+    "round(b1 + (sw*h1 - swx*h0)/(sw*swxx - swx*swx), 6) AS b1_fit"
+)
+
+
+@register(
+    "q_ml_logreg",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)/100 AS x,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(value AS DECIMAL(18,2)) AS vd
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_b,
+             sum(vd) AS svd, sum(vd * vd) AS svv,
+             CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS syn,
+             sum(CASE WHEN y = 1.0 THEN vd END) AS svp
+      FROM b
+    ),
+    s1 AS (SELECT {_LOGR_S1} FROM m),
+    b1f AS (SELECT {_LOGR_B1} FROM s1),
+    r2 AS (
+      SELECT x, y, b0, b1, n_b,
+             1/(1 + exp(-(b0 + b1*x))) AS p
+      FROM b CROSS JOIN b1f
+    ),
+    m2 AS (
+      SELECT b0, b1, n_b,
+             sum(p*(1-p)) AS sw, sum(p*(1-p)*x) AS swx,
+             sum(p*(1-p)*x*x) AS swxx,
+             sum(y-p) AS h0, sum(x*(y-p)) AS h1
+      FROM r2 GROUP BY b0, b1, n_b
+    )
+    SELECT n_b AS n_rows, {_LOGR_FINAL}
+    FROM m2
+    """,
+)
+def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Logistic regression P(purchase | value/100) by TWO IRLS
+    # (Newton-Raphson) steps from beta = 0, each step a closed-form
+    # aggregate round — the bounded-round pattern that makes an
+    # "iterative" fit declarative. Step 1 is exact: with p = 1/2 the
+    # gradient/Hessian reduce to decimal moment sums, so beta_1 is one
+    # fixed double tree. Step 2 re-weights per row with the libm
+    # sigmoid and sums doubles in partial-agg order, so the final
+    # coefficients round to 6 decimals both sides (parity rule 5).
+    # Both engines evaluate the SAME formula text (shared fragments).
+    # 100 TB: two scans + one broadcast of a 1-row coefficient frame;
+    # adding IRLS steps adds scans, never shuffle width.
+    ev = table(spark, sf_dir, "events")
+    b = ev.where(F.col("value").isNotNull()).selectExpr(
+        "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)/100 AS x",
+        "CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y",
+        "CAST(value AS DECIMAL(18,2)) AS vd",
+    )
+    b = b.localCheckpoint(eager=False)  # feeds both IRLS rounds
+    m = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("vd").alias("svd"),
+        F.sum(F.col("vd") * F.col("vd")).alias("svv"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("bigint").alias("syn"),
+        F.sum(F.when(F.col("y") == 1.0, F.col("vd"))).alias("svp"),
+    )
+    s1 = m.selectExpr(*[e.strip() for e in _split_top_level(_LOGR_S1)])
+    b1f = s1.selectExpr(*[e.strip() for e in _split_top_level(_LOGR_B1)])
+    r2 = b.crossJoin(F.broadcast(b1f)).selectExpr(
+        "x", "y", "b0", "b1", "n_b", "1/(1 + exp(-(b0 + b1*x))) AS p"
+    )
+    m2 = r2.groupBy("b0", "b1", "n_b").agg(
+        F.expr("sum(p*(1-p))").alias("sw"),
+        F.expr("sum(p*(1-p)*x)").alias("swx"),
+        F.expr("sum(p*(1-p)*x*x)").alias("swxx"),
+        F.expr("sum(y-p)").alias("h0"),
+        F.expr("sum(x*(y-p))").alias("h1"),
+    )
+    return m2.selectExpr(
+        "n_b AS n_rows", *[e.strip() for e in _split_top_level(_LOGR_FINAL)]
+    )
