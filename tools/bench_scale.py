@@ -419,6 +419,38 @@ def q_kendall_scale(ev):
     return kendall_tau_b(e, "value", "yb", [0, 1, 2, 3])
 
 
+def q_kruskal_scale(ev):
+    # k-group generalization of the mann-whitney lane: contingency agg
+    # + one prefix sum + a support-sized rank-map join; work after the
+    # first groupBy ∝ |value support|·k.
+    from trembita_spark.operators.stats import kruskal_wallis
+
+    return kruskal_wallis(ev, "value", (F.col("user_id") % 4).cast("int"))
+
+
+def q_kaplan_meier_scale(ev):
+    # one subject-key agg, then everything is support-sized (distinct
+    # whole-day durations): two prefix sums on the level frame.
+    from trembita_spark.operators.stats import kaplan_meier
+
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("entry_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    pu = per.select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.datediff(F.to_date("p_ts"), F.to_date("entry_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("entry_ts")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    return kaplan_meier(pu, "t", "obs")
+
+
 def q_corpus_pipeline(docs, budget):
     # the end-to-end corpus-build chain (closest shape to the real
     # 100 TB workload): exact-dedup keep-first → quality policy
@@ -571,6 +603,14 @@ def main():
         "kendall": (
             lambda: q_kendall_scale(ev1).collect(),
             lambda: q_kendall_scale(ev8).collect(),
+        ),
+        "kruskal": (
+            lambda: q_kruskal_scale(ev1).collect(),
+            lambda: q_kruskal_scale(ev8).collect(),
+        ),
+        "kaplan_meier": (
+            lambda: q_kaplan_meier_scale(ev1).collect(),
+            lambda: q_kaplan_meier_scale(ev8).collect(),
         ),
         "corpus_pipeline": (
             lambda: q_corpus_pipeline(doc1, 300_000).count(),

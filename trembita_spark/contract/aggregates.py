@@ -2692,8 +2692,9 @@ def q_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (
       SELECT CAST(sum(n) AS BIGINT) AS n_tot,
-             CAST(sum(CASE WHEN n > 1 THEN n * n * n - n ELSE 0 END) AS BIGINT)
-               AS tie3
+             CAST(sum(CASE WHEN n > 1
+                      THEN CAST(n AS HUGEINT) * n * n - n ELSE 0 END)
+                  AS HUGEINT) AS tie3
       FROM c
     )
     SELECT k, n_tot,
@@ -2702,7 +2703,8 @@ def q_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((3.0 * s_term / CAST(n_tot * (n_tot + 1) AS DOUBLE)
                   - CAST(3 * (n_tot + 1) AS DOUBLE))
                  / (1.0 - CAST(tie3 AS DOUBLE)
-                          / CAST(n_tot * n_tot * n_tot - n_tot AS DOUBLE)),
+                          / CAST(CAST(n_tot AS HUGEINT) * n_tot * n_tot
+                                 - n_tot AS DOUBLE)),
                  6) AS h_corrected
     FROM gs CROSS JOIN t
     """,

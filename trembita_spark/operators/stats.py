@@ -405,13 +405,18 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: Column) -> DataFram
             / F.col("n_g").cast("double")
         ).alias("s_term"),
     )
+    # tie moments and N³ live in the decimal(38,0) lane: a single value
+    # holding ~2.1M rows (or N beyond it) overflows n³ in bigint — seen
+    # live at the 32× sweep (N = 3.2e6).
     tot = c.agg(
         F.sum("n").cast("bigint").alias("n_tot"),
         F.sum(
             F.when(
-                F.col("n") > 1, F.col("n") * F.col("n") * F.col("n") - F.col("n")
-            ).otherwise(F.lit(0))
-        ).cast("bigint").alias("tie3"),
+                F.col("n") > 1,
+                dec(F.col("n")) * dec(F.col("n")) * dec(F.col("n"))
+                - dec(F.col("n")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("tie3"),
     )
     z = gs.crossJoin(F.broadcast(tot))
     nd = F.col("n_tot")
@@ -421,7 +426,7 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: Column) -> DataFram
         - (3 * (nd + 1)).cast("double")
     )
     corr = F.lit(1.0) - F.col("tie3").cast("double") / (
-        nd * nd * nd - nd
+        dec(nd) * dec(nd) * dec(nd) - dec(nd)
     ).cast("double")
     return z.select(
         "k",
