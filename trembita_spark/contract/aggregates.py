@@ -3126,3 +3126,86 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m2.selectExpr(
         "n_b AS n_rows", *[e.strip() for e in _split_top_level(_LOGR_FINAL)]
     )
+
+
+@register(
+    "q_stat_bartlett",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ),
+    v AS (
+      SELECT n_i,
+             (s2 - s1 * s1 / CAST(n_i AS DOUBLE)) / CAST(n_i - 1 AS DOUBLE)
+               AS var_i
+      FROM g WHERE n_i > 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_i) AS BIGINT) AS n_tot,
+             sum(CAST(n_i - 1 AS DOUBLE) * var_i) AS sp_num,
+             sum(CAST(n_i - 1 AS DOUBLE) * ln(var_i)) AS sln,
+             sum(1.0 / CAST(n_i - 1 AS DOUBLE)) AS sinv
+      FROM v
+    )
+    SELECT k, n_tot,
+           round(
+             (CAST(n_tot - k AS DOUBLE)
+                * ln(sp_num / CAST(n_tot - k AS DOUBLE)) - sln)
+             / (1 + (sinv - 1.0 / CAST(n_tot - k AS DOUBLE))
+                    / (3 * CAST(k - 1 AS DOUBLE))),
+             6) AS bartlett_stat
+    FROM s
+    """,
+)
+def q_stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bartlett's test for equal variances across the five event_type
+    # arms: per-group EXACT decimal moments (n, Σv, Σv²) → unbiased
+    # group variances as fixed double trees, then the classic
+    # correction-factor statistic. The k-row rollup sums per-group
+    # ln-terms in engine order, so the statistic rounds to 6 decimals
+    # both sides (parity rule 5); everything upstream is exact or a
+    # shared expression tree. Complements q_stat_levene (which tests
+    # the same hypothesis robustly); Bartlett is the likelihood-ratio
+    # version. 100 TB: one partial-agg scan, k rows out.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vd = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd * vd).cast("double").alias("s2"),
+    )
+    v = g.where(F.col("n_i") > 1).select(
+        "n_i",
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_i").cast("double"))
+            / (F.col("n_i") - 1).cast("double")
+        ).alias("var_i"),
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("n_tot"),
+        F.sum((F.col("n_i") - 1).cast("double") * F.col("var_i")).alias("sp_num"),
+        F.sum((F.col("n_i") - 1).cast("double") * F.log(F.col("var_i"))).alias("sln"),
+        F.sum(F.lit(1.0) / (F.col("n_i") - 1).cast("double")).alias("sinv"),
+    )
+    nk = (F.col("n_tot") - F.col("k")).cast("double")
+    return s.select(
+        "k",
+        "n_tot",
+        F.round(
+            (nk * F.log(F.col("sp_num") / nk) - F.col("sln"))
+            / (
+                1
+                + (F.col("sinv") - F.lit(1.0) / nk)
+                / (3 * (F.col("k") - 1).cast("double"))
+            ),
+            6,
+        ).alias("bartlett_stat"),
+    )
