@@ -3209,3 +3209,78 @@ def q_stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bartlett_stat"),
     )
+
+
+@register(
+    "q_stat_cochran_q",
+    oracle="""
+    WITH ones AS (
+      SELECT DISTINCT user_id, event_type
+      FROM events WHERE value > 100
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS c_j FROM ones GROUP BY event_type
+    ),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS r_i FROM ones GROUP BY user_id
+    ),
+    sc AS (
+      SELECT CAST(sum(c_j) AS BIGINT) AS t,
+             CAST(sum(CAST(c_j AS HUGEINT) * CAST(c_j AS HUGEINT))
+                  AS HUGEINT) AS sc2
+      FROM c
+    ),
+    sr AS (
+      SELECT CAST(sum(CAST(r_i AS HUGEINT) * CAST(r_i AS HUGEINT))
+                  AS HUGEINT) AS sr2
+      FROM r
+    ),
+    nb AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_blocks FROM events
+    )
+    SELECT CAST(5 AS BIGINT) AS k, n_blocks, t,
+           CAST(4 AS DOUBLE)
+             * CAST(5 * sc2 - CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                    AS DOUBLE)
+             / CAST(5 * CAST(t AS HUGEINT) - sr2 AS DOUBLE) AS q_stat
+    FROM sc CROSS JOIN sr CROSS JOIN nb
+    """,
+)
+def q_stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cochran's Q over binary repeated measures: blocks = users,
+    # treatments = the 5 event types (fixed k — an absent (user, type)
+    # cell IS a measured 0, so every block is complete by construction),
+    # response = "user has at least one event of that type with
+    # value > 100". Q = (k-1)·[k·ΣC_j² − T²] / (k·T − ΣR_i²) — column
+    # totals, row totals, and their squares are EXACT integers in the
+    # decimal lane, so Q is one double division with NO rounding
+    # (parity rule 2). All-zero blocks drop out of every moment
+    # algebraically — no dense user×type materialization needed. 100 TB:
+    # one distinct on the 1-cells + two tiny aggs; shuffle ∝ distinct
+    # (user, type) pairs.
+    ev = table(spark, sf_dir, "events")
+    ones = ev.where(F.col("value") > 100).select("user_id", "event_type").distinct()
+    ones = ones.localCheckpoint(eager=False)  # feeds both marginals
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact lane
+    c = ones.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c_j"))
+    r = ones.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("r_i"))
+    sc = c.agg(
+        F.sum("c_j").cast("bigint").alias("t"),
+        F.sum(dec(F.col("c_j")) * dec(F.col("c_j"))).cast("decimal(38,0)").alias("sc2"),
+    )
+    sr = r.agg(
+        F.sum(dec(F.col("r_i")) * dec(F.col("r_i"))).cast("decimal(38,0)").alias("sr2")
+    )
+    nb = ev.agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("n_blocks"))
+    z = sc.crossJoin(F.broadcast(sr)).crossJoin(F.broadcast(nb))
+    t = F.col("t")
+    return z.select(
+        F.lit(5).cast("bigint").alias("k"),
+        "n_blocks",
+        "t",
+        (
+            F.lit(4.0)
+            * (5 * F.col("sc2") - dec(t) * dec(t)).cast("double")
+            / (5 * dec(t) - F.col("sr2")).cast("double")
+        ).alias("q_stat"),
+    )
