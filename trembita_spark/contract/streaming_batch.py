@@ -2161,3 +2161,128 @@ def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("purch_ts").isNotNull(), 1).otherwise(0).alias("obs"),
     )
     return kaplan_meier(pu, "t", "obs")
+
+
+@register(
+    "q_ts_yule_walker",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    g AS (
+      SELECT CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dense
+    ),
+    lags AS (SELECT unnest(generate_series(1, 2)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(sum(a.x * bb.x) AS BIGINT) AS sab,
+             CAST(sum(a.x) AS BIGINT) AS sa,
+             CAST(sum(bb.x) AS BIGINT) AS sb,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM lags l
+      JOIN dense a ON true
+      JOIN dense bb ON bb.hr = a.hr + l.lag
+      GROUP BY 1
+    ),
+    rk AS (
+      SELECT
+        max(CASE WHEN lag = 1 THEN
+          (sab - (CAST(s AS DOUBLE) / n) * sa - (CAST(s AS DOUBLE) / n) * sb
+               + nk * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+          / (sxx - 2 * (CAST(s AS DOUBLE) / n) * s
+                 + n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        END) AS r1,
+        max(CASE WHEN lag = 2 THEN
+          (sab - (CAST(s AS DOUBLE) / n) * sa - (CAST(s AS DOUBLE) / n) * sb
+               + nk * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+          / (sxx - 2 * (CAST(s AS DOUBLE) / n) * s
+                 + n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        END) AS r2,
+        CAST(max(n) AS BIGINT) AS n
+      FROM pairs CROSS JOIN g
+    )
+    SELECT n, r1, r2,
+           r1 * (1 - r2) / (1 - r1 * r1) AS phi1,
+           (r2 - r1 * r1) / (1 - r1 * r1) AS phi2,
+           1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
+             - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2 AS resid_ratio
+    FROM rk
+    """,
+)
+def q_ts_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AR(2) fit of the hourly event-count series by Yule-Walker:
+    # autocorrelations r1, r2 from q_ts_autocorr's exact-integer moment
+    # lane (densified hour spine, closed-form centered cross-moments),
+    # then phi1 = r1(1-r2)/(1-r1²), phi2 = (r2-r1²)/(1-r1²) and the
+    # innovation-variance ratio 1 - phi1·r1 - phi2·r2 — every double is
+    # a fixed expression tree over exact sums, bit-identical both
+    # engines, NO rounding (parity rule 2). 100 TB: the one fact-table
+    # groupBy; the spine work is calendar-bounded.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    g = dense.agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.range(1, 3).select(F.col("id").alias("lag"))
+    a = dense.select(F.col("hr").alias("hr_a"), F.col("x").alias("x_a"))
+    b2 = dense.select(F.col("hr").alias("hr_b"), F.col("x").alias("x_b"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(b2, F.col("hr_b") == F.col("hr_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("x_a") * F.col("x_b")).alias("sab"),
+            F.sum("x_a").alias("sa"),
+            F.sum("x_b").alias("sb"),
+            F.count(F.lit(1)).alias("nk"),
+        )
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    acf = (
+        F.col("sab") - m * F.col("sa") - m * F.col("sb") + F.col("nk") * m * m
+    ) / (
+        F.col("sxx") - 2 * m * F.col("s") + F.col("n") * m * m
+    )
+    rk = (
+        pairs.crossJoin(F.broadcast(g))
+        .agg(
+            F.max(F.when(F.col("lag") == 1, acf)).alias("r1"),
+            F.max(F.when(F.col("lag") == 2, acf)).alias("r2"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return rk.select(
+        "n", "r1", "r2",
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        (1 - phi1 * r1 - phi2 * r2).alias("resid_ratio"),
+    )
