@@ -3287,3 +3287,71 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ml_knn",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding, {_NORM_SQL} AS norm FROM embeddings
+    ),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id, a.label,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON b.vec_id < 8 AND a.vec_id >= 8
+    ),
+    nn AS (
+      SELECT query_id, vec_id, label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
+        FROM scored
+      ) WHERE r <= 5
+    ),
+    v AS (
+      SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+      FROM nn GROUP BY query_id, label
+    ),
+    p AS (
+      SELECT query_id, label AS label_pred, votes FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY votes DESC, label) AS r
+        FROM v
+      ) WHERE r = 1
+    )
+    SELECT p.query_id, q.label AS label_true, p.label_pred, p.votes
+    FROM p JOIN embeddings q ON q.vec_id = p.query_id
+    """,
+)
+def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-nearest-neighbor classifier (k=5, exact cosine) for the 8 probe
+    # vectors against the vec_id >= 8 corpus: cosine_topk's broadcast-
+    # query scan (corpus never shuffles), neighbor labels joined back,
+    # majority vote with the deterministic (votes DESC, label) tie
+    # break. Integer votes; cosine uses the contract's fixed double
+    # tree. 100 TB: this is the exact-verification arm — the IVF/PQ
+    # keys are the approximate serving path for the same shape.
+    from trembita_spark.operators import similarity as S2
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    nn = S2.cosine_topk(corpus, queries, k=5)
+    lab = emb.select("vec_id", "label")
+    votes = (
+        nn.join(lab, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("label_pred"), "votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label_true")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", "label_true", "label_pred", "votes"
+    )
