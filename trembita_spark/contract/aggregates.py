@@ -3284,3 +3284,70 @@ def q_stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (5 * dec(t) - F.col("sr2")).cast("double")
         ).alias("q_stat"),
     )
+
+
+@register(
+    "q_stat_mcnemar",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' AND value > 100
+                 THEN 1 ELSE 0 END) AS x,
+             max(CASE WHEN event_type = 'purchase' AND value > 100
+                 THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+      FROM per
+    )
+    SELECT n_users, b, c,
+           CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+             AS chi2,
+           CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+             / CAST(b + c AS DOUBLE) AS chi2_cc
+    FROM s
+    """,
+)
+def q_stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # McNemar's test on naturally paired binary outcomes: per user,
+    # x = "has a click with value > 100", y = "has a purchase with
+    # value > 100". Only the discordant cells matter: chi2 = (b-c)²/
+    # (b+c), plus the Edwards continuity-corrected variant — every
+    # moment is an exact integer from ONE user-key aggregate, and the
+    # two statistics are single double divisions, NO rounding (parity
+    # rule 2). 100 TB: one conditional-max agg on the user key + a
+    # scalar rollup.
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("value") > 100), 1)
+            .otherwise(0)
+        ).alias("x"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 100), 1)
+            .otherwise(0)
+        ).alias("y"),
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return s.select(
+        "n_users",
+        "b",
+        "c",
+        (((b - c) * (b - c)).cast("double") / (b + c).cast("double")).alias("chi2"),
+        (
+            ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double")
+            / (b + c).cast("double")
+        ).alias("chi2_cc"),
+    )
