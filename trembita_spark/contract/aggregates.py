@@ -3351,3 +3351,69 @@ def q_stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (b + c).cast("double")
         ).alias("chi2_cc"),
     )
+
+
+@register(
+    "q_agg_theil",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx_g,
+             sum(CAST(o_totalprice AS DOUBLE)
+                 * ln(CAST(o_totalprice AS DOUBLE))) AS sxlx_g
+      FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(sx_g) AS sx
+      FROM g
+    ),
+    w AS (
+      SELECT n, sx,
+             sum((sx_g / sx) * (sxlx_g / sx_g - ln(sx_g / n_g))) AS t_within,
+             sum((sx_g / sx) * ln((sx_g / n_g) / (sx / n))) AS t_between
+      FROM g CROSS JOIN t GROUP BY n, sx
+    )
+    SELECT n,
+           round(t_within, 6) AS theil_within,
+           round(t_between, 6) AS theil_between,
+           round(t_within + t_between, 6) AS theil_total
+    FROM w
+    """,
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil T inequality index of order prices with its exact
+    # between/within decomposition across the 5 order priorities:
+    # per-group moments (n_g, exact decimal Σx, float Σ x·ln x), then
+    # T_g = Σxlnx/Σx − ln(μ_g), share-weighted within term, and the
+    # between term Σ s_g·ln(μ_g/μ) — total = within + between by the
+    # decomposition identity (both reported, so the identity is
+    # oracle-checked). Per-row ln and the k-term rollups are libm/
+    # engine-order sensitive → round-6 (parity rule 5). 100 TB: one
+    # partial-agg scan, 5 rows after.
+    od = table(spark, sf_dir, "orders")
+    xd = F.col("o_totalprice").cast("double")
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sx_g"),
+        F.sum(xd * F.log(xd)).alias("sxlx_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"), F.sum("sx_g").alias("sx")
+    )
+    j = g.crossJoin(F.broadcast(t))
+    mu_g = F.col("sx_g") / F.col("n_g")
+    mu = F.col("sx") / F.col("n")
+    share = F.col("sx_g") / F.col("sx")
+    w = j.groupBy("n", "sx").agg(
+        F.sum(share * (F.col("sxlx_g") / F.col("sx_g") - F.log(mu_g))).alias(
+            "t_within"
+        ),
+        F.sum(share * F.log(mu_g / mu)).alias("t_between"),
+    )
+    return w.select(
+        "n",
+        F.round(F.col("t_within"), 6).alias("theil_within"),
+        F.round(F.col("t_between"), 6).alias("theil_between"),
+        F.round(F.col("t_within") + F.col("t_between"), 6).alias("theil_total"),
+    )
