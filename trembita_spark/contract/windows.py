@@ -800,3 +800,97 @@ def q_window_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med2",
         (F.element_at(ds, nlo) + F.element_at(ds, nhi)).alias("mad2"),
     )
+
+
+@register(
+    "q_window_hampel",
+    oracle="""
+    WITH arrs AS (
+      SELECT event_id, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100,
+             list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id, v100, list_sort(arr) AS s, len(arr) AS n
+      FROM arrs
+    ),
+    md AS (
+      SELECT event_id, user_id, v100, s, n,
+             s[CAST(floor((n + 1) / 2) AS BIGINT)]
+           + s[CAST(floor(n / 2) + 1 AS BIGINT)] AS med2
+      FROM m
+    ),
+    dv AS (
+      SELECT event_id, user_id, v100, n, med2,
+             list_sort(list_transform(s, x -> abs(2 * x - med2))) AS ds
+      FROM md
+    ),
+    mm AS (
+      SELECT event_id, user_id, v100, med2,
+             ds[CAST(floor((n + 1) / 2) AS BIGINT)]
+           + ds[CAST(floor(n / 2) + 1 AS BIGINT)] AS mad2
+      FROM dv
+    )
+    SELECT event_id, user_id, 2 * v100 AS v2, med2, mad2,
+           20000 * abs(2 * v100 - med2) > 44478 * mad2 AS is_outlier,
+           CASE WHEN 20000 * abs(2 * v100 - med2) > 44478 * mad2
+                THEN med2 ELSE 2 * v100 END AS filt2
+    FROM mm
+    """,
+)
+def q_window_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hampel outlier filter on q_window_rolling_mad's all-integer lane:
+    # a point is an outlier when |x − med| > 3·1.4826·MAD over the
+    # trailing 5-row frame. In the doubled-cent lane that inequality
+    # scales to the EXACT INTEGER comparison
+    # 20000·|2·v100 − med2| > 44478·mad2 (×4 for the doubled lanes,
+    # ×10⁴ to clear the 1.4826 consistency constant) — so the flag, the
+    # robust replacement (median when flagged), and every intermediate
+    # are integers: parity rule 1, no floats anywhere. Window
+    # partitions on user_id — data-cardinality, audit-safe; O(frame)
+    # state per row.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    arr = F.array_sort(F.collect_list(v100).over(w))
+    n = F.size(arr)
+    lo = F.floor((n + 1) / 2).cast("int")
+    hi = (F.floor(n / 2) + 1).cast("int")
+    med2 = F.element_at(arr, lo) + F.element_at(arr, hi)
+    x = ev.select(
+        "event_id",
+        "user_id",
+        v100.alias("v100"),
+        arr.alias("s"),
+        n.alias("n"),
+        med2.alias("med2"),
+    )
+    ds = F.array_sort(F.transform("s", lambda v: F.abs(2 * v - F.col("med2"))))
+    nlo = F.floor((F.col("n") + 1) / 2).cast("int")
+    nhi = (F.floor(F.col("n") / 2) + 1).cast("int")
+    mm = x.select(
+        "event_id",
+        "user_id",
+        "v100",
+        "med2",
+        (F.element_at(ds, nlo) + F.element_at(ds, nhi)).alias("mad2"),
+    )
+    dev = 20000 * F.abs(2 * F.col("v100") - F.col("med2"))
+    flag = dev > 44478 * F.col("mad2")
+    return mm.select(
+        "event_id",
+        "user_id",
+        (2 * F.col("v100")).alias("v2"),
+        "med2",
+        "mad2",
+        flag.alias("is_outlier"),
+        F.when(flag, F.col("med2")).otherwise(2 * F.col("v100")).alias("filt2"),
+    )
