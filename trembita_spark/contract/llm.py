@@ -3355,3 +3355,81 @@ def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(truth, "query_id").select(
         "query_id", "label_true", "label_pred", "votes"
     )
+
+
+@register(
+    "q_eval_ndcg",
+    oracle=f"""
+    WITH approx AS ({_IVF_ORACLE}),
+    n AS (SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings),
+    ex_scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id, CAST(4 - r AS BIGINT) AS rel, r FROM (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS r
+        FROM ex_scored
+      ) WHERE r <= 3
+    ),
+    dcg AS (
+      SELECT a.query_id,
+             sum(CAST(COALESCE(e.rel, 0) AS DOUBLE)
+                 / log2(CAST(a.rank + 1 AS DOUBLE))) AS dcg
+      FROM approx a LEFT JOIN exact e
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY a.query_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             sum(CAST(rel AS DOUBLE) / log2(CAST(r + 1 AS DOUBLE))) AS idcg
+      FROM exact GROUP BY query_id
+    )
+    SELECT d.query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+    """,
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking-quality evaluation AS A QUERY: NDCG@3 of the IVF
+    # approximate retrieval (q_similarity_ivf's nprobe=2 path) against
+    # the exact cosine ranking — graded relevance rel = 4 − exact_rank
+    # for the true top 3, DCG over the approximate positions, IDCG from
+    # the exact order (descending rel, so it IS the ideal). Per-query
+    # rows keep the eval auditable; log2 is libm → round-6 (parity
+    # rule 5). 100 TB: both arms are the existing banded/broadcast
+    # retrieval shapes plus two query-cardinality joins — the eval
+    # costs no more than the retrieval it grades.
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = S.ivf_topk(emb, queries, k=3, nprobe=2)
+    ex = S.cosine_topk(emb, queries, k=3)
+    exact = ex.select(
+        "query_id", "vec_id", (4 - F.col("rank")).cast("bigint").alias("rel"),
+        F.col("rank").alias("r"),
+    )
+    dcg = (
+        approx.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+                / F.log2((F.col("rank") + 1).cast("double"))
+            ).alias("dcg")
+        )
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(
+            F.col("rel").cast("double") / F.log2((F.col("r") + 1).cast("double"))
+        ).alias("idcg")
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.round(F.col("dcg"), 6).alias("dcg"),
+        F.round(F.col("idcg"), 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
