@@ -1024,6 +1024,10 @@ def test_no_key_degrades_to_cartesian(spark):
         # a handful of query vectors / 5 stations by construction
         "q_similarity_topk", "q_similarity_mips", "q_fn_geo_nearest",
         "q_fn_geo_knn",
+        # kNN classify / NDCG eval: both arms are cosine_topk's
+        # broadcast-queries scan (8 probe vectors, `Filter (vec_id < 8)`
+        # build side) — the q_similarity_topk shape reused
+        "q_ml_knn", "q_eval_ndcg",
         # k-bounded seed/codebook frames: the BNLJ build side is the
         # k=8 seed-vector / codebook-training frame (plan shows
         # `Filter (vec_id < 8)` over the embeddings scan) — bounded by
