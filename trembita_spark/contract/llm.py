@@ -3433,3 +3433,52 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("idcg"), 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+@register(
+    "q_eval_recall_at_k",
+    oracle=f"""
+    WITH approx AS ({_IVF_ORACLE}),
+    n AS (SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings),
+    ex_scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
+        FROM ex_scored
+      ) WHERE r <= 3
+    )
+    SELECT e.query_id,
+           CAST(count(a.vec_id) AS BIGINT) AS hits,
+           CAST(count(a.vec_id) AS DOUBLE) / 3 AS recall_at_3
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q_eval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@3 of the IVF nprobe=2 retrieval against the exact cosine
+    # top-3, per query: hits = |approx ∩ exact| is an exact integer
+    # (no float compare anywhere — membership is by id), recall one
+    # double division. The companion to q_eval_ndcg's graded metric;
+    # together they make retrieval quality a first-class auditable
+    # query. 100 TB: the two retrieval arms plus one query-cardinality
+    # join.
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = S.ivf_topk(emb, queries, k=3, nprobe=2).select(
+        "query_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    exact = S.cosine_topk(emb, queries, k=3).select("query_id", "vec_id")
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("hits"),
+            (F.count("__hit").cast("double") / 3).alias("recall_at_3"),
+        )
+    )
