@@ -3417,3 +3417,58 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t_between"), 6).alias("theil_between"),
         F.round(F.col("t_within") + F.col("t_between"), 6).alias("theil_total"),
     )
+
+
+@register(
+    "q_stat_proportion_z",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN event_type = 'click' AND value > 100
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2 AS diff,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / n1 + 1.0 / n2)) AS z_stat
+    FROM s
+    """,
+)
+def q_stat_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-proportion z-test with pooled variance: P(value > 100) in the
+    # purchase arm vs the click arm. All four cell counts are exact
+    # integers from ONE conditional-sum scan; diff and z are single
+    # fixed double trees — bit-identical both engines, NO rounding
+    # (parity rule 2). The A/B-testing workhorse beside q_stat_ttest
+    # (means) and q_stat_mcnemar (paired). 100 TB: one partial-agg
+    # scan, one row out.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    hi = F.col("value") > 100
+    s = ev.agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is_p & hi, 1).otherwise(0)).cast("bigint").alias("x1"),
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is_c & hi, 1).otherwise(0)).cast("bigint").alias("x2"),
+    )
+    n1, x1, n2, x2 = F.col("n1"), F.col("x1"), F.col("n2"), F.col("x2")
+    p1 = x1.cast("double") / n1
+    p2 = x2.cast("double") / n2
+    pp = (x1 + x2).cast("double") / (n1 + n2).cast("double")
+    return s.select(
+        "n1", "x1", "n2", "x2",
+        (p1 - p2).alias("diff"),
+        (
+            (p1 - p2)
+            / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+        ).alias("z_stat"),
+    )
