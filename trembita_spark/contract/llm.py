@@ -3482,3 +3482,67 @@ def q_eval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("__hit").cast("double") / 3).alias("recall_at_3"),
         )
     )
+
+
+def _ivf_recall_arm_sql(np_: int) -> str:
+    # one sweep arm: the shared IVF oracle re-probed at nprobe=np_
+    # (string-rewriting the probe cutoff, the q_ml_ridge technique),
+    # intersected by id with the exact top-3.
+    return f"""
+    SELECT CAST({np_} AS BIGINT) AS nprobe,
+           CAST(count(a.vec_id) AS BIGINT) AS hits,
+           CAST(count(a.vec_id) AS DOUBLE) / (3 * 8) AS recall
+    FROM exact e LEFT JOIN ({_IVF_ORACLE.replace("r <= 2", f"r <= {np_}")}) a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    """
+
+
+@register(
+    "q_eval_ivf_sweep",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings),
+    ex_scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
+        FROM ex_scored
+      ) WHERE r <= 3
+    )
+    {_ivf_recall_arm_sql(1)}
+    UNION ALL {_ivf_recall_arm_sql(2)}
+    UNION ALL {_ivf_recall_arm_sql(3)}
+    """,
+)
+def q_eval_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The IVF operating-point curve: overall recall@3 at nprobe = 1, 2,
+    # 3 as ONE unioned query — the probe-count/quality trade-off a
+    # serving team reads before picking a config. Hits are exact
+    # integer id-intersections (24 = 8 queries × top-3 denominator);
+    # the three arms share the centroid build and the exact arm. 100 TB
+    # posture: each arm is the banded IVF shape; the sweep multiplies
+    # probe work, never corpus shuffles.
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(emb, queries, k=3).select("query_id", "vec_id")
+    exact = exact.localCheckpoint(eager=False)  # shared by all three arms
+    arms = []
+    for np_ in (1, 2, 3):
+        approx = S.ivf_topk(emb, queries, k=3, nprobe=np_).select(
+            "query_id", "vec_id", F.lit(1).alias("__hit")
+        )
+        arms.append(
+            exact.join(approx, ["query_id", "vec_id"], "left").agg(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.count("__hit").cast("bigint").alias("hits"),
+                (F.count("__hit").cast("double") / (3 * 8)).alias("recall"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
