@@ -3472,3 +3472,80 @@ def q_stat_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
         ).alias("z_stat"),
     )
+
+
+# Shared Poisson-IRLS formula text (identical both engines). With the
+# single binary regressor, BOTH rounds are closed-form over the four
+# exact integers (n0, n1, sy0, sy1): step 1 (beta=0, mu=1) and step 2
+# (mu constant within each x-group) need no per-row float sums at all.
+_POIS_B1 = (
+    "n0, n1, sy0, sy1, "
+    "(sy0 - n0) / n0 AS b0, "
+    "((n0 + n1) * (sy1 - n1) - n1 * (sy0 + sy1 - n0 - n1)) / (n0 * n1) AS b1"
+)
+_POIS_MU = (
+    "n0, n1, sy0, sy1, b0, b1, "
+    "exp(b0) AS mu0, exp(b0 + b1) AS mu1"
+)
+_POIS_B2 = (
+    "CAST(n0 + n1 AS BIGINT) AS n_cells, "
+    "round(b0 + (n1 * mu1 * (sy0 - n0 * mu0 + sy1 - n1 * mu1)"
+    " - n1 * mu1 * (sy1 - n1 * mu1)) / (n0 * mu0 * n1 * mu1), 6) AS b0_fit, "
+    "round(b1 + (-(n1 * mu1) * (sy0 - n0 * mu0 + sy1 - n1 * mu1)"
+    " + (n0 * mu0 + n1 * mu1) * (sy1 - n1 * mu1)) / (n0 * mu0 * n1 * mu1), 6)"
+    " AS b1_fit"
+)
+
+
+@register(
+    "q_ml_poisson",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y,
+             CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS x
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(sum(CASE WHEN x = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN x = 0 THEN y ELSE 0 END) AS DOUBLE) AS sy0,
+             CAST(sum(CASE WHEN x = 1 THEN y ELSE 0 END) AS DOUBLE) AS sy1
+      FROM d
+    ),
+    s1 AS (SELECT {_POIS_B1} FROM m),
+    s2 AS (SELECT {_POIS_MU} FROM s1)
+    SELECT {_POIS_B2} FROM s2
+    """,
+)
+def q_ml_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Poisson regression with log link — daily events per (user, day) ~
+    # weekend indicator — by two IRLS rounds. With one binary
+    # regressor, BOTH Newton steps are closed-form over four exact
+    # integer cells (n0, n1, sy0, sy1): step 1 because mu = 1
+    # everywhere at beta = 0, step 2 because mu is constant within
+    # each x-group — so unlike q_ml_logreg there are no per-row float
+    # sums anywhere. The only non-exact inputs are the two exp() calls
+    # (libm, 1-ulp cross-engine risk) → final coefficients round-6
+    # (parity rule 5). Spark dayofweek is 1..7 Sunday-first, DuckDB
+    # 0..6 — each side tests its own weekend encoding. 100 TB: one
+    # (user, day) agg + a 4-cell rollup; the fit itself is O(1).
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .withColumn(
+            "x",
+            F.when(F.dayofweek("day").isin(1, 7), 1).otherwise(0),
+        )
+    )
+    m = d.agg(
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("x") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("x") == 0, F.col("y")).otherwise(0)).cast("double").alias("sy0"),
+        F.sum(F.when(F.col("x") == 1, F.col("y")).otherwise(0)).cast("double").alias("sy1"),
+    )
+    s1 = m.selectExpr(*[e.strip() for e in _split_top_level(_POIS_B1)])
+    s2 = s1.selectExpr(*[e.strip() for e in _split_top_level(_POIS_MU)])
+    return s2.selectExpr(*[e.strip() for e in _split_top_level(_POIS_B2)])
