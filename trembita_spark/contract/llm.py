@@ -3546,3 +3546,72 @@ def q_eval_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+@register(
+    "q_text_lm_interp",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+             unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+      FROM t
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+    vc AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY w2),
+    tt AS (SELECT sum(c12) AS tb FROM bc)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(0.7 * (CAST(c12 AS DOUBLE) / c1)
+                         + 0.3 * (CAST(c2 AS DOUBLE) / tb))), 6) AS avg_nll_jm
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) JOIN vc USING (w2)
+    CROSS JOIN tt
+    GROUP BY doc_id
+    """,
+)
+def q_text_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jelinek-Mercer interpolated bigram LM perplexity — the smoothed
+    # upgrade of q_text_perplexity that never assigns zero mass:
+    # p(w2|w1) = 0.7·c12/c1 + 0.3·c2/T (bigram MLE backed off to the
+    # second-position unigram). One extra vocabulary-sized aggregate
+    # (c2 per w2) and a broadcast scalar T on top of the perplexity
+    # plan; ln-sum is merge-order float → round-6 (parity rule 5).
+    # 100 TB: still one bigram-position shuffle; both LM sides are
+    # vocabulary-sized and broadcast under AQE.
+    docs = table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)  # one corpus pass feeds LM + join
+    )
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vc = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tt = bc.agg(F.sum("c12").alias("tb"))
+    p = F.lit(0.7) * (F.col("c12").cast("double") / F.col("c1")) + F.lit(0.3) * (
+        F.col("c2").cast("double") / F.col("tb")
+    )
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .join(F.broadcast(vc), "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 6).alias("avg_nll_jm"),
+        )
+    )
