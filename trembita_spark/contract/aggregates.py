@@ -3549,3 +3549,95 @@ def q_ml_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = m.selectExpr(*[e.strip() for e in _split_top_level(_POIS_B1)])
     s2 = s1.selectExpr(*[e.strip() for e in _split_top_level(_POIS_MU)])
     return s2.selectExpr(*[e.strip() for e in _split_top_level(_POIS_B2)])
+
+
+@register(
+    "q_ml_gmm_em",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    init AS (
+      SELECT min(x) AS lo, max(x) AS hi FROM b
+    ),
+    prm AS (
+      SELECT lo + (hi - lo) / 4 AS mu1,
+             lo + 3 * (hi - lo) / 4 AS mu2,
+             ((hi - lo) / 4) * ((hi - lo) / 4) AS v0
+      FROM init
+    ),
+    e AS (
+      SELECT x, mu1, mu2, v0,
+             exp(-(x - mu1) * (x - mu1) / (2 * v0))
+               / (exp(-(x - mu1) * (x - mu1) / (2 * v0))
+                  + exp(-(x - mu2) * (x - mu2) / (2 * v0))) AS r
+      FROM b CROSS JOIN prm
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(r) AS sr, sum(r * x) AS srx, sum(r * x * x) AS srxx,
+             sum((1 - r) * x) AS sqx, sum((1 - r) * x * x) AS sqxx
+      FROM e
+    )
+    SELECT n,
+           round(sr / n, 6) AS pi1,
+           round(srx / sr, 6) AS mu1,
+           round(sqx / (n - sr), 6) AS mu2,
+           round(srxx / sr - (srx / sr) * (srx / sr), 6) AS var1,
+           round(sqxx / (n - sr) - (sqx / (n - sr)) * (sqx / (n - sr)), 6)
+             AS var2
+    FROM m
+    """,
+)
+def q_ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One EM round of a two-component 1-D Gaussian mixture on
+    # events.value — the bounded-round pattern a third time (IRLS
+    # twice, now EM): deterministic range-quartile init (exact min/max
+    # aggregates, equal initial variances so the shared normalizer
+    # cancels in the responsibility ratio), E-step responsibilities as
+    # per-row expressions over the broadcast 1-row parameter frame,
+    # M-step as one weighted-moment aggregate. Per-row exp is libm and
+    # the weighted sums merge in partial-agg order → all five updated
+    # parameters round-6 (parity rule 5). 100 TB: one init scan + one
+    # EM scan; each further round adds a scan, never shuffle width.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        F.col("value").cast("decimal(18,2)").cast("double").alias("x")
+    )
+    b = b.localCheckpoint(eager=False)  # feeds init + E-step
+    init = b.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    prm = init.select(
+        (F.col("lo") + (F.col("hi") - F.col("lo")) / 4).alias("mu1"),
+        (F.col("lo") + 3 * (F.col("hi") - F.col("lo")) / 4).alias("mu2"),
+        (((F.col("hi") - F.col("lo")) / 4) * ((F.col("hi") - F.col("lo")) / 4)).alias("v0"),
+    )
+    e = b.crossJoin(F.broadcast(prm)).selectExpr(
+        "x",
+        "exp(-(x - mu1) * (x - mu1) / (2 * v0))"
+        " / (exp(-(x - mu1) * (x - mu1) / (2 * v0))"
+        "    + exp(-(x - mu2) * (x - mu2) / (2 * v0))) AS r",
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("x")).alias("srx"),
+        F.sum(F.col("r") * F.col("x") * F.col("x")).alias("srxx"),
+        F.sum((1 - F.col("r")) * F.col("x")).alias("sqx"),
+        F.sum((1 - F.col("r")) * F.col("x") * F.col("x")).alias("sqxx"),
+    )
+    n, sr = F.col("n"), F.col("sr")
+    return m.select(
+        "n",
+        F.round(sr / n, 6).alias("pi1"),
+        F.round(F.col("srx") / sr, 6).alias("mu1"),
+        F.round(F.col("sqx") / (n - sr), 6).alias("mu2"),
+        F.round(
+            F.col("srxx") / sr - (F.col("srx") / sr) * (F.col("srx") / sr), 6
+        ).alias("var1"),
+        F.round(
+            F.col("sqxx") / (n - sr)
+            - (F.col("sqx") / (n - sr)) * (F.col("sqx") / (n - sr)),
+            6,
+        ).alias("var2"),
+    )
