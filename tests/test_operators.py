@@ -1422,3 +1422,37 @@ def test_bpe_pair_counts_hand_computed(spark):
     df = spark.createDataFrame([("a b a b",), ("b a",), ("solo",)], "text string")
     rows = [(r.t1, r.t2, r.n) for r in bpe_pair_counts(df).collect()]
     assert rows == [("a", "b", 2), ("b", "a", 2)]
+
+
+def test_betweenness_sample_path_graph(spark):
+    # Path a-b-c-d, seed a: sigma all 1; Brandes deltas c=1, b=2, d=0 —
+    # the textbook dependency-accumulation values.
+    from trembita_spark.operators.graph import betweenness_sample
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")],
+        "src string, dst string",
+    )
+    s = spark.createDataFrame([("a",)], "node string")
+    rows = sorted(
+        (r.node, r.betweenness)
+        for r in betweenness_sample(e, s, max_hops=3).collect()
+    )
+    assert rows == [("b", 2.0), ("c", 1.0), ("d", 0.0)]
+
+
+def test_betweenness_sample_diamond_split_paths(spark):
+    # Diamond a->{b,c}->d (undirected): two shortest paths to d, so
+    # sigma(d)=2 and delta(b)=delta(c)=1/2·(1+0)=0.5; d itself 0.
+    from trembita_spark.operators.graph import betweenness_sample
+
+    und = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    e = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    s = spark.createDataFrame([("a",)], "node string")
+    rows = sorted(
+        (r.node, r.betweenness)
+        for r in betweenness_sample(e, s, max_hops=3).collect()
+    )
+    assert rows == [("b", 0.5), ("c", 0.5), ("d", 0.0)]

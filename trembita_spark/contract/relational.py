@@ -2421,3 +2421,121 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
     )
     return closeness(edges, seeds, max_hops=4)
+
+
+@register(
+    "q_graph_betweenness",
+    oracle=f"""
+    WITH base AS ({_PR_EDGES_SQL}),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM base
+      UNION ALL SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    seeds AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 3),
+    l0 AS MATERIALIZED (
+      SELECT node AS seed, node, CAST(1 AS BIGINT) AS sig FROM seeds
+    ),
+    n1 AS MATERIALIZED (
+      SELECT f.seed, e.dst AS node, CAST(sum(f.sig) AS BIGINT) AS sig
+      FROM l0 f JOIN edges e ON e.src = f.node
+      GROUP BY f.seed, e.dst
+    ),
+    l1 AS MATERIALIZED (
+      SELECT * FROM n1 ANTI JOIN l0 USING (seed, node)
+    ),
+    v1 AS MATERIALIZED (
+      SELECT seed, node FROM l0 UNION ALL SELECT seed, node FROM l1
+    ),
+    n2 AS MATERIALIZED (
+      SELECT f.seed, e.dst AS node, CAST(sum(f.sig) AS BIGINT) AS sig
+      FROM l1 f JOIN edges e ON e.src = f.node
+      GROUP BY f.seed, e.dst
+    ),
+    l2 AS MATERIALIZED (
+      SELECT * FROM n2 ANTI JOIN v1 USING (seed, node)
+    ),
+    v2 AS MATERIALIZED (
+      SELECT seed, node FROM v1 UNION ALL SELECT seed, node FROM l2
+    ),
+    n3 AS MATERIALIZED (
+      SELECT f.seed, e.dst AS node, CAST(sum(f.sig) AS BIGINT) AS sig
+      FROM l2 f JOIN edges e ON e.src = f.node
+      GROUP BY f.seed, e.dst
+    ),
+    l3 AS MATERIALIZED (
+      SELECT * FROM n3 ANTI JOIN v2 USING (seed, node)
+    ),
+    d3 AS MATERIALIZED (SELECT seed, node, sig, 0.0 AS delta FROM l3),
+    c2 AS MATERIALIZED (
+      SELECT v.seed, v.node,
+             sum(CAST(v.sig AS DOUBLE) / w.sig * (1 + w.delta)) AS delta
+      FROM l2 v JOIN edges e ON e.src = v.node
+      JOIN d3 w ON w.seed = v.seed AND w.node = e.dst
+      GROUP BY v.seed, v.node
+    ),
+    d2 AS MATERIALIZED (
+      SELECT l2.seed, l2.node, l2.sig, COALESCE(c2.delta, 0.0) AS delta
+      FROM l2 LEFT JOIN c2 USING (seed, node)
+    ),
+    c1 AS MATERIALIZED (
+      SELECT v.seed, v.node,
+             sum(CAST(v.sig AS DOUBLE) / w.sig * (1 + w.delta)) AS delta
+      FROM l1 v JOIN edges e ON e.src = v.node
+      JOIN d2 w ON w.seed = v.seed AND w.node = e.dst
+      GROUP BY v.seed, v.node
+    ),
+    d1 AS MATERIALIZED (
+      SELECT l1.seed, l1.node, l1.sig, COALESCE(c1.delta, 0.0) AS delta
+      FROM l1 LEFT JOIN c1 USING (seed, node)
+    ),
+    allv AS (
+      SELECT node, delta FROM d1
+      UNION ALL SELECT node, delta FROM d2
+      UNION ALL SELECT node, delta FROM d3
+    )
+    SELECT node, round(sum(delta), 6) AS betweenness
+    FROM allv GROUP BY node
+    """,
+)
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seed-sampled, hop-capped Brandes betweenness (operators/graph.py:
+    # betweenness_sample) over the undirected customer-supplier graph:
+    # forward BFS from the 3 highest-degree seeds accumulates EXACT
+    # integer shortest-path counts per (seed, node, level); the
+    # backward pass folds delta(v) = Σ sigma_v/sigma_w·(1+delta_w)
+    # level by level — a DAG edge is exactly a frame-l → frame-l+1
+    # edge, so predecessor lists never materialize. The oracle unrolls
+    # both sweeps as MATERIALIZED CTEs (the kcore/sssp technique);
+    # successor/seed sums are engine-order floats → round-6 at the
+    # very end only (sigma stays exact throughout). Hand-checked on a
+    # path graph (b=2, c=1, d=0 — the textbook values). 100 TB: the
+    # bfs frontier shape with one co-partitioned join per backward
+    # level; cost ∝ seeds·reached, the Brandes-Pich sampling bound.
+    from trembita_spark.operators.graph import betweenness_sample
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # feeds degree + both sweeps
+    seeds = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(3)
+        .select("node")
+    )
+    return betweenness_sample(edges, seeds, max_hops=3)

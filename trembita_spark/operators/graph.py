@@ -815,3 +815,101 @@ def closeness(
             / F.col("sum_dist").cast("double")
         ).alias("closeness"),
     )
+
+
+def betweenness_sample(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Brandes betweenness centrality, seed-sampled and hop-capped:
+    forward multi-source BFS accumulates exact-integer shortest-path
+    counts sigma per (seed, node, level); the backward pass folds the
+    dependency recurrence delta(v) = Σ_successors sigma(v)/sigma(w) ·
+    (1 + delta(w)) level by level (a DAG edge is exactly a frame-l →
+    frame-l+1 edge, so no predecessor lists are materialized). Returns
+    (node, betweenness) = Σ_seeds delta over non-seed nodes, rounded to
+    6 (the successor/seed sums are engine-order floats; sigma itself is
+    exact). Sampled-seed betweenness is the standard approximation
+    (Brandes-Pich); the hop cap bounds both rounds and state.
+
+    Shape: forward = the bfs frontier loop on (seed, node) keys with a
+    sigma sum folded into the level aggregate; backward = one
+    co-partitioned join per level. Everything hash-partitions on the
+    expansion key; per-level frames are |reached| rows."""
+    l0 = (
+        seeds.select(F.col("node").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(1).cast("bigint").alias("sig"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [l0]
+    visited = l0.select("seed", "node")
+    frontier = l0
+    for _ in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"), "sig")
+            .groupBy("seed", "node")
+            .agg(F.sum("sig").cast("bigint").alias("sig"))
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("seed", "node")).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    # backward dependency accumulation
+    deep = levels[-1].select(
+        "seed", "node", "sig", F.lit(0.0).alias("delta")
+    )
+    acc = [deep] if len(levels) > 1 else []
+    nxt_lvl = deep
+    for l in range(len(levels) - 2, -1, -1):
+        cur = levels[l]
+        succ = nxt_lvl.select(
+            F.col("seed").alias("seed_w"),
+            F.col("node").alias("w"),
+            F.col("sig").alias("sig_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            cur.join(edges, cur.node == edges.src)
+            .join(
+                succ,
+                (F.col("seed") == F.col("seed_w")) & (F.col("dst") == F.col("w")),
+            )
+            .groupBy("seed", "node")
+            .agg(
+                F.sum(
+                    F.col("sig").cast("double")
+                    / F.col("sig_w").cast("double")
+                    * (1 + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        cur_d = (
+            cur.join(contrib.withColumnRenamed("delta", "__d"), ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                "sig",
+                F.coalesce(F.col("__d"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if l > 0:
+            acc.append(cur_d)
+        nxt_lvl = cur_d
+    if not acc:
+        return l0.select("node").limit(0).select(
+            "node", F.lit(0.0).alias("betweenness")
+        )
+    allv = acc[0]
+    for a in acc[1:]:
+        allv = allv.unionByName(a)
+    return (
+        allv.groupBy("node")
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    )
