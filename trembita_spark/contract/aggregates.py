@@ -3641,3 +3641,94 @@ def q_ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var2"),
     )
+
+
+@register(
+    "q_agg_trimmed_mean",
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) // 10 AS BIGINT) AS k
+      FROM pv
+    ),
+    s AS (
+      SELECT n, k,
+             CAST(sum(v * greatest(least(cum, n - k) - greatest(cum - cnt, k),
+                                   0)) AS BIGINT) AS tsum,
+             CAST(sum(CASE WHEN cum - cnt <= k AND cum >= k + 1
+                      THEN v ELSE 0 END) AS BIGINT) AS v_lo,
+             CAST(sum(CASE WHEN cum - cnt < n - k AND cum >= n - k
+                      THEN v ELSE 0 END) AS BIGINT) AS v_hi
+      FROM c CROSS JOIN t GROUP BY n, k
+    )
+    SELECT n, k,
+           CAST(tsum AS DOUBLE) / CAST((n - 2 * k) * 100 AS DOUBLE)
+             AS trimmed_mean,
+           CAST(tsum + k * v_lo + k * v_hi AS DOUBLE)
+             / CAST(n * 100 AS DOUBLE) AS winsor_mean
+    FROM s
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10%-trimmed and winsorized means of events.value, EXACT: on the
+    # value-support contingency (cent lane), one distributed prefix sum
+    # gives each value's rank interval (cum-cnt, cum]; a value
+    # contributes min(cum, n-k) - max(cum-cnt, k) occurrences to the
+    # trimmed interior, and the rank-(k+1) / rank-(n-k) boundary values
+    # are read off the same frame with interval-membership predicates
+    # (each matches exactly one row — summed, not windowed). Every
+    # moment is an exact integer; the two means are single double
+    # divisions, NO rounding (parity rule 2). The robust-location
+    # companion to q_agg_mad / q_window_hampel. 100 TB: one hash agg +
+    # one prefix sum over the value support.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    pv = ev.groupBy(v100.alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    t = pv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        (F.sum("cnt") / 10).cast("bigint").alias("k"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    n, k, cum, cnt = F.col("n"), F.col("k"), F.col("cum"), F.col("cnt")
+    interior = F.greatest(
+        F.least(cum, n - k) - F.greatest(cum - cnt, k), F.lit(0)
+    )
+    s = j.groupBy("n", "k").agg(
+        F.sum(F.col("v") * interior).cast("bigint").alias("tsum"),
+        F.sum(
+            F.when((cum - cnt <= k) & (cum >= k + 1), F.col("v")).otherwise(0)
+        ).cast("bigint").alias("v_lo"),
+        F.sum(
+            F.when((cum - cnt < n - k) & (cum >= n - k), F.col("v")).otherwise(0)
+        ).cast("bigint").alias("v_hi"),
+    )
+    return s.select(
+        "n",
+        "k",
+        (
+            F.col("tsum").cast("double")
+            / ((F.col("n") - 2 * F.col("k")) * 100).cast("double")
+        ).alias("trimmed_mean"),
+        (
+            (F.col("tsum") + F.col("k") * F.col("v_lo") + F.col("k") * F.col("v_hi"))
+            .cast("double")
+            / (F.col("n") * 100).cast("double")
+        ).alias("winsor_mean"),
+    )
