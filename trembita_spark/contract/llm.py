@@ -3615,3 +3615,61 @@ def q_text_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg(F.log(p)), 6).alias("avg_nll_jm"),
         )
     )
+
+
+@register(
+    "q_sink_wap",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sink_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Write-audit-publish: the snapshot-isolation protocol every
+    # lakehouse commit implements, demonstrated with plain directories
+    # — write the new snapshot to a STAGING path, run audits against
+    # the staged files (readers still see nothing), and only an
+    # audit-pass publishes via an atomic rename; a failed audit leaves
+    # no partial state visible. Audits here: non-empty, no NULL keys,
+    # exact row-count match against an independent recount. The
+    # returned frame reads the PUBLISHED path, so the oracle checks
+    # the full stage→audit→publish round trip. At 100 TB the rename
+    # becomes a metastore/table-format commit (Iceberg/Delta swap the
+    # pointer, same protocol); the audit pass is one scan of the new
+    # snapshot only.
+    import os
+    import shutil
+
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    out = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+    root = run_tmp("wap")
+    stage = os.path.join(root, "_staging")
+    publish = os.path.join(root, "published")
+    out.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("n_name").isNull(), 1).otherwise(0)).alias("null_keys"),
+    ).collect()[0]
+    expected = na.join(cu, cu.c_nationkey == na.n_nationkey, "left_semi").count()
+    if audit.rows == 0 or audit.null_keys != 0 or audit.rows != expected:
+        shutil.rmtree(stage, ignore_errors=True)  # failed audit: nothing publishes
+        raise AssertionError(
+            f"WAP audit failed: rows={audit.rows} expected={expected} "
+            f"null_keys={audit.null_keys}"
+        )
+    os.rename(stage, publish)  # atomic on one filesystem — the commit point
+    return spark.read.parquet(publish)
