@@ -2539,3 +2539,69 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
     )
     return betweenness_sample(edges, seeds, max_hops=3)
+
+
+@register(
+    "q_graph_eccentricity",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT src, dst FROM base
+      UNION ALL SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    seeds AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 5),
+    walk(seed, node, d) AS (
+      SELECT node, node, 0 FROM seeds
+      UNION
+      SELECT w.seed, e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 4
+    ),
+    md AS (
+      SELECT seed, node, min(d) AS d FROM walk GROUP BY seed, node
+    ),
+    per AS (
+      SELECT seed AS node,
+             CAST(count(*) AS BIGINT) AS reached,
+             CAST(max(d) AS BIGINT) AS ecc
+      FROM md GROUP BY seed
+    ),
+    dia AS (SELECT CAST(max(ecc) AS BIGINT) AS diameter_lb FROM per)
+    SELECT node, reached, ecc, diameter_lb FROM per CROSS JOIN dia
+    """,
+)
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hop-capped eccentricity (operators/graph.py: eccentricity) for
+    # the 5 highest-degree nodes plus the sampled diameter lower bound
+    # (max over seeds, broadcast back) — the standard iFUB-style seed
+    # probe for "how wide is this graph". Shares seeded_bfs with
+    # q_graph_closeness; all outputs exact integers. Oracle replays the
+    # recurrence as a recursive CTE + min(d) per (seed, node).
+    from trembita_spark.operators.graph import eccentricity
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # feeds degree + BFS levels
+    seeds = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(5)
+        .select("node")
+    )
+    return eccentricity(edges, seeds, max_hops=4)

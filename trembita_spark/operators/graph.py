@@ -764,23 +764,12 @@ def jaccard_link_prediction(
     )
 
 
-def closeness(
+def seeded_bfs(
     edges: DataFrame, seeds: DataFrame, max_hops: int = 4
 ) -> DataFrame:
-    """Capped closeness centrality for the ``seeds`` (one ``node``
-    column): per seed, a BFS to ``max_hops`` and
-    closeness = (reached − 1) / Σ dist over the reached set — the
-    classic formula restricted to the hop-capped ball (documented:
-    disconnected remainders simply don't contribute, the standard
-    Wasserman-Faust workaround without a float harmonic sum). Returns
-    (node, reached, sum_dist, closeness); every input to the one final
-    double division is an exact integer — no rounding.
-
-    Shape: the ``bfs`` frontier loop lifted to (seed, node) keys — the
-    k seeds ride the same per-level join/anti-join/eager-checkpoint
-    machinery, so the traversal costs k·BFS with identical partitioning
-    (hash on the expansion key). k is small by contract (centrality
-    probes), so the frontier blowup is bounded."""
+    """Per-seed BFS distance frame (seed, node, dist) to ``max_hops`` —
+    the ``bfs`` frontier loop lifted to (seed, node) keys; shared by
+    closeness and eccentricity."""
     dist = (
         seeds.select(F.col("node").alias("seed"))
         .distinct()
@@ -802,6 +791,27 @@ def closeness(
             nxt.select("seed", "node", F.lit(hop).alias("dist"))
         ).localCheckpoint(eager=True)
         frontier = nxt.select("seed", "node")
+    return dist
+
+
+def closeness(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Capped closeness centrality for the ``seeds`` (one ``node``
+    column): per seed, a BFS to ``max_hops`` and
+    closeness = (reached − 1) / Σ dist over the reached set — the
+    classic formula restricted to the hop-capped ball (documented:
+    disconnected remainders simply don't contribute, the standard
+    Wasserman-Faust workaround without a float harmonic sum). Returns
+    (node, reached, sum_dist, closeness); every input to the one final
+    double division is an exact integer — no rounding.
+
+    Shape: the ``bfs`` frontier loop lifted to (seed, node) keys — the
+    k seeds ride the same per-level join/anti-join/eager-checkpoint
+    machinery, so the traversal costs k·BFS with identical partitioning
+    (hash on the expansion key). k is small by contract (centrality
+    probes), so the frontier blowup is bounded."""
+    dist = seeded_bfs(edges, seeds, max_hops)
     per = dist.groupBy(F.col("seed").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("reached"),
         F.sum("dist").cast("bigint").alias("sum_dist"),
@@ -913,3 +923,20 @@ def betweenness_sample(
         allv.groupBy("node")
         .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
     )
+
+
+
+def eccentricity(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Hop-capped eccentricity per seed — max BFS distance within the
+    ``max_hops`` ball — plus the sampled diameter lower bound
+    max-over-seeds broadcast onto every row. Exact integers throughout.
+    Same k·BFS cost as ``closeness`` (shared ``seeded_bfs`` frame)."""
+    dist = seeded_bfs(edges, seeds, max_hops)
+    per = dist.groupBy(F.col("seed").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("reached"),
+        F.max("dist").cast("bigint").alias("ecc"),
+    )
+    dia = per.agg(F.max("ecc").cast("bigint").alias("diameter_lb"))
+    return per.crossJoin(F.broadcast(dia))
