@@ -3732,3 +3732,111 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * 100).cast("double")
         ).alias("winsor_mean"),
     )
+
+
+@register(
+    "q_agg_iqr_outliers",
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST((sum(cnt) + 3) // 4 AS BIGINT) AS r1,
+             CAST((3 * sum(cnt) + 3) // 4 AS BIGINT) AS r3
+      FROM pv
+    ),
+    q AS (
+      SELECT n,
+             CAST(sum(CASE WHEN cum - cnt < r1 AND cum >= r1
+                      THEN v ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN cum - cnt < r3 AND cum >= r3
+                      THEN v ELSE 0 END) AS BIGINT) AS q3
+      FROM c CROSS JOIN t GROUP BY n
+    ),
+    o AS (
+      SELECT n, q1, q3,
+             CAST(sum(CASE WHEN 2 * v < 5 * q1 - 3 * q3
+                            OR 2 * v > 5 * q3 - 3 * q1
+                      THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM c CROSS JOIN q GROUP BY n, q1, q3
+    )
+    SELECT n,
+           CAST(q1 AS DOUBLE) / 100 AS q1,
+           CAST(q3 AS DOUBLE) / 100 AS q3,
+           CAST(5 * q1 - 3 * q3 AS DOUBLE) / 200 AS fence_lo,
+           CAST(5 * q3 - 3 * q1 AS DOUBLE) / 200 AS fence_hi,
+           n_outliers
+    FROM o
+    """,
+)
+def q_agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tukey-fence outlier census, EXACT: type-1 quartiles are the
+    # boundary order statistics at ranks ceil(n/4) / ceil(3n/4), read
+    # off the value-support prefix sum with interval-membership
+    # predicates (the q_agg_trimmed_mean lane), and the fence test
+    # v < q1 − 1.5·IQR / v > q3 + 1.5·IQR doubles through to the
+    # all-integer comparison 2v < 5q1 − 3q3 / 2v > 5q3 − 3q1 — the
+    # outlier count is exact; only the reported quartiles/fences divide
+    # once into doubles (parity rule 2, no rounding). 100 TB: one hash
+    # agg + one prefix sum + one broadcast-scalar re-scan of the
+    # support frame.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    pv = ev.groupBy(v100.alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    c = c.localCheckpoint(eager=False)  # feeds quartile + census passes
+    t = pv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        ((F.sum("cnt") + 3) / 4).cast("bigint").alias("r1"),
+        ((3 * F.sum("cnt") + 3) / 4).cast("bigint").alias("r3"),
+    )
+    cum, cnt = F.col("cum"), F.col("cnt")
+    q = (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.when((cum - cnt < F.col("r1")) & (cum >= F.col("r1")), F.col("v"))
+                .otherwise(0)
+            ).cast("bigint").alias("q1"),
+            F.sum(
+                F.when((cum - cnt < F.col("r3")) & (cum >= F.col("r3")), F.col("v"))
+                .otherwise(0)
+            ).cast("bigint").alias("q3"),
+        )
+    )
+    o = (
+        c.crossJoin(F.broadcast(q))
+        .groupBy("n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    (2 * F.col("v") < 5 * F.col("q1") - 3 * F.col("q3"))
+                    | (2 * F.col("v") > 5 * F.col("q3") - 3 * F.col("q1")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+    )
+    return o.select(
+        "n",
+        (F.col("q1").cast("double") / 100).alias("q1"),
+        (F.col("q3").cast("double") / 100).alias("q3"),
+        ((5 * F.col("q1") - 3 * F.col("q3")).cast("double") / 200).alias("fence_lo"),
+        ((5 * F.col("q3") - 3 * F.col("q1")).cast("double") / 200).alias("fence_hi"),
+        "n_outliers",
+    )
