@@ -3837,3 +3837,76 @@ def q_agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((5 * F.col("q3") - 3 * F.col("q1")).cast("double") / 200).alias("fence_hi"),
         "n_outliers",
     )
+
+
+@register(
+    "q_stat_cohens_kappa",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' AND value > 100
+                 THEN 1 ELSE 0 END) AS x,
+             max(CASE WHEN event_type = 'purchase' AND value > 100
+                 THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM per
+    )
+    SELECT n, a, b, c, d,
+           CAST(a + d AS DOUBLE) / n AS p_observed,
+           (CAST((a + b) * (a + c) AS DOUBLE) + CAST((c + d) * (b + d) AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_expected,
+           (CAST(a + d AS DOUBLE) / n
+              - (CAST((a + b) * (a + c) AS DOUBLE)
+                 + CAST((c + d) * (b + d) AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1 - (CAST((a + b) * (a + c) AS DOUBLE)
+                   + CAST((c + d) * (b + d) AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+    FROM s
+    """,
+)
+def q_stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohen's kappa between two binary "raters" on the same subjects
+    # (per user: high-value click vs high-value purchase — the
+    # q_stat_mcnemar cells completed to the full 2×2): observed
+    # agreement (a+d)/n against chance agreement from the marginals,
+    # kappa = (po − pe)/(1 − pe). All four cells are exact integers
+    # from one conditional-max user agg; the kappa chain is one fixed
+    # double tree — NO rounding (parity rule 2). 100 TB: one user-key
+    # agg + a scalar rollup.
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("value") > 100), 1)
+            .otherwise(0)
+        ).alias("x"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 100), 1)
+            .otherwise(0)
+        ).alias("y"),
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 1), 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 0), 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    n, a, b, c, d = F.col("n"), F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    po = (a + d).cast("double") / n
+    pe = (
+        ((a + b) * (a + c)).cast("double") + ((c + d) * (b + d)).cast("double")
+    ) / (n.cast("double") * n.cast("double"))
+    return s.select(
+        "n", "a", "b", "c", "d",
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        ((po - pe) / (1 - pe)).alias("kappa"),
+    )
