@@ -3910,3 +3910,55 @@ def q_stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("p_expected"),
         ((po - pe) / (1 - pe)).alias("kappa"),
     )
+
+
+@register(
+    "q_agg_hoover",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx_g
+      FROM orders GROUP BY o_orderpriority
+    ),
+    d AS (
+      SELECT g.grp, g.n_g, g.sx_g,
+             sum(abs(CAST(o_totalprice AS DOUBLE) - g.sx_g / g.n_g)) AS sad
+      FROM orders o JOIN g ON o.o_orderpriority = g.grp
+      GROUP BY g.grp, g.n_g, g.sx_g
+    )
+    SELECT grp, n_g,
+           round(0.5 * sad / sx_g, 6) AS hoover
+    FROM d
+    """,
+)
+def q_agg_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hoover (Robin Hood) index per order priority — the share of total
+    # order value that would have to move to equalize orders:
+    # H = ½·Σ|x − μ|/Σx. Group means come from exact decimal sums; the
+    # per-row absolute deviations are doubles summed in partial-agg
+    # order → round-6 (parity rule 5). Completes the inequality family
+    # (gini / pareto concentration / theil). 100 TB: one group agg +
+    # one broadcast-joined deviation scan.
+    od = table(spark, sf_dir, "orders")
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sx_g"),
+    )
+    d = (
+        od.join(F.broadcast(g), od.o_orderpriority == g.grp)
+        .groupBy("grp", "n_g", "sx_g")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("o_totalprice").cast("double")
+                    - F.col("sx_g") / F.col("n_g")
+                )
+            ).alias("sad")
+        )
+    )
+    return d.select(
+        "grp",
+        "n_g",
+        F.round(F.lit(0.5) * F.col("sad") / F.col("sx_g"), 6).alias("hoover"),
+    )
