@@ -2286,3 +2286,121 @@ def q_ts_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         phi2.alias("phi2"),
         (1 - phi1 * r1 - phi2 * r2).alias("resid_ratio"),
     )
+
+
+@register(
+    "q_ts_seasonal_strength",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    w AS (
+      SELECT hr, x,
+             CAST(sum(x) OVER fr AS BIGINT) AS ws,
+             CAST(count(*) OVER fr AS BIGINT) AS wn
+      FROM dense
+      WINDOW fr AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    full_w AS (SELECT hr, x, ws FROM w WHERE wn = 25),
+    seas AS (
+      SELECT hr % 24 AS h,
+             CAST(sum(x) AS BIGINT) AS sa,
+             CAST(sum(ws) AS BIGINT) AS wsum,
+             CAST(count(*) AS BIGINT) AS n_h
+      FROM full_w GROUP BY 1
+    ),
+    rows_d AS (
+      SELECT f.x - f.ws / 25.0 AS detr,
+             f.x - f.ws / 25.0
+               - (CAST(s.sa AS DOUBLE) / s.n_h
+                  - CAST(s.wsum AS DOUBLE) / (25.0 * s.n_h)) AS resid
+      FROM full_w f JOIN seas s ON s.h = f.hr % 24
+    ),
+    v AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             sum(detr) AS sd, sum(detr * detr) AS sdd,
+             sum(resid) AS sr, sum(resid * resid) AS srr
+      FROM rows_d
+    )
+    SELECT n_rows,
+           round((sdd - sd * sd / n_rows) / n_rows, 6) AS var_detrended,
+           round((srr - sr * sr / n_rows) / n_rows, 6) AS var_resid,
+           round(greatest(0.0, 1 - ((srr - sr * sr / n_rows) / n_rows)
+                               / ((sdd - sd * sd / n_rows) / n_rows)), 6)
+             AS seasonal_strength
+    FROM v
+    """,
+)
+def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Strength of seasonality F_s = max(0, 1 − Var(residual)/
+    # Var(detrended)) on q_ts_decompose's STL-lite components — the
+    # single scalar that says "is the hour-of-day pattern real". The
+    # detrended/residual rows are the decompose expressions (exact
+    # integer inputs); their variance moments are per-row doubles
+    # summed in partial-agg order → round-6 on the three outputs
+    # (parity rule 5). Same 100 TB posture as decompose: one
+    # fact-table groupBy, calendar-sized everything after.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = spine.join(c, "hr", "left").select(
+        "hr", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    fr = Window.orderBy("hr").rowsBetween(-12, 12)
+    w = dense.select(
+        "hr",
+        "x",
+        F.sum("x").over(fr).cast("bigint").alias("ws"),
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("wn"),
+    )
+    full_w = w.where(F.col("wn") == 25).drop("wn").localCheckpoint(eager=False)
+    seas = (
+        full_w.groupBy((F.col("hr") % 24).alias("h"))
+        .agg(
+            F.sum("x").alias("sa"),
+            F.sum("ws").alias("wsum"),
+            F.count(F.lit(1)).alias("n_h"),
+        )
+    )
+    rows_d = (
+        full_w.withColumn("h", F.col("hr") % 24)
+        .join(F.broadcast(seas), "h")
+        .selectExpr(
+            "x - ws / 25.0D AS detr",
+            "x - ws / 25.0D - (CAST(sa AS DOUBLE) / n_h"
+            " - CAST(wsum AS DOUBLE) / (25.0D * n_h)) AS resid",
+        )
+    )
+    v = rows_d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("detr").alias("sd"),
+        F.sum(F.col("detr") * F.col("detr")).alias("sdd"),
+        F.sum("resid").alias("sr"),
+        F.sum(F.col("resid") * F.col("resid")).alias("srr"),
+    )
+    n = F.col("n_rows")
+    vd = (F.col("sdd") - F.col("sd") * F.col("sd") / n) / n
+    vr = (F.col("srr") - F.col("sr") * F.col("sr") / n) / n
+    return v.select(
+        "n_rows",
+        F.round(vd, 6).alias("var_detrended"),
+        F.round(vr, 6).alias("var_resid"),
+        F.round(F.greatest(F.lit(0.0), 1 - vr / vd), 6).alias("seasonal_strength"),
+    )
