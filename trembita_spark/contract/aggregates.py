@@ -3962,3 +3962,62 @@ def q_agg_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_g",
         F.round(F.lit(0.5) * F.col("sad") / F.col("sx_g"), 6).alias("hoover"),
     )
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS grp, o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_orderpriority, o_custkey
+    ),
+    s AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_sellers,
+             CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(x) AS DOUBLE) AS sx
+      FROM per GROUP BY grp
+    )
+    SELECT grp, n_sellers,
+           round(sxx / (sx * sx), 12) AS hhi,
+           1.0 / n_sellers AS hhi_floor
+    FROM s
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Herfindahl-Hirschman concentration of order value across
+    # customers within each priority: HHI = Σ s_i² = Σx_i²/(Σx)² —
+    # both moments are EXACT decimal sums (x_i is a per-customer
+    # decimal total; x² stays in the decimal(38,4) lane), so the index
+    # is a single double division chain, NO rounding (parity rule 2),
+    # with the 1/n perfect-competition floor alongside. 100 TB: two
+    # hash aggs (customer-level then group-level), map-side combined.
+    od = table(spark, sf_dir, "orders")
+    per = od.groupBy(
+        F.col("o_orderpriority").alias("grp"), "o_custkey"
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    s = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sellers"),
+        # square in the (18,2)x(18,2) -> (37,4) decimal lane: DuckDB's
+        # sum(decimal(18,2)) is DECIMAL(38,2) and a 38x38 multiply
+        # silently promotes to DOUBLE there (lossy) - pinning the
+        # factor width keeps BOTH engines exact (seen as a 1-ulp hhi
+        # mismatch before the pin)
+        F.sum(
+            F.col("x").cast("decimal(18,2)") * F.col("x").cast("decimal(18,2)")
+        ).cast("double").alias("sxx"),
+        F.sum("x").cast("double").alias("sx"),
+    )
+    return s.select(
+        "grp",
+        "n_sellers",
+        # round-12: the decimal moments are bit-identical, but DuckDB's
+        # wide-decimal→double cast rounds twice (int128→double, then
+        # ·10^-scale) vs the JVM's single correctly-rounded conversion
+        # — a 1-ulp seam on sxx (parity rule 5; hhi error ~1e-19 ≪
+        # the 5e-13 half-grid)
+        F.round(F.col("sxx") / (F.col("sx") * F.col("sx")), 12).alias("hhi"),
+        (F.lit(1.0) / F.col("n_sellers")).alias("hhi_floor"),
+    )
