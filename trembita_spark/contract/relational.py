@@ -2605,3 +2605,87 @@ def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
     )
     return eccentricity(edges, seeds, max_hops=4)
+
+
+@register(
+    "q_graph_rich_club",
+    oracle=f"""
+    WITH base AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT src, dst FROM base
+      UNION ALL SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    ks AS (SELECT unnest([4, 8, 16]) AS k),
+    club AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM club GROUP BY k),
+    ek AS (
+      SELECT c1.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM edges e
+      JOIN club c1 ON c1.node = e.src
+      JOIN club c2 ON c2.node = e.dst AND c2.k = c1.k
+      GROUP BY c1.k
+    )
+    SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+           CAST(COALESCE(ek.e_k, 0) AS DOUBLE)
+             / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE) AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+)
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rich-club coefficient phi(k) = E_k / (N_k·(N_k−1)) at k ∈
+    # {4, 8, 16}: the edge density among nodes of degree > k — the
+    # "do hubs stick together" diagnostic. On the doubled (directed)
+    # edge frame E_k counts ordered pairs, matching the N_k(N_k−1)
+    # ordered-pair normalization exactly; every count is an exact
+    # integer into one double division, NO rounding. 100 TB: one
+    # degree agg + two club-membership hash joins (the club frame is
+    # high-degree nodes only — small by definition) per threshold.
+    from pyspark.sql import Row
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # feeds degree + pair count
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ks = spark.createDataFrame([Row(k=4), Row(k=8), Row(k=16)])
+    club = ks.join(deg, deg.d > ks.k).select("k", "node")
+    club = club.localCheckpoint(eager=False)  # feeds counts + both joins
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    c1 = club.select(F.col("k"), F.col("node").alias("src"))
+    c2 = club.select(F.col("k").alias("k2"), F.col("node").alias("dst2"))
+    ek = (
+        edges.join(c1, "src")
+        .join(c2, (F.col("dst") == F.col("dst2")) & (F.col("k") == F.col("k2")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("bigint").alias("e_k"),
+            (
+                F.coalesce(F.col("e_k"), F.lit(0)).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1)).cast("double")
+            ).alias("phi"),
+        )
+    )
