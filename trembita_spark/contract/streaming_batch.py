@@ -2404,3 +2404,157 @@ def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vr, 6).alias("var_resid"),
         F.round(F.greatest(F.lit(0.0), 1 - vr / vd), 6).alias("seasonal_strength"),
     )
+
+
+@register(
+    "q_ts_granger",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.p, 0) AS p, COALESCE(c.cl, 0) AS cl
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    rows_r AS (
+      SELECT a.p AS y, bb.p AS x1, bb.cl AS x2
+      FROM dense a JOIN dense bb ON bb.hr = a.hr - 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM rows_r
+    ),
+    u AS (
+      SELECT n, sy, s1y, s2y, syy,
+             (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS b0,
+             (n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS b1,
+             (n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS b2,
+             (n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS r_slope,
+             sy / n - (n * s1y - s1 * sy) / (n * s11 - s1 * s1) * (s1 / n)
+               AS r_icept
+      FROM m
+    ),
+    f AS (
+      SELECT CAST(n AS BIGINT) AS n_rows,
+             syy - r_icept * sy - r_slope * s1y AS rss_r,
+             syy - b0 * sy - b1 * s1y - b2 * s2y AS rss_u
+      FROM u
+    )
+    SELECT n_rows,
+           round(rss_r, 6) AS rss_r,
+           round(rss_u, 6) AS rss_u,
+           round((rss_r - rss_u) / (rss_u / (n_rows - 3)), 6) AS f_stat
+    FROM f
+    """,
+)
+def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Granger-style lagged-predictor F-test on the hourly spine: does
+    # last hour's CLICK count help predict this hour's PURCHASE count
+    # beyond its own lag? Unrestricted y ~ 1 + p_{t-1} + c_{t-1}
+    # (Cramer on the 3×3 normal equations — the q_ml_linreg_multi
+    # fragments' shape) vs restricted y ~ 1 + p_{t-1}; F = (RSS_r −
+    # RSS_u)/(RSS_u/(n−3)). Every moment is an exact integer sum of
+    # count products (HUGEINT/decimal lane), the coefficient and RSS
+    # chains are fixed double trees, and round-6 guards the long
+    # algebraic tails. 100 TB: one fact groupBy; the lag join and
+    # regression run on the calendar-sized spine.
+    ev = table(spark, sf_dir, "events")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact lane
+    c = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            F.col("event_type"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint").alias("p"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint").alias("cl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = (
+        spine.join(c, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("p", F.lit(0)).alias("p"),
+            F.coalesce("cl", F.lit(0)).alias("cl"),
+        )
+        .localCheckpoint(eager=False)  # feeds both lag-join sides
+    )
+    a = dense.select(F.col("hr").alias("hr_a"), F.col("p").alias("y"))
+    bb = dense.select(
+        F.col("hr").alias("hr_b"),
+        F.col("p").alias("x1"),
+        F.col("cl").alias("x2"),
+    )
+    rows_r = a.join(bb, F.col("hr_b") == F.col("hr_a") - 1)
+    m = rows_r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(dec(F.col("x1")) * dec(F.col("x1"))).cast("double").alias("s11"),
+        F.sum(dec(F.col("x2")) * dec(F.col("x2"))).cast("double").alias("s22"),
+        F.sum(dec(F.col("x1")) * dec(F.col("x2"))).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(dec(F.col("x1")) * dec(F.col("y"))).cast("double").alias("s1y"),
+        F.sum(dec(F.col("x2")) * dec(F.col("y"))).cast("double").alias("s2y"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).cast("double").alias("syy"),
+    )
+    from trembita_spark.contract.aggregates import (
+        _LR3_DET,
+        _LR3_DET0,
+        _LR3_DET1,
+        _LR3_DET2,
+    )
+
+    u = m.selectExpr(
+        "n", "sy", "s1y", "s2y", "syy",
+        f"{_LR3_DET0} / {_LR3_DET} AS b0",
+        f"{_LR3_DET1} / {_LR3_DET} AS b1",
+        f"{_LR3_DET2} / {_LR3_DET} AS b2",
+        "(n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS r_slope",
+        "sy / n - (n * s1y - s1 * sy) / (n * s11 - s1 * s1) * (s1 / n)"
+        " AS r_icept",
+    )
+    f = u.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "syy - r_icept * sy - r_slope * s1y AS rss_r",
+        "syy - b0 * sy - b1 * s1y - b2 * s2y AS rss_u",
+    )
+    return f.selectExpr(
+        "n_rows",
+        "round(rss_r, 6) AS rss_r",
+        "round(rss_u, 6) AS rss_u",
+        "round((rss_r - rss_u) / (rss_u / (n_rows - 3)), 6) AS f_stat",
+    )
