@@ -759,3 +759,42 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward as-of join — the FIRST click at or after each purchase
+    # (the "what did they do next" direction; q_join_asof is the
+    # backward "what preceded" one). Dogfoods the asof_join operator's
+    # direction='forward' arm: same union + one (user_id) shuffle +
+    # running window, reversed order — no range explosion at any
+    # scale. DuckDB's ASOF with p.ts <= c.ts replays it exactly.
+    from trembita_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumn("click_ts", F.col("ts")),
+        on="user_id",
+        ts="ts",
+        right_value_cols=["click_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_ts_asof").alias("next_click_ts"),
+    )
