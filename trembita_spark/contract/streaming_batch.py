@@ -2558,3 +2558,84 @@ def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(rss_u, 6) AS rss_u",
         "round((rss_r - rss_u) / (rss_u / (n_rows - 3)), 6) AS f_stat",
     )
+
+
+@register(
+    "q_events_nelson_aalen",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(ts) AS entry_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    pu AS (
+      SELECT CAST(CASE WHEN purch_ts IS NOT NULL
+                  THEN CAST(purch_ts AS DATE) - CAST(entry_ts AS DATE)
+                  ELSE CAST(last_ts AS DATE) - CAST(entry_ts AS DATE) END
+                  AS BIGINT) AS t,
+             CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM per
+    ),
+    lv AS (
+      SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m
+      FROM pu GROUP BY t
+    ),
+    c AS (
+      SELECT t, d, m,
+             CAST(sum(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumm
+      FROM lv
+    ),
+    tt AS (SELECT CAST(sum(m) AS BIGINT) AS n_tot FROM lv),
+    r AS (
+      SELECT t, d, CAST(n_tot - (cumm - m) AS BIGINT) AS n_risk
+      FROM c CROSS JOIN tt
+    ),
+    ev AS (
+      SELECT t, n_risk, d,
+             CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h,
+             CAST(d AS DOUBLE)
+               / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS hv
+      FROM r WHERE d >= 1
+    )
+    SELECT t AS t_days, n_risk, d AS d_events,
+           round(sum(h) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+             AS cum_hazard,
+           round(sum(hv) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+             AS hazard_var
+    FROM ev
+    """,
+)
+def q_events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nelson-Aalen cumulative hazard of time-to-first-purchase
+    # (operators/stats.py: nelson_aalen) — the estimator pair to
+    # q_events_kaplan_meier (H = -ln S asymptotically; here both are
+    # first-class): identical subject/censoring definitions, exact
+    # integer at-risk counts, and the running Σd/n and Σd/n² hazard
+    # moments as round-6 float prefix sums over the support-sized
+    # event-time frame. 100 TB: one user-key agg + two prefix sums on
+    # the duration support (one range shuffle via prefix_sum_multi).
+    from trembita_spark.operators.stats import nelson_aalen
+
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("entry_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    pu = per.select(
+        F.when(
+            F.col("purch_ts").isNotNull(),
+            F.datediff(F.to_date("purch_ts"), F.to_date("entry_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("entry_ts")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("purch_ts").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    return nelson_aalen(pu, "t", "obs")

@@ -599,3 +599,42 @@ def kaplan_meier(per: DataFrame, dur_col: str, obs_col: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cumln")), 6))
         .alias("survival"),
     )
+
+
+def nelson_aalen(per: DataFrame, dur_col: str, obs_col: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over a per-subject (duration,
+    observed) frame: H(t) = Σ_{t_i ≤ t} d_i/n_i with the standard
+    variance estimate Σ d_i/n_i². Same lane as ``kaplan_meier`` (one
+    duration-level agg, exact integer at-risk counts via prefix sum);
+    the running hazard/variance are float prefix sums of exact-ratio
+    doubles → round-6 (parity rule 5)."""
+    lv = per.groupBy(F.col(dur_col).alias("t")).agg(
+        F.sum(obs_col).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    lv = lv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(lv, "m", order_by=[F.col("t")], name="cumm")
+    tot = lv.agg(F.sum("m").cast("bigint").alias("n_tot"))
+    r = c.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", (F.col("n_tot") - (F.col("cumm") - F.col("m"))).cast("bigint")
+    )
+    ev = r.where(F.col("d") >= 1).select(
+        "t",
+        "n_risk",
+        "d",
+        (F.col("d").cast("double") / F.col("n_risk").cast("double")).alias("h"),
+        (
+            F.col("d").cast("double")
+            / (F.col("n_risk").cast("double") * F.col("n_risk").cast("double"))
+        ).alias("hv"),
+    )
+    s = prefix_sum_multi(
+        ev, ["h", "hv"], order_by=[F.col("t")], names=["cumh", "cumhv"]
+    )
+    return s.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.round(F.col("cumh"), 6).alias("cum_hazard"),
+        F.round(F.col("cumhv"), 6).alias("hazard_var"),
+    )
