@@ -2639,3 +2639,150 @@ def q_events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("purch_ts").isNotNull(), 1).otherwise(0).alias("obs"),
     )
     return nelson_aalen(pu, "t", "obs")
+
+
+@register(
+    "q_events_logrank",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(ts) AS entry_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    pu AS (
+      SELECT CAST(CASE WHEN purch_ts IS NOT NULL
+                  THEN CAST(purch_ts AS DATE) - CAST(entry_ts AS DATE)
+                  ELSE CAST(last_ts AS DATE) - CAST(entry_ts AS DATE) END
+                  AS BIGINT) AS t,
+             CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             CAST(user_id % 2 AS BIGINT) AS g
+      FROM per
+    ),
+    lv AS (
+      SELECT t,
+             CAST(sum(obs) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(obs * g) AS BIGINT) AS d1,
+             CAST(sum(g) AS BIGINT) AS m1
+      FROM pu GROUP BY t
+    ),
+    c AS (
+      SELECT t, d, m, d1, m1,
+             CAST(sum(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumm,
+             CAST(sum(m1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumm1
+      FROM lv
+    ),
+    tt AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n_tot,
+             CAST(sum(m1) AS BIGINT) AS n1_tot
+      FROM lv
+    ),
+    r AS (
+      SELECT t, d, d1,
+             CAST(n_tot - (cumm - m) AS BIGINT) AS n,
+             CAST(n1_tot - (cumm1 - m1) AS BIGINT) AS n1
+      FROM c CROSS JOIN tt
+    ),
+    ev AS (
+      SELECT d1,
+             CAST(n1 AS DOUBLE) * d / n AS e1,
+             CASE WHEN n > 1 THEN
+               CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                 * (1 - CAST(n1 AS DOUBLE) / n)
+                 * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+             ELSE 0.0 END AS v
+      FROM r WHERE d >= 1
+    ),
+    s AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(e1) AS e1, sum(v) AS v
+      FROM ev
+    )
+    SELECT o1, round(e1, 6) AS e1, round(v, 6) AS var_lr,
+           round((o1 - e1) * (o1 - e1) / v, 6) AS chi2
+    FROM s
+    """,
+)
+def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Log-rank test comparing time-to-first-purchase between the two
+    # user_id-parity cohorts (the canonical A/B survival comparison):
+    # at every event time, observed group-1 events vs the
+    # hypergeometric expectation n1·d/n with variance
+    # d·(n1/n)(1−n1/n)(n−d)/(n−1); chi2 = (O−E)²/V. At-risk counts per
+    # arm come from ONE shared prefix-sum pass (prefix_sum_multi on m
+    # and m1 — same range shuffle); O is an exact integer, E/V are
+    # fixed ratio trees per event time summed in engine order →
+    # round-6 (parity rule 5). Completes the survival trio with
+    # q_events_kaplan_meier and q_events_nelson_aalen. 100 TB: one
+    # user agg + one range shuffle on the duration support.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("entry_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    pu = per.select(
+        F.when(
+            F.col("purch_ts").isNotNull(),
+            F.datediff(F.to_date("purch_ts"), F.to_date("entry_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("entry_ts")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("purch_ts").isNotNull(), 1).otherwise(0).alias("obs"),
+        (F.col("user_id") % 2).cast("bigint").alias("g"),
+    )
+    lv = pu.groupBy("t").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("obs") * F.col("g")).cast("bigint").alias("d1"),
+        F.sum("g").cast("bigint").alias("m1"),
+    )
+    lv = lv.localCheckpoint(eager=False)  # feeds prefix sums + totals
+    c = prefix_sum_multi(
+        lv, ["m", "m1"], order_by=[F.col("t")], names=["cumm", "cumm1"]
+    )
+    tt = lv.agg(
+        F.sum("m").cast("bigint").alias("n_tot"),
+        F.sum("m1").cast("bigint").alias("n1_tot"),
+    )
+    r = c.crossJoin(F.broadcast(tt)).select(
+        "t",
+        "d",
+        "d1",
+        (F.col("n_tot") - (F.col("cumm") - F.col("m"))).cast("bigint").alias("n"),
+        (F.col("n1_tot") - (F.col("cumm1") - F.col("m1"))).cast("bigint").alias("n1"),
+    )
+    n, n1, d = F.col("n"), F.col("n1"), F.col("d")
+    evr = r.where(d >= 1).select(
+        "d1",
+        (n1.cast("double") * d / n).alias("e1"),
+        F.when(
+            n > 1,
+            d.cast("double")
+            * (n1.cast("double") / n)
+            * (1 - n1.cast("double") / n)
+            * ((n - d).cast("double") / (n - 1).cast("double")),
+        ).otherwise(F.lit(0.0)).alias("v"),
+    )
+    s = evr.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1").alias("e1"),
+        F.sum("v").alias("v"),
+    )
+    return s.select(
+        "o1",
+        F.round(F.col("e1"), 6).alias("e1"),
+        F.round(F.col("v"), 6).alias("var_lr"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v"),
+            6,
+        ).alias("chi2"),
+    )
