@@ -3673,3 +3673,75 @@ def q_sink_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     os.rename(stage, publish)  # atomic on one filesystem — the commit point
     return spark.read.parquet(publish)
+
+
+@register(
+    "q_eval_map",
+    oracle=f"""
+    WITH approx AS ({_IVF_ORACLE}),
+    n AS (SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings),
+    ex_scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
+        FROM ex_scored
+      ) WHERE r <= 3
+    ),
+    flags AS (
+      SELECT a.query_id, a.rank,
+             CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM approx a LEFT JOIN exact e
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    ),
+    prec AS (
+      SELECT query_id, rank, hit,
+             CAST(sum(hit) OVER (PARTITION BY query_id ORDER BY rank
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumh
+      FROM flags
+    )
+    SELECT query_id,
+           CAST(sum(hit) AS BIGINT) AS hits,
+           sum(hit * (CAST(cumh AS DOUBLE) / rank)) / 3 AS ap_at_3
+    FROM prec GROUP BY query_id
+    """,
+)
+def q_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Average precision@3 of the IVF retrieval per query (the third
+    # retrieval-quality lens beside NDCG and recall): precision at
+    # each HIT position, averaged over the 3 relevant items —
+    # AP = Σ_k hit_k·(cum_hits@k / k) / 3. The running hit count is an
+    # exact integer under the unique rank order, each precision term
+    # is one exact-input division, and the ≤3-term sum is evaluated in
+    # the same grouped order by both engines — no rounding. 100 TB:
+    # the two retrieval arms + one query-partitioned 3-row window.
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = S.ivf_topk(emb, queries, k=3, nprobe=2)
+    exact = S.cosine_topk(emb, queries, k=3).select(
+        "query_id", "vec_id", F.lit(1).alias("__rel")
+    )
+    flags = approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce(F.col("__rel"), F.lit(0)).alias("hit"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec = flags.withColumn("cumh", F.sum("hit").over(w).cast("bigint"))
+    return prec.groupBy("query_id").agg(
+        F.sum("hit").cast("bigint").alias("hits"),
+        (
+            F.sum(F.col("hit") * (F.col("cumh").cast("double") / F.col("rank")))
+            / 3
+        ).alias("ap_at_3"),
+    )
