@@ -4021,3 +4021,124 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sxx") / (F.col("sx") * F.col("sx")), 12).alias("hhi"),
         (F.lit(1.0) / F.col("n_sellers")).alias("hhi_floor"),
     )
+
+
+# Deterministic Poisson(1) bootstrap weights: cumulative-probability
+# thresholds scaled to the 60-bit md5 fold lane (floor(cum·2^60)) so the
+# weight mapping is an EXACT integer comparison in both engines.
+_BOOT_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+_BOOT_W_SQL = (
+    "CASE WHEN u < {t0} THEN 0 WHEN u < {t1} THEN 1 WHEN u < {t2} THEN 2 "
+    "WHEN u < {t3} THEN 3 WHEN u < {t4} THEN 4 ELSE 5 END"
+).format(t0=_BOOT_T[0], t1=_BOOT_T[1], t2=_BOOT_T[2], t3=_BOOT_T[3], t4=_BOOT_T[4])
+
+
+@register(
+    "q_stat_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    reps AS (
+      SELECT v, b,
+             list_reduce(list_transform(
+               string_split_regex(substr(md5(concat(CAST(event_id AS VARCHAR),
+                 ':', CAST(b AS VARCHAR))), 1, 15), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b2) -> a * 16 + b2) AS u
+      FROM x CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+    ),
+    wr AS (SELECT v, b, {_BOOT_W_SQL} AS w FROM reps),
+    per AS (
+      SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(CAST(w AS HUGEINT) * v) AS DOUBLE) AS swx
+      FROM wr GROUP BY b
+    ),
+    means AS (
+      SELECT b, swx / (100 * CAST(sw AS DOUBLE)) AS m FROM per
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS b_reps,
+             sum(m) AS sm, sum(m * m) AS smm,
+             list_sort(list(m)) AS ms
+      FROM means
+    )
+    SELECT b_reps,
+           round(sm / b_reps, 6) AS boot_mean,
+           round(sqrt((smm - sm * sm / b_reps) / (b_reps - 1)), 6) AS boot_sd,
+           ms[2] AS ci_lo,
+           ms[31] AS ci_hi
+    FROM s
+    """,
+)
+def q_stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic hash bootstrap for the mean of events.value — the
+    # online-bootstrap construction with NO RNG: replica b weights each
+    # row Poisson(1)-distributed via exact integer thresholds on the
+    # 60-bit md5(event_id:b) fold (so both engines assign IDENTICAL
+    # weights), per-replica means are exact-moment divisions (cent-lane
+    # decimal sums), and the 95% CI is the 2nd/31st order statistic of
+    # the 32 sorted replica means — exact doubles, no rounding on the
+    # CI bounds; boot_mean/sd round-6 (32-term float rollup). 100 TB:
+    # the replica dimension is map-side (one explode ×B, then a 32-group
+    # partial agg) — no extra shuffle over the plain mean, which is the
+    # whole point of Poisson bootstrapping a distributed scan.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    reps = x.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "event_id",
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    wr = reps.selectExpr("v", "b", f"{_BOOT_W_SQL} AS w")
+    per = wr.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("v")).cast("double").alias("swx"),
+    )
+    means = per.select(
+        "b", (F.col("swx") / (100 * F.col("sw").cast("double"))).alias("m")
+    )
+    s = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_reps"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sort_array(F.collect_list("m")).alias("ms"),
+    )
+    b = F.col("b_reps")
+    return s.select(
+        "b_reps",
+        F.round(F.col("sm") / b, 6).alias("boot_mean"),
+        F.round(
+            F.sqrt((F.col("smm") - F.col("sm") * F.col("sm") / b) / (b - 1)), 6
+        ).alias("boot_sd"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", 31).alias("ci_hi"),
+    )
