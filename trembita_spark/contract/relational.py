@@ -2689,3 +2689,57 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+@register(
+    "q_quality_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT list_reduce(list_transform(
+               string_split_regex(substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                 o_orderstatus, o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                 CAST(o_orderdate AS VARCHAR))), 1, 15), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+             AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+    FROM h
+    """,
+)
+def q_quality_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-independent whole-table checksum — the integrity primitive
+    # for "did the copy/migration/engine-swap preserve every row":
+    # each row folds to a 60-bit md5 of its canonical string (integer/
+    # decimal/date columns only — raw float formatting is NOT
+    # cross-engine canonical), then two commutative reductions (sum mod
+    # 2^60 in the exact decimal lane, and xor) that any engine or
+    # partitioning reproduces bit-for-bit. Two tables are equal iff
+    # (n_rows, sum, xor) match — the practical cross-system comparison
+    # that value-hashing every column at 100 TB can't afford. One
+    # map-side scan, one scalar rollup.
+    od = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("string"),
+    )
+    h = od.select(
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint").alias("h")
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1152921504606846976))
+        .cast("bigint")
+        .alias("checksum_sum"),
+        F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
+    )
