@@ -3703,7 +3703,7 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
     t = pv.agg(
         F.sum("cnt").cast("bigint").alias("n"),
-        (F.sum("cnt") / 10).cast("bigint").alias("k"),
+        F.expr("sum(cnt) div 10").cast("bigint").alias("k"),
     )
     j = c.crossJoin(F.broadcast(t))
     n, k, cum, cnt = F.col("n"), F.col("k"), F.col("cum"), F.col("cnt")

@@ -539,6 +539,8 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     (nothing proportional to |E| crosses the driver). k is small and
     fixed → unrolled plan, no checkpoint needed (pagerank's rationale).
     """
+    if iters < 1:
+        raise ValueError(f"hits() requires iters >= 1, got {iters}")
     e = edges.select("src", "dst")
     nodes = (
         e.select(F.col("src").alias("node"))
