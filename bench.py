@@ -111,11 +111,18 @@ def main() -> None:
     # `value` stays the official metric; this field makes cross-round
     # spreads attributable to the host rather than the plans.
     trip_totals = [sum(samples[k][i] for k in keys) for i in range(RUNS)]
-    norm = [
-        t / max(c / CAL_QUIET, 1.0)
-        for t, c in zip(trip_totals, calibration_sec)
-    ]
+    ratios = [max(c / CAL_QUIET, 1.0) for c in calibration_sec]
+    norm = [t / r for t, r in zip(trip_totals, ratios)]
     value_calibrated = round(statistics.median(norm), 4)
+    # Per-query calibrated lines (round-8 verdict item 8): each sample
+    # divided by ITS trip's probe ratio, then the median — so a
+    # judge-vs-driver delta on one query can be attributed to host
+    # co-tenancy (ratio moves) vs a plan change (calibrated moves)
+    # mechanically, per line rather than only per trip.
+    timings_calibrated = {
+        k: round(statistics.median([s / r for s, r in zip(samples[k], ratios)]), 4)
+        for k in keys
+    }
     print(
         json.dumps(
             {
@@ -129,6 +136,7 @@ def main() -> None:
                 "calibration_sec": calibration_sec,
                 "calibration_quiet_sec": CAL_QUIET,
                 "value_calibrated": value_calibrated,
+                "queries_calibrated": timings_calibrated,
                 "load_per_trip": load_per_trip,
                 "load_before": load_before,
                 "load_after": [round(x, 2) for x in os.getloadavg()],
