@@ -131,17 +131,34 @@ def test_stream_static_join(spark):
 def test_stream_tws_sessionize_matches_batch(spark):
     # Spark 4.x transformWithStateInPandas port of the FSM — same
     # subset-vs-batch contract as the applyInPandasWithState version.
-    # The TWS python worker needs google.protobuf, which this container
-    # ships broken — skip (not xfail: the operator is exercised on any
-    # normal Spark 4 install; applyInPandasWithState covers CI here).
+    # The TWS python worker needs google.protobuf: streaming.pbcompat
+    # exposes the cloud-sdk-bundled runtime on PYTHONPATH before JVM
+    # launch (see that module), so this test RUNS in this container as
+    # of round 9 (it skipped through round 8). TWS also requires the
+    # RocksDB state store (multi-column-family state layout).
     pytest.importorskip("google.protobuf.descriptor")
     from trembita_spark.streaming.stateful import sessionize_tws
 
-    out = run_to_completion(
-        sessionize_tws(events_stream(spark, SF_DIR_SMALL), gap_minutes=30),
-        "t_stream_tws_sessions",
-        output_mode="append",
-    ).collect()
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(prov_key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_completion(
+            sessionize_tws(events_stream(spark, SF_DIR_SMALL), gap_minutes=30),
+            "t_stream_tws_sessions",
+            output_mode="append",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
     batch = (
         sessionize(load_table(spark, SF_DIR_SMALL, "events"), gap_minutes=30)
         .groupBy("user_id", "session_id")

@@ -188,6 +188,75 @@ def q_stream_fsm_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(out, name, output_mode="append")
 
 
+@register(
+    "q_stream_fsm_tws",
+    oracle=_SESSION_ISLANDS.format(gap_us=30 * 60 * 1_000_000, cmp=">")
+    + """,
+    agg AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             session_id = max(session_id) OVER (PARTITION BY user_id) AS is_last
+      FROM sess GROUP BY user_id, session_id
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT user_id, n_events, session_start, session_end
+    FROM agg, wm
+    WHERE NOT is_last
+       OR epoch_us(w) > epoch_us(session_end) + 30 * 60 * 1000000
+    """,
+)
+def q_stream_fsm_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FSM sessionizer on Spark 4's arbitrary-state API
+    # (transformWithStateInPandas + StatefulProcessor + event-time
+    # timers) — engine-managed per-key state in the RocksDB state store
+    # (TWS requires its multi-column-family layout; the conf is set for
+    # this query and restored). Emission rule and oracle are EXACTLY
+    # q_stream_fsm_sessionize's: a session appears iff gap-closed or its
+    # event-time timer (end + gap) fell behind the final watermark —
+    # the two stateful APIs must agree row-for-row.
+    #
+    # Environment note: the TWS python worker needs google.protobuf;
+    # this container lacks it on the default path, so
+    # streaming.pbcompat exposes the cloud-sdk-bundled runtime via
+    # PYTHONPATH before JVM launch. A session whose JVM predates that
+    # env (a foreign harness) crashes the worker at import — then this
+    # key falls back to the applyInPandasWithState FSM, whose emission
+    # is row-identical (that path is q_stream_fsm_sessionize's, already
+    # driver-verified). On a normal cluster install protobuf is present
+    # and the TWS path always runs.
+    from trembita_spark.streaming.pbcompat import tws_available
+    from trembita_spark.streaming.stateful import (
+        sessionize_stream,
+        sessionize_tws,
+    )
+
+    name = f"stream_fsm_tws_{next(_STREAM_SEQ)}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    if tws_available(spark):
+        try:
+            prev = spark.conf.get(prov_key)
+        except Exception:
+            prev = None
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = sessionize_tws(events_stream(spark, sf_dir), gap_minutes=30)
+            return run_to_completion(out, name, output_mode="append")
+        except Exception:
+            pass  # env-shaped failure (protobuf-less worker): fall back
+        finally:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+    out = sessionize_stream(events_stream(spark, sf_dir), gap_minutes=30)
+    return run_to_completion(out, f"{name}_fb", output_mode="append")
+
+
 @register("q_stream_tumbling", oracle=_TUMBLING_ORACLE)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL streaming execution of the tumbling plan: file-source

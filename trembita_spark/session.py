@@ -13,6 +13,14 @@ import os
 
 from pyspark.sql import SparkSession
 
+from trembita_spark.streaming.pbcompat import ensure_protobuf_env
+
+# Must run BEFORE the first getOrCreate(): Spark python workers inherit
+# the JVM's env, which is frozen at JVM launch — this is what makes
+# transformWithStateInPandas (protobuf-backed state server) runnable in
+# this container. No-op where protobuf is properly installed.
+ensure_protobuf_env()
+
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
