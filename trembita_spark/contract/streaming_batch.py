@@ -449,6 +449,92 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_full_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           coalesce(p.user_id, c.user_id) AS user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
+    """,
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL stream-stream FULL OUTER join (the CDC-reconciliation shape):
+    # matched purchase↔click pairs stream out immediately; an unmatched
+    # row from EITHER side is emitted exactly once, null-padded, after
+    # the OTHER side's watermark proves no future match can arrive.
+    # Same staged two-batch sentinel replay as q_stream_outer_join — the
+    # sentinels (negative ids, joining nothing) advance both watermarks
+    # past every real event between micro-batches, and the availableNow
+    # no-data flush then drains BOTH unmatched-state buffers before
+    # termination; either-side sentinel rows are dropped at the end
+    # (null-safe: a real null-padded row keeps its one non-null id).
+    # Oracle = the batch full range-join with both sides pre-filtered in
+    # subqueries (a WHERE on event_type would delete the null-padded
+    # rows the full join exists to produce). At 100 TB both sides'
+    # buffered state is evicted at watermark+range — identical bound to
+    # the inner/left variants; FULL adds only the second unmatched
+    # buffer, not a larger horizon.
+    from datetime import timedelta
+
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.streaming.sources import staged_dir, staged_stream
+
+    name = f"stream_full_outer_join_{next(_STREAM_SEQ)}"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent_ts = max_ts + timedelta(hours=10)
+    sentinels = spark.createDataFrame(
+        [(-1, sent_ts, -1, "purchase", 0.0), (-2, sent_ts, -2, "click", 0.0)],
+        schema=ev.schema,
+    )
+    base = run_tmp("stream_full_outer")
+    schema = staged_dir(spark, [ev, sentinels], base)
+    p = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    out = run_to_completion(joined, name, output_mode="append")
+    return out.where(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+    )
+
+
+@register(
     "q_stream_sink",
     oracle="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'",
 )
