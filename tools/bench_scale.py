@@ -380,6 +380,60 @@ def q_ktruss_scale(li):
     return ktruss_peel(e, k=4, rounds=2)
 
 
+def _custsupp_edges(li, od):
+    # Undirected customer-supplier graph (the q_graph_betweenness /
+    # closeness / eccentricity fixture shape): li⨝od on the (scaled)
+    # orderkey, distinct (cust, supp) pairs, doubled for undirectedness.
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+
+def _top_seeds(edges, n):
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(n)
+        .select("node")
+    )
+
+
+def q_betweenness_scale(li, od):
+    # Seeded-BFS family, forward+backward sweep (the heaviest of the
+    # three): 3 highest-degree seeds, 3 hops — the contract key's exact
+    # parameters. Cost ∝ seeds·reached per level, hash-partitioned on
+    # the (seed, node) expansion key.
+    from trembita_spark.operators.graph import betweenness_sample
+
+    edges = _custsupp_edges(li, od)
+    return betweenness_sample(edges, _top_seeds(edges, 3), max_hops=3)
+
+
+def q_closeness_scale(li, od):
+    # Forward-only seeded BFS + one ratio projection (5 seeds, 4 hops).
+    from trembita_spark.operators.graph import closeness
+
+    edges = _custsupp_edges(li, od)
+    return closeness(edges, _top_seeds(edges, 5), max_hops=4)
+
+
+def q_eccentricity_scale(li, od):
+    # Forward-only seeded BFS + per-seed max fold (5 seeds, 4 hops).
+    from trembita_spark.operators.graph import eccentricity
+
+    edges = _custsupp_edges(li, od)
+    return eccentricity(edges, _top_seeds(edges, 5), max_hops=4)
+
+
 def q_kcore_scale(od):
     # 3-round k-core peel, growing node set: per-round cost is one
     # explode→count degree aggregate + two semi joins ∝ |E| (canonical
@@ -611,6 +665,18 @@ def main():
         "kaplan_meier": (
             lambda: q_kaplan_meier_scale(ev1).collect(),
             lambda: q_kaplan_meier_scale(ev8).collect(),
+        ),
+        "betweenness": (
+            lambda: q_betweenness_scale(li1, od1).count(),
+            lambda: q_betweenness_scale(li8, od8).count(),
+        ),
+        "closeness": (
+            lambda: q_closeness_scale(li1, od1).count(),
+            lambda: q_closeness_scale(li8, od8).count(),
+        ),
+        "eccentricity": (
+            lambda: q_eccentricity_scale(li1, od1).count(),
+            lambda: q_eccentricity_scale(li8, od8).count(),
         ),
         "corpus_pipeline": (
             lambda: q_corpus_pipeline(doc1, 300_000).count(),
