@@ -57,8 +57,15 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # managed-table warehouse (bucketed tables) — keep out of the repo
-        .config("spark.sql.warehouse.dir", "/tmp/trembita_spark_warehouse")
+        # managed-table warehouse (bucketed tables) — keep out of the repo;
+        # env-overridable so concurrent gauntlet shards (tools/
+        # run_gauntlet.py) don't race each other's fixed-name tables.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/trembita_spark_warehouse"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
