@@ -4142,3 +4142,319 @@ def q_stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", 31).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: classic single-pass ML / robust-stats building blocks.
+# ---------------------------------------------------------------------------
+
+_STUMP_SSE = (
+    "(CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl)"
+    " + (CAST(qt - ql AS DOUBLE)"
+    " - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (n - nl))"
+)
+
+
+@register(
+    "q_ml_decision_stump",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS q
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT x,
+             sum(cnt) OVER w AS nl,
+             sum(s) OVER w AS sl,
+             sum(q) OVER w AS ql
+      FROM per WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT sum(cnt) AS n, sum(s) AS st, sum(q) AS qt FROM per),
+    cand AS (
+      SELECT x AS split_x,
+             CAST(nl AS BIGINT) AS n_left,
+             CAST(n - nl AS BIGINT) AS n_right,
+             CAST(sl AS DOUBLE) / nl AS mean_left,
+             CAST(st - sl AS DOUBLE) / (n - nl) AS mean_right,
+             {_STUMP_SSE} AS sse
+      FROM cum, tot WHERE nl < n
+    )
+    SELECT split_x, n_left, n_right, mean_left, mean_right, sse
+    FROM cand ORDER BY sse, split_x LIMIT 1
+    """,
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regression decision stump (the GBDT/CART building block): the best
+    # single split x <= t of l_extendedprice by l_quantity, by total
+    # SSE = Σ(y-ŷ)² over both children, ŷ = child mean. One groupBy(x)
+    # pass accumulates exact per-value (count, Σy, Σy²) in the decimal
+    # lane; a distributed prefix sum (ranking.prefix_sum_multi — never a
+    # global single-partition window) turns them into left-side sums per
+    # candidate threshold; SSE_child = Q - S²/n needs only those. The
+    # argmin is TakeOrdered(1) with the (sse, split_x) tie-break. Every
+    # double transits the SAME formula text (_STUMP_SSE) on both engines
+    # over exact integer/decimal inputs — bit-identical, so the argmin
+    # winner matches without rounding. 100 TB: cost = the one scan +
+    # a |distinct x|-row reduction; candidate thresholds are the
+    # feature's value grid, the standard histogram-split trick.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    per = li.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    cum = prefix_sum_multi(
+        per, ["cnt", "s", "q"], [F.col("x")], ["nl", "sl", "ql"]
+    )
+    tot = per.agg(
+        F.sum("cnt").alias("n"), F.sum("s").alias("st"), F.sum("q").alias("qt")
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("n"))
+        .selectExpr(
+            "x AS split_x",
+            "CAST(nl AS BIGINT) AS n_left",
+            "CAST(n - nl AS BIGINT) AS n_right",
+            "CAST(sl AS DOUBLE) / nl AS mean_left",
+            "CAST(st - sl AS DOUBLE) / (n - nl) AS mean_right",
+            f"{_STUMP_SSE} AS sse",
+        )
+    )
+    return cand.orderBy("sse", "split_x").limit(1)
+
+
+# Correlation-matrix entries from exact moment sums (n·Sjk − Sj·Sk forms),
+# shared text so Spark and DuckDB run bit-identical double arithmetic.
+def _pca_r(j: int, k: int) -> str:
+    if j == k:
+        return "CAST(1.0 AS DOUBLE)"
+    a, b = min(j, k), max(j, k)
+    return (
+        f"(n * s{a}{b} - s{a} * s{b})"
+        f" / sqrt((n * s{a}{a} - s{a} * s{a}) * (n * s{b}{b} - s{b} * s{b}))"
+    )
+
+
+_PCA_MOMENTS = """
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x3) AS DOUBLE) AS s3,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(x3 * x3) AS DOUBLE) AS s33,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(x1 * x3) AS DOUBLE) AS s13,
+             CAST(sum(x2 * x3) AS DOUBLE) AS s23
+"""
+
+_PCA_V1 = [
+    "r11 + r12 + r13",
+    "r12 + r22 + r23",
+    "r13 + r23 + r33",
+]
+_PCA_V2 = [
+    "r11 * w1 + r12 * w2 + r13 * w3",
+    "r12 * w1 + r22 * w2 + r23 * w3",
+    "r13 * w1 + r23 * w2 + r33 * w3",
+]
+
+
+@register(
+    "q_ml_pca_power",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS x2,
+             CAST(round(l_discount * 100) AS BIGINT) AS x3
+      FROM lineitem
+    ),
+    s AS ({_PCA_MOMENTS} FROM base),
+    r AS (
+      SELECT {_pca_r(1, 1)} AS r11, {_pca_r(1, 2)} AS r12,
+             {_pca_r(1, 3)} AS r13, {_pca_r(2, 2)} AS r22,
+             {_pca_r(2, 3)} AS r23, {_pca_r(3, 3)} AS r33,
+             CAST(n AS BIGINT) AS n_rows
+      FROM s
+    ),
+    p1 AS (
+      SELECT {_PCA_V1[0]} AS w1, {_PCA_V1[1]} AS w2, {_PCA_V1[2]} AS w3,
+             r11, r12, r13, r22, r23, r33, n_rows
+      FROM r
+    ),
+    p2 AS (
+      SELECT {_PCA_V2[0]} AS u1, {_PCA_V2[1]} AS u2, {_PCA_V2[2]} AS u3,
+             sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS nrm1, n_rows
+      FROM p1
+    )
+    SELECT CASE WHEN u1 < 0 THEN -u1 ELSE u1 END
+             / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v1,
+           (CASE WHEN u1 < 0 THEN -u2 ELSE u2 END)
+             / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v2,
+           (CASE WHEN u1 < 0 THEN -u3 ELSE u3 END)
+             / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v3,
+           sqrt(u1 * u1 + u2 * u2 + u3 * u3) / nrm1 AS lambda_est,
+           n_rows
+    FROM p2
+    """,
+)
+def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First principal component of the standardized (quantity, price,
+    # discount-cents) features by TWO unrolled power-method steps on the
+    # 3x3 CORRELATION matrix: one scan accumulates the 9 exact moment
+    # sums (integer/decimal lane), the correlation entries and both
+    # matrix-vector products are closed-form double expressions sharing
+    # the exact formula TEXT with the oracle (the q_ml_linreg_multi
+    # discipline) — bit-identical without rounding. v0 = (1,1,1); sign
+    # fixed by forcing the first component non-negative; lambda_est =
+    # |C²v0| / |C v0| (the power-method Rayleigh proxy). 100 TB: the
+    # single scan is the entire data-proportional cost; the 3x3 solve is
+    # O(1) on a 1-row frame — the same shape PCA-via-normal-equations
+    # takes on any MPP engine.
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("x2"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x3"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("x3").cast("double").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x3") * F.col("x3")).cast("double").alias("s33"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("double").alias("s13"),
+        F.sum(F.col("x2") * F.col("x3")).cast("double").alias("s23"),
+    )
+    r = s.selectExpr(
+        f"{_pca_r(1, 1)} AS r11",
+        f"{_pca_r(1, 2)} AS r12",
+        f"{_pca_r(1, 3)} AS r13",
+        f"{_pca_r(2, 2)} AS r22",
+        f"{_pca_r(2, 3)} AS r23",
+        f"{_pca_r(3, 3)} AS r33",
+        "CAST(n AS BIGINT) AS n_rows",
+    )
+    p1 = r.selectExpr(
+        f"{_PCA_V1[0]} AS w1",
+        f"{_PCA_V1[1]} AS w2",
+        f"{_PCA_V1[2]} AS w3",
+        "r11", "r12", "r13", "r22", "r23", "r33", "n_rows",
+    )
+    p2 = p1.selectExpr(
+        f"{_PCA_V2[0]} AS u1",
+        f"{_PCA_V2[1]} AS u2",
+        f"{_PCA_V2[2]} AS u3",
+        "sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS nrm1",
+        "n_rows",
+    )
+    return p2.selectExpr(
+        "CASE WHEN u1 < 0 THEN -u1 ELSE u1 END"
+        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v1",
+        "(CASE WHEN u1 < 0 THEN -u2 ELSE u2 END)"
+        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v2",
+        "(CASE WHEN u1 < 0 THEN -u3 ELSE u3 END)"
+        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v3",
+        "sqrt(u1 * u1 + u2 * u2 + u3 * u3) / nrm1 AS lambda_est",
+        "n_rows",
+    )
+
+
+_GRUBBS_SD = (
+    "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt)"
+    " / (cnt - 1))"
+)
+
+
+@register(
+    "q_stat_grubbs",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT grp, cnt,
+             CAST(s AS DOUBLE) / cnt AS mean,
+             {_GRUBBS_SD} AS sd
+      FROM g
+    ),
+    dev AS (
+      SELECT e.event_type AS grp, st.cnt, st.mean, st.sd,
+             CAST(e.value AS DOUBLE) AS v,
+             abs(CAST(e.value AS DOUBLE) - st.mean) AS d
+      FROM events e JOIN st ON e.event_type = st.grp
+    ),
+    mx AS (
+      SELECT grp, cnt, mean, sd, max(d) AS maxdev
+      FROM dev GROUP BY 1, 2, 3, 4
+    )
+    SELECT d.grp AS grp, d.cnt AS n, mx.maxdev / d.sd AS g_stat,
+           min(d.v) AS suspect
+    FROM dev d JOIN mx ON d.grp = mx.grp AND d.d = mx.maxdev
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grubbs' outlier statistic per event_type: G = max|x - mean| / sd,
+    # plus the suspect value achieving the max (ties -> smallest value,
+    # stated as min() over the argmax rows in BOTH engines — never an
+    # engine-defined arg_max). Mean/sd come from exact decimal moment
+    # sums; every double is the same formula text over those, so the
+    # per-row deviations are bit-identical and the double-equality join
+    # d = maxdev selects the same rows cross-engine. 100 TB: one groupBy
+    # pass for moments, one broadcast join back (group stats are
+    # |event_type| rows), one max aggregate, one argmax re-join — all
+    # partial-aggregated, nothing driver-side.
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.sum(
+            F.col("value").cast("decimal(18,2)")
+            * F.col("value").cast("decimal(18,2)")
+        ).alias("q"),
+    )
+    st = g.selectExpr(
+        "grp", "cnt", "CAST(s AS DOUBLE) / cnt AS mean", f"{_GRUBBS_SD} AS sd"
+    )
+    dev = (
+        ev.join(F.broadcast(st), ev.event_type == st.grp)
+        .select(
+            "grp",
+            "cnt",
+            "mean",
+            "sd",
+            F.col("value").cast("double").alias("v"),
+            F.abs(F.col("value").cast("double") - F.col("mean")).alias("d"),
+        )
+    )
+    mx = dev.groupBy("grp", "cnt", "mean", "sd").agg(F.max("d").alias("maxdev"))
+    return (
+        dev.join(
+            F.broadcast(mx.select("grp", "maxdev")),
+            ["grp"],
+        )
+        .where(F.col("d") == F.col("maxdev"))
+        .groupBy(
+            "grp",
+            F.col("cnt").alias("n"),
+            (F.col("maxdev") / F.col("sd")).alias("g_stat"),
+        )
+        .agg(F.min("v").alias("suspect"))
+    )

@@ -3745,3 +3745,30 @@ def q_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 3
         ).alias("ap_at_3"),
     )
+
+
+@register(
+    "q_similarity_range",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             {_PAIR_DOT_SQL} / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, vec_id, cos FROM scored WHERE cos >= 0.35
+    """,
+)
+def q_similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Radius (range) search — top-k's fixed-quality sibling: every
+    # vector with cosine >= 0.35 of each of the 8 query vectors
+    # (operators/similarity.py: cosine_range). Same broadcast-queries /
+    # corpus-never-shuffles shape as q_similarity_topk, but with NO
+    # window at all: the threshold filter is scan-local, so only the
+    # matching rows move — the natural shape for "give me everything at
+    # least this similar" dedup/recall jobs at 100 TB. The cosine is
+    # the identical sequential double fold both engines run
+    # (F.aggregate left fold == list_reduce), so the >= cut selects the
+    # same rows bit-exactly.
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_range(emb, emb.filter(F.col("vec_id") < 8), threshold=0.35)

@@ -2756,3 +2756,174 @@ def q_quality_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: motif counting, reciprocity, event-sequence matching.
+# ---------------------------------------------------------------------------
+
+_ADJLINE_DIRECTED_SQL = """
+      SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                       AND l2.l_linenumber = l1.l_linenumber + 1
+      WHERE l1.l_partkey <> l2.l_partkey
+"""
+
+
+@register(
+    "q_graph_motif_4cycle",
+    oracle=f"""
+    WITH e AS ({_COBASKET_EDGES_SQL}),
+    adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e),
+    codeg AS (
+      SELECT a.n AS a, b.n AS b, CAST(count(*) AS BIGINT) AS cd
+      FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+      GROUP BY 1, 2
+    )
+    SELECT CAST(sum(cd * (cd - 1)) // 4 AS BIGINT) AS n_c4,
+           CAST(count(*) FILTER (WHERE cd >= 2) AS BIGINT) AS n_diagonals
+    FROM codeg
+    """,
+)
+def q_graph_motif_4cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-cycle (C4) motif count over the adjacent-line co-basket graph
+    # via the codegree identity: every 4-cycle a–x–b–y–a has exactly
+    # TWO diagonals ({a,b} and {x,y}), and a diagonal pair with cd
+    # common neighbors closes C(cd,2) cycles — so #C4 =
+    # Σ_{a<b} cd(cd-1)/2 / 2 = Σ cd(cd-1) div 4 (the sum is 4·#C4 by
+    # construction, so integer division is exact). All-integer lane,
+    # no rounding. n_diagonals = pairs with ≥2 common neighbors (the
+    # pairs that close at least one cycle). 100 TB: the codegree join
+    # is the adamic-adar wedge shape (Σ deg² at the wedge center —
+    # bounded on this sparse adjacency graph; cap hubs exactly as
+    # jaccard/adamic_adar do on denser inputs); everything after is one
+    # hash aggregate.
+    e = (
+        _cobasket_pairs(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both adjacency directions
+    )
+    adj = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    left = adj.select("z", F.col("n").alias("a"))
+    right = adj.select("z", F.col("n").alias("b"))
+    codeg = (
+        left.join(right, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cd"))
+    )
+    return codeg.agg(
+        F.expr("CAST(sum(cd * (cd - 1)) div 4 AS BIGINT)").alias("n_c4"),
+        F.sum(F.when(F.col("cd") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_diagonals"),
+    )
+
+
+@register(
+    "q_graph_reciprocity",
+    oracle=f"""
+    WITH d AS ({_ADJLINE_DIRECTED_SQL}),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+      FROM d JOIN d rev ON d.src = rev.dst AND d.dst = rev.src
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM d)
+    SELECT t.n_edges, r.n_reciprocal,
+           CAST(r.n_reciprocal AS DOUBLE) / t.n_edges AS reciprocity
+    FROM t, r
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Directed reciprocity of the adjacent-line part graph (src precedes
+    # dst on consecutive lines of some order): the fraction of directed
+    # edges whose reverse also exists — the classic "how mutual is this
+    # network" statistic (Newman). The reverse-pair count is ONE
+    # self-equi-join on the flipped key (hash, |E| vs |E|, never
+    # pairwise); both counts are exact integers into a single double
+    # division. Directionality matters: part A before B in one order
+    # and B before A in another is exactly a reciprocal pair, so the
+    # statistic measures real ordering asymmetry in the baskets.
+    d = _cobasket_pairs(spark, sf_dir).distinct().localCheckpoint(eager=False)
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_rec = d.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reciprocal")
+    )
+    n_all = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_all.crossJoin(F.broadcast(n_rec))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            (F.col("n_reciprocal").cast("double") / F.col("n_edges")).alias(
+                "reciprocity"
+            ),
+        )
+    )
+
+
+@register(
+    "q_events_seq_pattern",
+    oracle="""
+    SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND epoch_us(p.ts) > epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = v.user_id
+        AND epoch_us(c.ts) > epoch_us(v.ts)
+        AND epoch_us(c.ts) < epoch_us(p.ts)
+    )
+    GROUP BY 1
+    """,
+)
+def q_events_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Event-sequence pattern matching (the MATCH_RECOGNIZE shape): per
+    # user, count (view → purchase) pairs within 30 minutes with NO
+    # intervening click — "A then B within T without C", the funnel
+    # family's negative-condition sibling. The A→B candidates come from
+    # one user-keyed range join (equality on user_id keeps it a hash
+    # join with a residual time predicate — never a nested loop); the
+    # no-C condition is one LEFT ANTI join of the candidate pairs
+    # against clicks, again user-keyed with the between-residual. Both
+    # time bounds compare integer epoch-µs, exactly Spark's truncated
+    # interval arithmetic (the q_stream_join convention). 100 TB: both
+    # joins hash-partition on user_id; candidate fan-out is bounded by
+    # per-user event rates within the 30-minute horizon — the same
+    # bound the streaming attribution join relies on for state.
+    ev = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pairs = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (us("p_ts") > us("v_ts"))
+        & (us("p_ts") <= us("v_ts") + 1_800_000_000),
+    )
+    clean = pairs.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (us("c_ts") > us("v_ts"))
+        & (us("c_ts") < us("p_ts")),
+        "left_anti",
+    )
+    return clean.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )

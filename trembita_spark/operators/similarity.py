@@ -99,6 +99,45 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors with cosine >=
+    ``threshold`` per query — top-k's fixed-quality sibling (serving
+    dedup/recall jobs want "everything at least this similar", not a
+    fixed count). Returns (query_id, vec_id, cos). Same execution shape
+    as cosine_topk: broadcast queries, corpus never shuffles, and the
+    threshold filter is scan-local so output (not corpus) size is the
+    only thing that moves. No window at all — range search needs no
+    ranking."""
+    q = F.broadcast(
+        with_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    return (
+        c.join(q, F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("query_id", "vec_id", "cos")
+    )
+
+
 def cosine_pairs_within(
     df: DataFrame,
     group_col: str = "label",
