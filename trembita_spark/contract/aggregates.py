@@ -4183,7 +4183,8 @@ _STUMP_SSE = (
              {_STUMP_SSE} AS sse
       FROM cum, tot WHERE nl < n
     )
-    SELECT split_x, n_left, n_right, mean_left, mean_right, sse
+    SELECT split_x, n_left, n_right, mean_left, mean_right,
+           round(sqrt(sse / (n_left + n_right)), 6) AS rmse
     FROM cand ORDER BY sse, split_x LIMIT 1
     """,
 )
@@ -4230,7 +4231,23 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_STUMP_SSE} AS sse",
         )
     )
-    return cand.orderBy("sse", "split_x").limit(1)
+    # Output RMSE (round-6) rather than raw SSE: the Σy² moment exceeds
+    # 2^53 raw decimal units, so each engine's decimal→double cast may
+    # round a different way (±1 ulp on sse ≈ 5e12 — the only inexact
+    # input here). The ARGMIN is unaffected (inter-candidate SSE gaps
+    # are ~1e9 ulps); only the displayed magnitude needs the grid.
+    return (
+        cand.orderBy("sse", "split_x")
+        .limit(1)
+        .selectExpr(
+            "split_x",
+            "n_left",
+            "n_right",
+            "mean_left",
+            "mean_right",
+            "round(sqrt(sse / (n_left + n_right)), 6) AS rmse",
+        )
+    )
 
 
 # Correlation-matrix entries from exact moment sums (n·Sjk − Sj·Sk forms),
@@ -4297,13 +4314,13 @@ _PCA_V2 = [
              sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS nrm1, n_rows
       FROM p1
     )
-    SELECT CASE WHEN u1 < 0 THEN -u1 ELSE u1 END
-             / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v1,
-           (CASE WHEN u1 < 0 THEN -u2 ELSE u2 END)
-             / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v2,
-           (CASE WHEN u1 < 0 THEN -u3 ELSE u3 END)
-             / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v3,
-           sqrt(u1 * u1 + u2 * u2 + u3 * u3) / nrm1 AS lambda_est,
+    SELECT round(CASE WHEN u1 < 0 THEN -u1 ELSE u1 END
+             / sqrt(u1 * u1 + u2 * u2 + u3 * u3), 12) AS v1,
+           round((CASE WHEN u1 < 0 THEN -u2 ELSE u2 END)
+             / sqrt(u1 * u1 + u2 * u2 + u3 * u3), 12) AS v2,
+           round((CASE WHEN u1 < 0 THEN -u3 ELSE u3 END)
+             / sqrt(u1 * u1 + u2 * u2 + u3 * u3), 12) AS v3,
+           round(sqrt(u1 * u1 + u2 * u2 + u3 * u3) / nrm1, 12) AS lambda_est,
            n_rows
     FROM p2
     """,
@@ -4360,14 +4377,20 @@ def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS nrm1",
         "n_rows",
     )
+    # round-12 on the normalized outputs: the Σx2² moment exceeds 2^53
+    # raw decimal units at sf0.1, so the decimal→double casts may round
+    # differently per engine (±1 ulp into the correlation entries — the
+    # q_ml_decision_stump lesson); components are O(1), so the 5e-13
+    # half-grid dwarfs any amplified ulp while the formula text stays
+    # shared.
     return p2.selectExpr(
-        "CASE WHEN u1 < 0 THEN -u1 ELSE u1 END"
-        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v1",
-        "(CASE WHEN u1 < 0 THEN -u2 ELSE u2 END)"
-        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v2",
-        "(CASE WHEN u1 < 0 THEN -u3 ELSE u3 END)"
-        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3) AS v3",
-        "sqrt(u1 * u1 + u2 * u2 + u3 * u3) / nrm1 AS lambda_est",
+        "round(CASE WHEN u1 < 0 THEN -u1 ELSE u1 END"
+        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3), 12) AS v1",
+        "round((CASE WHEN u1 < 0 THEN -u2 ELSE u2 END)"
+        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3), 12) AS v2",
+        "round((CASE WHEN u1 < 0 THEN -u3 ELSE u3 END)"
+        " / sqrt(u1 * u1 + u2 * u2 + u3 * u3), 12) AS v3",
+        "round(sqrt(u1 * u1 + u2 * u2 + u3 * u3) / nrm1, 12) AS lambda_est",
         "n_rows",
     )
 
