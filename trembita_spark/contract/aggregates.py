@@ -4481,3 +4481,207 @@ def q_stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("v").alias("suspect"))
     )
+
+
+_CONF_METRICS = [
+    "CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy",
+    "CAST(tp AS DOUBLE) / (tp + fp) AS precision_",
+    "CAST(tp AS DOUBLE) / (tp + fn) AS recall_",
+    # 2.0e0: a bare 2.0 parses as DECIMAL(2,1) in Spark SQL but DOUBLE
+    # in DuckDB — the e-notation literal is double in both.
+    "2.0e0 * tp / (2.0e0 * tp + fp + fn) AS f1",
+]
+
+
+@register(
+    "q_eval_confusion",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(count(*) FILTER (WHERE value >= 10 AND event_type = 'purchase') AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE value >= 10 AND event_type <> 'purchase') AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE value < 10 AND event_type = 'purchase') AS BIGINT) AS fn,
+             CAST(count(*) FILTER (WHERE value < 10 AND event_type <> 'purchase') AS BIGINT) AS tn
+      FROM events
+    )
+    SELECT tp, fp, fn, tn, {', '.join(_CONF_METRICS)}
+    FROM c
+    """,
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-classifier evaluation: confusion matrix + accuracy /
+    # precision / recall / F1 for the threshold rule "value >= 10
+    # predicts purchase". The four cells are one conditional-count scan
+    # (exact integers); every ratio is the same formula text over them
+    # on both engines. This is the eval half every ML key needs — the
+    # q_eval_ndcg/recall discipline applied to classification. 100 TB:
+    # a single partial-aggregated scan, O(1) result.
+    ev = table(spark, sf_dir, "events")
+    pred = F.col("value") >= 10
+    truth = F.col("event_type") == "purchase"
+    cell = lambda p, t: F.sum(  # noqa: E731
+        F.when(p & t, 1).otherwise(0)
+    ).cast("bigint")
+    c = ev.agg(
+        cell(pred, truth).alias("tp"),
+        cell(pred, ~truth).alias("fp"),
+        cell(~pred, truth).alias("fn"),
+        cell(~pred, ~truth).alias("tn"),
+    )
+    return c.selectExpr("tp", "fp", "fn", "tn", *_CONF_METRICS)
+
+
+_ODDS_FIELDS = [
+    "CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS odds_ratio",
+    "round(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)), 12) AS log_or",
+    "round(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 12) AS se",
+    "round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+    " - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 12) AS ci_lo",
+    "round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+    " + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 12) AS ci_hi",
+]
+
+
+@register(
+    "q_stat_odds_ratio",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(count(*) FILTER (WHERE hour(ts) >= 12 AND event_type = 'purchase') AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE hour(ts) >= 12 AND event_type <> 'purchase') AS BIGINT) AS b,
+             CAST(count(*) FILTER (WHERE hour(ts) < 12 AND event_type = 'purchase') AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE hour(ts) < 12 AND event_type <> 'purchase') AS BIGINT) AS d
+      FROM events
+    )
+    SELECT a, b, c, d, {', '.join(_ODDS_FIELDS)}
+    FROM t
+    """,
+)
+def q_stat_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2x2 odds ratio with the Woolf logit 95% CI: exposure = afternoon
+    # (hour >= 12), outcome = purchase. The four cells are exact
+    # integers from one scan; OR, ln OR, SE = sqrt(Σ 1/cell) and the
+    # exp(ln OR ± 1.96·SE) bounds are the same formula text both
+    # engines (libm ln/exp are 1-ulp → round-12, the q_stat_psi
+    # discipline). Epidemiology's workhorse effect-size test, missing
+    # from the chi-square family until now.
+    ev = table(spark, sf_dir, "events")
+    exp_ = F.hour("ts") >= 12
+    out_ = F.col("event_type") == "purchase"
+    cell = lambda p, t: F.sum(  # noqa: E731
+        F.when(p & t, 1).otherwise(0)
+    ).cast("bigint")
+    t = ev.agg(
+        cell(exp_, out_).alias("a"),
+        cell(exp_, ~out_).alias("b"),
+        cell(~exp_, out_).alias("c"),
+        cell(~exp_, ~out_).alias("d"),
+    )
+    return t.selectExpr("a", "b", "c", "d", *_ODDS_FIELDS)
+
+
+_ESD_SD = (
+    "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt)"
+    " / (cnt - 1))"
+)
+
+
+@register(
+    "q_anomaly_esd",
+    oracle=f"""
+    WITH v AS (SELECT CAST(value AS DECIMAL(18,2)) AS x FROM events),
+    m1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt, sum(x) AS s, sum(x * x) AS q FROM v
+    ),
+    st1 AS (SELECT cnt, CAST(s AS DOUBLE) / cnt AS mean, {_ESD_SD} AS sd FROM m1),
+    d1 AS (
+      SELECT v.x, abs(CAST(v.x AS DOUBLE) - st1.mean) AS d, st1.cnt, st1.mean, st1.sd
+      FROM v, st1
+    ),
+    x1 AS (
+      SELECT cnt, mean, sd, max(d) AS maxdev FROM d1 GROUP BY 1, 2, 3
+    ),
+    r1 AS (
+      SELECT x1.cnt AS n1, x1.maxdev / x1.sd AS g1,
+             min(CAST(d1.x AS DOUBLE)) AS suspect1, x1.maxdev AS maxdev1
+      FROM d1 JOIN x1 ON d1.d = x1.maxdev GROUP BY 1, 2, 4
+    ),
+    v2 AS (
+      SELECT d1.x FROM d1, r1 WHERE d1.d <> r1.maxdev1
+    ),
+    m2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt, sum(x) AS s, sum(x * x) AS q FROM v2
+    ),
+    st2 AS (SELECT cnt, CAST(s AS DOUBLE) / cnt AS mean, {_ESD_SD} AS sd FROM m2),
+    d2 AS (
+      SELECT v2.x, abs(CAST(v2.x AS DOUBLE) - st2.mean) AS d, st2.cnt, st2.sd
+      FROM v2, st2
+    ),
+    x2 AS (SELECT cnt, sd, max(d) AS maxdev FROM d2 GROUP BY 1, 2)
+    SELECT r1.n1, round(r1.g1, 12) AS g1, r1.suspect1,
+           x2.cnt AS n2, round(x2.maxdev / x2.sd, 12) AS g2,
+           (SELECT min(CAST(d2.x AS DOUBLE)) FROM d2, x2 x WHERE d2.d = x.maxdev) AS suspect2
+    FROM r1, x2
+    """,
+)
+def q_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-round generalized ESD (iterated Grubbs): round 1 computes
+    # G1 = max|x-mean|/sd over all values; ALL rows at the maximal
+    # deviation are removed (set semantics — deterministic under ties,
+    # unlike "remove one observation"); round 2 recomputes G2 on the
+    # remainder. suspect_k = min value among the argmax rows (the
+    # q_stat_grubbs convention). Moments ride the exact decimal lane
+    # each round, deviations are identical doubles, and the d <> maxdev
+    # removal filter compares bit-identical doubles — the same
+    # double-equality contract the Grubbs join relies on. round-12 on
+    # the G statistics (sd's sqrt is 1-ulp). 100 TB: two scans + two
+    # broadcast joins of 1-row stat frames; nothing driver-side.
+    ev = table(spark, sf_dir, "events").select(
+        F.col("value").cast("decimal(18,2)").alias("x")
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds both rounds
+
+    def stats(df):
+        m = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+        return m.selectExpr(
+            "cnt", "CAST(s AS DOUBLE) / cnt AS mean", f"{_ESD_SD} AS sd"
+        )
+
+    st1 = stats(ev)
+    d1 = ev.crossJoin(F.broadcast(st1)).select(
+        "x",
+        F.abs(F.col("x").cast("double") - F.col("mean")).alias("d"),
+        "cnt",
+        "mean",
+        "sd",
+    )
+    x1 = d1.groupBy("cnt", "mean", "sd").agg(F.max("d").alias("maxdev"))
+    r1 = (
+        d1.join(
+            F.broadcast(x1.select("maxdev", F.col("cnt").alias("n1"))),
+            d1.d == F.col("maxdev"),
+        )
+        .groupBy(
+            "n1",
+            F.round(F.col("maxdev") / d1.sd, 12).alias("g1"),
+            F.col("maxdev").alias("maxdev1"),
+        )
+        .agg(F.min(F.col("x").cast("double")).alias("suspect1"))
+    )
+    v2 = d1.join(F.broadcast(r1.select("maxdev1")), d1.d == F.col("maxdev1"), "left_anti").select("x")
+    st2 = stats(v2)
+    d2 = v2.crossJoin(F.broadcast(st2)).select(
+        "x",
+        F.abs(F.col("x").cast("double") - F.col("mean")).alias("d"),
+        "cnt",
+        "sd",
+    )
+    x2 = d2.groupBy(F.col("cnt").alias("n2")).agg(F.max("d").alias("maxdev"))
+    r2 = (
+        d2.join(F.broadcast(x2), d2.d == x2.maxdev)
+        .groupBy("n2", F.round(F.col("maxdev") / d2.sd, 12).alias("g2"))
+        .agg(F.min(F.col("x").cast("double")).alias("suspect2"))
+    )
+    return r1.select("n1", "g1", "suspect1").crossJoin(F.broadcast(r2))

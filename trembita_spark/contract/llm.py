@@ -3772,3 +3772,144 @@ def q_similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same rows bit-exactly.
     emb = table(spark, sf_dir, "embeddings")
     return S.cosine_range(emb, emb.filter(F.col("vec_id") < 8), threshold=0.35)
+
+
+_MH_SIG16_SQL = """
+      SELECT doc_id, band,
+             list_min(list_transform(shingles,
+               s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
+      FROM shd16, (SELECT unnest(generate_series(0, 15)) AS band) bands
+      WHERE len(shingles) > 0
+"""
+
+
+@register(
+    "q_eval_minhash_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shd16 AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
+    sig4 AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles,
+               s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
+      FROM shd16, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig4 a JOIN sig4 b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sig16 AS ({_MH_SIG16_SQL}),
+    m AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(count(*) FILTER (WHERE sa.sig = sb.sig) AS BIGINT) AS m
+      FROM cand c
+      JOIN sig16 sa ON sa.doc_id = c.doc_a
+      JOIN sig16 sb ON sb.doc_id = c.doc_b AND sb.band = sa.band
+      GROUP BY 1, 2
+    ),
+    shex AS (
+      SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shd16
+    ),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM shex GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN shex a ON a.doc_id = c.doc_a
+      JOIN shex b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    err AS (
+      SELECT m.m / 16.0e0
+               - CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (na.ns + nb.ns - coalesce(i.i, 0)) AS e
+      FROM m
+      LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+      JOIN n na ON na.doc_id = m.doc_a
+      JOIN n nb ON nb.doc_id = m.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(e)), 6) AS mae,
+           round(avg(e), 6) AS bias
+    FROM err
+    """,
+)
+def q_eval_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Estimator-quality eval for the MinHash dedup family (the
+    # q_eval_ndcg/recall discipline applied to near-dedup): over the
+    # SAME LSH candidate pairs q_dedup_near emits, compare the 16-hash
+    # MinHash Jaccard estimate (matching-signature fraction) against
+    # the EXACT shingle-set Jaccard, reporting MAE and signed bias.
+    # The estimate is conditioned on LSH candidacy (pairs that collided
+    # in at least one of the 4 candidate bands, which are the first 4
+    # of the 16 hashes) — that selection bias is exactly what this key
+    # measures: it is why verified-dedup pipelines re-check candidates
+    # (q_dedup_near_verified) instead of trusting the sketch. Exact
+    # intersections are computed ONLY for candidate docs (semi-join
+    # restriction first), so the shingle self-join is bounded by
+    # candidate volume — the LSH bound, never corpus². avg() of
+    # per-pair doubles is merge-order-sensitive → round-6 (rule 5);
+    # each per-pair term is exact-int arithmetic into two divisions.
+    from trembita_spark.operators import dedup as D2
+
+    docs = table(spark, sf_dir, "documents")
+    cand = D2.minhash_lsh_candidates(docs, bands=4, k=3).localCheckpoint(
+        eager=False
+    )  # reused: signature match + exact-jaccard restriction
+    sig16 = D2.minhash_signatures(docs, bands=16, k=3)
+    sa = sig16.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
+    )
+    sb = sig16.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    m = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("band") == F.col("band_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    shex = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(D2.shingles_expr("text", 3)).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: counts + intersections
+    )
+    n = shex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    xa = shex.select(F.col("doc_id").alias("doc_a"), "s")
+    xb = shex.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(
+            xb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    err = (
+        m.join(inter, ["doc_a", "doc_b"], "left")
+        .join(n.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na")), "doc_a")
+        .join(n.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb")), "doc_b")
+        .selectExpr(
+            "m / 16.0e0 - CAST(coalesce(i, 0) AS DOUBLE)"
+            " / (na + nb - coalesce(i, 0)) AS e"
+        )
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("e"))), 6).alias("mae"),
+        F.round(F.avg("e"), 6).alias("bias"),
+    )

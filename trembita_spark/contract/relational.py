@@ -2927,3 +2927,27 @@ def q_events_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
+
+
+@register(
+    "q_sample_systematic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+      FROM orders
+    ) WHERE idx % 97 = 0
+    """,
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Systematic (every k-th) sampling under a total order — the
+    # sampling mode the stratified/reservoir/weighted trio was missing:
+    # deterministic, evenly spaced, no RNG. Position comes from the
+    # distributed zip_with_index (range-partition + local row_number +
+    # broadcast offsets — never the oracle's single-partition global
+    # window, which is fine for DuckDB but the classic 100 TB killer in
+    # Spark); k = 97 (prime, so any periodic layout in the sort key
+    # can't alias with the stride).
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    idx = Pipeline(od).zip_with_index([F.col("o_orderkey")], "idx").df
+    return idx.where(F.col("idx") % 97 == 0).select("o_orderkey", "o_totalprice")
