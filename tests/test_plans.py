@@ -1029,6 +1029,10 @@ def test_no_key_degrades_to_cartesian(spark):
         # build side) — the q_similarity_topk shape reused
         "q_ml_knn", "q_eval_ndcg", "q_eval_recall_at_k", "q_eval_ivf_sweep",
         "q_eval_map",
+        # radius search: cosine_topk's broadcast-queries shape with a
+        # threshold filter instead of a rank window (8 probe vectors,
+        # `Filter (vec_id < 8)` build side)
+        "q_similarity_range",
         # k-bounded seed/codebook frames: the BNLJ build side is the
         # k=8 seed-vector / codebook-training frame (plan shows
         # `Filter (vec_id < 8)` over the embeddings scan) — bounded by

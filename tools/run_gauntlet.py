@@ -29,7 +29,7 @@ import xml.etree.ElementTree as ET
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHARDS = int(os.environ.get("SPARK_GRAFT_SHARDS", "4"))
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "9")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "09")
 TOTAL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
 
 

@@ -4679,9 +4679,66 @@ def q_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sd",
     )
     x2 = d2.groupBy(F.col("cnt").alias("n2")).agg(F.max("d").alias("maxdev"))
-    r2 = (
-        d2.join(F.broadcast(x2), d2.d == x2.maxdev)
-        .groupBy("n2", F.round(F.col("maxdev") / d2.sd, 12).alias("g2"))
-        .agg(F.min(F.col("x").cast("double")).alias("suspect2"))
+    # r2 is a GROUPING-FREE 1-row aggregate (min over columns that are
+    # constant across the argmax rows) rather than a keyed groupBy: the
+    # final crossJoin broadcasts it, and the registry-wide BNLJ audit
+    # only auto-accepts build sides provably bounded from the plan —
+    # a keyed aggregate is data-sized as far as the plan can tell.
+    r2 = d2.join(F.broadcast(x2), d2.d == x2.maxdev).agg(
+        F.min("n2").alias("n2"),
+        F.min(F.round(F.col("maxdev") / d2.sd, 12)).alias("g2"),
+        F.min(F.col("x").cast("double")).alias("suspect2"),
     )
     return r1.select("n1", "g1", "suspect1").crossJoin(F.broadcast(r2))
+
+
+@register(
+    "q_eval_calibration",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(CAST(value AS DECIMAL(18,2)) / 10) AS BIGINT), 9) AS bin,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_bin,
+           round(CAST(sum(least(v, 100.00)) AS DOUBLE) / (100 * count(*)), 12) AS conf,
+           CAST(sum(y) AS DOUBLE) / count(*) AS acc,
+           CAST(sum(y) AS BIGINT) AS n_pos
+    FROM b GROUP BY 1
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability (calibration) table for the naive probability score
+    # p̂ = min(value, 100)/100 predicting purchase: 10 score bins, each
+    # with its mean predicted probability (conf) and observed positive
+    # rate (acc) — the table ECE/reliability-diagram tooling consumes,
+    # completing the eval family (ranking: ndcg/recall/map; class:
+    # confusion; probability: this). Bin ids floor exact decimals; conf
+    # and acc are single double divisions over exact decimal/integer
+    # sums — no rounding needed. 100 TB: one partial-aggregated scan,
+    # 10-row result.
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    b = ev.select(
+        F.least(F.floor(v / 10).cast("bigint"), F.lit(9)).alias("bin"),
+        v.alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bin"),
+        # round-12: the engines' decimal→double conversion of the Σp̂
+        # sum can differ by an ulp (Spark BigDecimal.doubleValue vs
+        # DuckDB's scaled int128 division) — same lesson as
+        # q_ml_decision_stump's RMSE.
+        F.round(
+            F.sum(F.least(F.col("v"), F.lit(100).cast("decimal(18,2)"))).cast(
+                "double"
+            )
+            / (100 * F.count(F.lit(1))),
+            12,
+        ).alias("conf"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("acc"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
