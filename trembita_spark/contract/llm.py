@@ -3913,3 +3913,78 @@ def q_eval_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(F.col("e"))), 6).alias("mae"),
         F.round(F.avg("e"), 6).alias("bias"),
     )
+
+
+_BM25_SCORE = (
+    "ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)"
+    " * tf * (1.2e0 + 1.0e0)"
+    " / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"
+)
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    q AS (SELECT unnest(['join', 'hash', 'scan']) AS token),
+    tf AS (
+      SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok t JOIN q ON t.token = q.token
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id, round(sum({_BM25_SCORE}), 12) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM tf
+    JOIN df ON df.token = tf.token
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 (k1=1.2, b=0.75) for the fixed 3-term query
+    # {join, hash, scan} over the document corpus — tf-idf's
+    # saturating, length-normalized successor and the lexical-retrieval
+    # baseline every hybrid-search stack keeps next to its ANN arm
+    # (this repo's: q_similarity_topk). tf/df/dl/N are exact integers
+    # from two hash aggregates; avgdl is one double division; the
+    # score shares its exact formula text with the oracle (libm ln is
+    # 1-ulp → round-12 after the ≤3-term sum — q_stat_psi discipline).
+    # 100 TB: tokenize→filter-to-query-terms FIRST (the semi join makes
+    # tf rows ∝ matches, never corpus×vocab), then everything is
+    # broadcast-sized: df is ≤3 rows, stats is 1 row; the dl join
+    # hash-partitions on doc_id.
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = ["join", "hash", "scan"]
+    tf = (
+        tok.where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum(F.expr(_BM25_SCORE)), 12).alias("bm25"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )

@@ -2951,3 +2951,79 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     idx = Pipeline(od).zip_with_index([F.col("o_orderkey")], "idx").df
     return idx.where(F.col("idx") % 97 == 0).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_graph_harmonic",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_PR_EDGES_SQL}),
+    edges AS (
+      SELECT src, dst FROM base
+      UNION ALL SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    seeds AS (
+      SELECT node FROM deg ORDER BY d DESC, node LIMIT 5
+    ),
+    walk(seed, node, d) AS (
+      SELECT node, node, 0 FROM seeds
+      UNION
+      SELECT w.seed, e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 4
+    ),
+    md AS (
+      SELECT seed, node, min(d) AS d FROM walk GROUP BY seed, node
+    ),
+    cnt AS (
+      SELECT seed AS node,
+             CAST(count(*) AS BIGINT) AS reached,
+             CAST(count(*) FILTER (WHERE d = 1) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (WHERE d = 2) AS BIGINT) AS c2,
+             CAST(count(*) FILTER (WHERE d = 3) AS BIGINT) AS c3,
+             CAST(count(*) FILTER (WHERE d = 4) AS BIGINT) AS c4
+      FROM md GROUP BY seed
+    )
+    SELECT node, reached,
+           c1 / 1.0e0 + c2 / 2.0e0 + c3 / 3.0e0 + c4 / 4.0e0 AS harmonic
+    FROM cnt
+    """,
+)
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hop-capped harmonic centrality (operators/graph.py:
+    # harmonic_centrality) for the 5 highest-degree nodes of the
+    # undirected customer-supplier graph — closeness'
+    # disconnection-robust sibling (Boldi-Vigna): unreached nodes
+    # contribute 0 instead of breaking a global Σdist. With the 4-hop
+    # cap the score is c1 + c2/2 + c3/3 + c4/4 over EXACT per-level
+    # reach counts — one fixed-length double expression shared with the
+    # oracle, no per-node float accumulation, no rounding. Shares
+    # seeded_bfs with q_graph_closeness / q_graph_eccentricity; the
+    # oracle replays the recurrence as a recursive CTE + min(d).
+    from trembita_spark.operators.graph import harmonic_centrality
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    fwd = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # feeds degree + BFS levels
+    seeds = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(5)
+        .select("node")
+    )
+    return harmonic_centrality(edges, seeds, max_hops=4)

@@ -890,6 +890,35 @@ def closeness(
     )
 
 
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Hop-capped harmonic centrality for the ``seeds``: per seed,
+    H = Σ_{v reached, d(v)>0} 1/d(v) — closeness' disconnection-robust
+    sibling (unreached nodes contribute 0 instead of poisoning a global
+    Σdist; Boldi-Vigna's recommended form). With the hop cap the sum is
+    c1/1 + c2/2 + … + c_h/h over the per-level reach counts, so the
+    float work is ONE fixed-length expression over exact integers —
+    bit-identical cross-engine, no per-node float accumulation at all.
+    Returns (node, reached, harmonic).
+
+    Shape: identical to closeness (one seeded_bfs + a per-seed
+    conditional-count aggregate); cost k·BFS, hash-partitioned on the
+    (seed, node) expansion key."""
+    dist = seeded_bfs(edges, seeds, max_hops)
+    counts = dist.groupBy(F.col("seed").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("reached"),
+        *[
+            F.sum(F.when(F.col("dist") == h, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{h}")
+            for h in range(1, max_hops + 1)
+        ],
+    )
+    harmonic = " + ".join(f"c{h} / {h}.0e0" for h in range(1, max_hops + 1))
+    return counts.selectExpr("node", "reached", f"{harmonic} AS harmonic")
+
+
 def betweenness_sample(
     edges: DataFrame, seeds: DataFrame, max_hops: int = 3
 ) -> DataFrame:
