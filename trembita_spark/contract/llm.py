@@ -3988,3 +3988,122 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.expr(_BM25_SCORE)), 12).alias("bm25"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )
+
+
+@register(
+    "q_retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 3),
+    qtok AS (
+      SELECT query_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM q
+    ),
+    dtok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    lex AS (
+      SELECT query_id, doc_id, rank_lex FROM (
+        SELECT q.query_id, d.doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY count(*) DESC, d.doc_id) AS BIGINT) AS rank_lex
+        FROM qtok q JOIN dtok d ON q.token = d.token
+        WHERE d.doc_id <> q.query_id
+        GROUP BY q.query_id, d.doc_id
+      ) WHERE rank_lex <= 20
+    ),
+    n AS (SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings),
+    ann AS (
+      SELECT query_id, doc_id, rank_ann FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {_PAIR_DOT_SQL} / (a.norm * b.norm) DESC, a.vec_id)
+                 AS BIGINT) AS rank_ann
+        FROM n a JOIN n b ON b.vec_id < 3 AND a.vec_id <> b.vec_id
+      ) WHERE rank_ann <= 20
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, a.query_id) AS query_id,
+             coalesce(l.doc_id, a.doc_id) AS doc_id,
+             round(coalesce(1.0e0 / (60 + l.rank_lex), 0.0e0)
+                 + coalesce(1.0e0 / (60 + a.rank_ann), 0.0e0), 12) AS rrf
+      FROM lex l FULL JOIN ann a
+        ON l.query_id = a.query_id AND l.doc_id = a.doc_id
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= 5
+    """,
+)
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid retrieval by reciprocal-rank fusion (k=60), the shape
+    # production hybrid search actually ships: a LEXICAL arm (shared
+    # distinct-token count vs the query doc, ranked) and an ANN arm
+    # (exact cosine over the aligned embeddings, ranked), each
+    # TRUNCATED at depth 20 — the WindowGroupLimit-friendly form, and
+    # the standard RRF practice (a doc outside an arm's top-20
+    # contributes 0 from that arm) — fused by
+    # Σ 1/(60 + rank) over a full outer join of the two arms, top-5 per
+    # query. Every rank is an exact integer under a deterministic
+    # (score desc, doc_id) order; the fusion is a 2-term double
+    # expression → round-12. 100 TB: both arms are per-query-bounded
+    # (3 broadcast query docs), the rank windows carry WindowGroupLimit
+    # pushdown, and the fusion join is |queries|·20 rows a side.
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    qtok = (
+        docs.where(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+    )
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    overlap = (
+        F.broadcast(qtok)
+        .join(dtok, "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("shared").desc(), "doc_id"
+    )
+    lex = (
+        overlap.withColumn("rank_lex", F.row_number().over(w_lex).cast("bigint"))
+        .where(F.col("rank_lex") <= 20)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+    ann = (
+        S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").cast("bigint").alias("rank_ann"),
+        )
+    )
+    fused = (
+        lex.join(ann, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rank_ann")), F.lit(0.0)),
+                12,
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("int"))
+        .where(F.col("rank") <= 5)
+    )

@@ -2941,3 +2941,131 @@ def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@register(
+    "q_stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000
+                                 AND epoch_us(p.ts)
+      )
+    """,
+)
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL stream-stream LEFT SEMI join: purchases that HAD a same-user
+    # click in the preceding 30 minutes, each emitted exactly once no
+    # matter how many clicks matched — the existence-check sibling of
+    # q_stream_join (inner = one row per matching pair). A semi row
+    # emits as soon as its first match arrives, so unlike the outer
+    # variants no sentinel replay is needed: the finite fixture as one
+    # micro-batch produces the complete, deterministic output. Oracle =
+    # the batch EXISTS over the same integer epoch-µs bounds. At 100 TB
+    # click-side state still evicts at watermark+range; the semi saves
+    # the pair fan-out the inner join pays.
+    name = f"stream_semi_join_{next(_STREAM_SEQ)}"
+    p = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_semi",
+    ).select("purchase_id", "user_id", "purchase_ts")
+    return run_to_completion(joined, name, output_mode="append")
+
+
+@register(
+    "q_stream_right_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           c.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
+    """,
+)
+def q_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL stream-stream RIGHT OUTER join — the mirror of
+    # q_stream_outer_join: every click, paired with the same-user
+    # purchases it could have driven (click within the 30 minutes
+    # BEFORE the purchase) or null-padded once the purchase-side
+    # watermark proves none arrived. Same staged sentinel replay; the
+    # preserved side is now the CLICK stream, so user_id comes from the
+    # click and the oracle pre-filters the purchase side in a subquery
+    # (a WHERE would delete the null-padded rows). Completes the
+    # stream-stream join-mode matrix: inner / left / right / full /
+    # semi, every one batch-exact.
+    from datetime import timedelta
+
+    from trembita_spark.contract import run_tmp
+    from trembita_spark.streaming.sources import staged_dir, staged_stream
+
+    name = f"stream_right_outer_join_{next(_STREAM_SEQ)}"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent_ts = max_ts + timedelta(hours=10)
+    sentinels = spark.createDataFrame(
+        [(-1, sent_ts, -1, "purchase", 0.0), (-2, sent_ts, -2, "click", 0.0)],
+        schema=ev.schema,
+    )
+    base = run_tmp("stream_right_outer")
+    schema = staged_dir(spark, [ev, sentinels], base)
+    p = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        staged_stream(spark, base, schema)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "right_outer",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    out = run_to_completion(joined, name, output_mode="append")
+    return out.where(
+        (F.col("click_id") >= 0)
+        & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+    )
