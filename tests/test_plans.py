@@ -1033,6 +1033,9 @@ def test_no_key_degrades_to_cartesian(spark):
         # threshold filter instead of a rank window (8 probe vectors,
         # `Filter (vec_id < 8)` build side)
         "q_similarity_range",
+        # hybrid RRF: its ANN arm is cosine_topk's broadcast-queries
+        # scan (3 probe vectors, `Filter (vec_id < 3)` build side)
+        "q_retrieval_hybrid_rrf",
         # k-bounded seed/codebook frames: the BNLJ build side is the
         # k=8 seed-vector / codebook-training frame (plan shows
         # `Filter (vec_id < 8)` over the embeddings scan) — bounded by

@@ -34,8 +34,16 @@ TOTAL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
 
 
 def main() -> int:
+    import shutil
+
     out_dir = f"/tmp/trembita_gauntlet_r{ROUND}"
     os.makedirs(out_dir, exist_ok=True)
+    # Wipe per-shard warehouse dirs from any previous run: a leftover
+    # managed-table location with a fresh (empty) in-memory catalog
+    # makes saveAsTable fail with LOCATION_ALREADY_EXISTS even in
+    # overwrite mode.
+    for i in range(SHARDS):
+        shutil.rmtree(f"/tmp/trembita_wh_r{ROUND}_s{i}", ignore_errors=True)
     per_shard_cpus = max(4, TOTAL_CPUS // SHARDS)
     procs = []
     t0 = time.time()
