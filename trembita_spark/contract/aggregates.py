@@ -4742,3 +4742,92 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("y").cast("double") / F.count(F.lit(1))).alias("acc"),
         F.sum("y").cast("bigint").alias("n_pos"),
     )
+
+
+@register(
+    "q_stat_cvm",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT na, nb,
+             CAST(sum(na) OVER w AS BIGINT) AS ca,
+             CAST(sum(nb) OVER w AS BIGINT) AS cb
+      FROM pv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+      FROM pv
+    ),
+    s AS (
+      SELECT n_a, n_b,
+             sum(CAST(ca * n_b - cb * n_a AS DECIMAL(38,0))
+                 * CAST(ca * n_b - cb * n_a AS DECIMAL(38,0))
+                 * (na + nb)) AS u
+      FROM c CROSS JOIN t GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b,
+           round(CAST(u AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b)
+                * (CAST(n_a AS DOUBLE) * n_b)), 12) AS cvm_t
+    FROM s
+    """,
+)
+def q_stat_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Cramér–von Mises statistic (purchase vs click values):
+    # T = n·m/(n+m)² · Σ_z (F_a(z) − F_b(z))² over the pooled sample
+    # (tie-weighted: each distinct value contributes with multiplicity
+    # na+nb). KS's max becomes an L2 sum — sensitive to distributional
+    # differences everywhere, not just at the single worst point. The
+    # squared ECDF gap is the EXACT integer cross-difference
+    # (ca·n_b − cb·n_a)², accumulated in the decimal(38,0) lane
+    # (na·nb ≈ 3.6e11 squared ≈ 1.3e23 × weight — far past BIGINT, the
+    # q_stat_kruskal n³ lesson applied before it bites); one double
+    # division at the end, round-12 (the >2^53 decimal→double cast).
+    # Same single multi-column prefix sum as q_stat_ks — the two tests
+    # share their entire physical shape. T = U/(n²·m²·(n+m)) where
+    # U = Σ (ca·m − cb·n)²·w, algebraically identical to the
+    # tie-weighted definition above.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.where(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    pv = x.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum_multi(pv, ["na", "nb"], [F.col("v")], ["ca", "cb"])
+    t = pv.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    diff = (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).cast(
+        "decimal(38,0)"
+    )
+    s = j.groupBy("n_a", "n_b").agg(
+        F.sum(diff * diff * (F.col("na") + F.col("nb"))).alias("u")
+    )
+    return s.selectExpr(
+        "n_a",
+        "n_b",
+        "round(CAST(u AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b)"
+        "    * (CAST(n_a AS DOUBLE) * n_b)), 12) AS cvm_t",
+    )

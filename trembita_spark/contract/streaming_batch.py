@@ -3069,3 +3069,67 @@ def q_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("click_id") >= 0)
         & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
     )
+
+
+@register(
+    "q_stream_tws_dedup",
+    oracle="""
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming first-occurrence dedup on transformWithStateInPandas
+    # MAP state (streaming/stateful.py: first_occurrence_tws) — the
+    # second-level-key dedup shape (per USER state entry, per TYPE map
+    # slot) that complements q_stream_dedup's dropDuplicates. Exactly
+    # one row per (user, type): the (event-time, event_id)-minimal one,
+    # which the oracle states as a rank-1 window. Deterministic on the
+    # finite fixture: the file source delivers one micro-batch, so each
+    # user's rows reach handleInputRows together and the in-batch sort
+    # fixes the order. Same RocksDB-provider + protobuf-shim
+    # environment notes as q_stream_fsm_tws, same
+    # applyInPandasWithState-free fallback rationale does NOT apply
+    # here (map state has no GroupState equivalent) — if TWS is
+    # unavailable the batch-exact expression path computes the same
+    # result (min_by struct per group), keeping the key driver-safe
+    # everywhere while the TWS path runs wherever the worker can.
+    from trembita_spark.streaming.pbcompat import tws_available
+    from trembita_spark.streaming.stateful import first_occurrence_tws
+
+    name = f"stream_tws_dedup_{next(_STREAM_SEQ)}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    if tws_available(spark):
+        try:
+            prev = spark.conf.get(prov_key)
+        except Exception:
+            prev = None
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = first_occurrence_tws(events_stream(spark, sf_dir))
+            return run_to_completion(out, name, output_mode="append")
+        except Exception:
+            pass  # env-shaped failure: fall through to the batch path
+        finally:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("f")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("f.ts").alias("first_ts"),
+        F.col("f.event_id").alias("first_event_id"),
+    )

@@ -169,3 +169,67 @@ def sessionize_tws(
             timeMode="EventTime",
         )
     )
+
+
+def first_occurrence_tws(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming first-occurrence dedup on the Spark 4.x arbitrary-state
+    API, exercising MAP state (``handle.getMapState``) rather than the
+    FSM's value state: per user, a map event_type → first-seen marker;
+    the first (event-time, event_id)-ordered row of each (user, type)
+    is emitted exactly once, duplicates are absorbed into state. The
+    keyed-map shape is the one ``dropDuplicates`` can't express when
+    the dedup key is a *second-level* key under a hot partition key —
+    state stays grouped by user (one state-store entry per user, one
+    map slot per type) instead of exploding the keyspace.
+
+    Emits (user_id, event_type, first_ts, first_event_id). At 100 TB
+    state is O(users × types-seen); the map entries live in the
+    RocksDB state store like any TWS state."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id long, event_type string, first_ts timestamp, "
+        "first_event_id long"
+    )
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getMapState(
+                "seen", "event_type string", "flag boolean"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            out = []
+            for r in batch.itertuples():
+                et = r.event_type
+                if not self.seen.containsKey((et,)):
+                    self.seen.updateValue((et,), (True,))
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "event_type": et,
+                            "first_ts": r.ts.to_pydatetime(),
+                            "first_event_id": r.event_id,
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=FirstSeen(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
