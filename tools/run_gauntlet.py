@@ -91,6 +91,33 @@ def main() -> int:
             rc = max(rc, 1)
         print(f"shard {i}: exit {code}", flush=True)
 
+    # Collection-freeze check: every shard must have collected the SAME
+    # total test universe (its selected count from the junit XML plus
+    # the deselected count from the -q summary line). A mismatch means
+    # the tree changed while shards were collecting — tests could then
+    # run twice or not at all across shards, and the merged artifact
+    # lies (observed in the round-9 validation run: 455 vs 448
+    # deselected when keys landed mid-run).
+    import re as _re
+
+    totals_seen = set()
+    for i, xml, _p, _log in procs:
+        with open(f"{out_dir}/shard{i}.log") as fh:
+            m = _re.search(r"(\d+) deselected", fh.read())
+        desel = int(m.group(1)) if m else 0
+        root = ET.parse(xml).getroot()
+        suites = [root] if root.tag == "testsuite" else list(root)
+        selected = sum(int(su.get("tests", 0)) for su in suites)
+        totals_seen.add(selected + desel)
+    if len(totals_seen) > 1:
+        print(
+            f"ERROR: shards collected different test universes "
+            f"{sorted(totals_seen)} — the tree changed mid-run; re-run on "
+            f"a frozen tree",
+            flush=True,
+        )
+        rc = max(rc, 2)
+
     # merge: one <testsuites> wrapping each shard's suite
     merged = ET.Element("testsuites")
     totals = {"tests": 0, "failures": 0, "errors": 0, "skipped": 0}
