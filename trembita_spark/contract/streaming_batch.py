@@ -3133,3 +3133,81 @@ def q_stream_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.ts").alias("first_ts"),
         F.col("f.event_id").alias("first_event_id"),
     )
+
+
+@register(
+    "q_stream_tws_topk",
+    oracle="""
+    SELECT a.user_id, a.event_id, a.ts, a.value
+    FROM events a LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+     AND b.value >= a.value
+    GROUP BY 1, 2, 3, 4
+    HAVING count(b.event_id) < 3
+    """,
+)
+def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming running-top-3 entry detection on the
+    # transformWithStateInPandas LIST state API (streaming/stateful.py:
+    # running_topk_entries_tws) — with q_stream_fsm_tws (value state)
+    # and q_stream_tws_dedup (map state) this completes the TWS
+    # state-type matrix. An event emits iff fewer than 3 PRIOR events
+    # of the user (by (event-time, event_id) order) had value >= its
+    # value — "alert when this enters the entity's top 3"; state is
+    # exactly 3 doubles per user regardless of history. The oracle
+    # states the identical rule as a prefix self-join (count of
+    # greater-or-equal predecessors < 3); value comparisons are raw
+    # parquet doubles, identical in both engines. The batch fallback
+    # (protobuf-less foreign JVM) runs the same prefix rule as a
+    # user-keyed range join — per-user fan-out is (events/user)²,
+    # bounded by the per-entity rate like the sequence-pattern key.
+    from trembita_spark.streaming.pbcompat import tws_available
+    from trembita_spark.streaming.stateful import running_topk_entries_tws
+
+    name = f"stream_tws_topk_{next(_STREAM_SEQ)}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    if tws_available(spark):
+        try:
+            prev = spark.conf.get(prov_key)
+        except Exception:
+            prev = None
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = running_topk_entries_tws(events_stream(spark, sf_dir), k=3)
+            return run_to_completion(out, name, output_mode="append")
+        except Exception:
+            pass  # env-shaped failure: fall through to the batch path
+        finally:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+    ev = table(spark, sf_dir, "events")
+    a = ev.select("user_id", "event_id", "ts", "value")
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    j = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (
+            (F.col("b_ts") < F.col("ts"))
+            | ((F.col("b_ts") == F.col("ts")) & (F.col("b_id") < F.col("event_id")))
+        )
+        & (F.col("b_value") >= F.col("value")),
+        "left",
+    )
+    return (
+        j.groupBy("user_id", "event_id", "ts", "value")
+        .agg(F.count("b_id").alias("ge_prior"))
+        .where(F.col("ge_prior") < 3)
+        .select("user_id", "event_id", "ts", "value")
+    )

@@ -233,3 +233,68 @@ def first_occurrence_tws(events: DataFrame, watermark: str = "1 hour") -> DataFr
             timeMode="EventTime",
         )
     )
+
+
+def running_topk_entries_tws(
+    events: DataFrame, k: int = 3, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming running-top-k entry detection on the Spark 4.x
+    arbitrary-state API, exercising LIST state (``handle.getListState``
+    — the third state type, after the FSM's value state and the dedup
+    key's map state): per user, the state is the multiset of the k
+    highest values seen so far; an incoming event (processed in
+    (event-time, event_id) order) is EMITTED iff fewer than k prior
+    events had value >= its value — i.e. the moment it enters the
+    user's running top-k — then inserted into the state (trimmed back
+    to k). Alert-on-new-high with hysteresis-by-rank, the monitoring
+    shape "tell me when this crosses into the top k for this entity".
+
+    Emits (user_id, event_id, ts, value). State is EXACTLY k doubles
+    per user regardless of history length — O(users·k) total."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, event_id long, ts timestamp, value double"
+
+    class TopKEntry(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.top = handle.getListState("top", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            cur = sorted((r[0] for r in self.top.get()), reverse=True)
+            out = []
+            for r in batch.itertuples():
+                v = float(r.value)
+                if len(cur) < k or v > cur[-1]:
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "event_id": r.event_id,
+                            "ts": r.ts.to_pydatetime(),
+                            "value": v,
+                        }
+                    )
+                cur.append(v)
+                cur.sort(reverse=True)
+                del cur[k:]
+            self.top.put([(v,) for v in cur])
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TopKEntry(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
