@@ -4831,3 +4831,154 @@ def q_stat_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b)"
         "    * (CAST(n_a AS DOUBLE) * n_b)), 12) AS cvm_t",
     )
+
+
+@register(
+    "q_ml_auc",
+    oracle="""
+    WITH pv AS (
+      SELECT value AS v,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS np,
+             CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT) AS nn
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT np, nn,
+             CAST(sum(nn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+      FROM pv
+    )
+    SELECT n_pos, n_neg,
+           CAST(sum(np * (2 * (cumn - nn) + nn)) AS DOUBLE)
+             / (2.0e0 * n_pos * n_neg) AS auc
+    FROM c CROSS JOIN t GROUP BY n_pos, n_neg
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROC AUC of the raw score `value` predicting purchase, computed
+    # EXACTLY by the rank-sum identity with the standard tie convention
+    # (a tied positive-negative pair counts 1/2):
+    # AUC·2PN = Σ_v np_v·(2·cumneg_below(v) + nn_v) — every term an
+    # exact integer off the value-support frame and ONE distributed
+    # prefix sum (the q_stat_ks shape; AUC IS Mann-Whitney U
+    # normalized). The single division's operands stay far below 2^53,
+    # so the double is identical cross-engine with no rounding. This is
+    # the ranking-quality eval the confusion/calibration keys can't
+    # express (threshold-free). 100 TB: one hash agg + one prefix sum
+    # over the value support — same cost envelope as KS/CvM.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pv = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(pv, "nn", order_by=[F.col("v")], name="cumn")
+    t = pv.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    return (
+        j.groupBy("n_pos", "n_neg")
+        .agg(
+            F.sum(
+                F.col("np") * (2 * (F.col("cumn") - F.col("nn")) + F.col("nn"))
+            ).alias("s")
+        )
+        .selectExpr(
+            "n_pos",
+            "n_neg",
+            "CAST(s AS DOUBLE) / (2.0e0 * n_pos * n_neg) AS auc",
+        )
+    )
+
+
+@register(
+    "q_ts_mann_kendall",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+             sum(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN a.x < c.x THEN 1
+                           WHEN a.x > c.x THEN -1 ELSE 0 END) AS BIGINT) AS mk_s
+      FROM b a JOIN b c ON a.h < c.h
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_adj
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM b GROUP BY x HAVING count(*) > 1)
+    )
+    SELECT mk_s, n,
+           round((mk_s - CASE WHEN mk_s > 0 THEN 1 WHEN mk_s < 0 THEN -1 ELSE 0 END)
+             / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_adj) / 18.0e0), 12)
+             AS mk_z
+    FROM s, n, ties
+    """,
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Kendall trend test on the hourly-total series: S = Σ_{i<j}
+    # sign(x_j − x_i) over all bucket pairs (exact decimal sums → exact
+    # sign comparisons → exact integer S), normal approximation with
+    # the standard tie correction, continuity-corrected z, round-12.
+    # The pairwise join is over the BUCKET frame, whose size is bounded
+    # by the TIME SPAN (720 hourly points here), not by row count —
+    # doubling the data at fixed span changes nothing; a longer span
+    # grows it quadratically, which is when you coarsen the bucket (the
+    # m4-downsample rationale). Kendall-tau's trend-test sibling, the
+    # monitoring question "is this metric drifting".
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(F.window("ts", "1 hour").getField("start").alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("x")
+    )
+    b = b.localCheckpoint(eager=False)  # feeds pairs + counts + ties
+    a = b.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    c2 = b.select(F.col("h").alias("hc"), F.col("x").alias("xc"))
+    s = (
+        a.join(F.broadcast(c2), F.col("ha") < F.col("hc"))
+        .agg(
+            F.sum(
+                F.when(F.col("xa") < F.col("xc"), 1)
+                .when(F.col("xa") > F.col("xc"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("mk_s")
+        )
+    )
+    n = b.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        b.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_adj")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "mk_s",
+            "n",
+            "round((mk_s - CASE WHEN mk_s > 0 THEN 1 WHEN mk_s < 0 THEN -1 ELSE 0 END)"
+            " / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_adj)"
+            " / 18.0e0), 12) AS mk_z",
+        )
+    )

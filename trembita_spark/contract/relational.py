@@ -3027,3 +3027,124 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
     )
     return harmonic_centrality(edges, seeds, max_hops=4)
+
+
+@register(
+    "q_events_attribution_lastclick",
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000
+                              AND epoch_us(p.ts)
+    ) WHERE rn = 1
+    """,
+)
+def q_events_attribution_lastclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Last-click attribution: each purchase credited to the LATEST
+    # same-user click in the preceding 30 minutes (ties → highest
+    # event_id) — the default model of every ads/analytics stack, and
+    # the argmax refinement of q_stream_join's all-pairs attribution.
+    # Spark picks the winner with max(struct(click_ts, click_id)) under
+    # the same lexicographic order the oracle's (ts DESC, id DESC)
+    # rank-1 window states — one groupBy instead of a per-purchase
+    # window (same result, partial-aggregable). Time bounds compare
+    # integer epoch-µs (the q_stream_join convention). 100 TB: one
+    # user-keyed range join + one hash aggregate on the purchase id.
+    ev = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (us("click_ts") >= us("purchase_ts") - 1_800_000_000)
+        & (us("click_ts") <= us("purchase_ts")),
+    )
+    best = j.groupBy("purchase_id", "user_id", "purchase_ts").agg(
+        F.max(F.struct("click_ts", "click_id")).alias("w")
+    )
+    return best.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("w.click_id").alias("click_id"),
+        F.col("w.click_ts").alias("click_ts"),
+    )
+
+
+@register(
+    "q_events_attribution_linear",
+    oracle="""
+    WITH j AS (
+      SELECT p.event_id AS purchase_id,
+             CAST(p.value AS DECIMAL(18,2)) AS pval,
+             c.event_id AS click_id,
+             CAST(count(*) OVER (PARTITION BY p.event_id) AS BIGINT) AS n_clicks
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000
+                              AND epoch_us(p.ts)
+    )
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(CAST(pval AS DOUBLE) / n_clicks), 6) AS credit
+    FROM j GROUP BY 1
+    """,
+)
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear (equal-split) attribution: each purchase's value divided
+    # evenly across ALL same-user clicks in its 30-minute window, then
+    # summed per click — last-click's fairness-model sibling. The
+    # per-pair credit pval/n_clicks is one double division over exact
+    # inputs (identical both engines); the per-click SUM of those
+    # doubles is merge-order-sensitive → round-6 (rule 5, the pagerank
+    # convention). The per-purchase click count rides a window keyed on
+    # the purchase id (high cardinality — WindowGroupLimit-class
+    # partitioning, never a low-card global). 100 TB: the same
+    # user-keyed range join as last-click, one window on the join key,
+    # one hash aggregate on the click id.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("decimal(18,2)").alias("pval"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (us("click_ts") >= us("purchase_ts") - 1_800_000_000)
+        & (us("click_ts") <= us("purchase_ts")),
+    )
+    w = Window.partitionBy("purchase_id")
+    j = j.withColumn("n_clicks", F.count(F.lit(1)).over(w).cast("bigint"))
+    return j.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("pval").cast("double") / F.col("n_clicks")), 6
+        ).alias("credit"),
+    )
