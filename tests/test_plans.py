@@ -1036,6 +1036,11 @@ def test_no_key_degrades_to_cartesian(spark):
         # hybrid RRF: its ANN arm is cosine_topk's broadcast-queries
         # scan (3 probe vectors, `Filter (vec_id < 3)` build side)
         "q_retrieval_hybrid_rrf",
+        # Mann-Kendall: the pairwise sign join is over the HOURLY-BUCKET
+        # frame (720 rows — bounded by the fixture's time span, not by
+        # row count; a keyed aggregate build isn't mechanically provable
+        # from the plan, so the bound is explicit here)
+        "q_ts_mann_kendall",
         # k-bounded seed/codebook frames: the BNLJ build side is the
         # k=8 seed-vector / codebook-training frame (plan shows
         # `Filter (vec_id < 8)` over the embeddings scan) — bounded by
