@@ -4982,3 +4982,81 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 18.0e0), 12) AS mk_z",
         )
     )
+
+
+@register(
+    "q_ml_lift_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM r GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+                 CAST(sum(n) AS BIGINT) AS tot FROM d),
+    c AS (
+      SELECT decile, n, n_pos,
+             CAST(sum(n_pos) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+             CAST(sum(n) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+      FROM d
+    )
+    SELECT decile, n, n_pos,
+           CAST(cum_pos AS DOUBLE) / tot_pos AS capture,
+           (CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(tot_pos AS DOUBLE) / tot)
+             AS cum_lift
+    FROM c CROSS JOIN t
+    """,
+)
+def q_ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gains/lift table: rank by score (value DESC, event_id tiebreak —
+    # a unique total order, which ntile REQUIRES for determinism), cut
+    # into 10 equal deciles, report each decile's positive capture and
+    # cumulative lift vs the base rate — the campaign-targeting eval
+    # that AUC's single number hides. Deciles come from
+    # ranking.ntile_exact (distributed prefix-sum NTILE, bit-matching
+    # SQL ntile without the single-partition global window); every
+    # ratio is exact-int division. 100 TB: one range shuffle for the
+    # decile cut + a 10-row reduction.
+    from trembita_spark.operators.ranking import ntile_exact
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        "value",
+        "event_id",
+    )
+    r = ntile_exact(
+        base, [F.col("value").desc(), F.col("event_id")], 10, "decile"
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    d = d.localCheckpoint(eager=False)  # feeds prefix sum + totals (10 rows)
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    c = prefix_sum_multi(
+        d, ["n_pos", "n"], [F.col("decile")], ["cum_pos", "cum_n"]
+    )
+    t = d.agg(
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+        F.sum("n").cast("bigint").alias("tot"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "decile",
+            "n",
+            "n_pos",
+            "CAST(cum_pos AS DOUBLE) / tot_pos AS capture",
+            "(CAST(cum_pos AS DOUBLE) / cum_n)"
+            " / (CAST(tot_pos AS DOUBLE) / tot) AS cum_lift",
+        )
+    )

@@ -3148,3 +3148,62 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("pval").cast("double") / F.col("n_clicks")), 6
         ).alias("credit"),
     )
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH e AS ({_COBASKET_EDGES_SQL}),
+    adj AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    hist AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+    ),
+    tail AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             round(sum(ln(CAST(d AS DOUBLE) / 4.0e0)), 6) AS s_ln
+      FROM deg WHERE d >= 4
+    )
+    SELECT h.d, h.n_nodes, t.n_tail,
+           round(1.0e0 + t.n_tail / (SELECT sum(ln(CAST(d AS DOUBLE) / 4.0e0))
+                                     FROM deg WHERE d >= 4), 6) AS hill_alpha
+    FROM hist h CROSS JOIN tail t
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree distribution of the adjacent-line co-basket graph plus the
+    # Hill (maximum-likelihood power-law) tail exponent at d_min = 4:
+    # alpha = 1 + n_tail / Σ ln(d/d_min) — the first diagnostic anyone
+    # runs on a new graph ("is this scale-free, where do hubs start").
+    # The histogram is two hash aggregates; the tail estimate is one
+    # conditional ln-sum (merge-order doubles → round-6, rule 5,
+    # applied to BOTH the reported sum and the alpha). Every output row
+    # carries the same scalar tail stats broadcast back — compact at
+    # any scale (|distinct degrees| rows).
+    e = (
+        _cobasket_pairs(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = deg.localCheckpoint(eager=False)  # feeds histogram + tail
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    tail = deg.where(F.col("d") >= 4).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.round(F.sum(F.log(F.col("d").cast("double") / 4.0)), 6).alias("s_ln"),
+        F.sum(F.log(F.col("d").cast("double") / 4.0)).alias("_raw_ln"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tail))
+        .selectExpr(
+            "d",
+            "n_nodes",
+            "n_tail",
+            "round(1.0e0 + n_tail / _raw_ln, 6) AS hill_alpha",
+        )
+    )

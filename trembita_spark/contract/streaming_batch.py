@@ -3211,3 +3211,136 @@ def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ge_prior") < 3)
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+def _mkv_step(prev: str, this: str) -> str:
+    # one synchronous power step over the row-normalized transition
+    # frame: pi_this(to) = Σ_from pi_prev(from) · P(from, to)
+    return f"""
+    {this} AS (
+      SELECT p.to_type AS state, sum(pi.pi * p.p) AS pi
+      FROM {prev} pi JOIN tp p ON p.from_type = pi.state
+      GROUP BY 1
+    )"""
+
+
+@register(
+    "q_events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    tc AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, sum(n) AS row_n FROM tc GROUP BY from_type),
+    tp AS (
+      SELECT from_type, to_type, CAST(n AS DOUBLE) / row_n AS p
+      FROM tc JOIN tot USING (from_type)
+    ),
+    k AS (SELECT CAST(count(DISTINCT from_type) AS BIGINT) AS k FROM tp),
+    pi0 AS (
+      SELECT from_type AS state, 1.0e0 / (SELECT k FROM k) AS pi
+      FROM (SELECT DISTINCT from_type FROM tp)
+    ),
+    {_mkv_step("pi0", "pi1")},
+    {_mkv_step("pi1", "pi2")},
+    {_mkv_step("pi2", "pi3")}
+    SELECT state, round(pi, 12) AS pi FROM pi3
+    """,
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate stationary distribution of the per-user event-type
+    # Markov chain: THREE unrolled power steps π ← πP from uniform over
+    # the row-normalized transition matrix (q_events_markov's tp frame)
+    # — "where does user behavior settle", the chain's long-run
+    # complement to the one-step transition key. Fixed step count keeps
+    # it a deterministic recurrence the oracle unrolls as CTEs (the
+    # pagerank convention); each step is one join + one |types|-row
+    # aggregate, so after the pair count everything is config-sized.
+    # The per-state sums fold ≤|types| doubles whose addend sets are
+    # identical but engine-ordered → round-12 on the final vector.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    tc = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # |types|²-bounded; reused 3+ times
+    )
+    tot = tc.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    tp = tc.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+    )
+    k = tp.select("from_type").distinct().count()  # |types|: config-sized
+    pi = tp.select("from_type").distinct().select(
+        F.col("from_type").alias("state"), F.lit(1.0 / k).alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            tp.join(pi, tp.from_type == pi.state)
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    return pi.select("state", F.round("pi", 12).alias("pi"))
+
+
+@register(
+    "q_graph_bipartite_projection",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b2.s AS s2, CAST(count(*) AS BIGINT) AS w
+      FROM b a JOIN b b2 ON a.c = b2.c AND a.s < b2.s
+      GROUP BY 1, 2
+    )
+    SELECT w, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bipartite projection of the customer-supplier graph onto the
+    # supplier side: suppliers sharing a customer get an edge weighted
+    # by the number of shared customers — the standard co-membership
+    # network construction (co-authorship, co-purchase). Reported as
+    # the weight histogram (weight → pair count): fully determined by
+    # the projected edge set, compact at any scale, all-integer. The
+    # wedge fan-out at a customer is deg², the adamic-adar hub caution
+    # — on this fixture customer degree is basket-bounded; cap hubs
+    # exactly as jaccard/adamic_adar do on denser inputs. One distinct
+    # + one wedge join + two hash aggregates.
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    b = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # both wedge sides
+    )
+    left = b.select("c", F.col("s").alias("s1"))
+    right = b.select("c", F.col("s").alias("s2"))
+    pairs = (
+        left.join(right, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return pairs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
