@@ -5060,3 +5060,103 @@ def q_ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(tot_pos AS DOUBLE) / tot) AS cum_lift",
         )
     )
+
+
+_KFOLD_H60 = _H60.format(md5="md5('fold#' || CAST(event_id AS VARCHAR))")
+
+
+@register(
+    "q_ml_kfold_assign",
+    oracle=f"""
+    WITH f AS (
+      SELECT ({_KFOLD_H60}) % 5 AS fold,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+    FROM f GROUP BY 1
+    """,
+)
+def q_ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic k-fold split assignment (k=5) by the salted-md5
+    # 60-bit fold of the row id — RNG-free, reproducible across runs,
+    # engines, and cluster sizes (every training pipeline's first step;
+    # the md5-rank convention the sampling keys already use). Reported
+    # as the per-fold balance sheet: size and positive rate, the
+    # stratification-drift check you run before trusting a CV score.
+    # One scan, |k| output rows; the label never influences the fold
+    # (no leakage by construction).
+    ev = table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold#"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    f = ev.select(
+        fold.alias("fold"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+    )
+
+
+_WILSON = (
+    "(phat + z * z / (2 * n) {sign} z * sqrt((phat * (1.0e0 - phat)"
+    " + z * z / (4 * n)) / n)) / (1.0e0 + z * z / n)"
+)
+
+
+@register(
+    "q_stat_wilson_ci",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value >= 50) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT grp, n, x, CAST(x AS DOUBLE) / n AS phat, 1.96e0 AS z FROM g
+    )
+    SELECT grp, n, x, phat,
+           round({_WILSON.format(sign='-')}, 12) AS ci_lo,
+           round({_WILSON.format(sign='+')}, 12) AS ci_hi
+    FROM p
+    """,
+)
+def q_stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wilson score 95% interval for the proportion P(value >= 50) per
+    # event_type — the small-sample-safe, never-outside-[0,1]
+    # replacement for the Wald interval q_stat_proportion_z implies.
+    # Counts are exact; phat is one exact division; both bounds share
+    # the exact formula text with the oracle (sqrt is 1-ulp → round-12,
+    # the q_stat_psi discipline). One conditional-count scan, |groups|
+    # output rows.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    p = g.selectExpr("grp", "n", "x", "CAST(x AS DOUBLE) / n AS phat", "1.96e0 AS z")
+    return p.selectExpr(
+        "grp",
+        "n",
+        "x",
+        "phat",
+        f"round({_WILSON.format(sign='-')}, 12) AS ci_lo",
+        f"round({_WILSON.format(sign='+')}, 12) AS ci_hi",
+    )
