@@ -5160,3 +5160,376 @@ def q_stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_WILSON.format(sign='-')}, 12) AS ci_lo",
         f"round({_WILSON.format(sign='+')}, 12) AS ci_hi",
     )
+
+
+@register(
+    "q_eval_brier",
+    oracle="""
+    WITH b AS (
+      SELECT greatest(least(CAST(value AS DECIMAL(18,2)),
+                            CAST(100 AS DECIMAL(18,2))),
+                      CAST(0 AS DECIMAL(18,2))) AS p100,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             sum(CAST((p100 - 100 * y) * (p100 - 100 * y)
+                      AS DECIMAL(38,4))) AS se2
+      FROM b
+    )
+    SELECT n, n_pos,
+           CAST(se2 AS DOUBLE) / (10000 * n) AS brier,
+           (CAST(n_pos AS DOUBLE) / n) * (1 - CAST(n_pos AS DOUBLE) / n)
+             AS uncertainty
+    FROM s
+    """,
+)
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brier score of the naive probability score p-hat = clip(value,
+    # 0, 100)/100 predicting purchase — the probability-eval companion
+    # to q_eval_calibration's reliability table. The per-row squared
+    # error is kept on the EXACT lane: (p100 - 100y)^2 is a decimal
+    # product of decimals (no doubles until the end), summed exactly,
+    # then ONE double division — no rounding needed (parity rule 2).
+    # The uncertainty term (base-rate variance, the floor of the
+    # Murphy decomposition) is the same formula text over exact counts.
+    # 100 TB: one partial-aggregated scan, 1-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(18,2)")
+    p100 = F.greatest(
+        F.least(d, F.lit(100).cast("decimal(18,2)")),
+        F.lit(0).cast("decimal(18,2)"),
+    )
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    b = ev.select(p100.alias("p100"), y.alias("y"))
+    s = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(
+            ((F.col("p100") - 100 * F.col("y"))
+             * (F.col("p100") - 100 * F.col("y"))).cast("decimal(38,4)")
+        ).alias("se2"),
+    )
+    pr = F.col("n_pos").cast("double") / F.col("n")
+    return s.select(
+        "n",
+        "n_pos",
+        (F.col("se2").cast("double") / (10000 * F.col("n"))).alias("brier"),
+        (pr * (1 - pr)).alias("uncertainty"),
+    )
+
+
+@register(
+    "q_eval_logloss",
+    oracle="""
+    WITH b AS (
+      SELECT least(greatest(CAST(floor(CAST(value AS DECIMAL(18,2)))
+                                 AS BIGINT), 1), 99) AS pc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT pc,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM b GROUP BY pc
+    ),
+    t AS (SELECT CAST(sum(pos) + sum(neg) AS BIGINT) AS n FROM g)
+    SELECT n,
+           round(sum(-(pos * ln(CAST(pc AS DOUBLE) / 100)
+                       + neg * ln(1 - CAST(pc AS DOUBLE) / 100))) / n, 12)
+             AS logloss
+    FROM g CROSS JOIN t GROUP BY n
+    """,
+)
+def q_eval_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mean binary cross-entropy of the integer-percent score
+    # p-hat = clip(floor(value), 1, 99)/100 predicting purchase. The
+    # percent clip bounds the score support at 99 distinct levels, so
+    # the -[y ln p + (1-y) ln(1-p)] fold runs over AT MOST 99 grouped
+    # exact-count terms at any data scale — the q_agg_entropy shape
+    # (bounded-support contingency first, tiny libm fold second).
+    # ln is libm (1-ulp engine skew) and the 99-term sum merges in
+    # partial-agg order -> round-12 (parity rule 5; error ~1e-14 vs a
+    # 5e-13 half-grid). 100 TB: one partial-aggregated scan to the
+    # 99-row contingency; the fold is constant-size.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pc = F.least(
+        F.greatest(
+            F.floor(F.col("value").cast("decimal(18,2)")).cast("bigint"),
+            F.lit(1),
+        ),
+        F.lit(99),
+    )
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    g = ev.select(pc.alias("pc"), y.alias("y")).groupBy("pc").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    t = g.agg((F.sum("pos") + F.sum("neg")).cast("bigint").alias("n"))
+    p = F.col("pc").cast("double") / 100
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.sum(-(F.col("pos") * F.log(p) + F.col("neg") * F.log(1 - p)))
+                / F.col("n"),
+                12,
+            ).alias("logloss")
+        )
+    )
+
+
+_MCC_FIELDS = [
+    "round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
+    " / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)),"
+    " 12) AS mcc",
+    "CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp) - 1.0e0"
+    " AS youden_j",
+]
+
+
+@register(
+    "q_eval_mcc",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(count(*) FILTER (WHERE value >= 10 AND event_type = 'purchase') AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE value >= 10 AND event_type <> 'purchase') AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE value < 10 AND event_type = 'purchase') AS BIGINT) AS fn,
+             CAST(count(*) FILTER (WHERE value < 10 AND event_type <> 'purchase') AS BIGINT) AS tn
+      FROM events
+    )
+    SELECT tp, fp, fn, tn, {', '.join(_MCC_FIELDS)}
+    FROM c
+    """,
+)
+def q_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Matthews correlation coefficient + Youden's J for the same
+    # threshold rule as q_eval_confusion ("value >= 10 predicts
+    # purchase") — the balanced-classes-free summary the accuracy/F1
+    # pair cannot give. The four cells are exact integers from one
+    # scan; the marginal products are forced to DOUBLE before
+    # multiplying (at 100 TB each marginal is ~1e12, so the 4-way
+    # product overflows BIGINT — the q_stat_odds_ratio lesson), and
+    # sqrt is 1-ulp libm -> round-12. Youden's J is two exact
+    # divisions in fixed formula-text order, no rounding.
+    ev = table(spark, sf_dir, "events")
+    pred = F.col("value") >= 10
+    truth = F.col("event_type") == "purchase"
+    cell = lambda p, t: F.sum(  # noqa: E731
+        F.when(p & t, 1).otherwise(0)
+    ).cast("bigint")
+    c = ev.agg(
+        cell(pred, truth).alias("tp"),
+        cell(pred, ~truth).alias("fp"),
+        cell(~pred, truth).alias("fn"),
+        cell(~pred, ~truth).alias("tn"),
+    )
+    return c.selectExpr("tp", "fp", "fn", "tn", *_MCC_FIELDS)
+
+
+_F1M_PRED = (
+    "CASE WHEN v < 20 THEN 'view' WHEN v < 40 THEN 'click'"
+    " WHEN v < 60 THEN 'signup' WHEN v < 80 THEN 'purchase'"
+    " ELSE 'error' END"
+)
+
+
+@register(
+    "q_eval_f1_macro",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_F1M_PRED.replace('v ', 'CAST(value AS DECIMAL(18,2)) ')} AS pred,
+             event_type AS truth
+      FROM events WHERE value IS NOT NULL
+    ),
+    tp AS (
+      SELECT truth AS cls, CAST(count(*) FILTER (WHERE pred = truth) AS BIGINT) AS tp,
+             CAST(count(*) AS BIGINT) AS truth_n
+      FROM b GROUP BY truth
+    ),
+    pn AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS pred_n FROM b GROUP BY pred),
+    per AS (
+      SELECT tp.cls, tp.tp, tp.truth_n,
+             COALESCE(pn.pred_n, CAST(0 AS BIGINT)) AS pred_n,
+             2.0e0 * tp.tp / (COALESCE(pn.pred_n, 0) + tp.truth_n) AS f1
+      FROM tp LEFT JOIN pn ON tp.cls = pn.cls
+    ),
+    mac AS (
+      SELECT CAST(sum(CAST(round(f1, 12) AS DECIMAL(14,12))) AS DOUBLE)
+               / count(*) AS macro_f1
+      FROM per
+    )
+    SELECT cls, tp, pred_n, truth_n, f1, macro_f1
+    FROM per CROSS JOIN mac
+    """,
+)
+def q_eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-class F1 (per class + macro average) for the value-bucket
+    # predictor CASE(v<20 view, <40 click, <60 signup, <80 purchase,
+    # else error) against the true event_type. Per-class F1 =
+    # 2*tp/(pred_n + truth_n) is a single exact-integer division (the
+    # support-weighted harmonic-mean identity — no separate P/R
+    # divisions to accumulate error). The macro average routes each F1
+    # through round-12 -> DECIMAL(14,12) and sums EXACTLY, so the
+    # 5-term fold is order-independent by construction rather than by
+    # rounding (the class count is data-bounded, but the decimal lane
+    # makes the fold safe at any class cardinality). 100 TB: two
+    # partial-aggregated scans (truth cells need pred=truth counts;
+    # pred marginals are a second pass over the same shuffle key),
+    # |classes|-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value").cast("decimal(18,2)")
+    pred = (
+        F.when(v < 20, "view")
+        .when(v < 40, "click")
+        .when(v < 60, "signup")
+        .when(v < 80, "purchase")
+        .otherwise("error")
+    )
+    b = ev.select(pred.alias("pred"), F.col("event_type").alias("truth"))
+    b = b.localCheckpoint(eager=False)  # feeds truth cells + pred marginals
+    tp = b.groupBy(F.col("truth").alias("cls")).agg(
+        F.sum(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.lit(1)).cast("bigint").alias("truth_n"),
+    )
+    pn = b.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pred_n")
+    )
+    per = (
+        tp.join(F.broadcast(pn), "cls", "left")
+        .select(
+            "cls",
+            "tp",
+            F.coalesce("pred_n", F.lit(0).cast("bigint")).alias("pred_n"),
+            "truth_n",
+        )
+        .selectExpr(
+            "cls", "tp", "pred_n", "truth_n",
+            "2.0e0 * tp / (pred_n + truth_n) AS f1",
+        )
+    )
+    per = per.localCheckpoint(eager=False)  # feeds rows + macro
+    mac = per.agg(
+        (
+            F.sum(F.round(F.col("f1"), 12).cast("decimal(14,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("macro_f1")
+    )
+    return per.crossJoin(F.broadcast(mac))
+
+
+_COHEN_SD = (
+    "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)"
+    " + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))"
+    " / (n1 + n2 - 2))"
+)
+_COHEN_D = f"(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / {_COHEN_SD}"
+
+
+@register(
+    "q_stat_cohens_d",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n1,
+             sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS s1,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE event_type = 'purchase') AS q1,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n2,
+             sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS s2,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE event_type = 'click') AS q2
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT n1, n2,
+           round({_COHEN_D}, 12) AS cohens_d,
+           round({_COHEN_D}
+                 * (1.0e0 - 3.0e0 / (4.0e0 * (n1 + n2) - 9)), 12) AS hedges_g
+    FROM m
+    """,
+)
+def q_stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohen's d (pooled-SD standardized mean difference, purchase vs
+    # click values) with the Hedges' g small-sample correction — the
+    # effect SIZE the q_stat_ttest family's p-values deliberately
+    # don't report. Both group moments come from ONE conditional-
+    # aggregate scan on the exact decimal lane; d and g share formula
+    # text with the oracle (sqrt is 1-ulp libm -> round-12, the
+    # q_stat_psi discipline). 100 TB: one partial-aggregated scan,
+    # 1-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(18,2)")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "click"
+    m = ev.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, d)).alias("s1"),
+        F.sum(F.when(is1, d * d)).alias("q1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is2, d)).alias("s2"),
+        F.sum(F.when(is2, d * d)).alias("q2"),
+    )
+    return m.selectExpr(
+        "n1",
+        "n2",
+        f"round({_COHEN_D}, 12) AS cohens_d",
+        f"round({_COHEN_D} * (1.0e0 - 3.0e0 / (4.0e0 * (n1 + n2) - 9)), 12)"
+        " AS hedges_g",
+    )
+
+
+_CA_Z = (
+    "(CAST(swa AS DOUBLE) - CAST(a AS DOUBLE) * swn / n)"
+    " / sqrt((CAST(a AS DOUBLE) / n) * (1 - CAST(a AS DOUBLE) / n)"
+    " * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * swn / n))"
+)
+
+
+@register(
+    "q_stat_cochran_armitage",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(hour(ts) // 6 AS BIGINT) AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS a,
+             CAST(sum(w * y) AS BIGINT) AS swa,
+             CAST(sum(w) AS BIGINT) AS swn,
+             CAST(sum(w * w) AS BIGINT) AS sw2n
+      FROM b
+    )
+    SELECT n, a, swa,
+           round({_CA_Z}, 12) AS z_trend
+    FROM m
+    """,
+)
+def q_stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cochran-Armitage trend test: is the purchase rate monotone in
+    # time-of-day? Exposure scores w = hour div 6 (0..3, the four
+    # six-hour dayparts); Z = (sum w*y - p_hat * sum w)
+    # / sqrt(p_hat (1-p_hat) (sum w^2 - (sum w)^2/N)). Every moment is
+    # an exact integer from ONE scan (scores are tiny ints, so w*y and
+    # w*w sums stay on the integer lane); Z shares formula text with
+    # the oracle (sqrt -> round-12). The ORDERED-categories companion
+    # to q_stat_chisq, which ignores category order. 100 TB: one
+    # partial-aggregated scan, 1-row result.
+    ev = table(spark, sf_dir, "events")
+    w = F.expr("hour(ts) div 6").cast("bigint")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    b = ev.select(w.alias("w"), y.alias("y"))
+    m = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("a"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("swa"),
+        F.sum("w").cast("bigint").alias("swn"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sw2n"),
+    )
+    return m.selectExpr("n", "a", "swa", f"round({_CA_Z}, 12) AS z_trend")
