@@ -3344,3 +3344,232 @@ def q_graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+_LB_ACF = (
+    "(sab - (CAST(s AS DOUBLE) / n) * sa - (CAST(s AS DOUBLE) / n) * sb"
+    " + nk * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+    " / (sxx - 2 * (CAST(s AS DOUBLE) / n) * s"
+    " + n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+)
+_LB_Q = (
+    "n * (n + 2.0e0) * ("
+    + " + ".join(f"r{k} * r{k} / (n - {k})" for k in range(1, 6))
+    + ")"
+)
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle=f"""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    g AS (
+      SELECT CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dense
+    ),
+    lags AS (SELECT unnest(generate_series(1, 5)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(sum(a.x * bb.x) AS BIGINT) AS sab,
+             CAST(sum(a.x) AS BIGINT) AS sa,
+             CAST(sum(bb.x) AS BIGINT) AS sb,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM lags l
+      JOIN dense a ON true
+      JOIN dense bb ON bb.hr = a.hr + l.lag
+      GROUP BY 1
+    ),
+    acf AS (
+      SELECT lag, {_LB_ACF} AS r FROM pairs CROSS JOIN g
+    ),
+    piv AS (
+      SELECT max(n) AS n,
+             {', '.join(f'max(CASE WHEN lag = {k} THEN r END) AS r{k}' for k in range(1, 6))}
+      FROM acf CROSS JOIN g
+    )
+    SELECT n, CAST(5 AS BIGINT) AS n_lags, {_LB_Q} AS q_stat
+    FROM piv
+    """,
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ljung-Box white-noise test on the hourly event-count series:
+    # Q = n(n+2) * sum_{{k=1..5}} r_k^2/(n-k), with each r_k the same
+    # exact-moment closed-form ACF as q_ts_autocorr (all integer sums;
+    # no libm anywhere). The 5-term fold is written as FIXED formula
+    # text over a conditional-aggregation pivot — addition order is
+    # part of the expression, so Q is bit-deterministic with NO
+    # rounding (parity rule 2). The is-there-anything-left-to-model
+    # gate every forecasting pipeline runs on its residuals. 100 TB:
+    # one fact-table groupBy to the hour contingency; everything after
+    # lives on the calendar spine.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)  # feeds spine bounds + dense join
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)  # feeds moments + both pair sides
+    )
+    g = dense.agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.range(1, 6).select(F.col("id").alias("lag"))
+    a = dense.select(F.col("hr").alias("hr_a"), F.col("x").alias("x_a"))
+    b = dense.select(F.col("hr").alias("hr_b"), F.col("x").alias("x_b"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("hr_b") == F.col("hr_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("x_a") * F.col("x_b")).alias("sab"),
+            F.sum("x_a").alias("sa"),
+            F.sum("x_b").alias("sb"),
+            F.count(F.lit(1)).alias("nk"),
+        )
+    )
+    acf = pairs.crossJoin(F.broadcast(g)).selectExpr("lag", f"{_LB_ACF} AS r")
+    piv = acf.crossJoin(F.broadcast(g)).agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in range(1, 6)
+        ],
+    )
+    return piv.selectExpr(
+        "n", "CAST(5 AS BIGINT) AS n_lags", f"{_LB_Q} AS q_stat"
+    )
+
+
+@register(
+    "q_eval_forecast",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    dense AS (
+      SELECT t.event_type, g.day,
+             COALESCE(d.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+      FROM types t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day FROM b) g
+      LEFT JOIN d ON d.event_type = t.event_type AND d.day = g.day
+    ),
+    j AS (
+      SELECT a.event_type, a.rev, f7.rev AS fc7, f1.rev AS fc1
+      FROM dense a
+      LEFT JOIN dense f7 ON f7.event_type = a.event_type AND f7.day = a.day - 7
+      LEFT JOIN dense f1 ON f1.event_type = a.event_type AND f1.day = a.day - 1
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE fc7 IS NOT NULL) AS BIGINT) AS n7,
+             sum(abs(rev - fc7)) FILTER (WHERE fc7 IS NOT NULL) AS ae7,
+             sum(CAST((rev - fc7) * (rev - fc7) AS DECIMAL(38,4)))
+               FILTER (WHERE fc7 IS NOT NULL) AS se7,
+             CAST(count(*) FILTER (WHERE fc1 IS NOT NULL) AS BIGINT) AS n1,
+             sum(abs(rev - fc1)) FILTER (WHERE fc1 IS NOT NULL) AS ae1
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, n7,
+           CAST(ae7 AS DOUBLE) / n7 AS mae,
+           round(sqrt(CAST(se7 AS DOUBLE) / n7), 9) AS rmse,
+           (CAST(ae7 AS DOUBLE) / n7) / (CAST(ae1 AS DOUBLE) / n1) AS mase
+    FROM m
+    """,
+)
+def q_eval_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forecast-accuracy evaluation of the seasonal-naive forecaster
+    # (predict each day's per-type revenue with the value 7 days
+    # earlier) on the dense daily spine: MAE and RMSE over the days
+    # where the forecast exists, and MASE = MAE / MAE(naive-1) — the
+    # scale-free Hyndman-Koehler metric that makes accuracy comparable
+    # across series. Every error moment stays on the EXACT decimal
+    # lane (|rev - fc| and its square are decimal arithmetic; the only
+    # doubles are the final divisions). sqrt is libm and RMSE is
+    # ~1e3-magnitude, so a 12-decimal grid sits below its ulp -> round-9
+    # (half-grid 5e-10 vs ~2e-13 ulp skew, seen flip at sf0.1); MAE and MASE are pure exact-division ratios, no rounding.
+    # 100 TB: one fact-table groupBy to the (type, day) contingency;
+    # the spine joins are calendar-sized.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+        .localCheckpoint(eager=False)  # feeds bounds + types + dense join
+    )
+    b = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = d.select("event_type").distinct()
+    dense = (
+        types.crossJoin(spine)
+        .join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("rev", F.lit(0).cast("decimal(18,2)")).alias("rev"),
+        )
+        .localCheckpoint(eager=False)  # feeds the actuals + both forecast sides
+    )
+    f7 = dense.select(
+        "event_type", (F.col("day") + 7).alias("day"), F.col("rev").alias("fc7")
+    )
+    f1 = dense.select(
+        "event_type", (F.col("day") + 1).alias("day"), F.col("rev").alias("fc1")
+    )
+    j = (
+        dense.join(f7, ["event_type", "day"], "left")
+        .join(f1, ["event_type", "day"], "left")
+    )
+    has7, has1 = F.col("fc7").isNotNull(), F.col("fc1").isNotNull()
+    m = j.groupBy("event_type").agg(
+        F.sum(F.when(has7, 1).otherwise(0)).cast("bigint").alias("n7"),
+        F.sum(F.when(has7, F.abs(F.col("rev") - F.col("fc7")))).alias("ae7"),
+        F.sum(
+            F.when(
+                has7,
+                ((F.col("rev") - F.col("fc7"))
+                 * (F.col("rev") - F.col("fc7"))).cast("decimal(38,4)"),
+            )
+        ).alias("se7"),
+        F.sum(F.when(has1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(has1, F.abs(F.col("rev") - F.col("fc1")))).alias("ae1"),
+    )
+    return m.select(
+        "event_type",
+        "n7",
+        (F.col("ae7").cast("double") / F.col("n7")).alias("mae"),
+        F.round(F.sqrt(F.col("se7").cast("double") / F.col("n7")), 9).alias("rmse"),
+        (
+            (F.col("ae7").cast("double") / F.col("n7"))
+            / (F.col("ae1").cast("double") / F.col("n1"))
+        ).alias("mase"),
+    )
