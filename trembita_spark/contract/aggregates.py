@@ -5533,3 +5533,294 @@ def q_stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sw2n"),
     )
     return m.selectExpr("n", "a", "swa", f"round({_CA_Z}, 12) AS z_trend")
+
+
+@register(
+    "q_mining_assoc_rules",
+    oracle="""
+    WITH bask AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_bask FROM bask),
+    supp1 AS (SELECT part, CAST(count(*) AS BIGINT) AS s FROM bask GROUP BY 1),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM bask a JOIN bask b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT * FROM pairs ORDER BY support DESC, part_a, part_b LIMIT 10
+    ),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, support FROM top
+      UNION ALL
+      SELECT part_b, part_a, support FROM top
+    )
+    SELECT antecedent, consequent, support,
+           CAST(support AS DOUBLE) / sa.s AS confidence,
+           CAST(support AS DOUBLE) * n_bask / (sa.s * sc.s) AS lift,
+           (CAST(support AS DOUBLE) - CAST(sa.s AS DOUBLE) * sc.s / n_bask)
+             / n_bask AS leverage
+    FROM rules r
+    JOIN supp1 sa ON sa.part = r.antecedent
+    JOIN supp1 sc ON sc.part = r.consequent
+    CROSS JOIN n
+    """,
+)
+def q_mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Association rules over the q_mining_copair baskets: the top-10
+    # pairs by support expand to both directed rules, each scored with
+    # confidence = supp(a,b)/supp(a), lift, and leverage
+    # (supp - expected co-rate under independence). The pair
+    # generation is the same co-partitioned basket self-join (fan-out
+    # bounded by basket size, never |parts|^2); the top-10 is a
+    # TakeOrderedAndProject with the unique (support desc, a, b)
+    # order; per-part supports join back BROADCAST. Every score is
+    # exact-integer ratio arithmetic in shared formula text — no
+    # rounding (parity rule 2). 100 TB: one basket shuffle, 20-row
+    # result.
+    bask = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds pairs (twice) + supports + N
+    )
+    n = bask.agg(F.countDistinct("okey").alias("n_bask"))
+    supp1 = bask.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a = bask.select("okey", F.col("part").alias("part_a"))
+    b = bask.select("okey", F.col("part").alias("part_b"))
+    top = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(10)
+    )
+    rules = top.selectExpr(
+        "part_a AS antecedent", "part_b AS consequent", "support"
+    ).unionAll(
+        top.selectExpr("part_b AS antecedent", "part_a AS consequent", "support")
+    )
+    sa = supp1.selectExpr("part AS antecedent", "s AS s_a")
+    sc = supp1.selectExpr("part AS consequent", "s AS s_c")
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            (F.col("support").cast("double") / F.col("s_a")).alias("confidence"),
+            (
+                F.col("support").cast("double") * F.col("n_bask")
+                / (F.col("s_a") * F.col("s_c"))
+            ).alias("lift"),
+            (
+                (
+                    F.col("support").cast("double")
+                    - F.col("s_a").cast("double") * F.col("s_c") / F.col("n_bask")
+                )
+                / F.col("n_bask")
+            ).alias("leverage"),
+        )
+    )
+
+
+@register(
+    "q_recsys_itemknn",
+    oracle="""
+    WITH bask AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    supp1 AS (SELECT part, CAST(count(*) AS BIGINT) AS s FROM bask GROUP BY 1),
+    heads AS (
+      SELECT part, s FROM supp1 ORDER BY s DESC, part LIMIT 20
+    ),
+    co AS (
+      SELECT h.part AS item, b2.part AS neighbor, h.s AS s_i,
+             CAST(count(*) AS BIGINT) AS co
+      FROM heads h
+      JOIN bask b1 ON b1.part = h.part
+      JOIN bask b2 ON b2.okey = b1.okey AND b2.part <> h.part
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT item, neighbor, co,
+             CAST(co AS DOUBLE) * co / (s_i * sn.s) AS cos2,
+             CAST(row_number() OVER (
+               PARTITION BY item
+               ORDER BY CAST(co AS DOUBLE) * co / (s_i * sn.s) DESC, neighbor
+             ) AS INT) AS rk
+      FROM co JOIN supp1 sn ON sn.part = co.neighbor
+    )
+    SELECT item, neighbor, co, round(sqrt(cos2), 12) AS cosine, rk
+    FROM scored WHERE rk <= 3
+    """,
+)
+def q_recsys_itemknn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Item-item collaborative filtering: for the 20 highest-support
+    # parts, the top-3 most-similar parts by co-occurrence cosine
+    # cos(i,j) = co(i,j)/sqrt(s_i*s_j) over order baskets. The
+    # similarity RANK key is cos^2 = co^2/(s_i*s_j) — an exact-integer
+    # ratio whose single division is correctly rounded on both engines,
+    # so the ordering never depends on libm sqrt; sqrt only appears in
+    # the REPORTED cosine (round-12). Head-items join the basket frame
+    # broadcast, co-occurrence is the co-partitioned basket self-join
+    # (fan-out bounded by basket size), and the per-item top-3 is a
+    # WindowGroupLimit-pruned row_number over the high-cardinality
+    # item key. 100 TB: one basket shuffle + one bounded window,
+    # 60-row result.
+    from pyspark.sql.window import Window
+
+    bask = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds supports + both join sides
+    )
+    supp1 = bask.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    supp1 = supp1.localCheckpoint(eager=False)  # feeds heads + neighbor supports
+    heads = supp1.orderBy(F.col("s").desc(), "part").limit(20)
+    b1 = bask.select("okey", F.col("part").alias("h_part"))
+    b2 = bask.select("okey", F.col("part").alias("neighbor"))
+    co = (
+        heads.selectExpr("part AS h_part", "s AS s_i")
+        .join(b1, "h_part")
+        .join(b2, "okey")
+        .where(F.col("neighbor") != F.col("h_part"))
+        .groupBy(
+            F.col("h_part").alias("item"), F.col("neighbor"), F.col("s_i")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    sn = supp1.selectExpr("part AS neighbor", "s AS s_n")
+    cos2 = F.col("co").cast("double") * F.col("co") / (F.col("s_i") * F.col("s_n"))
+    scored = (
+        co.join(F.broadcast(sn), "neighbor")
+        .withColumn("cos2", cos2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("item").orderBy(
+                    F.col("cos2").desc(), F.col("neighbor")
+                )
+            ).cast("int"),
+        )
+    )
+    return scored.where(F.col("rk") <= 3).select(
+        "item",
+        "neighbor",
+        "co",
+        F.round(F.sqrt(F.col("cos2")), 12).alias("cosine"),
+        "rk",
+    )
+
+
+@register(
+    "q_agg_trimmed_multi_k",
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) // 20 AS BIGINT) AS k5,
+             CAST(sum(cnt) // 4 AS BIGINT) AS k25
+      FROM pv
+    ),
+    s AS (
+      SELECT n, k5, k25,
+             CAST(sum(v * greatest(least(cum, n - k5) - greatest(cum - cnt, k5),
+                                   0)) AS BIGINT) AS tsum5,
+             CAST(sum(v * greatest(least(cum, n - k25) - greatest(cum - cnt, k25),
+                                   0)) AS BIGINT) AS tsum25,
+             CAST(sum(CASE WHEN cum - cnt <= k5 AND cum >= k5 + 1
+                      THEN v ELSE 0 END) AS BIGINT) AS v_lo5,
+             CAST(sum(CASE WHEN cum - cnt < n - k5 AND cum >= n - k5
+                      THEN v ELSE 0 END) AS BIGINT) AS v_hi5
+      FROM c CROSS JOIN t GROUP BY n, k5, k25
+    )
+    SELECT n, k5, k25,
+           CAST(tsum5 AS DOUBLE) / CAST((n - 2 * k5) * 100 AS DOUBLE)
+             AS trimmed_5,
+           CAST(tsum5 + k5 * v_lo5 + k5 * v_hi5 AS DOUBLE)
+             / CAST(n * 100 AS DOUBLE) AS winsor_5,
+           CAST(tsum25 AS DOUBLE) / CAST((n - 2 * k25) * 100 AS DOUBLE)
+             AS midmean
+    FROM s
+    """,
+)
+def q_agg_trimmed_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The k-percent PARAMETERIZED generalization of q_agg_trimmed_mean
+    # (roadmap_r10 #6): 5%-trimmed mean, 5%-winsorized mean, and the
+    # 25% midmean from ONE prefix-sum pass — each trim level is just
+    # another interval predicate over the same rank frame, so adding a
+    # k costs two expressions, not a pass. Identical exact-integer
+    # machinery: the cent-lane value-support contingency, one
+    # distributed prefix sum for rank intervals, interval-membership
+    # reads for the winsor boundary values; the three means are single
+    # double divisions, NO rounding (parity rule 2). 100 TB: one hash
+    # agg + one prefix sum over the value support, constant extra cost
+    # per additional k.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    pv = ev.groupBy(v100.alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    t = pv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr("sum(cnt) div 20").cast("bigint").alias("k5"),
+        F.expr("sum(cnt) div 4").cast("bigint").alias("k25"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    n, cum, cnt = F.col("n"), F.col("cum"), F.col("cnt")
+
+    def interior(k):
+        return F.greatest(
+            F.least(cum, n - k) - F.greatest(cum - cnt, k), F.lit(0)
+        )
+
+    k5, k25 = F.col("k5"), F.col("k25")
+    s = j.groupBy("n", "k5", "k25").agg(
+        F.sum(F.col("v") * interior(k5)).cast("bigint").alias("tsum5"),
+        F.sum(F.col("v") * interior(k25)).cast("bigint").alias("tsum25"),
+        F.sum(
+            F.when((cum - cnt <= k5) & (cum >= k5 + 1), F.col("v")).otherwise(0)
+        ).cast("bigint").alias("v_lo5"),
+        F.sum(
+            F.when((cum - cnt < n - k5) & (cum >= n - k5), F.col("v")).otherwise(0)
+        ).cast("bigint").alias("v_hi5"),
+    )
+    return s.select(
+        "n",
+        "k5",
+        "k25",
+        (
+            F.col("tsum5").cast("double")
+            / ((F.col("n") - 2 * F.col("k5")) * 100).cast("double")
+        ).alias("trimmed_5"),
+        (
+            (F.col("tsum5") + F.col("k5") * F.col("v_lo5")
+             + F.col("k5") * F.col("v_hi5")).cast("double")
+            / (F.col("n") * 100).cast("double")
+        ).alias("winsor_5"),
+        (
+            F.col("tsum25").cast("double")
+            / ((F.col("n") - 2 * F.col("k25")) * 100).cast("double")
+        ).alias("midmean"),
+    )

@@ -2147,15 +2147,33 @@ def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("grp")
 
 
+_COBASKET_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cobasket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The adjacent-line co-basket part graph shared by the triangle /
-    adamic-adar / assortativity / clustering keys: parts on CONSECUTIVE
-    lines of the same order are connected (sparse, node set grows with
-    the data — see q_graph_triangles)."""
+    adamic-adar / jaccard / assortativity / clustering / rich-club /
+    motif keys: parts on CONSECUTIVE lines of the same order are
+    connected (sparse, node set grows with the data — see
+    q_graph_triangles).
+
+    Cached per (SparkSession applicationId, sf_dir) and PERSISTED
+    (roadmap_r10 #5): eight graph keys share this fixture, and without
+    the cache each one re-ran the lineitem self-join from parquet. The
+    cache key ties the entry to the owning session, so a restarted
+    session can never see another JVM's plan; entries are plan-sized
+    (a persisted ~|lineitem| edge frame, evicted with the session).
+    At 100 TB this is exactly the materialize-shared-subplan call a
+    warehouse makes for a fixture consumed by a whole query family.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COBASKET_CACHE.get(key)
+    if hit is not None:
+        return hit
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
-    return (
+    pairs = (
         li.alias("l1")
         .join(
             li.alias("l2"),
@@ -2166,7 +2184,10 @@ def _cobasket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
         )
+        .persist()
     )
+    _COBASKET_CACHE[key] = pairs
+    return pairs
 
 
 _COBASKET_EDGES_SQL = """
@@ -3206,4 +3227,90 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tail",
             "round(1.0e0 + n_tail / _raw_ln, 6) AS hill_alpha",
         )
+    )
+
+
+def _ppr_iter_sql(prev: str, this: str) -> str:
+    # one personalized power-method step: teleport mass goes only to
+    # the seed (is_seed/ns), neighbor mass as in _pr_iter_sql.
+    return f"""
+    m_{this} AS (
+      SELECT e.dst AS dst,
+             sum(p.score / d.outdeg) AS in_mass
+      FROM edges e
+      JOIN {prev} p  ON e.src = p.node
+      JOIN outdeg d  ON e.src = d.o_node
+      GROUP BY e.dst
+    ),
+    {this} AS (
+      SELECT b.node, b.ns, b.is_seed,
+             (CAST(1 AS DOUBLE) - 0.85) * (CAST(b.is_seed AS DOUBLE) / b.ns)
+               + 0.85 * COALESCE(m.in_mass, CAST(0 AS DOUBLE)) AS score
+      FROM {prev} b
+      LEFT JOIN m_{this} m ON b.node = m.dst
+    )"""
+
+
+@register(
+    "q_graph_ppr",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seed AS (
+      SELECT 'c' || CAST(min(CAST(substr(src, 2) AS BIGINT)) AS VARCHAR) AS node
+      FROM edges
+    ),
+    outdeg AS (SELECT src AS o_node, count(*) AS outdeg FROM edges GROUP BY src),
+    it0 AS (
+      SELECT n.node, CAST(1 AS BIGINT) AS ns,
+             CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+             CASE WHEN s.node IS NOT NULL THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS score
+      FROM nodes n LEFT JOIN seed s ON n.node = s.node
+    ),
+    {{it1}},
+    {{it2}},
+    {{it3}}
+    SELECT node, round(score, 12) AS score
+    FROM it3 WHERE score > 0
+    """.format(
+        it1=_ppr_iter_sql("it0", "it1"),
+        it2=_ppr_iter_sql("it1", "it2"),
+        it3=_ppr_iter_sql("it2", "it3"),
+    ),
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Personalized PageRank (operators/graph.py: personalized_pagerank
+    # — 3 fixed power-method steps, d=0.85, teleport pinned to the
+    # lowest-keyed customer node) over the customer→supplier order
+    # graph: the "similar to THIS customer" neighborhood ranking that
+    # global q_graph_pagerank can't answer. The seed is data-derived
+    # but deterministic (min custkey present in the edge set); only
+    # nodes with positive mass return (the seed's 3-hop reach), so the
+    # result is local no matter the graph size. round-12 covers the
+    # merge-order neighbor sums (parity rule 5). 100 TB: same
+    # co-partitioned join-per-iteration shape as pagerank; the seed
+    # and its teleport vector ride a broadcast.
+    from trembita_spark.operators.graph import personalized_pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds seed + nodes + outdeg + 3 iters
+    )
+    seed = edges.agg(
+        F.concat(
+            F.lit("c"),
+            F.min(F.expr("CAST(substr(src, 2) AS BIGINT)")).cast("string"),
+        ).alias("node")
+    )
+    ppr = personalized_pagerank(edges, seed, iters=3, damping=0.85)
+    return ppr.where(F.col("score") > 0).select(
+        "node", F.round("score", 12).alias("score")
     )
