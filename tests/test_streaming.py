@@ -700,3 +700,60 @@ def test_stream_outer_join_eviction_exactly_once(spark):
     assert len(emitted) == len(set(emitted)), "an unmatched row was re-emitted"
     want_unmatched = 200  # sf0.001: purchases with no same-user click in window
     assert len(emitted) == want_unmatched
+
+
+def test_tws_processing_time_timer_flushes_idle_keys(spark):
+    # Processing-time timers (timeMode="ProcessingTime") — the one TWS
+    # surface event-time keys can't cover: a quiet source never advances
+    # the watermark, so only a wall-clock timer can flush idle state.
+    # Two staged micro-batches with DISJOINT user sets: batch-1 users'
+    # counters are flushed by their timers when batch 2 arrives (its
+    # processing time is past batch-1-time + idle_ms); batch-2-only
+    # users still sit in state when availableNow drains, so they are
+    # NOT emitted. Content is deterministic even though firing time is
+    # wall-clock.
+    pytest.importorskip("google.protobuf.descriptor")
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from trembita_spark.streaming.stateful import idle_flush_tws
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [(1, t0), (1, t0 + dt.timedelta(seconds=1)), (2, t0)]
+    batch2 = [(3, t0 + dt.timedelta(seconds=2))]
+    stream = _staged_stream(spark, [batch1, batch2], schema)
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(prov_key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_completion(
+            idle_flush_tws(stream, idle_ms=1),
+            "t_tws_proc_timer",
+            output_mode="append",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    flushed = {(r.user_id, r.n_events) for r in out}
+    # Batch-1 users MUST be flushed (batch 2's processing time is past
+    # their timers). User 3's flush depends on whether availableNow
+    # runs a final timer-drain micro-batch after the last file — the
+    # observed Spark 4.1 behavior — so it is allowed but not required.
+    assert {(1, 2), (2, 1)} <= flushed, flushed
+    assert flushed <= {(1, 2), (2, 1), (3, 1)}, flushed
