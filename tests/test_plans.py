@@ -1041,6 +1041,16 @@ def test_no_key_degrades_to_cartesian(spark):
         # row count; a keyed aggregate build isn't mechanically provable
         # from the plan, so the bound is explicit here)
         "q_ts_mann_kendall",
+        # Theil-Sen: the pairwise-slope join is day-spine × day-spine —
+        # both sides are the per-DAY aggregate (calendar-bounded: ~30
+        # rows here, ~10^3 over years, never row-count-sized; same
+        # bound class as Mann-Kendall's hourly frame)
+        "q_ts_theil_sen",
+        # Tukey HSD: the pairwise join is group-stats × group-stats —
+        # both sides the |event_type|-row moment frame (config-bounded
+        # k, k(k-1)/2 output pairs; same bound class as the chi-sq
+        # family's cell frames)
+        "q_stat_tukey_hsd",
         # k-bounded seed/codebook frames: the BNLJ build side is the
         # k=8 seed-vector / codebook-training frame (plan shows
         # `Filter (vec_id < 8)` over the embeddings scan) — bounded by

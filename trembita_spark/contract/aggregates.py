@@ -5824,3 +5824,132 @@ def q_agg_trimmed_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n") - 2 * F.col("k25")) * 100).cast("double")
         ).alias("midmean"),
     )
+
+
+_TUKEY_Q = (
+    "abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+    " / sqrt(mse / 2 * (1.0e0 / na + 1.0e0 / nb))"
+)
+
+
+@register(
+    "q_stat_tukey_hsd",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             round(sum(CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6) AS ssw
+      FROM g
+    ),
+    m AS (SELECT nn, k, ssw / (nn - k) AS mse FROM p)
+    SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS na, b.n AS nb,
+           CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n AS mean_diff,
+           round({_TUKEY_Q.replace('sa', 'a.s').replace('na', 'a.n')
+                          .replace('sb', 'b.s').replace('nb', 'b.n')}, 12)
+             AS q_stat
+    FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN m
+    """,
+)
+def q_stat_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tukey HSD pairwise comparisons after q_stat_anova's omnibus F:
+    # for every unordered pair of event types, the studentized-range
+    # statistic q = |m_a - m_b| / sqrt(MSE/2 * (1/n_a + 1/n_b)) with
+    # MSE the pooled within-group variance. Group moments are exact
+    # decimals from ONE scan; the within-group sum-of-squares fold runs
+    # over |groups| terms (merge-order doubles -> round-6 on ssw, whose
+    # ~1e8 magnitude needs the coarser grid; the q_eval_forecast
+    # lesson), and each pair's q shares formula text (sqrt -> round-12,
+    # magnitude O(10)). The pair join is group-frame x group-frame —
+    # |event_type|^2 rows, config-bounded at any data scale (BNLJ
+    # allowlisted with that bound). 100 TB: one partial-aggregated
+    # scan, k(k-1)/2-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("q"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds pooled MSE + both pair sides
+    p = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(
+            F.sum(
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("ssw"),
+    )
+    m = p.select("nn", "k", (F.col("ssw") / (F.col("nn") - F.col("k"))).alias("mse"))
+    a = g.selectExpr("grp AS grp_a", "n AS na", "s AS sa")
+    b = g.selectExpr("grp AS grp_b", "n AS nb", "s AS sb")
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "grp_a",
+            "grp_b",
+            "na",
+            "nb",
+            "CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS mean_diff",
+            f"round({_TUKEY_Q}, 12) AS q_stat",
+        )
+    )
+
+
+@register(
+    "q_geo_grid_density",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+             CAST(floor(lon / 10) AS BIGINT) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS n_pts
+      FROM pts GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(n_pts) AS BIGINT) AS total FROM cells)
+    SELECT cell_lat, cell_lon, n_pts,
+           CAST(n_pts AS DOUBLE) / total AS share
+    FROM cells CROSS JOIN t
+    """,
+)
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spatial grid aggregation (the geohash-rollup shape): customer
+    # points binned to 10-degree x 10-degree cells, per-cell count and
+    # global share — the density heat-map every geo pipeline computes
+    # before any pairwise work, and the missing AGGREGATION member of
+    # the geo family (knn/nearest/radius are all join-shaped). Cell ids
+    # floor exact lattice coordinates (the synthetic grid's +0.5 keeps
+    # every point strictly inside a cell, so floor never sits on an
+    # engine-rounding boundary); counts are exact, share is one double
+    # division. 100 TB: one partial-aggregated scan; the cell frame is
+    # bounded by the grid (16 x 36 cells), not the data.
+    pts = table(spark, sf_dir, "customer").select(
+        (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / 10).cast("bigint").alias("cell_lat"),
+        F.floor(F.col("lon") / 10).cast("bigint").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pts"))
+    t = cells.agg(F.sum("n_pts").cast("bigint").alias("total"))
+    return cells.crossJoin(F.broadcast(t)).select(
+        "cell_lat",
+        "cell_lon",
+        "n_pts",
+        (F.col("n_pts").cast("double") / F.col("total")).alias("share"),
+    )

@@ -3573,3 +3573,137 @@ def q_eval_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ae1").cast("double") / F.col("n1"))
         ).alias("mase"),
     )
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    sl AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS slope
+      FROM d a JOIN d b ON b.t > a.t
+    ),
+    pv AS (SELECT slope, CAST(count(*) AS BIGINT) AS cnt FROM sl GROUP BY 1),
+    c AS (
+      SELECT slope, cnt,
+             CAST(sum(cnt) OVER (ORDER BY slope ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS m,
+             CAST((sum(cnt) + 1) // 2 AS BIGINT) AS r
+      FROM pv
+    ),
+    med AS (
+      SELECT max(CASE WHEN cum - cnt < r AND cum >= r THEN slope END) AS sen_slope,
+             max(m) AS n_pairs
+      FROM c CROSS JOIN t
+    ),
+    res AS (
+      SELECT d.y - med.sen_slope * d.t AS resid FROM d CROSS JOIN med
+    ),
+    pv2 AS (SELECT resid, CAST(count(*) AS BIGINT) AS cnt FROM res GROUP BY 1),
+    c2 AS (
+      SELECT resid, cnt,
+             CAST(sum(cnt) OVER (ORDER BY resid ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv2
+    ),
+    t2 AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST((sum(cnt) + 1) // 2 AS BIGINT) AS r
+      FROM pv2
+    )
+    SELECT med.n_pairs, t2.n AS n_days, med.sen_slope,
+           max(CASE WHEN c2.cum - c2.cnt < t2.r AND c2.cum >= t2.r
+               THEN c2.resid END) AS intercept
+    FROM c2 CROSS JOIN t2 CROSS JOIN med
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil-Sen robust trend estimator on the daily event-count series:
+    # sen_slope = MEDIAN of all pairwise slopes (y_j-y_i)/(t_j-t_i),
+    # intercept = MEDIAN of the residuals y_i - slope*t_i — the
+    # breakdown-point-0.29 replacement for q_agg_regression's OLS line.
+    # Each slope is an exact-integer difference ratio (one correctly-
+    # rounded double division — deterministic, parity rule 2); both
+    # medians are EXACT lower-median selections via the q_agg_trimmed_
+    # mean machinery (value-support contingency + distributed prefix
+    # sum + rank-interval membership), so no percentile interpolation
+    # ever crosses engines. The pair join is day-spine x day-spine —
+    # calendar-bounded at ANY data scale (the fact table collapses to
+    # one row per day first), so the quadratic lives on ~10^3-row
+    # frames even at 100 TB; flagged bounded in the BNLJ allowlist.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # feeds both pair sides + residuals
+    )
+    a = d.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = d.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    sl = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .select(
+            ((F.col("yb") - F.col("ya")).cast("double")
+             / (F.col("tb") - F.col("ta"))).alias("slope")
+        )
+    )
+    pv = sl.groupBy("slope").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(pv, "cnt", order_by=[F.col("slope")], name="cum")
+    t = pv.agg(
+        F.sum("cnt").cast("bigint").alias("m"),
+        F.expr("(sum(cnt) + 1) div 2").cast("bigint").alias("r"),
+    )
+    med = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") < F.col("r"))
+                    & (F.col("cum") >= F.col("r")),
+                    F.col("slope"),
+                )
+            ).alias("sen_slope"),
+            F.max("m").alias("n_pairs"),
+        )
+    )
+    res = d.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("sen_slope") * F.col("t")).alias("resid")
+    )
+    pv2 = res.groupBy("resid").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv2 = pv2.localCheckpoint(eager=False)
+    c2 = prefix_sum(pv2, "cnt", order_by=[F.col("resid")], name="cum")
+    t2 = pv2.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr("(sum(cnt) + 1) div 2").cast("bigint").alias("r"),
+    )
+    return (
+        c2.crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(med))
+        .groupBy(
+            F.col("n_pairs"), F.col("n").alias("n_days"), F.col("sen_slope")
+        )
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") < F.col("r"))
+                    & (F.col("cum") >= F.col("r")),
+                    F.col("resid"),
+                )
+            ).alias("intercept")
+        )
+    )
