@@ -4107,3 +4107,65 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w_f).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+def _fp_d2(a: str, b: str) -> str:
+    # sequential-fold float64 squared L2 (the _PAIR_DOT_SQL fold shape)
+    d = f"(CAST({a}.embedding[i] AS DOUBLE) - CAST({b}.embedding[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, 64), "
+        f"i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "q_ml_kmeans_init",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+    d2s AS (
+      SELECT e.vec_id, e.embedding, {_fp_d2('e', 'c1')} AS d2
+      FROM e, c1 WHERE e.vec_id <> c1.vec_id
+    ),
+    c2 AS (SELECT vec_id, embedding, d2 FROM d2s ORDER BY d2 DESC, vec_id LIMIT 1),
+    d3s AS (
+      SELECT e.vec_id, e.embedding,
+             least({_fp_d2('e', 'c1')}, {_fp_d2('e', 'c2')}) AS d2
+      FROM e, c1, c2 WHERE e.vec_id NOT IN (c1.vec_id, c2.vec_id)
+    ),
+    c3 AS (SELECT vec_id, embedding, d2 FROM d3s ORDER BY d2 DESC, vec_id LIMIT 1),
+    d4s AS (
+      SELECT e.vec_id,
+             least({_fp_d2('e', 'c1')}, {_fp_d2('e', 'c2')}, {_fp_d2('e', 'c3')}) AS d2
+      FROM e, c1, c2, c3
+      WHERE e.vec_id NOT IN (c1.vec_id, c2.vec_id, c3.vec_id)
+    ),
+    c4 AS (SELECT vec_id, d2 FROM d4s ORDER BY d2 DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS INT) AS step, vec_id, CAST(NULL AS DOUBLE) AS d2 FROM c1
+    UNION ALL SELECT 2, vec_id, d2 FROM c2
+    UNION ALL SELECT 3, vec_id, d2 FROM c3
+    UNION ALL SELECT 4, vec_id, d2 FROM c4
+    """,
+)
+def q_ml_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic k-means++-style seeding (operators/similarity.py:
+    # farthest_point_init — Gonzalez farthest-point, k=4): center 1 is
+    # the lowest-id vector, each next center maximizes the min squared
+    # distance to those already chosen (ties → lowest id). The INIT
+    # stage q_cluster_kmeans's fixed vec_id<8 seeds skip — bad seeds
+    # are the dominant k-means failure mode, and farthest-point is the
+    # deterministic 2-approximation the ++ sampler degenerates to.
+    # Distances are the kmeans/_sqdist sequential fold (bit-identical
+    # to the oracle's list_reduce); argmax selection compares those
+    # deterministic doubles, id-tiebroken, so NO rounding anywhere.
+    # 100 TB: per round candidates × broadcast(≤k centers) + one
+    # TakeOrdered(1) — the corpus never shuffles.
+    from trembita_spark.operators.similarity import farthest_point_init
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = farthest_point_init(emb, k=4)
+    return out.select(
+        F.col("step").cast("int").alias("step"),
+        F.col("id").alias("vec_id"),
+        "d2",
+    )

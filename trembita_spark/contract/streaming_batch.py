@@ -3707,3 +3707,241 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept")
         )
     )
+
+
+@register(
+    "q_events_cohort_ltv",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+             CAST(value AS DECIMAL(18,2)) AS rev
+      FROM events WHERE value IS NOT NULL
+    ),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM base GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_users
+      FROM cohort GROUP BY 1
+    ),
+    cell AS (
+      SELECT c.cohort_wk,
+             CAST((epoch_us(b.wk) - epoch_us(c.cohort_wk)) // 604800000000
+                  AS BIGINT) AS week_offset,
+             sum(b.rev) AS revenue
+      FROM base b JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_wk, week_offset, revenue,
+             sum(revenue) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+                                ROWS UNBOUNDED PRECEDING) AS cum_revenue
+      FROM cell
+    )
+    SELECT m.cohort_wk, m.week_offset,
+           CAST(m.revenue AS DOUBLE) AS revenue,
+           s.n_users,
+           CAST(m.cum_revenue AS DOUBLE) / s.n_users AS ltv
+    FROM cum m JOIN sizes s USING (cohort_wk)
+    """,
+)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort LTV triangle — the REVENUE companion to q_cohort_retention's
+    # activity counts: cohort = first active week, per (cohort, week
+    # offset) total revenue, and cumulative revenue per cohort divided
+    # by cohort size = the average-LTV-by-age curve growth teams read
+    # off every board deck. Revenue stays on the exact decimal lane
+    # through BOTH the cell aggregate and the running cumulative (the
+    # window runs over the cohort x offset CELL frame — calendar²-
+    # bounded, never data-bearing); the only doubles are the two final
+    # casts/divisions (parity rule 2, no rounding). 100 TB: one user
+    # shuffle for cohorts (broadcast back), one cell aggregate, and a
+    # calendar-sized window.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("wk"),
+        F.col("value").cast("decimal(18,2)").alias("rev"),
+    )
+    cohort = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cohort = cohort.localCheckpoint(eager=False)  # feeds sizes + the cell join
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    cell = (
+        base.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.expr(
+                "(unix_micros(wk) - unix_micros(cohort_wk)) div 604800000000"
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn("cum_revenue", F.sum("revenue").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_users",
+        (F.col("cum_revenue").cast("double") / F.col("n_users")).alias("ltv"),
+    )
+
+
+_HURST_SLOPE = (
+    "((ln(8.0e0) - lsb) * (ln(r8) - lrb)"
+    " + (ln(16.0e0) - lsb) * (ln(r16) - lrb)"
+    " + (ln(32.0e0) - lsb) * (ln(r32) - lrb))"
+    " / ((ln(8.0e0) - lsb) * (ln(8.0e0) - lsb)"
+    " + (ln(16.0e0) - lsb) * (ln(16.0e0) - lsb)"
+    " + (ln(32.0e0) - lsb) * (ln(32.0e0) - lsb))"
+)
+_HURST_BARS = (
+    "(ln(8.0e0) + ln(16.0e0) + ln(32.0e0)) / 3 AS lsb, "
+    "(ln(r8) + ln(r16) + ln(r32)) / 3 AS lrb"
+)
+
+
+@register(
+    "q_ts_hurst",
+    oracle=f"""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    sizes AS (SELECT unnest([8, 16, 32]) AS s),
+    rows_ AS (
+      SELECT s, (d.hr - b.lo) // s AS blk, d.hr, d.x
+      FROM dense d CROSS JOIN b CROSS JOIN sizes
+    ),
+    wx AS (
+      SELECT s, blk,
+             CAST(sum(x) OVER w AS BIGINT) AS cum,
+             CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(sum(x) OVER p AS BIGINT) AS sx,
+             CAST(sum(x * x) OVER p AS BIGINT) AS sxx,
+             CAST(count(*) OVER p AS BIGINT) AS nb
+      FROM rows_
+      WINDOW w AS (PARTITION BY s, blk ORDER BY hr ROWS UNBOUNDED PRECEDING),
+             p AS (PARTITION BY s, blk)
+    ),
+    blkstat AS (
+      SELECT s, blk, nb,
+             max(cum - k * (CAST(sx AS DOUBLE) / nb))
+               - min(cum - k * (CAST(sx AS DOUBLE) / nb)) AS r,
+             sqrt((sxx - CAST(sx AS DOUBLE) * sx / nb) / nb) AS sd
+      FROM wx GROUP BY s, blk, nb, sx, sxx
+    ),
+    per_s AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+             round(sum(r / sd) / count(*), 9) AS avg_rs
+      FROM blkstat WHERE nb = s AND sd > 0 GROUP BY s
+    ),
+    piv AS (
+      SELECT max(CASE WHEN s = 8 THEN avg_rs END) AS r8,
+             max(CASE WHEN s = 16 THEN avg_rs END) AS r16,
+             max(CASE WHEN s = 32 THEN avg_rs END) AS r32
+      FROM per_s
+    ),
+    bars AS (SELECT r8, r16, r32, {_HURST_BARS} FROM piv),
+    h AS (SELECT round({_HURST_SLOPE}, 9) AS hurst FROM bars)
+    SELECT p.s, p.n_blocks, p.avg_rs, h.hurst
+    FROM per_s p CROSS JOIN h
+    """,
+)
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hurst exponent by classic rescaled-range (R/S) analysis on the
+    # hourly event-count series: for block sizes 8/16/32 hours, each
+    # FULL block's range of cumulative deviations over its population
+    # sd, averaged per size; H = the log-log OLS slope over the three
+    # sizes (H≈0.5 memoryless, >0.5 persistent — the long-memory
+    # diagnostic that says whether q_ts_autocorr's tail is real).
+    # Within-block cumulative sums stay EXACT integers (Z_k =
+    # cum_k - k·mean is formula text over exact cum/k/moment columns);
+    # sd is the exact-moment closed form. The per-size R/S fold and the
+    # final ln-slope are merge-order/libm-transiting -> round-9 (their
+    # ~calendar-many-term folds outgrow the round-12 grid; the
+    # q_eval_forecast lesson). 100 TB: ONE fact-table groupBy to hourly
+    # counts; every window after runs on the calendar spine x 3 sizes.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)  # feeds bounds + dense join
+    )
+    b = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select("lo", F.explode(F.sequence("lo", "hi")).alias("hr"))
+    dense = (
+        spine.join(c, "hr", "left")
+        .select("lo", "hr", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    sizes = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit(8).cast("bigint"),
+                F.lit(16).cast("bigint"),
+                F.lit(32).cast("bigint"),
+            )
+        ).alias("s")
+    )
+    rows_ = dense.crossJoin(F.broadcast(sizes)).select(
+        "s",
+        F.expr("(hr - lo) div s").alias("blk"),
+        "hr",
+        "x",
+    )
+    w = Window.partitionBy("s", "blk").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = Window.partitionBy("s", "blk")
+    wx = rows_.select(
+        "s",
+        "blk",
+        F.sum("x").over(w).cast("bigint").alias("cum"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+        F.sum("x").over(p).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(p).cast("bigint").alias("sxx"),
+        F.count(F.lit(1)).over(p).cast("bigint").alias("nb"),
+    )
+    z = F.col("cum") - F.col("k") * (F.col("sx").cast("double") / F.col("nb"))
+    blkstat = wx.groupBy("s", "blk", "nb", "sx", "sxx").agg(
+        (F.max(z) - F.min(z)).alias("r"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("nb"))
+            / F.col("nb")
+        ).alias("sd"),
+    )
+    per_s = (
+        blkstat.where((F.col("nb") == F.col("s")) & (F.col("sd") > 0))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.round(F.sum(F.col("r") / F.col("sd")) / F.count(F.lit(1)), 9).alias(
+                "avg_rs"
+            ),
+        )
+    )
+    piv = per_s.agg(
+        F.max(F.when(F.col("s") == 8, F.col("avg_rs"))).alias("r8"),
+        F.max(F.when(F.col("s") == 16, F.col("avg_rs"))).alias("r16"),
+        F.max(F.when(F.col("s") == 32, F.col("avg_rs"))).alias("r32"),
+    )
+    bars = piv.selectExpr("r8", "r16", "r32", *_HURST_BARS.split(", "))
+    h = bars.selectExpr(f"round({_HURST_SLOPE}, 9) AS hurst")
+    return per_s.crossJoin(F.broadcast(h))

@@ -802,3 +802,52 @@ def dbscan_geo(
         "id", F.lit("noise").alias("role"), F.lit(-1).cast("long").alias("cluster")
     )
     return core_out.unionAll(border_out).unionAll(noise)
+
+
+def farthest_point_init(
+    df: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic k-means++-style farthest-point initialization:
+    center 1 is the lowest-id vector; each subsequent center is the
+    candidate whose squared distance to its NEAREST already-chosen
+    center is LARGEST (ties → lowest id) — the classic 2-approximation
+    seeding (Gonzalez) that replaces k-means++'s D²-sampling with its
+    deterministic argmax limit, keeping the result oracle-checkable.
+
+    Returns (step, id, d2): d2 is the candidate's min squared distance
+    to the previously chosen centers at selection time (NULL for the
+    seed). Distances are the same sequential-fold float64 as
+    :func:`kmeans` (``_sqdist``), so argmax ties are bit-stable across
+    engines. Scale: each round is candidates × broadcast(chosen ≤ k)
+    then ONE TakeOrdered(1) — the corpus never shuffles, and the
+    chosen frame is k rows by construction."""
+    if k < 1:
+        raise ValueError("farthest_point_init requires k >= 1")
+    cand = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    chosen = (
+        cand.orderBy("id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("step"),
+            "id",
+            F.lit(None).cast("double").alias("d2"),
+            "vec",
+        )
+    )
+    for step in range(2, k + 1):
+        centers = chosen.select(F.col("id").alias("c_id"), F.col("vec").alias("c_vec"))
+        nxt = (
+            cand.join(F.broadcast(centers.select("c_id")), cand.id == F.col("c_id"), "left_anti")
+            .crossJoin(F.broadcast(centers))
+            .select("id", "vec", _sqdist(F.col("vec"), F.col("c_vec")).alias("d"))
+            .groupBy("id", "vec")
+            .agg(F.min("d").alias("d2"))
+            .orderBy(F.col("d2").desc(), "id")
+            .limit(1)
+            .select(F.lit(step).alias("step"), "id", "d2", "vec")
+        )
+        chosen = chosen.unionAll(nxt).localCheckpoint(eager=False)
+    return chosen.select("step", "id", "d2")
