@@ -5953,3 +5953,127 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pts",
         (F.col("n_pts").cast("double") / F.col("total")).alias("share"),
     )
+
+
+_PERM_U_SQL = (
+    "list_reduce(list_transform("
+    "string_split_regex(substr(md5(concat(CAST(event_id AS VARCHAR), ':', "
+    "CAST(b AS VARCHAR))), 1, 15), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b2) -> a * 16 + b2)"
+)
+
+
+@register(
+    "q_stat_permutation_test",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    obs AS (
+      SELECT CAST(sum(v * grp) AS DOUBLE) / (100 * sum(grp))
+             - CAST(sum(v * (1 - grp)) AS DOUBLE) / (100 * sum(1 - grp))
+               AS obs_diff
+      FROM x
+    ),
+    reps AS (
+      SELECT v, b, CAST({_PERM_U_SQL} % 2 AS BIGINT) AS pg
+      FROM x CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS b)
+    ),
+    per AS (
+      SELECT b,
+             CAST(sum(v * pg) AS DOUBLE) / (100 * sum(pg))
+             - CAST(sum(v * (1 - pg)) AS DOUBLE) / (100 * sum(1 - pg))
+               AS d
+      FROM reps GROUP BY b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS b_reps,
+           obs.obs_diff,
+           CAST(sum(CASE WHEN abs(per.d) >= abs(obs.obs_diff)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           (1.0e0 + sum(CASE WHEN abs(per.d) >= abs(obs.obs_diff)
+                        THEN 1 ELSE 0 END)) / (count(*) + 1.0e0) AS p_value
+    FROM per CROSS JOIN obs GROUP BY obs.obs_diff
+    """,
+)
+def q_stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic-hash permutation test for the purchase-vs-click
+    # mean difference — the EXACT-null companion to q_stat_ttest (no
+    # normality assumption) using q_stat_bootstrap_ci's RNG-free
+    # resampling: permutation b relabels each row by the parity of the
+    # 60-bit md5(event_id:b) fold, so both engines generate IDENTICAL
+    # label assignments. Every per-permutation mean difference is an
+    # exact cent-lane moment division (deterministic doubles — the
+    # |d| >= |obs| comparisons cannot straddle an ulp), and the
+    # add-one p-value is exact integer arithmetic over B=64 replicas.
+    # NO rounding anywhere. 100 TB: the replica dimension is map-side
+    # (explode ×B then a 64-group partial agg) — same single-scan shape
+    # as the bootstrap.
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+    )
+    x = ev.select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+    )
+    x = x.localCheckpoint(eager=False)  # feeds observed diff + replicas
+    g = F.col("grp")
+    obs = x.agg(
+        (
+            F.sum(F.col("v") * g).cast("double") / (100 * F.sum(g))
+            - F.sum(F.col("v") * (1 - g)).cast("double") / (100 * F.sum(1 - g))
+        ).alias("obs_diff")
+    )
+    reps = x.select(
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+        "event_id",
+    ).select(
+        "v",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("pg"),
+    )
+    pg = F.col("pg")
+    per = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("v") * pg).cast("double") / (100 * F.sum(pg))
+            - F.sum(F.col("v") * (1 - pg)).cast("double") / (100 * F.sum(1 - pg))
+        ).alias("d")
+    )
+    ge = F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+    return (
+        per.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_reps"),
+            F.sum(ge).cast("bigint").alias("n_ge"),
+            ((1.0 + F.sum(ge)) / (F.count(F.lit(1)) + 1.0)).alias("p_value"),
+        )
+        .select("b_reps", "obs_diff", "n_ge", "p_value")
+    )
