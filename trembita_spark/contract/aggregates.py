@@ -6077,3 +6077,179 @@ def q_stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b_reps", "obs_diff", "n_ge", "p_value")
     )
+
+
+_LRF_SSE = "(syy - ({d0}) / ({det}) * sy - ({d1}) / ({det}) * s1y - ({d2}) / ({det}) * s2y)".format(
+    d0=_LR3_DET0, d1=_LR3_DET1, d2=_LR3_DET2, det=_LR3_DET
+)
+_LRF_SST = "(syy - sy * sy / n)"
+
+
+@register(
+    "q_ml_linreg_fit_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM (
+        SELECT CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(dayofweek(ts) AS BIGINT) AS x2,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+      )
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           1.0e0 - {_LRF_SSE} / {_LRF_SST} AS r2,
+           1.0e0 - ({_LRF_SSE} / {_LRF_SST}) * (n - 1) / (n - 3) AS adj_r2,
+           (({_LRF_SST}) - ({_LRF_SSE})) / 2 / (({_LRF_SSE}) / (n - 3)) AS f_stat
+    FROM s
+    """,
+)
+def q_ml_linreg_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Goodness-of-fit for q_ml_linreg_multi's normal-equations model
+    # (value ~ hour + day-of-week): R^2, adjusted R^2, and the omnibus
+    # F statistic — the is-this-model-any-good readout the coefficient
+    # key deliberately omits. Everything derives from the SAME one-scan
+    # exact moment sums plus syy: SSE = syy - b.(X'y) expands to pure
+    # formula text over the Cramer determinants, so every output is a
+    # deterministic double with NO rounding (no libm anywhere; parity
+    # rule 2). Spark dayofweek is 1..7 Sunday-first; DuckDB 0..6 — the
+    # Spark side subtracts 1 (the q_ml_linreg_multi convention).
+    # 100 TB: one partial-aggregated scan, 1-row result.
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("x2"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"1.0e0 - {_LRF_SSE} / {_LRF_SST} AS r2",
+        f"1.0e0 - ({_LRF_SSE} / {_LRF_SST}) * (n - 1) / (n - 3) AS adj_r2",
+        f"(({_LRF_SST}) - ({_LRF_SSE})) / 2 / (({_LRF_SSE}) / (n - 3)) AS f_stat",
+    )
+
+
+@register(
+    "q_ts_durbin_watson",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(t * y) AS BIGINT) AS sty
+      FROM d
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) * st)
+               / n AS a
+      FROM m
+    ),
+    e AS (
+      SELECT d.t, d.y - fit.a - fit.b * d.t AS e, fit.n, fit.b
+      FROM d CROSS JOIN fit
+    ),
+    j AS (
+      SELECT cur.e AS e1, prv.e AS e0, cur.n, cur.b
+      FROM e cur LEFT JOIN e prv ON prv.t = cur.t - 1
+    )
+    SELECT max(n) AS n_days, max(b) AS slope,
+           round(sum(CASE WHEN e0 IS NOT NULL
+                          THEN (e1 - e0) * (e1 - e0) ELSE 0 END)
+                 / sum(e1 * e1), 9) AS dw
+    FROM j
+    """,
+)
+def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Durbin-Watson first-order autocorrelation test on the residuals
+    # of the daily-count linear trend: DW = sum (e_t - e_{t-1})^2 /
+    # sum e_t^2 (≈2 independent, <2 positively autocorrelated) — the
+    # residual-diagnostics companion to q_ts_ljung_box (which tests the
+    # raw series). The OLS line comes from exact integer moments
+    # (closed form, deterministic doubles); residuals are fixed formula
+    # text; the two quadratic folds run over calendar-many terms →
+    # round-9 (the q_ts_hurst grid). The lag join is day-spine
+    # self-join on t-1, calendar-bounded. 100 TB: one fact-table
+    # groupBy to daily counts, everything after is spine-sized.
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # feeds moments + both lag sides
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    bexpr = (
+        "(CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+    )
+    fit = m.selectExpr(
+        "n",
+        f"{bexpr} AS b",
+        f"(CAST(sy AS DOUBLE) - {bexpr} * st) / n AS a",
+    )
+    e = d.crossJoin(F.broadcast(fit)).select(
+        "t",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+        "n",
+        "b",
+    )
+    cur = e.select(
+        F.col("t"), F.col("e").alias("e1"), "n", "b"
+    )
+    prv = e.select((F.col("t") + 1).alias("t"), F.col("e").alias("e0"))
+    j = cur.join(prv, "t", "left")
+    return j.agg(
+        F.max("n").alias("n_days"),
+        F.max("b").alias("slope"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("e0").isNotNull(),
+                    (F.col("e1") - F.col("e0")) * (F.col("e1") - F.col("e0")),
+                ).otherwise(0.0)
+            )
+            / F.sum(F.col("e1") * F.col("e1")),
+            9,
+        ).alias("dw"),
+    )
