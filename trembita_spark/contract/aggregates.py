@@ -6253,3 +6253,221 @@ def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("dw"),
     )
+
+
+_PC_R = (
+    "(n * s{a}{b} - s{a} * s{b})"
+    " / sqrt((n * s{a}{a} - s{a} * s{a}) * (n * s{b}{b} - s{b} * s{b}))"
+)
+_PC_RXY = _PC_R.format(a="x", b="y")
+_PC_RXZ = _PC_R.format(a="x", b="z")
+_PC_RYZ = _PC_R.format(a="y", b="z")
+_PC_PARTIAL = (
+    f"(({_PC_RXY}) - ({_PC_RXZ}) * ({_PC_RYZ}))"
+    f" / sqrt((1 - ({_PC_RXZ}) * ({_PC_RXZ})) * (1 - ({_PC_RYZ}) * ({_PC_RYZ})))"
+)
+
+
+@register(
+    "q_stat_partial_corr",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(value AS DECIMAL(18,2)) AS x,
+             CAST(hour(ts) AS BIGINT) AS y,
+             CAST(dayofweek(ts) AS BIGINT) AS z
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(z * z) AS DOUBLE) AS szz,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * z) AS DOUBLE) AS sxz,
+             CAST(sum(y * z) AS DOUBLE) AS syz
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round({_PC_RXY}, 12) AS r_xy,
+           round({_PC_PARTIAL}, 12) AS r_xy_given_z
+    FROM m
+    """,
+)
+def q_stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order partial correlation: corr(value, hour) CONTROLLING
+    # for day-of-week — r_xy.z = (r_xy - r_xz r_yz)/sqrt((1-r_xz²)
+    # (1-r_yz²)), the does-the-association-survive-the-confounder
+    # readout q_agg_corr can't give. All three pairwise r's come from
+    # ONE exact-moment scan (decimal target, integer features) and the
+    # whole expression is shared formula text (sqrt -> round-12).
+    # Spark dayofweek is 1..7, DuckDB 0..6: the Spark side subtracts 1
+    # so the z MOMENTS feeding the shared formula are bit-identical
+    # (the q_ml_linreg_multi convention — r is shift-invariant
+    # mathematically, but the intermediate doubles are not). 100 TB:
+    # one partial-aggregated scan, 1-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        F.col("value").cast("decimal(18,2)").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("z"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"round({_PC_RXY}, 12) AS r_xy",
+        f"round({_PC_PARTIAL}, 12) AS r_xy_given_z",
+    )
+
+
+@register(
+    "q_stat_cronbach_alpha",
+    oracle="""
+    WITH peru AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE hour(ts) < 6) AS BIGINT) AS i1,
+             CAST(count(*) FILTER (WHERE hour(ts) >= 6 AND hour(ts) < 12) AS BIGINT) AS i2,
+             CAST(count(*) FILTER (WHERE hour(ts) >= 12 AND hour(ts) < 18) AS BIGINT) AS i3,
+             CAST(count(*) FILTER (WHERE hour(ts) >= 18) AS BIGINT) AS i4
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(i1) AS BIGINT) AS s1, CAST(sum(i1 * i1) AS BIGINT) AS q1,
+             CAST(sum(i2) AS BIGINT) AS s2, CAST(sum(i2 * i2) AS BIGINT) AS q2,
+             CAST(sum(i3) AS BIGINT) AS s3, CAST(sum(i3 * i3) AS BIGINT) AS q3,
+             CAST(sum(i4) AS BIGINT) AS s4, CAST(sum(i4 * i4) AS BIGINT) AS q4,
+             CAST(sum(i1 + i2 + i3 + i4) AS BIGINT) AS st,
+             CAST(sum((i1 + i2 + i3 + i4) * (i1 + i2 + i3 + i4)) AS BIGINT) AS qt
+      FROM peru
+    )
+    SELECT n,
+           (4.0e0 / 3.0e0) * (1.0e0 -
+             ((q1 - CAST(s1 AS DOUBLE) * s1 / n)
+              + (q2 - CAST(s2 AS DOUBLE) * s2 / n)
+              + (q3 - CAST(s3 AS DOUBLE) * s3 / n)
+              + (q4 - CAST(s4 AS DOUBLE) * s4 / n))
+             / (qt - CAST(st AS DOUBLE) * st / n)) AS alpha
+    FROM m
+    """,
+)
+def q_stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cronbach's alpha internal-consistency coefficient treating each
+    # user's four daypart activity counts as k=4 "items": alpha =
+    # k/(k-1) * (1 - sum item variances / variance of item totals) —
+    # the do-these-features-measure-one-construct readout behind every
+    # engagement-score design. One user-keyed conditional-count
+    # aggregate, then one moment scan; all sums exact integers, every
+    # variance the closed form over them, and the 4-item fold is FIXED
+    # formula text (addition order in the expression) -> deterministic
+    # doubles, NO rounding (parity rule 2). 100 TB: two partial-agg
+    # passes (user cells, then moments), 1-row result.
+    ev = table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    cell = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    peru = ev.groupBy("user_id").agg(
+        cell(h < 6).alias("i1"),
+        cell((h >= 6) & (h < 12)).alias("i2"),
+        cell((h >= 12) & (h < 18)).alias("i3"),
+        cell(h >= 18).alias("i4"),
+    )
+    tot = F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    m = peru.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i in (1, 2, 3, 4)
+            for agg in (
+                F.sum(f"i{i}").cast("bigint").alias(f"s{i}"),
+                F.sum(F.col(f"i{i}") * F.col(f"i{i}")).cast("bigint").alias(f"q{i}"),
+            )
+        ],
+        F.sum(tot).cast("bigint").alias("st"),
+        F.sum(tot * tot).cast("bigint").alias("qt"),
+    )
+    return m.selectExpr(
+        "n",
+        "(4.0e0 / 3.0e0) * (1.0e0 - "
+        "((q1 - CAST(s1 AS DOUBLE) * s1 / n) "
+        "+ (q2 - CAST(s2 AS DOUBLE) * s2 / n) "
+        "+ (q3 - CAST(s3 AS DOUBLE) * s3 / n) "
+        "+ (q4 - CAST(s4 AS DOUBLE) * s4 / n)) "
+        "/ (qt - CAST(st AS DOUBLE) * st / n)) AS alpha",
+    )
+
+
+@register(
+    "q_ml_mutual_info",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS f,
+             least(CAST(floor(CAST(value AS DECIMAL(18,2))) AS BIGINT) // 50, 5) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT f, v, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2
+    ),
+    mf AS (SELECT f, sum(c) AS cf FROM cells GROUP BY 1),
+    mv AS (SELECT v, sum(c) AS cv FROM cells GROUP BY 1),
+    t AS (SELECT sum(c) AS n FROM cells)
+    SELECT CAST(t.n AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((c / t.n) * ln((c * t.n) / (cf * cv))), 12) AS mi_nats
+    FROM cells JOIN mf USING (f) JOIN mv USING (v) CROSS JOIN t
+    GROUP BY t.n
+    """,
+)
+def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mutual information I(event_type; value-bucket) in nats — the
+    # feature-selection score (how much does knowing the type tell you
+    # about the value band?) that chi-square's significance can't
+    # rank by. Buckets are exact integer halves-of-hundred (floor of
+    # the truncated decimal, capped at 5 -> at most 6 x |types| cells);
+    # cell/margin counts are exact, and the sum p*ln(p/(pq)) folds over
+    # the BOUNDED cell frame (q_agg_entropy shape: libm ln + tiny
+    # merge-order fold -> round-12). 100 TB: one partial-aggregated
+    # scan to the cell contingency; margins re-aggregate the cells.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        F.col("event_type").alias("f"),
+        F.least(
+            F.expr("CAST(floor(CAST(value AS DECIMAL(18,2))) AS BIGINT) div 50"),
+            F.lit(5).cast("bigint"),
+        ).alias("v"),
+    )
+    cells = b.groupBy("f", "v").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    cells = cells.localCheckpoint(eager=False)  # feeds margins + total + MI
+    mf = cells.groupBy("f").agg(F.sum("c").alias("cf"))
+    mv = cells.groupBy("v").agg(F.sum("c").alias("cv"))
+    t = cells.agg(F.sum("c").alias("n"))
+    return (
+        cells.join(F.broadcast(mf), "f")
+        .join(F.broadcast(mv), "v")
+        .crossJoin(F.broadcast(t))
+        .groupBy(F.col("n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log((F.col("c") * F.col("n")) / (F.col("cf") * F.col("cv")))
+                ),
+                12,
+            ).alias("mi_nats"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"), "n_cells", "mi_nats"
+        )
+    )
