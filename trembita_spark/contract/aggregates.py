@@ -6471,3 +6471,263 @@ def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_rows"), "n_cells", "mi_nats"
         )
     )
+
+
+@register(
+    "q_ml_pr_curve",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    th AS (SELECT unnest(generate_series(1, 9)) * 2000 AS thr),
+    pts AS (
+      SELECT thr,
+             CAST(count(*) FILTER (WHERE s >= thr AND y = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE s >= thr AND y = 0) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS pos
+      FROM x CROSS JOIN th GROUP BY thr
+    )
+    SELECT thr, tp, fp,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+           CAST(tp AS DOUBLE) / pos AS recall_
+    FROM pts WHERE tp + fp > 0
+    """,
+)
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Precision-recall curve at nine fixed score thresholds (value >=
+    # 20, 40, ... 180 predicting purchase) — the operating-point table
+    # q_ml_auc's single scalar summarizes away, and the right curve for
+    # the rare-positive regimes LLM-data filters live in. Thresholds
+    # are exact cent-lane integers; the threshold dimension rides ONE
+    # map-side explode (like the bootstrap's replica dimension), so the
+    # scan stays single-pass with a 9-group partial agg; precision and
+    # recall are exact-integer divisions — NO rounding. 100 TB: one
+    # scan, 9-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pts = (
+        x.select(
+            "s", "y", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k")
+        )
+        .select("s", "y", (F.col("k") * 2000).alias("thr"))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("s") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when((F.col("s") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("pos"),
+        )
+    )
+    return pts.where(F.col("tp") + F.col("fp") > 0).select(
+        "thr",
+        "tp",
+        "fp",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision_"),
+        (F.col("tp").cast("double") / F.col("pos")).alias("recall_"),
+    )
+
+
+@register(
+    "q_stat_qq_deciles",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    pv AS (
+      SELECT is_a, v, CAST(count(*) AS BIGINT) AS cnt
+      FROM x GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT is_a, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY is_a ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (
+      SELECT is_a, CAST(sum(cnt) AS BIGINT) AS n FROM pv GROUP BY 1
+    ),
+    q AS (SELECT unnest(generate_series(1, 9)) AS d),
+    sel AS (
+      SELECT q.d, c.is_a,
+             max(CASE WHEN c.cum - c.cnt < (q.d * t.n + 9) // 10
+                      AND c.cum >= (q.d * t.n + 9) // 10
+                 THEN c.v END) AS qv
+      FROM c JOIN t USING (is_a) CROSS JOIN q
+      GROUP BY 1, 2
+    )
+    SELECT d,
+           CAST(max(CASE WHEN is_a = 1 THEN qv END) AS DOUBLE) / 100 AS q_purchase,
+           CAST(max(CASE WHEN is_a = 0 THEN qv END) AS DOUBLE) / 100 AS q_click
+    FROM sel GROUP BY d
+    """,
+)
+def q_stat_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Q-Q table: the nine decile order statistics of the
+    # purchase and click value distributions side by side — the
+    # where-do-the-distributions-diverge readout behind every Q-Q plot,
+    # complementing q_stat_ks's single worst-point max. Each decile is
+    # an EXACT order statistic (rank ceil(d*n/10) selected via the
+    # per-arm value-support prefix sum and interval membership — the
+    # trimmed-mean machinery; no percentile interpolation crosses
+    # engines). Cent-lane values, exact ranks, one double division per
+    # cell at the end. 100 TB: one contingency aggregate per arm + one
+    # prefix sum over the value support; the decile dimension is a
+    # 9-row broadcast.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+    )
+    x = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    pv = x.groupBy("is_a", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    # per-arm prefix sum: order by (is_a, v) and subtract the other
+    # arm's total would break per-arm cum; instead run prefix_sum per
+    # arm via the partitioned window equivalent — the arm key bounds
+    # partitions at 2, but the INPUT is the value-support contingency
+    # (aggregate-sized), the same exemption as the chi-sq family.
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("is_a")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pv.withColumn("cum", F.sum("cnt").over(w).cast("bigint"))
+    t = pv.groupBy("is_a").agg(F.sum("cnt").cast("bigint").alias("n"))
+    q = spark.range(1, 10).select(F.col("id").alias("d"))
+    r = F.expr("(d * n + 9) div 10")
+    sel = (
+        c.join(F.broadcast(t), "is_a")
+        .crossJoin(F.broadcast(q))
+        .groupBy("d", "is_a")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") < r) & (F.col("cum") >= r),
+                    F.col("v"),
+                )
+            ).alias("qv")
+        )
+    )
+    return sel.groupBy("d").agg(
+        (
+            F.max(F.when(F.col("is_a") == 1, F.col("qv"))).cast("double") / 100
+        ).alias("q_purchase"),
+        (
+            F.max(F.when(F.col("is_a") == 0, F.col("qv"))).cast("double") / 100
+        ).alias("q_click"),
+    )
+
+
+@register(
+    "q_stat_ancova",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS grp,
+             CAST(hour(ts) AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(y) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             sum(x * y) AS sxy
+      FROM b GROUP BY 1
+    ),
+    p AS (
+      SELECT round(sum(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n), 6) AS wxy,
+             round(sum(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6) AS wxx,
+             CAST(sum(sx) AS BIGINT) AS tx,
+             CAST(sum(n) AS BIGINT) AS tn
+      FROM g
+    ),
+    bw AS (SELECT wxy / wxx AS b_w, CAST(tx AS DOUBLE) / tn AS xbar FROM p)
+    SELECT g.grp, g.n,
+           CAST(g.sy AS DOUBLE) / g.n AS raw_mean,
+           round(CAST(g.sy AS DOUBLE) / g.n
+                 - bw.b_w * (CAST(g.sx AS DOUBLE) / g.n - bw.xbar), 9)
+             AS adjusted_mean
+    FROM g CROSS JOIN bw
+    """,
+)
+def q_stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANCOVA adjusted group means: each event type's mean value after
+    # removing the hour-of-day covariate — adj_mean_g = ybar_g -
+    # b_w (xbar_g - xbar), with b_w the pooled WITHIN-group slope
+    # (sum_g Sxy_g / sum_g Sxx_g). The would-the-groups-still-differ-
+    # at-the-same-hour question a raw group-mean comparison conflates.
+    # Group moments are exact (integer covariate, decimal target) from
+    # ONE scan; the pooled within-group sums fold over |groups| doubles
+    # -> round-6 (their ~1e7 magnitude, the q_stat_tukey_hsd grid);
+    # adjusted means re-derive from exact per-group moments and the
+    # shared b_w -> round-9. 100 TB: one partial-aggregated scan,
+    # |groups|-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        F.col("event_type").alias("grp"),
+        F.hour("ts").cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    g = b.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds pooled slope + output rows
+    p = g.agg(
+        F.round(
+            F.sum(
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("wxy"),
+        F.round(
+            F.sum(
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            ),
+            6,
+        ).alias("wxx"),
+        F.sum("sx").cast("bigint").alias("tx"),
+        F.sum("n").cast("bigint").alias("tn"),
+    )
+    bw = p.select(
+        (F.col("wxy") / F.col("wxx")).alias("b_w"),
+        (F.col("tx").cast("double") / F.col("tn")).alias("xbar"),
+    )
+    return g.crossJoin(F.broadcast(bw)).select(
+        "grp",
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("raw_mean"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n")
+            - F.col("b_w")
+            * (F.col("sx").cast("double") / F.col("n") - F.col("xbar")),
+            9,
+        ).alias("adjusted_mean"),
+    )
