@@ -6731,3 +6731,118 @@ def q_stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("adjusted_mean"),
     )
+
+
+@register(
+    "q_stat_sign_test",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.rev AS cur, b.rev AS prev
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day = a.day - 7
+    ),
+    s AS (
+      SELECT CAST(count(*) FILTER (WHERE cur <> prev) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE cur > prev) AS BIGINT) AS n_pos
+      FROM j
+    )
+    SELECT n, n_pos,
+           round((n_pos - CAST(n AS DOUBLE) / 2) / sqrt(CAST(n AS DOUBLE) / 4),
+                 12) AS z
+    FROM s
+    """,
+)
+def q_stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Paired sign test for week-over-week revenue movement: each
+    # (type, day) cell pairs with its value 7 days earlier; under H0
+    # increases and decreases are equally likely, so z = (n_pos - n/2)
+    # / sqrt(n/4) over the non-tied pairs. The assumption-free paired
+    # companion to q_stat_wilcoxon (which needs magnitudes) — signs
+    # compare EXACT decimals, counts are exact integers from one
+    # calendar-bounded self-join, z shares formula text (sqrt ->
+    # round-12). 100 TB: one fact-table groupBy to (type, day); the
+    # lag join is spine-sized.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+        .localCheckpoint(eager=False)  # feeds both lag sides
+    )
+    prev = d.select(
+        "event_type", (F.col("day") + 7).alias("day"), F.col("rev").alias("prev")
+    )
+    j = d.join(prev, ["event_type", "day"]).select(
+        F.col("rev").alias("cur"), "prev"
+    )
+    s = j.agg(
+        F.sum(F.when(F.col("cur") != F.col("prev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+        F.sum(F.when(F.col("cur") > F.col("prev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    return s.selectExpr(
+        "n",
+        "n_pos",
+        "round((n_pos - CAST(n AS DOUBLE) / 2) / sqrt(CAST(n AS DOUBLE) / 4), 12) AS z",
+    )
+
+
+@register(
+    "q_ml_target_encoding",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS cat,
+             CAST(count(*) AS BIGINT) AS n_c,
+             sum(CAST(value AS DECIMAL(18,2))) AS s_c
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n_c) AS BIGINT) AS n, sum(s_c) AS s FROM g
+    )
+    SELECT cat, n_c,
+           CAST(s_c AS DOUBLE) / n_c AS raw_mean,
+           (CAST(s_c AS DOUBLE) + 20 * (CAST(s AS DOUBLE) / n))
+             / (n_c + 20) AS encoded
+    FROM g CROSS JOIN t
+    """,
+)
+def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Smoothed (m-estimate, m=20) target encoding of event_type against
+    # value — the leakage-resistant categorical feature every tabular
+    # pipeline computes: encoded = (sum_c + m*global_mean)/(n_c + m),
+    # shrinking rare categories toward the prior. One exact-moment
+    # scan; global mean re-aggregates the category frame; both outputs
+    # are pure exact-division formula text — NO rounding (parity rule
+    # 2). 100 TB: one partial-aggregated scan, |categories|-row result
+    # broadcast back to whatever training join needs it.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy(F.col("event_type").alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s_c"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds the prior + output rows
+    t = g.agg(
+        F.sum("n_c").cast("bigint").alias("n"), F.sum("s_c").alias("s")
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "cat",
+        "n_c",
+        (F.col("s_c").cast("double") / F.col("n_c")).alias("raw_mean"),
+        (
+            (F.col("s_c").cast("double") + 20 * (F.col("s").cast("double") / F.col("n")))
+            / (F.col("n_c") + 20)
+        ).alias("encoded"),
+    )

@@ -3314,3 +3314,59 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr.where(F.col("score") > 0).select(
         "node", F.round("score", 12).alias("score")
     )
+
+
+def _katz_iter_sql(prev: str, this: str) -> str:
+    # one Katz step: x <- 1 + beta * A^T x (merge-order double sum).
+    return f"""
+    m_{this} AS (
+      SELECT e.dst AS node, sum(p.score) AS m
+      FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst
+    ),
+    {this} AS (
+      SELECT n.node,
+             1.0e0 + 0.1e0 * COALESCE(m.m, CAST(0 AS DOUBLE)) AS score
+      FROM nodes n LEFT JOIN m_{this} m ON n.node = m.node
+    )"""
+
+
+@register(
+    "q_graph_katz",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    it0 AS (SELECT node, CAST(1 AS DOUBLE) AS score FROM nodes),
+    {{it1}},
+    {{it2}},
+    {{it3}}
+    SELECT node, round(score, 12) AS score FROM it3
+    """.format(
+        it1=_katz_iter_sql("it0", "it1"),
+        it2=_katz_iter_sql("it1", "it2"),
+        it3=_katz_iter_sql("it2", "it3"),
+    ),
+)
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Katz centrality (operators/graph.py: katz_centrality — 3 fixed
+    # damped walk-counting steps, beta=0.1) over the customer→supplier
+    # order graph: credits every inbound walk with geometric damping —
+    # the reachability centrality that separates suppliers by how many
+    # customers funnel into them across multi-hop paths, where
+    # PageRank's out-degree division and HITS' normalization wash the
+    # volume signal out. Oracle unrolls the identical recurrence;
+    # round-12 covers the merge-order neighbor sums (parity rule 5).
+    # 100 TB: same co-partitioned join-per-iteration shape as pagerank.
+    from trembita_spark.operators.graph import katz_centrality
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    kz = katz_centrality(edges, iters=3, beta=0.1)
+    return kz.select("node", F.round("score", 12).alias("score"))
