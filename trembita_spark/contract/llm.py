@@ -4169,3 +4169,61 @@ def q_ml_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         "d2",
     )
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    vocab AS (
+      SELECT t FROM cnt ORDER BY c DESC, t LIMIT 200
+    ),
+    j AS (
+      SELECT tok.lang,
+             CASE WHEN vocab.t IS NOT NULL THEN 1 ELSE 0 END AS in_v
+      FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(in_v) AS BIGINT) AS in_vocab,
+           CAST(sum(in_v) AS DOUBLE) / count(*) AS coverage,
+           1.0e0 - CAST(sum(in_v) AS DOUBLE) / count(*) AS oov_rate
+    FROM j GROUP BY lang
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-vocabulary coverage: build the top-200 token vocabulary
+    # by corpus frequency (unique (count desc, token) order), then per
+    # language report what share of token OCCURRENCES the vocab covers
+    # and the OOV rate — the first number a tokenizer design review
+    # asks for, and the per-language fairness check UniMax-style
+    # allocation needs. One explode → hash-count pass builds the
+    # frequency table; the vocab is a TakeOrderedAndProject; membership
+    # joins back BROADCAST (vocab is config-sized); coverage is exact
+    # integer division — NO rounding. 100 TB: two passes over the token
+    # stream (count, then membership), vocab-sized broadcast, |langs|
+    # output rows.
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    tok = tok.localCheckpoint(eager=False)  # feeds counts + membership
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), "t")
+        .limit(200)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    j = tok.join(F.broadcast(vocab), "t", "left").select(
+        "lang", F.coalesce("in_v", F.lit(0)).alias("in_v")
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("in_v").cast("bigint").alias("in_vocab"),
+        (F.sum("in_v").cast("double") / F.count(F.lit(1))).alias("coverage"),
+        (1.0 - F.sum("in_v").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
