@@ -1456,3 +1456,65 @@ def test_betweenness_sample_diamond_split_paths(spark):
         for r in betweenness_sample(e, s, max_hops=3).collect()
     )
     assert rows == [("b", 0.5), ("c", 0.5), ("d", 0.0)]
+
+
+def test_katz_hand_computed(spark):
+    # Path a->b->c, beta=0.1, 2 iters. x0=1 everywhere.
+    # it1: a=1, b=1+0.1*1=1.1, c=1.1
+    # it2: a=1, b=1+0.1*1=1.1, c=1+0.1*1.1=1.11
+    from trembita_spark.operators.graph import katz_centrality
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    rows = {r.node: r.score for r in katz_centrality(e, iters=2, beta=0.1).collect()}
+    assert rows == {"a": 1.0, "b": 1.1, "c": 1.11}
+    with pytest.raises(ValueError):
+        katz_centrality(e, iters=0)
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    # Two disconnected components; seeding in one must leave the other
+    # at EXACTLY zero mass, and the seed keeps the (1-d) teleport.
+    from trembita_spark.operators.graph import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    rows = {r.node: r.score for r in personalized_pagerank(e, seeds, iters=3).collect()}
+    assert rows["x"] == 0.0 and rows["y"] == 0.0
+    assert rows["a"] > 0 and rows["b"] > 0
+    # teleport goes only to the seed: a's floor is (1-d)*1
+    assert rows["a"] >= 0.15
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, seeds, iters=0)
+
+
+def test_farthest_point_init_picks_extremes(spark):
+    # 1-D embeddings at 0, 1, 10, 11: seed=lowest id (value 0), next
+    # center must be the farthest point (11), then 10's nearest-chosen
+    # distance (1.0) loses to... remaining {1, 10}: min-dists are
+    # 1->1.0, 10->1.0; tie broken by id -> picks id of value 1.
+    from trembita_spark.operators.similarity import farthest_point_init
+
+    emb = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [11.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = [(r.step, r.id, r.d2) for r in farthest_point_init(emb, k=3).orderBy("step").collect()]
+    assert rows[0] == (1, 0, None)
+    assert rows[1][1] == 3 and rows[1][2] == 121.0
+    assert rows[2][1] == 1 and rows[2][2] == 1.0
+    with pytest.raises(ValueError):
+        farthest_point_init(emb, k=0)
+
+
+def test_cobasket_cache_reuses_frame(spark):
+    # Same (session, sf) -> the SAME persisted DataFrame object; the
+    # cache key includes the sf dir so scales never cross.
+    from tests.conftest import SF_DIR
+    from trembita_spark.contract.relational import _cobasket_pairs
+
+    a = _cobasket_pairs(spark, SF_DIR)
+    b = _cobasket_pairs(spark, SF_DIR)
+    assert a is b
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk

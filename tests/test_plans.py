@@ -1051,6 +1051,10 @@ def test_no_key_degrades_to_cartesian(spark):
         # k, k(k-1)/2 output pairs; same bound class as the chi-sq
         # family's cell frames)
         "q_stat_tukey_hsd",
+        # Hurst R/S: the BNLJ build sides are the 3-element literal
+        # block-size frame {8,16,32} and the 1-row spine-bounds
+        # aggregate — both literal/config-sized, never data-sized
+        "q_ts_hurst",
         # k-bounded seed/codebook frames: the BNLJ build side is the
         # k=8 seed-vector / codebook-training frame (plan shows
         # `Filter (vec_id < 8)` over the embeddings scan) — bounded by
