@@ -6846,3 +6846,120 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_c") + 20)
         ).alias("encoded"),
     )
+
+
+@register(
+    "q_agg_geometric_mean",
+    oracle="""
+    WITH pv AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND value > 0
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+             round(sum(c * ln(CAST(v AS DOUBLE) / 100)), 6) AS slog
+      FROM pv GROUP BY grp
+    )
+    SELECT grp, n, round(exp(slog / n), 9) AS geo_mean
+    FROM t
+    """,
+)
+def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Geometric mean of value per event type — the right average for
+    # multiplicative quantities (growth factors, latencies), missing
+    # from the q_agg_basic/rms/mode family. exp(mean(ln x)) folds ln
+    # over the VALUE-SUPPORT contingency (cent-lane groupBy first, so
+    # the libm fold runs over the bounded distinct-value frame, not the
+    # data — the q_agg_entropy shape); the support is data-bounded but
+    # its ~49k-level ceiling outgrows round-12 → round-6 on the ln
+    # rollup, round-9 on the exp (the q_ts_hurst grids). 100 TB: one
+    # partial-aggregated scan to the contingency, |groups| rows out.
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    pv = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    t = pv.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("c") * F.log(F.col("v").cast("double") / 100)), 6
+        ).alias("slog"),
+    )
+    return t.select(
+        "grp", "n", F.round(F.exp(F.col("slog") / F.col("n")), 9).alias("geo_mean")
+    )
+
+
+@register(
+    "q_ml_woe_iv",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(CAST(value AS DECIMAL(18,2))) AS BIGINT) // 50, 5) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT band, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM b GROUP BY band
+    ),
+    t AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn
+      FROM g
+    ),
+    w AS (
+      SELECT band, pos, neg,
+             round(ln((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)),
+                   12) AS woe,
+             (CAST(pos AS DOUBLE) / tp - CAST(neg AS DOUBLE) / tn)
+               * ln((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)) AS ivc
+      FROM g CROSS JOIN t
+    ),
+    iv AS (SELECT round(sum(ivc), 12) AS iv FROM w)
+    SELECT band, pos, neg, woe, iv
+    FROM w CROSS JOIN iv
+    """,
+)
+def q_ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weight-of-evidence binning + information value for the value-band
+    # feature against purchase — the credit-scoring/feature-screening
+    # standard (IV < 0.02 useless, > 0.3 strong). Bands reuse
+    # q_ml_mutual_info's explicit-floor lanes (≤6 cells); WoE =
+    # ln(band pos-share / band neg-share) shares formula text (libm ln
+    # → round-12), and IV folds ≤6 deterministic contribution terms
+    # (round-12, entropy shape). 100 TB: one partial-aggregated scan
+    # to the band cells.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        F.least(
+            F.expr("CAST(floor(CAST(value AS DECIMAL(18,2))) AS BIGINT) div 50"),
+            F.lit(5).cast("bigint"),
+        ).alias("band"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("band").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds totals + WoE rows
+    t = g.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum("neg").cast("bigint").alias("tn"),
+    )
+    ps = F.col("pos").cast("double") / F.col("tp")
+    ns = F.col("neg").cast("double") / F.col("tn")
+    w = g.crossJoin(F.broadcast(t)).select(
+        "band",
+        "pos",
+        "neg",
+        F.round(F.log(ps / ns), 12).alias("woe"),
+        ((ps - ns) * F.log(ps / ns)).alias("ivc"),
+    )
+    w = w.localCheckpoint(eager=False)  # feeds IV + output rows
+    iv = w.agg(F.round(F.sum("ivc"), 12).alias("iv"))
+    return w.select("band", "pos", "neg", "woe").crossJoin(F.broadcast(iv))

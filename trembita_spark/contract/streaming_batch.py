@@ -3945,3 +3945,79 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = piv.selectExpr("r8", "r16", "r32", *_HURST_BARS.split(", "))
     h = bars.selectExpr(f"round({_HURST_SLOPE}, 9) AS hurst")
     return per_s.crossJoin(F.broadcast(h))
+
+
+_RC_CORR = (
+    "(nw * sxy - sx * sy)"
+    " / sqrt((nw * sxx - sx * sx) * (nw * syy - sy * sy))"
+)
+
+
+@register(
+    "q_ts_rolling_corr",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+      SELECT day,
+             CAST(count(*) OVER f AS DOUBLE) AS nw,
+             sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+             sum(x * x) OVER f AS sxx, sum(y * y) OVER f AS syy,
+             sum(x * y) OVER f AS sxy
+      FROM d
+      WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(nw AS BIGINT) AS n_days,
+           round({_RC_CORR}, 9) AS corr7
+    FROM w WHERE nw >= 7
+    """,
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling 7-day Pearson correlation between the purchase and click
+    # daily revenue series — the co-movement monitor (are the two
+    # funnels coupling or decoupling this week?) that completes the
+    # rolling-window family (regression/zscore/skew-kurt exist for ONE
+    # series; this is the cross-SERIES member). Daily sums are exact
+    # decimals cast once to double; the 7-row frame moments are
+    # windowed float folds whose per-frame ORDER is the frame order on
+    # both engines, but merge still differs → round-9 (the q_ts_hurst
+    # grid, values ~1e8). The window runs on the day spine — calendar-
+    # bounded, never data-bearing. 100 TB: one fact-table groupBy, one
+    # spine window.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    d = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", dec))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", dec))
+        .cast("double")
+        .alias("y"),
+    )
+    f = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w = d.select(
+        "day",
+        F.count(F.lit(1)).over(f).cast("double").alias("nw"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+    )
+    return w.where(F.col("nw") >= 7).selectExpr(
+        "day",
+        "CAST(nw AS BIGINT) AS n_days",
+        f"round({_RC_CORR}, 9) AS corr7",
+    )
