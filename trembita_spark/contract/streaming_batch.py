@@ -4021,3 +4021,126 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(nw AS BIGINT) AS n_days",
         f"round({_RC_CORR}, 9) AS corr7",
     )
+
+
+@register(
+    "q_events_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS q
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    ),
+    st AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS mu,
+             sqrt(q / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      FROM m
+    )
+    SELECT event_type, n AS n_gaps,
+           round((sd - mu) / (sd + mu), 12) AS burstiness
+    FROM st
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of per-user inter-event
+    # gaps, by event type (B→−1 periodic, 0 Poisson, →+1 bursty) — the
+    # temporal-texture signal behind bot detection and session design,
+    # complementing q_events_gap_percentiles' plain quantiles. Gaps are
+    # exact integer µs from a USER-keyed lag (high-cardinality window
+    # partitions, never the bare type column); Σgap² rides HUGEINT in
+    # the oracle / the exact double conversion both sides (gaps < 2^53
+    # µs ≈ 285 years); B shares formula text (sqrt → round-12).
+    # 100 TB: one user-partitioned window + one partial agg.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.sum(
+            (F.col("gap").cast("decimal(38,0)") * F.col("gap")).cast("decimal(38,0)")
+        ).cast("double").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("q") / F.col("n") - mu * mu)
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round((sd - mu) / (sd + mu), 12).alias("burstiness"),
+    )
+
+
+@register(
+    "q_stat_ks_uniform",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0 AND value <= 500
+    ),
+    pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+    d AS (
+      SELECT n,
+             greatest(
+               abs(CAST(cum AS DOUBLE) / n - CAST(v AS DOUBLE) / 50000),
+               abs(CAST(cum - cnt AS DOUBLE) / n - CAST(v AS DOUBLE) / 50000)
+             ) AS dev
+      FROM c CROSS JOIN t
+    )
+    SELECT max(n) AS n, round(max(dev), 12) AS ks_d
+    FROM d
+    """,
+)
+def q_stat_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-sample Kolmogorov-Smirnov goodness-of-fit against Uniform
+    # [0, 500]: D = sup |F̂(v) − v/500| evaluated from BOTH sides of
+    # each ECDF jump (the sup hides at pre-jump points — checking only
+    # cum/n underestimates D) — the distributional-assumption gate the
+    # 2-sample q_stat_ks can't provide. Value-support contingency +
+    # ONE distributed prefix sum (the mann-whitney lane); every
+    # deviation is exact-integer ratio arithmetic, max is order-free,
+    # round-12 only for the final ulp guard. 100 TB: one partial agg +
+    # one support-sized prefix sum.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("value") <= 500)
+    )
+    x = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v")
+    )
+    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + total
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    t = pv.agg(F.sum("cnt").cast("bigint").alias("n"))
+    u = F.col("v").cast("double") / 50000
+    dev = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - u),
+        F.abs((F.col("cum") - F.col("cnt")).cast("double") / F.col("n") - u),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(F.max("n").alias("n"), F.round(F.max(dev), 12).alias("ks_d"))
+    )
