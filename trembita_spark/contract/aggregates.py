@@ -6963,3 +6963,69 @@ def q_ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = w.localCheckpoint(eager=False)  # feeds IV + output rows
     iv = w.agg(F.round(F.sum("ivc"), 12).alias("iv"))
     return w.select("band", "pos", "neg", "woe").crossJoin(F.broadcast(iv))
+
+
+@register(
+    "q_eval_ece",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(CAST(value AS DECIMAL(18,2)) / 10) AS BIGINT), 9) AS bin,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_bin,
+             sum(least(v, 100.00)) AS sconf,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_bin) AS BIGINT) AS n FROM g)
+    SELECT max(t.n) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum((CAST(n_bin AS DOUBLE) / t.n)
+                 * abs(CAST(n_pos AS DOUBLE) / n_bin
+                       - CAST(sconf AS DOUBLE) / (100 * n_bin))), 12) AS ece
+    FROM g CROSS JOIN t
+    """,
+)
+def q_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expected calibration error — the scalar q_eval_calibration's
+    # reliability table plots: ECE = Σ_bins (n_bin/n)·|acc − conf|
+    # over the same 10 score bins (p̂ = min(v,100)/100 vs purchase).
+    # Per-bin acc/conf are exact-moment divisions (decimal Σp̂, integer
+    # counts); the 10-term weighted fold merges in partial-agg order →
+    # round-12 (entropy shape, no libm). 100 TB: one partial-aggregated
+    # scan to the 10-bin frame, 1-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value").cast("decimal(18,2)")
+    b = ev.select(
+        F.least(F.floor(v / 10).cast("bigint"), F.lit(9)).alias("bin"),
+        v.alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bin"),
+        F.sum(F.least(F.col("v"), F.lit(100).cast("decimal(18,2)"))).alias("sconf"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds total + the fold
+    t = g.agg(F.sum("n_bin").cast("bigint").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(
+                F.sum(
+                    (F.col("n_bin").cast("double") / F.col("n"))
+                    * F.abs(
+                        F.col("n_pos").cast("double") / F.col("n_bin")
+                        - F.col("sconf").cast("double") / (100 * F.col("n_bin"))
+                    )
+                ),
+                12,
+            ).alias("ece"),
+        )
+    )
