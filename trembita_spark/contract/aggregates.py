@@ -7029,3 +7029,234 @@ def q_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ece"),
         )
     )
+
+
+# Abramowitz-Stegun 7.1.26 erf approximation (|err| <= 1.5e-7), staged
+# as column text so BOTH engines run the identical op sequence: the
+# z-family keys stop at statistics because neither engine exposes erf
+# portably — this fragment unlocks calibrated p-values as checked
+# outputs (round-6: far above the ~1e-16 exp/ulp skew AND honest about
+# the 1.5e-7 approximation floor).
+_ERF_T = "1.0e0 / (1.0e0 + 0.3275911e0 * xh)"
+_ERF_POLY = (
+    "((((1.061405429e0 * th - 1.453152027e0) * th + 1.421413741e0) * th"
+    " - 0.284496736e0) * th + 0.254829592e0) * th"
+)
+_P_TWO_SIDED = f"({_ERF_POLY.replace('th', f'({_ERF_T})')}) * exp(-xh * xh)"
+
+
+@register(
+    "q_stat_bh_fdr",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value >= 50) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(x) AS BIGINT) AS tx,
+             CAST(count(*) AS BIGINT) AS m
+      FROM g
+    ),
+    z AS (
+      SELECT grp, n, x, m,
+             (CAST(x AS DOUBLE) / n - CAST(tx AS DOUBLE) / tn)
+               / sqrt((CAST(tx AS DOUBLE) / tn) * (1 - CAST(tx AS DOUBLE) / tn) / n)
+               AS zval
+      FROM g CROSS JOIN t
+    ),
+    xh_ AS (SELECT grp, n, x, m, zval, abs(zval) / sqrt(2.0e0) AS xh FROM z),
+    p AS (
+      SELECT grp, n, x, m, round(zval, 6) AS z,
+             round({_P_TWO_SIDED}, 6) AS p_value
+      FROM xh_
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_value, grp) AS BIGINT) AS rk
+      FROM p
+    ),
+    cut AS (
+      SELECT COALESCE(max(CASE WHEN p_value * m <= rk * 0.05e0
+                           THEN rk END), 0) AS k
+      FROM r
+    )
+    SELECT grp, n, x, z, p_value, rk,
+           rk * 0.05e0 / m AS bh_critical,
+           rk <= cut.k AS rejected
+    FROM r CROSS JOIN cut
+    """,
+)
+def q_stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benjamini-Hochberg FDR correction over a real hypothesis FAMILY:
+    # per event type, H0 "P(value >= 50 | type) = the global rate",
+    # two-sided p from the one-sample proportion z via the shared
+    # Abramowitz-Stegun erf fragment (p = 1 - erf(|z|/sqrt 2); max
+    # approximation error 1.5e-7, so p rounds to 6), then the step-up
+    # rule: reject every hypothesis ranked at or below the LARGEST i
+    # with p_(i) <= i*alpha/m. Ranks order by (round-6 p, grp) — a
+    # unique total order over pre-rounded values, so the cutoff index
+    # is bit-stable cross-engine. The multiple-testing guard every
+    # per-segment metrics sweep needs before declaring winners.
+    # 100 TB: one conditional-count scan; everything after lives on
+    # the |groups| frame.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds totals + per-group rows
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("x").cast("bigint").alias("tx"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    p0 = F.col("tx").cast("double") / F.col("tn")
+    z = g.crossJoin(F.broadcast(t)).select(
+        "grp",
+        "n",
+        "x",
+        "m",
+        (
+            (F.col("x").cast("double") / F.col("n") - p0)
+            / F.sqrt(p0 * (1 - p0) / F.col("n"))
+        ).alias("zval"),
+    )
+    xh_ = z.withColumn("xh", F.abs(F.col("zval")) / F.sqrt(F.lit(2.0)))
+    p = xh_.selectExpr(
+        "grp",
+        "n",
+        "x",
+        "m",
+        "round(zval, 6) AS z",
+        f"round({_P_TWO_SIDED}, 6) AS p_value",
+    )
+    r = p.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy("p_value", "grp"))
+        .cast("bigint"),
+    )
+    r = r.localCheckpoint(eager=False)  # feeds the cutoff + output rows
+    cut = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("p_value") * F.col("m") <= F.col("rk") * 0.05, F.col("rk"))
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("k")
+    )
+    return r.crossJoin(F.broadcast(cut)).select(
+        "grp",
+        "n",
+        "x",
+        "z",
+        "p_value",
+        "rk",
+        (F.col("rk") * 0.05 / F.col("m")).alias("bh_critical"),
+        (F.col("rk") <= F.col("k")).alias("rejected"),
+    )
+
+
+@register(
+    "q_stat_ks_normal",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    m AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(v * cnt) AS BIGINT) AS s,
+             CAST(sum(v * v * cnt) AS BIGINT) AS q
+      FROM pv
+    ),
+    st AS (
+      SELECT n, CAST(s AS DOUBLE) / n AS mu,
+             sqrt(CAST(q AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      FROM m
+    ),
+    zc AS (
+      SELECT c.v, c.cnt, c.cum, st.n,
+             (c.v - st.mu) / st.sd AS zv
+      FROM c CROSS JOIN st
+    ),
+    ph AS (
+      SELECT v, cnt, cum, n, zv, abs(zv) / sqrt(2.0e0) AS xh FROM zc
+    ),
+    phi AS (
+      SELECT v, cnt, cum, n,
+             CASE WHEN zv >= 0
+                  THEN 1.0e0 - ({_P_TWO_SIDED}) / 2
+                  ELSE ({_P_TWO_SIDED}) / 2 END AS fz
+      FROM ph
+    )
+    SELECT max(n) AS n,
+           round(max(greatest(
+             abs(CAST(cum AS DOUBLE) / n - fz),
+             abs(CAST(cum - cnt AS DOUBLE) / n - fz))), 6) AS ks_d
+    FROM phi GROUP BY n
+    """,
+)
+def q_stat_ks_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lilliefors-style normality check: one-sample KS distance between
+    # the value ECDF and the Normal(mu-hat, sd-hat) FITTED to the same
+    # data — the is-it-even-normal gate before any t/z-family key. The
+    # ECDF rides the value-support prefix sum (exact integers, both
+    # sides of every jump); mu/sd are exact-moment fits; Phi evaluates
+    # per SUPPORT row through the shared erf fragment (Phi(z) =
+    # 1 - p_two(|z|)/2 for z >= 0, mirrored below) — libm exp/sqrt +
+    # the 1.5e-7 approximation floor -> round-6 on D. 100 TB: one
+    # partial agg + one support-sized prefix sum; the erf column work
+    # is support-bounded, never per-row.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v")
+    )
+    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + moments
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    m = pv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v") * F.col("cnt")).cast("bigint").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    st = m.select(
+        "n",
+        mu.alias("mu"),
+        F.sqrt(F.col("q").cast("double") / F.col("n") - mu * mu).alias("sd"),
+    )
+    zc = c.crossJoin(F.broadcast(st)).select(
+        "v", "cnt", "cum", "n", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("zv")
+    )
+    ph = zc.withColumn("xh", F.abs(F.col("zv")) / F.sqrt(F.lit(2.0)))
+    phi = ph.selectExpr(
+        "v",
+        "cnt",
+        "cum",
+        "n",
+        f"CASE WHEN zv >= 0 THEN 1.0e0 - ({_P_TWO_SIDED}) / 2"
+        f" ELSE ({_P_TWO_SIDED}) / 2 END AS fz",
+    )
+    dev = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - F.col("fz")),
+        F.abs((F.col("cum") - F.col("cnt")).cast("double") / F.col("n") - F.col("fz")),
+    )
+    return phi.groupBy("n").agg(F.round(F.max(dev), 6).alias("ks_d")).select(
+        F.col("n"), "ks_d"
+    )
