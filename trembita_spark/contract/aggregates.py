@@ -7260,3 +7260,151 @@ def q_stat_ks_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phi.groupBy("n").agg(F.round(F.max(dev), 6).alias("ks_d")).select(
         F.col("n"), "ks_d"
     )
+
+
+@register(
+    "q_stat_power_sample_size",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND event_type = 'purchase') AS BIGINT) AS x1,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1 AND event_type = 'purchase') AS BIGINT) AS x2,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n2
+      FROM events
+    ),
+    p AS (
+      SELECT x1, n1, x2, n2,
+             CAST(x1 AS DOUBLE) / n1 AS p1,
+             CAST(x2 AS DOUBLE) / n2 AS p2
+      FROM c
+    )
+    SELECT x1, n1, x2, n2, p1, p2,
+           CAST(ceil((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)
+                * (p1 * (1 - p1) + p2 * (1 - p2))
+                / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm_80pct
+    FROM p
+    """,
+)
+def q_stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A/B-test power planning: given the OBSERVED conversion rates of
+    # the even/odd user-id arms, the per-arm sample size needed to
+    # detect that difference at alpha=0.05 two-sided with 80% power —
+    # n = (z_{a/2}+z_b)^2 (p1 q1 + p2 q2) / (p1-p2)^2 with the normal
+    # quantiles as LITERALS (1.959964, 0.841621), so the whole key is
+    # exact counts + one shared-text double expression + ceil: NO
+    # rounding, no libm. The how-long-must-this-experiment-run readout
+    # q_stat_proportion_z's significance can't give. 100 TB: one
+    # conditional-count scan, 1-row result.
+    ev = table(spark, sf_dir, "events")
+    arm1 = F.col("user_id") % 2 == 0
+    purch = F.col("event_type") == "purchase"
+    cell = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    c = ev.agg(
+        cell(arm1 & purch).alias("x1"),
+        cell(arm1).alias("n1"),
+        cell(~arm1 & purch).alias("x2"),
+        cell(~arm1).alias("n2"),
+    )
+    p = c.selectExpr(
+        "x1", "n1", "x2", "n2",
+        "CAST(x1 AS DOUBLE) / n1 AS p1",
+        "CAST(x2 AS DOUBLE) / n2 AS p2",
+    )
+    return p.selectExpr(
+        "x1", "n1", "x2", "n2", "p1", "p2",
+        "CAST(ceil((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)"
+        " * (p1 * (1 - p1) + p2 * (1 - p2))"
+        " / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm_80pct",
+    )
+
+
+@register(
+    "q_agg_tail_ratio",
+    oracle="""
+    WITH pv AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM pv GROUP BY 1),
+    sel AS (
+      SELECT c.grp, t.n,
+             CAST(sum(CASE WHEN cum - cnt < (50 * n + 99) // 100
+                           AND cum >= (50 * n + 99) // 100 THEN v ELSE 0 END)
+                  AS BIGINT) AS p50,
+             CAST(sum(CASE WHEN cum - cnt < (90 * n + 99) // 100
+                           AND cum >= (90 * n + 99) // 100 THEN v ELSE 0 END)
+                  AS BIGINT) AS p90,
+             CAST(sum(CASE WHEN cum - cnt < (99 * n + 99) // 100
+                           AND cum >= (99 * n + 99) // 100 THEN v ELSE 0 END)
+                  AS BIGINT) AS p99
+      FROM c JOIN t USING (grp) GROUP BY 1, 2
+    )
+    SELECT grp, n,
+           CAST(p50 AS DOUBLE) / 100 AS p50,
+           CAST(p90 AS DOUBLE) / 100 AS p90,
+           CAST(p99 AS DOUBLE) / 100 AS p99,
+           CAST(p99 AS DOUBLE) / p50 AS tail_99_50,
+           CAST(p90 AS DOUBLE) / p50 AS tail_90_50
+    FROM sel
+    """,
+)
+def q_agg_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SLO tail ratios per event type: exact p50/p90/p99 order
+    # statistics (rank ceil(q*n), selected on the per-group value-
+    # support prefix sum — the trimmed-mean machinery partitioned by
+    # group) and the p99/p50, p90/p50 tail-heaviness ratios every
+    # latency dashboard leads with. The per-group window runs on the
+    # (group x support) CONTINGENCY — aggregate-sized by construction,
+    # the qq_deciles exemption; selections and ratios are exact-integer
+    # arithmetic with two final double divisions each — NO rounding.
+    # 100 TB: one partial agg + one contingency-sized window.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pv = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds window + totals
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pv.withColumn("cum", F.sum("cnt").over(w).cast("bigint"))
+    t = pv.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n"))
+
+    def pick(q):
+        r = F.expr(f"({q} * n + 99) div 100")
+        return F.sum(
+            F.when(
+                (F.col("cum") - F.col("cnt") < r) & (F.col("cum") >= r), F.col("v")
+            ).otherwise(0)
+        ).cast("bigint")
+
+    sel = (
+        c.join(F.broadcast(t), "grp")
+        .groupBy("grp", "n")
+        .agg(
+            pick(50).alias("p50c"),
+            pick(90).alias("p90c"),
+            pick(99).alias("p99c"),
+        )
+    )
+    return sel.select(
+        "grp",
+        "n",
+        (F.col("p50c").cast("double") / 100).alias("p50"),
+        (F.col("p90c").cast("double") / 100).alias("p90"),
+        (F.col("p99c").cast("double") / 100).alias("p99"),
+        (F.col("p99c").cast("double") / F.col("p50c")).alias("tail_99_50"),
+        (F.col("p90c").cast("double") / F.col("p50c")).alias("tail_90_50"),
+    )
