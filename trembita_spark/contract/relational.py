@@ -3370,3 +3370,110 @@ def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kz = katz_centrality(edges, iters=3, beta=0.1)
     return kz.select("node", F.round("score", 12).alias("score"))
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                      's' || CAST(l_suppkey AS VARCHAR) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    b0 AS (
+      SELECT u AS node, v AS peer FROM e0
+      UNION ALL SELECT v, u FROM e0
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM b0),
+    {_lpa_round_sql("l0", "l1")},
+    {_lpa_round_sql("l1", "l2")},
+    {_lpa_round_sql("l2", "l3")},
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    within AS (
+      SELECT lu.label, CAST(count(*) AS BIGINT) AS e_c
+      FROM e0
+      JOIN l3 lu ON e0.u = lu.node
+      JOIN l3 lv ON e0.v = lv.node
+      WHERE lu.label = lv.label
+      GROUP BY lu.label
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM b0 GROUP BY node
+    ),
+    dc AS (
+      SELECT l3.label, CAST(sum(deg.d) AS BIGINT) AS d_c
+      FROM l3 JOIN deg ON l3.node = deg.node
+      GROUP BY l3.label
+    ),
+    terms AS (
+      SELECT dc.label,
+             CAST(COALESCE(w.e_c, 0) AS DOUBLE) / m.m
+               - (CAST(dc.d_c AS DOUBLE) / (2 * m.m))
+                 * (CAST(dc.d_c AS DOUBLE) / (2 * m.m)) AS t
+      FROM dc LEFT JOIN within w ON dc.label = w.label CROSS JOIN m
+    )
+    SELECT max(m.m) AS m_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           round(sum(terms.t), 12) AS modularity
+    FROM terms CROSS JOIN m
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity Q = sum_c (e_c/m - (d_c/2m)^2) of the 3-round
+    # label-propagation partition on the undirected customer-supplier
+    # graph — the are-these-communities-real score that turns
+    # q_graph_labelprop's raw labels into a quality number (Q > 0.3 is
+    # conventionally "structure"). e_c (within-community edges), d_c
+    # (community degree mass) and m are exact integers over the SAME
+    # deterministic LPA labels the labelprop key pins; the community
+    # fold is merge-order doubles -> round-12 (terms are <= 1). 100 TB:
+    # LPA's join-per-round cost dominates; the scoring adds two
+    # label-keyed aggregates and one broadcast m.
+    from trembita_spark.operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds LPA + m + within + degrees
+    )
+    labels = label_propagation(edges, rounds=3)
+    labels = labels.localCheckpoint(eager=False)  # feeds within + d_c
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    lu = labels.selectExpr("node AS src", "label AS lu")
+    lv = labels.selectExpr("node AS dst", "label AS lv")
+    within = (
+        edges.join(lu, "src")
+        .join(lv, "dst")
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    b0 = edges.selectExpr("src AS node").unionAll(edges.selectExpr("dst AS node"))
+    deg = b0.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    terms = (
+        dc.join(within, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                F.coalesce("e_c", F.lit(0)).cast("double") / F.col("m")
+                - (F.col("d_c").cast("double") / (2 * F.col("m")))
+                * (F.col("d_c").cast("double") / (2 * F.col("m")))
+            ).alias("t")
+        )
+    )
+    return terms.crossJoin(F.broadcast(m)).agg(
+        F.max("m").alias("m_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.round(F.sum("t"), 12).alias("modularity"),
+    )
