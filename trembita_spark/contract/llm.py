@@ -4227,3 +4227,92 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("in_v").cast("double") / F.count(F.lit(1))).alias("coverage"),
         (1.0 - F.sum("in_v").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+@register(
+    "q_corpus_dup_rate_by_source",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
+    sig AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    lab AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+      JOIN src sa ON pairs.doc_a = sa.doc_id
+      JOIN src sb ON pairs.doc_b = sb.doc_id
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT lab.source_a, lab.source_b, lab.n_pairs,
+           ta.n_docs AS n_docs_a, tb.n_docs AS n_docs_b,
+           CAST(lab.n_pairs AS DOUBLE)
+             / (CASE WHEN lab.source_a = lab.source_b
+                     THEN ta.n_docs * (ta.n_docs - 1) / 2
+                     ELSE ta.n_docs * tb.n_docs END) AS pair_rate
+    FROM lab
+    JOIN tot ta ON lab.source_a = ta.source
+    JOIN tot tb ON lab.source_b = tb.source
+    """,
+)
+def q_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-health rollup: the SAME banded-MinHash candidate pairs
+    # q_dedup_near emits, attributed to (source, source) cells and
+    # normalized by the possible-pair count (n(n-1)/2 within a source,
+    # n_a*n_b across) — the which-crawl-is-contaminating-which readout
+    # a 100 TB corpus build triages dedup spend with. Candidate
+    # generation stays bucket-local (never corpus²); the rollup adds
+    # two broadcast doc->source joins (the source map is dimension-
+    # sized) and one cell aggregate; rates are exact-integer ratios —
+    # NO rounding. Output is |sources|²-bounded.
+    docs = table(spark, sf_dir, "documents")
+    docs = docs.localCheckpoint(eager=False)  # feeds LSH + source map + totals
+    pairs = D.minhash_lsh_candidates(docs, bands=4, k=3)
+    src = docs.select("doc_id", "source")
+    sa = src.selectExpr("doc_id AS doc_a", "source AS src_a")
+    sb = src.selectExpr("doc_id AS doc_b", "source AS src_b")
+    lab = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    ta = tot.selectExpr("source AS source_a", "n_docs AS n_docs_a")
+    tb = tot.selectExpr("source AS source_b", "n_docs AS n_docs_b")
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2,
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+    return (
+        lab.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            (F.col("n_pairs").cast("double") / denom).alias("pair_rate"),
+        )
+    )
