@@ -798,3 +798,88 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.col("click_ts_asof").alias("next_click_ts"),
     )
+
+
+@register(
+    "q_join_asof_bitemporal",
+    oracle="""
+    WITH facts AS (
+      SELECT o_orderkey AS f_key, o_custkey AS cust,
+             CAST(o_orderdate AS TIMESTAMP) AS at_time
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    versions AS (
+      SELECT o_orderkey AS v_key, o_custkey AS cust,
+             CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 DAY AS known_from,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v_price
+      FROM orders
+    ),
+    cand AS (
+      SELECT f.f_key, f.at_time, v.v_key, v.valid_from, v.v_price,
+             CAST(row_number() OVER (
+               PARTITION BY f.f_key
+               ORDER BY v.valid_from DESC, v.v_key DESC
+             ) AS INT) AS r
+      FROM facts f
+      JOIN versions v
+        ON v.cust = f.cust
+       AND v.valid_from <= f.at_time
+       AND v.known_from <= f.at_time
+    )
+    SELECT f_key, at_time, v_key AS version_key, valid_from,
+           CAST(v_price AS DOUBLE) AS version_price
+    FROM cand WHERE r = 1
+    """,
+)
+def q_join_asof_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BITEMPORAL as-of join — the feature-store / audit-grade variant
+    # the four plain as-of keys can't express: for each fact (every
+    # 7th order, observed at its order date) pick the customer's
+    # latest version VALID at that time that was also KNOWN by then
+    # (versions become known 3 days after they become valid — the
+    # ingestion-lag model). Joining on (valid_from <= t AND known_from
+    # <= t) prevents the training-serving leakage a valid-time-only
+    # as-of silently commits. Candidates are customer-co-partitioned
+    # with per-customer-bounded fan-out; the argmax is a
+    # WindowGroupLimit-pruned row_number over the high-cardinality
+    # fact key with the unique (valid_from, v_key) DESC order.
+    # 100 TB: one hash join on cust + one bounded window — the
+    # standard PIT-join shape.
+    from pyspark.sql.window import Window
+
+    od = table(spark, sf_dir, "orders")
+    facts = od.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("f_key"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("timestamp").alias("at_time"),
+    )
+    versions = od.select(
+        F.col("o_orderkey").alias("v_key"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 3 DAY")).alias(
+            "known_from"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v_price"),
+    )
+    cand = facts.join(
+        versions,
+        (facts.cust == versions.cust)
+        & (versions.valid_from <= facts.at_time)
+        & (versions.known_from <= facts.at_time),
+    )
+    w = Window.partitionBy("f_key").orderBy(
+        F.col("valid_from").desc(), F.col("v_key").desc()
+    )
+    return (
+        cand.withColumn("r", F.row_number().over(w).cast("int"))
+        .where(F.col("r") == 1)
+        .select(
+            "f_key",
+            "at_time",
+            F.col("v_key").alias("version_key"),
+            "valid_from",
+            F.col("v_price").cast("double").alias("version_price"),
+        )
+    )

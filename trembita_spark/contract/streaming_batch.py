@@ -4144,3 +4144,75 @@ def q_stat_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(t))
         .agg(F.max("n").alias("n"), F.round(F.max(dev), 12).alias("ks_d"))
     )
+
+
+@register(
+    "q_interval_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta, event_id FROM iv
+    ),
+    c AS (
+      SELECT t, delta,
+             CAST(sum(delta) OVER (ORDER BY t, delta, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur
+      FROM b
+    ),
+    m AS (SELECT max(cur) AS peak FROM c)
+    SELECT m.peak,
+           CAST(min(CASE WHEN c.cur = m.peak THEN c.t END) AS BIGINT)
+             AS first_peak_us,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM c CROSS JOIN m GROUP BY m.peak
+    """,
+)
+def q_interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sweep-line maximum concurrency: treat each purchase as a 30-min
+    # half-open session interval; +1/-1 boundary events under the
+    # unique total order (t, delta, event_id) — ends sort before
+    # starts at the same instant (delta -1 < +1), the half-open
+    # convention — and ONE distributed prefix sum gives the live
+    # concurrency curve; peak and its first-reached time are two
+    # aggregates over it. The classic capacity question ("how many
+    # sessions were live at peak?") that q_interval_coalesce's union
+    # length can't answer. All-integer µs lane end-to-end, NO doubles
+    # at all. 100 TB: one map-side boundary expansion (x2), one
+    # range-partitioned prefix sum — the q_agg_trimmed_mean shape on
+    # the time axis.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    iv = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 1_800_000_000).alias("e"),
+    )
+    b = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
+    )
+    c = prefix_sum(
+        b, "delta", order_by=[F.col("t"), F.col("delta"), F.col("event_id")],
+        name="cur",
+    )
+    c = c.localCheckpoint(eager=False)  # feeds peak + argmax + count
+    m = c.agg(F.max("cur").cast("bigint").alias("peak"))
+    return (
+        c.crossJoin(F.broadcast(m))
+        .groupBy("peak")
+        .agg(
+            F.min(F.when(F.col("cur") == F.col("peak"), F.col("t")))
+            .cast("bigint")
+            .alias("first_peak_us"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+        )
+        .select("peak", "first_peak_us", "n_intervals")
+    )
