@@ -7408,3 +7408,76 @@ def q_agg_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p99c").cast("double") / F.col("p50c")).alias("tail_99_50"),
         (F.col("p90c").cast("double") / F.col("p50c")).alias("tail_90_50"),
     )
+
+
+@register(
+    "q_stat_rank_biserial",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT na, nb, na + nb AS n,
+             CAST(sum(na + nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             CAST(sum(na * (2 * (cumn - n) + n + 1)) AS BIGINT) AS r2a
+      FROM c
+    )
+    SELECT n_a, n_b,
+           CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
+           (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2) / (n_a * n_b) AS cles,
+           1.0e0 - (CAST(r2a - n_a * (n_a + 1) AS DOUBLE)) / (n_a * n_b)
+             AS rank_biserial
+    FROM s
+    """,
+)
+def q_stat_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Effect sizes for the Mann-Whitney comparison (purchase vs click):
+    # CLES = U/(n_a n_b) — the probability a random purchase value
+    # exceeds a random click value (ties half-credited) — and the
+    # rank-biserial correlation r = 1 - 2U/(n_a n_b); the
+    # HOW-DIFFERENT companion to q_stat_mannwhitney's is-it-different
+    # z (the q_stat_cohens_d pairing, nonparametric edition). Same
+    # exact tied-rank lane (value contingency + ONE prefix sum);
+    # every output is exact-integer ratio arithmetic — NO rounding.
+    # 100 TB: one value-level hash agg + the prefix sum.
+    from trembita_spark.operators.stats import _arm_counts
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pv = _arm_counts(ev, "value", F.col("event_type") == "purchase")
+    c = prefix_sum(
+        pv.withColumn("n", F.col("na") + F.col("nb")),
+        "n",
+        order_by=[F.col("v")],
+        name="cumn",
+    )
+    s = c.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1)
+        ).cast("bigint").alias("r2a"),
+    )
+    return s.selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat",
+        "(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2) / (n_a * n_b) AS cles",
+        "1.0e0 - (CAST(r2a - n_a * (n_a + 1) AS DOUBLE)) / (n_a * n_b)"
+        " AS rank_biserial",
+    )

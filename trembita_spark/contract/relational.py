@@ -3477,3 +3477,55 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.round(F.sum("t"), 12).alias("modularity"),
     )
+
+
+@register(
+    "q_graph_centralization",
+    oracle=f"""
+    WITH e0 AS ({_COBASKET_EDGES_SQL}),
+    b0 AS (
+      SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM b0 GROUP BY node),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(d) AS BIGINT) AS dmax,
+             CAST(sum(d) AS BIGINT) AS dsum
+      FROM deg
+    )
+    SELECT n, dmax,
+           CAST(n * dmax - dsum AS DOUBLE)
+             / (CAST(n - 1 AS DOUBLE) * (n - 2)) AS centralization
+    FROM m
+    """,
+)
+def q_graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Freeman degree centralization of the co-basket part graph:
+    # Σ(dmax − d_i) / ((n−1)(n−2)) — 0 for a regular graph, 1 for a
+    # perfect star; the one-number is-this-network-hub-dominated
+    # summary that q_graph_degree_dist's full histogram buries. Σ over
+    # nodes collapses to n·dmax − Σd (exact integers from one degree
+    # aggregate over the canonical u<v distinct edge set of the SHARED
+    # persisted co-basket frame); one double
+    # division — NO rounding. 100 TB: one edge-frame aggregate.
+    pairs = _cobasket_pairs(spark, sf_dir)
+    canon = pairs.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    b0 = canon.select(F.col("u").alias("node")).unionAll(
+        canon.select(F.col("v").alias("node"))
+    )
+    deg = b0.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    m = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("d").cast("bigint").alias("dmax"),
+        F.sum("d").cast("bigint").alias("dsum"),
+    )
+    return m.select(
+        "n",
+        "dmax",
+        (
+            (F.col("n") * F.col("dmax") - F.col("dsum")).cast("double")
+            / ((F.col("n") - 1).cast("double") * (F.col("n") - 2))
+        ).alias("centralization"),
+    )

@@ -4216,3 +4216,111 @@ def q_interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("peak", "first_peak_us", "n_intervals")
     )
+
+
+_PACF2 = "(r2 - r1 * r1) / (1 - r1 * r1)"
+_PACF_P21 = f"(r1 - ({_PACF2}) * r1)"
+_PACF3 = (
+    f"(r3 - {_PACF_P21} * r2 - ({_PACF2}) * r1)"
+    f" / (1 - {_PACF_P21} * r1 - ({_PACF2}) * r2)"
+)
+
+
+@register(
+    "q_ts_pacf",
+    oracle=f"""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, COALESCE(c.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    g AS (
+      SELECT CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dense
+    ),
+    lags AS (SELECT unnest(generate_series(1, 3)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(sum(a.x * bb.x) AS BIGINT) AS sab,
+             CAST(sum(a.x) AS BIGINT) AS sa,
+             CAST(sum(bb.x) AS BIGINT) AS sb,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM lags l
+      JOIN dense a ON true
+      JOIN dense bb ON bb.hr = a.hr + l.lag
+      GROUP BY 1
+    ),
+    acf AS (
+      SELECT lag, {_LB_ACF} AS r FROM pairs CROSS JOIN g
+    ),
+    piv AS (
+      SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM acf
+    )
+    SELECT r1 AS pacf1, {_PACF2} AS pacf2, {_PACF3} AS pacf3
+    FROM piv
+    """,
+)
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partial autocorrelation at lags 1-3 by the Durbin-Levinson
+    # recursion over the SAME exact-moment closed-form ACF as
+    # q_ts_ljung_box: pacf2 = (r2-r1²)/(1-r1²), pacf3 from the level-2
+    # coefficients — the AR-order identification half of Box-Jenkins
+    # (the ACF key gives the MA side, q_ts_yule_walker fits the chosen
+    # order). Everything after the hourly contingency is FIXED formula
+    # text over deterministic doubles — no libm, NO rounding (parity
+    # rule 2). 100 TB: one fact-table groupBy; the recursion is O(1)
+    # on a 1-row frame.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    g = dense.agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    a = dense.select(F.col("hr").alias("hr_a"), F.col("x").alias("x_a"))
+    b = dense.select(F.col("hr").alias("hr_b"), F.col("x").alias("x_b"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("hr_b") == F.col("hr_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("x_a") * F.col("x_b")).alias("sab"),
+            F.sum("x_a").alias("sa"),
+            F.sum("x_b").alias("sb"),
+            F.count(F.lit(1)).alias("nk"),
+        )
+    )
+    acf = pairs.crossJoin(F.broadcast(g)).selectExpr("lag", f"{_LB_ACF} AS r")
+    piv = acf.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    return piv.selectExpr(
+        "r1 AS pacf1", f"{_PACF2} AS pacf2", f"{_PACF3} AS pacf3"
+    )
