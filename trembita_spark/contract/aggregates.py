@@ -7481,3 +7481,156 @@ def q_stat_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1.0e0 - (CAST(r2a - n_a * (n_a + 1) AS DOUBLE)) / (n_a * n_b)"
         " AS rank_biserial",
     )
+
+
+_WELCH_W = "(CAST(n{g} AS DOUBLE) * (n{g} - 1)) / (q{g} - CAST(s{g} AS DOUBLE) * s{g} / n{g})"
+
+
+@register(
+    "q_stat_welch_anova",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+      SELECT grp, n,
+             (CAST(n AS DOUBLE) * (n - 1)) / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS wt,
+             CAST(s AS DOUBLE) / n AS m
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             round(sum(wt), 9) AS sw,
+             round(sum(wt * m), 9) AS swm
+      FROM w
+    ),
+    num AS (
+      SELECT k, sw,
+             round(sum(wt * (m - swm / sw) * (m - swm / sw)), 9) AS ss_b,
+             round(sum((1 - wt / sw) * (1 - wt / sw) / (n - 1)), 9) AS lam
+      FROM w CROSS JOIN t GROUP BY k, sw
+    )
+    SELECT k, sw,
+           round((ss_b / (k - 1))
+                 / (1 + 2.0e0 * (k - 2) / (k * k - 1) * lam), 9) AS f_welch,
+           round((CAST(k AS DOUBLE) * k - 1) / (3 * lam), 9) AS df2
+    FROM num
+    """,
+)
+def q_stat_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Welch's heteroscedastic one-way ANOVA (value across event types):
+    # the equal-variances assumption q_stat_anova makes — and
+    # q_stat_levene tests — dropped, via precision weights w_g =
+    # n_g/s_g². F* = [Σw(m−m̄w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ] with
+    # Λ = Σ(1−w/Σw)²/(n_g−1), plus the Welch-Satterthwaite df2. Group
+    # moments are exact decimals from ONE scan; every |groups|-term
+    # fold routes through round-9 before reuse (~1e2-1e4 magnitudes,
+    # the q_ts_hurst grid), and the final statistics share formula
+    # text. 100 TB: one partial-aggregated scan, 1-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("q"),
+    )
+    w = g.select(
+        "grp",
+        "n",
+        (
+            (F.col("n").cast("double") * (F.col("n") - 1))
+            / (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        ).alias("wt"),
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+    )
+    w = w.localCheckpoint(eager=False)  # feeds totals + the two folds
+    t = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(F.sum("wt"), 9).alias("sw"),
+        F.round(F.sum(F.col("wt") * F.col("m")), 9).alias("swm"),
+    )
+    mw = F.col("swm") / F.col("sw")
+    num = (
+        w.crossJoin(F.broadcast(t))
+        .groupBy("k", "sw")
+        .agg(
+            F.round(F.sum(F.col("wt") * (F.col("m") - mw) * (F.col("m") - mw)), 9).alias("ss_b"),
+            F.round(
+                F.sum(
+                    (1 - F.col("wt") / F.col("sw"))
+                    * (1 - F.col("wt") / F.col("sw"))
+                    / (F.col("n") - 1)
+                ),
+                9,
+            ).alias("lam"),
+        )
+    )
+    return num.selectExpr(
+        "k",
+        "sw",
+        "round((ss_b / (k - 1))"
+        " / (1 + 2.0e0 * (k - 2) / (k * k - 1) * lam), 9) AS f_welch",
+        "round((CAST(k AS DOUBLE) * k - 1) / (3 * lam), 9) AS df2",
+    )
+
+
+_CVBC_PHI2T = "greatest(chi2 / n - CAST(r1 AS DOUBLE) * c1 / (n - 1), 0.0e0)"
+_CVBC_RT = "(r1 + 1 - CAST(r1 AS DOUBLE) * r1 / (n - 1))"
+_CVBC_CT = "(c1 + 1 - CAST(c1 AS DOUBLE) * c1 / (n - 1))"
+
+
+@register(
+    "q_stat_cramers_v_corrected",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c.event_type, c.dow, c.o,
+             sum(c.o) OVER (PARTITION BY c.event_type) AS rt,
+             sum(c.o) OVER (PARTITION BY c.dow) AS ct,
+             sum(c.o) OVER () AS n
+      FROM cells c
+    ),
+    contrib AS (
+      SELECT event_type, dow, o,
+             pow(o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 2)
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS x,
+             n
+      FROM tot
+    ),
+    s AS (
+      SELECT list_reduce(list(x ORDER BY event_type, dow), (a, b) -> a + b) AS chi2,
+             CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS r1,
+             CAST(count(DISTINCT dow) - 1 AS BIGINT) AS c1,
+             CAST(any_value(n) AS BIGINT) AS n
+      FROM contrib
+    )
+    SELECT chi2, n,
+           round(sqrt({_CVBC_PHI2T}
+                 / least({_CVBC_RT} - 1, {_CVBC_CT} - 1)), 12) AS cramers_v_bc
+    FROM s
+    """,
+)
+def q_stat_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bergsma-Wicher bias-corrected Cramér's V: the raw V is biased
+    # upward under independence (E[chi2] = (r-1)(c-1) even with NO
+    # association, and at 100 TB that bias is the whole reading for
+    # weak effects) — the correction subtracts it: phi2~ = max(0,
+    # chi2/n - r1*c1/(n-1)), with shrunken r~/c~ in the denominator.
+    # Rides the identical ordered contingency fold as q_stat_cramers_v
+    # (_chisq_event_dow); the correction is one extra shared-text
+    # expression (sqrt -> round-12). 100 TB: one data-touching groupBy.
+    folded = _chisq_event_dow(spark, sf_dir)
+    return folded.selectExpr(
+        "chi2",
+        "n",
+        f"round(sqrt({_CVBC_PHI2T}"
+        f" / least({_CVBC_RT} - 1, {_CVBC_CT} - 1)), 12) AS cramers_v_bc",
+    )
