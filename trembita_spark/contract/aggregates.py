@@ -7634,3 +7634,48 @@ def q_stat_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(sqrt({_CVBC_PHI2T}"
         f" / least({_CVBC_RT} - 1, {_CVBC_CT} - 1)), 12) AS cramers_v_bc",
     )
+
+
+@register(
+    "q_agg_harmonic_mean",
+    oracle="""
+    WITH pv AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND value > 0
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+             round(sum(CAST(c AS DOUBLE) * 100 / v), 9) AS sinv
+      FROM pv GROUP BY grp
+    )
+    SELECT grp, n, round(n / sinv, 9) AS harmonic_mean
+    FROM t
+    """,
+)
+def q_agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Harmonic mean of value per event type — the right average for
+    # rates (speeds, prices-per-unit, F1 is one) and the third
+    # Pythagorean mean alongside q_agg_basic's arithmetic and
+    # q_agg_geometric_mean: H = n / sum(1/x). The reciprocal fold runs
+    # over the cent-lane VALUE-SUPPORT contingency (same shape as the
+    # geometric key: the libm-free but merge-order-sensitive sum over
+    # the support-bounded frame -> round-9 before the final division,
+    # round-9 after). 100 TB: one partial-aggregated scan to the
+    # contingency, |groups| rows out.
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    pv = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    t = pv.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.round(F.sum(F.col("c").cast("double") * 100 / F.col("v")), 9).alias("sinv"),
+    )
+    return t.select(
+        "grp", "n", F.round(F.col("n") / F.col("sinv"), 9).alias("harmonic_mean")
+    )
