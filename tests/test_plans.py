@@ -989,6 +989,9 @@ def test_no_key_runs_low_cardinality_window(spark):
         "q_stat_chisq",
         "q_stat_cramers_v",
         "q_stat_gtest",
+        # bias-corrected V rides the exact same _chisq_event_dow cell
+        # frame (<= |event_type|*7 rows after the data-touching groupBy)
+        "q_stat_cramers_v_corrected",
     }
     skip = {k for k in contract.QUERIES if k.startswith("q_stream_")}
     bad = []
