@@ -7679,3 +7679,146 @@ def q_agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "grp", "n", F.round(F.col("n") / F.col("sinv"), 9).alias("harmonic_mean")
     )
+
+
+# D'Agostino-Pearson omnibus: shared formula-text stages over the raw
+# power sums (skew/kurt are scale-invariant, so the cent lane's x100
+# cancels). Every fragment is used verbatim by BOTH engines.
+_DAG_M = "CAST(s1 AS DOUBLE) / n"
+_DAG_M2 = f"(CAST(s2 AS DOUBLE) / n - ({_DAG_M}) * ({_DAG_M}))"
+_DAG_M3 = (
+    f"(CAST(s3 AS DOUBLE) / n - 3 * ({_DAG_M}) * (CAST(s2 AS DOUBLE) / n)"
+    f" + 2 * ({_DAG_M}) * ({_DAG_M}) * ({_DAG_M}))"
+)
+_DAG_M4 = (
+    f"(CAST(s4 AS DOUBLE) / n - 4 * ({_DAG_M}) * (CAST(s3 AS DOUBLE) / n)"
+    f" + 6 * ({_DAG_M}) * ({_DAG_M}) * (CAST(s2 AS DOUBLE) / n)"
+    f" - 3 * ({_DAG_M}) * ({_DAG_M}) * ({_DAG_M}) * ({_DAG_M}))"
+)
+_DAG_Z1 = (
+    "dd * ln(y / al + sqrt((y / al) * (y / al) + 1))"
+)
+_DAG_Z2 = (
+    "((1 - 2.0e0 / (9 * aa))"
+    " - cbrt((1 - 2.0e0 / aa) / (1 + xx * sqrt(2.0e0 / (aa - 4)))))"
+    " / sqrt(2.0e0 / (9 * aa))"
+)
+
+
+@register(
+    "q_stat_dagostino_k2",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(c AS HUGEINT)) AS s1,
+             sum(CAST(c AS HUGEINT) * c) AS s2,
+             sum(CAST(c AS HUGEINT) * c * c) AS s3,
+             sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+      FROM x
+    ),
+    mom AS (
+      SELECT n,
+             ({_DAG_M3}) / (({_DAG_M2}) * sqrt({_DAG_M2})) AS g1,
+             ({_DAG_M4}) / (({_DAG_M2}) * ({_DAG_M2})) AS b2
+      FROM s
+    ),
+    sk AS (
+      SELECT n, g1, b2,
+             g1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS y,
+             3.0e0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+               / ((n - 2) * (n + 5) * (n + 7) * (n + 9)) AS beta2
+      FROM mom
+    ),
+    sk2 AS (
+      SELECT *, -1 + sqrt(2 * (beta2 - 1)) AS w2 FROM sk
+    ),
+    sk3 AS (
+      SELECT *, 1.0e0 / sqrt(ln(sqrt(w2))) AS dd,
+             sqrt(2.0e0 / (w2 - 1)) AS al
+      FROM sk2
+    ),
+    ku AS (
+      SELECT n, b2, {_DAG_Z1} AS z1,
+             (b2 - 3.0e0 * (n - 1) / (n + 1))
+               / sqrt(24.0e0 * n * (n - 2) * (n - 3)
+                      / ((n + 1) * (n + 1) * (n + 3) * (n + 5))) AS xx,
+             6.0e0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+               * sqrt(6.0e0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))) AS sb
+      FROM sk3
+    ),
+    ku2 AS (
+      SELECT *, 6.0e0 + 8.0e0 / sb * (2.0e0 / sb + sqrt(1 + 4.0e0 / (sb * sb))) AS aa
+      FROM ku
+    ),
+    fin AS (SELECT n, z1, {_DAG_Z2} AS z2 FROM ku2)
+    SELECT CAST(n AS BIGINT) AS n, round(z1, 6) AS z_skew,
+           round(z2, 6) AS z_kurt, round(z1 * z1 + z2 * z2, 6) AS k2
+    FROM fin
+    """,
+)
+def q_stat_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D'Agostino-Pearson K² omnibus normality test: the skewness z
+    # (D'Agostino 1970 Johnson-SU transform) and kurtosis z
+    # (Anscombe-Glynn cube-root transform) from ONE scan's exact raw
+    # power sums on the cent lane (skew/kurt are scale-invariant, so
+    # the ×100 cancels; S3/S4 overflow BIGINT at data scale -> the
+    # oracle rides HUGEINT, Spark decimal(38,0)). K² = z1² + z2² is
+    # the moment-based complement to q_stat_ks_normal's ECDF distance
+    # and q_stat_jarque_bera's asymptotic version — these finite-n
+    # transforms are what statsmodels/scipy normaltest actually run.
+    # S3/S4 exceed 2^53 raw units, so their double conversions carry
+    # the decimal->double ulp lesson + heavy ln/sqrt/cbrt chains ->
+    # round-6 on all three outputs. 100 TB: one partial-aggregated
+    # scan, 1-row result.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c")
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    s = x.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * F.col("c")).alias("s2"),
+        F.sum(cd * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(cd * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    mom = s.selectExpr(
+        "n",
+        f"({_DAG_M3}) / (({_DAG_M2}) * sqrt({_DAG_M2})) AS g1",
+        f"({_DAG_M4}) / (({_DAG_M2}) * ({_DAG_M2})) AS b2",
+    )
+    sk = mom.selectExpr(
+        "n", "g1", "b2",
+        "g1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS y",
+        "3.0e0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)"
+        " / ((n - 2) * (n + 5) * (n + 7) * (n + 9)) AS beta2",
+    )
+    sk2 = sk.selectExpr("*", "-1 + sqrt(2 * (beta2 - 1)) AS w2")
+    sk3 = sk2.selectExpr(
+        "*",
+        "1.0e0 / sqrt(ln(sqrt(w2))) AS dd",
+        "sqrt(2.0e0 / (w2 - 1)) AS al",
+    )
+    ku = sk3.selectExpr(
+        "n", "b2", f"{_DAG_Z1} AS z1",
+        "(b2 - 3.0e0 * (n - 1) / (n + 1))"
+        " / sqrt(24.0e0 * n * (n - 2) * (n - 3)"
+        " / ((n + 1) * (n + 1) * (n + 3) * (n + 5))) AS xx",
+        "6.0e0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))"
+        " * sqrt(6.0e0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))) AS sb",
+    )
+    ku2 = ku.selectExpr(
+        "*",
+        "6.0e0 + 8.0e0 / sb * (2.0e0 / sb + sqrt(1 + 4.0e0 / (sb * sb))) AS aa",
+    )
+    fin = ku2.selectExpr("n", "z1", f"{_DAG_Z2} AS z2")
+    return fin.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "round(z1, 6) AS z_skew",
+        "round(z2, 6) AS z_kurt",
+        "round(z1 * z1 + z2 * z2, 6) AS k2",
+    )
