@@ -7822,3 +7822,148 @@ def q_stat_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(z2, 6) AS z_kurt",
         "round(z1 * z1 + z2 * z2, 6) AS k2",
     )
+
+
+@register(
+    "q_stat_ansari_bradley",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT na, nb, na + nb AS n,
+             CAST(sum(na + nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn
+      FROM pv
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c),
+    m AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             max(n_tot) AS n_tot,
+             sum(CAST(na AS HUGEINT)
+                 * least(2 * (cumn - n) + n + 1,
+                         2 * (n_tot + 1) - (2 * (cumn - n) + n + 1))) AS ab2,
+             sum(CAST(n AS HUGEINT)
+                 * least(2 * (cumn - n) + n + 1,
+                         2 * (n_tot + 1) - (2 * (cumn - n) + n + 1))) AS s1_2,
+             sum(CAST(n AS HUGEINT)
+                 * least(2 * (cumn - n) + n + 1,
+                         2 * (n_tot + 1) - (2 * (cumn - n) + n + 1))
+                 * least(2 * (cumn - n) + n + 1,
+                         2 * (n_tot + 1) - (2 * (cumn - n) + n + 1))) AS fac4
+      FROM c, tot
+    )
+    SELECT n_a, n_b,
+           CAST(ab2 AS DOUBLE) / 2 AS ab_stat,
+           (CAST(ab2 AS DOUBLE) / 2
+              - CAST(CAST(n_a AS HUGEINT) * s1_2 AS DOUBLE)
+                / (2 * CAST(n_tot AS DOUBLE)))
+           / sqrt(
+               CAST(CAST(n_a AS HUGEINT) * n_b
+                    * (CAST(n_tot AS HUGEINT) * fac4 - s1_2 * s1_2) AS DOUBLE)
+               / CAST(4 * CAST(n_tot AS HUGEINT) * n_tot * (n_tot - 1) AS DOUBLE)
+             ) AS z_stat
+    FROM m
+    """,
+)
+def q_stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ansari-Bradley two-sample SCALE test (purchase vs click values):
+    # do the two arms differ in dispersion around a common center? The
+    # missing member of the nonparametric family next to Mann-Whitney
+    # (location) and KS (shape) — same value-support prefix-sum lane,
+    # new score function min(r, N+1-r) with the finite-sampling
+    # tie-robust variance (operators/stats.py: ansari_bradley). Every
+    # moment is an exact integer in the decimal(38,0)/HUGEINT lane;
+    # the z is one identical double expression tree on both engines
+    # (no rounding — the t-test discipline). At 100 TB: one value-level
+    # hash agg + the range-partitioned prefix sum + a scalar rollup.
+    from trembita_spark.operators.stats import ansari_bradley
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return ansari_bradley(ev, "value", F.col("event_type") == "purchase")
+
+
+@register(
+    "q_stat_brunner_munzel",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT na, nb, na + nb AS n,
+             CAST(sum(na + nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+             CAST(sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             CAST(sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+      FROM pv
+    ),
+    m AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             sum(CAST(na AS HUGEINT) * (2 * cumn - n + 1)) AS rca2,
+             sum(CAST(nb AS HUGEINT) * (2 * cumn - n + 1)) AS rcb2,
+             sum(CAST(na AS HUGEINT) * (2 * (cumn - cuma) - nb)) AS sa1,
+             sum(CAST(na AS HUGEINT) * (2 * (cumn - cuma) - nb)
+                 * (2 * (cumn - cuma) - nb)) AS sa2,
+             sum(CAST(nb AS HUGEINT) * (2 * (cumn - cumb) - na)) AS sb1,
+             sum(CAST(nb AS HUGEINT) * (2 * (cumn - cumb) - na)
+                 * (2 * (cumn - cumb) - na)) AS sb2
+      FROM c
+    ),
+    v AS (
+      SELECT n_a, n_b,
+             CAST(rca2 AS DOUBLE) / (2 * n_a) AS rc_mean_a,
+             CAST(rcb2 AS DOUBLE) / (2 * n_b) AS rc_mean_b,
+             CAST(CAST(n_a AS HUGEINT) * sa2 - sa1 * sa1 AS DOUBLE)
+               / CAST(4 * n_a * (n_a - 1) AS DOUBLE) AS s_a,
+             CAST(CAST(n_b AS HUGEINT) * sb2 - sb1 * sb1 AS DOUBLE)
+               / CAST(4 * n_b * (n_b - 1) AS DOUBLE) AS s_b
+      FROM m
+    )
+    SELECT n_a, n_b,
+           (rc_mean_b - CAST(n_b + 1 AS DOUBLE) / 2) / CAST(n_a AS DOUBLE) AS p_hat,
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             * (rc_mean_b - rc_mean_a)
+             / CAST(n_a + n_b AS DOUBLE)
+             / sqrt(n_a * s_a + n_b * s_b) AS w_stat,
+           (n_a * s_a + n_b * s_b) * (n_a * s_a + n_b * s_b)
+             / ((n_a * s_a) * (n_a * s_a) / CAST(n_a - 1 AS DOUBLE)
+                + (n_b * s_b) * (n_b * s_b) / CAST(n_b - 1 AS DOUBLE)) AS df_bm
+    FROM v
+    """,
+)
+def q_stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brunner-Munzel heteroscedastic rank test (purchase vs click
+    # values): tests P(A<B)+P(A=B)/2 = 1/2 WITHOUT Mann-Whitney's
+    # equal-shape assumption — the recommended default when the two
+    # arms may differ in variance (operators/stats.py: brunner_munzel).
+    # Placement algebra on the value-support frame: ONE
+    # prefix_sum_multi pass carries all three running counts
+    # (pooled + both arms), so per-value doubled placements are exact
+    # integers; moments ride the decimal(38,0)/HUGEINT lane and the
+    # final W / Satterthwaite-df / p-hat are identical double trees on
+    # both engines. At 100 TB: one value-level hash agg + one range
+    # shuffle + a scalar rollup — no row-level sort anywhere.
+    from trembita_spark.operators.stats import brunner_munzel
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return brunner_munzel(ev, "value", F.col("event_type") == "purchase")

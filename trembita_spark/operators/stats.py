@@ -638,3 +638,159 @@ def nelson_aalen(per: DataFrame, dur_col: str, obs_col: str) -> DataFrame:
         F.round(F.col("cumh"), 6).alias("cum_hazard"),
         F.round(F.col("cumhv"), 6).alias("hazard_var"),
     )
+
+def ansari_bradley(df: DataFrame, value_col: str, is_a: Column) -> DataFrame:
+    """Ansari-Bradley two-sample scale (dispersion) test of
+    ``value_col`` between the ``is_a`` arm (A) and the rest (B), with
+    the tie-robust normal approximation. Returns one row:
+    (n_a, n_b, ab_stat, z_stat).
+
+    The AB score of an observation with tied-average rank r in the
+    pooled sample of N is min(r, N+1-r) — scores rise toward the
+    middle, so a SMALL arm-A sum means arm A holds the extremes
+    (larger dispersion). With 2·rank the exact integer
+    2·cum_before + n + 1 (the mann_whitney_u lane), the doubled score
+    s2 = min(2r, 2(N+1)-2r) is exact too, and the three moments the
+    z needs — AB2 = Σ n_a(v)·s2(v), S1 = Σ n(v)·s2(v),
+    FAC4 = Σ n(v)·s2(v)² — are exact integers. The mean and variance
+    come from finite sampling theory (draw n_a scores without
+    replacement from the N pooled scores):
+      E[AB]  = n_a·S1/(2N)
+      Var    = n_a·n_b·(N·FAC4 − S1²) / (4·N²·(N−1))
+    which reduces to the textbook untied formulas and matches the
+    tie-adjusted variance of scipy.stats.ansari. Only the final
+    z expression is double (decimal(38,0) lane for the N³-scale
+    products, parity rule 4).
+
+    Scale shape: one value-level hash agg + one distributed prefix sum
+    + a scalar rollup — identical 100 TB posture to mann_whitney_u.
+    """
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact lane
+    pv = _arm_counts(df, value_col, is_a)
+    pv = pv.withColumn("n", F.col("na") + F.col("nb"))
+    c = prefix_sum(pv, "n", order_by=[F.col("v")], name="cumn")
+    tot = c.agg(F.sum("n").cast("bigint").alias("N_tot"))
+    r2 = 2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1
+    s2 = F.least(r2, 2 * (F.col("N_tot") + 1) - r2)
+    # per-element products enter the decimal lane BEFORE the multiply:
+    # Σ n·s2² is N³-scale and a bigint product already wraps at sf1.
+    m = c.crossJoin(F.broadcast(tot)).agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.max("N_tot").alias("N_tot"),
+        F.sum(dec(F.col("na")) * dec(s2)).cast("decimal(38,0)").alias("ab2"),
+        F.sum(dec(F.col("n")) * dec(s2)).cast("decimal(38,0)").alias("s1_2"),
+        F.sum(dec(F.col("n")) * dec(s2) * dec(s2))
+        .cast("decimal(38,0)")
+        .alias("fac4"),
+    )
+    n_a, n_b, N = F.col("n_a"), F.col("n_b"), F.col("N_tot")
+    var_num = dec(n_a) * dec(n_b) * (
+        dec(N) * F.col("fac4") - F.col("s1_2") * F.col("s1_2")
+    )
+    var_den = 4 * dec(N) * dec(N) * dec(N - 1)
+    mean_ab = (dec(n_a) * F.col("s1_2")).cast("double") / (
+        2 * N.cast("double")
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.col("ab2").cast("double") / 2).alias("ab_stat"),
+        (
+            (F.col("ab2").cast("double") / 2 - mean_ab)
+            / F.sqrt(var_num.cast("double") / var_den.cast("double"))
+        ).alias("z_stat"),
+    )
+
+
+def brunner_munzel(df: DataFrame, value_col: str, is_a: Column) -> DataFrame:
+    """Brunner-Munzel heteroscedastic rank test (the "generalized
+    Wilcoxon" for H0: P(X<Y) + ½P(X=Y) = ½ WITHOUT the equal-shape
+    assumption Mann-Whitney needs). Returns one row:
+    (n_a, n_b, p_hat, w_stat, df_bm) — the common-language effect
+    p̂ = P(A<B)+½P(A=B), the studentized statistic, and the
+    Satterthwaite degrees of freedom (scipy.stats.brunnermunzel's
+    convention: W > 0 when arm-B values tend to be larger).
+
+    Rank algebra on the value-support frame: with cumn/cuma/cumb the
+    pooled and per-arm running counts from ONE prefix_sum_multi pass,
+    the doubled pooled midrank of value v is rc2 = 2·cumn − n + 1 and
+    the doubled PLACEMENT (pooled minus within-arm midrank, the
+    Brunner-Munzel centering) is the exact integer
+      d2a = rc2 − ra2 = 2(cumn − cuma) − nb(v)   for arm-A rows,
+      d2b = rc2 − rb2 = 2(cumn − cumb) − na(v)   for arm-B rows.
+    Moments Σ na·d2a, Σ na·d2a², Σ na·rc2 (and the B mirrors) are
+    exact integers; the placement variances
+      S_a = (n_a·Σna·d2a² − (Σna·d2a)²) / (4·n_a·(n_a−1))
+    and the final W/df/p̂ are one double expression chain over them
+    (decimal(38,0) for the N⁴-scale squares, parity rule 4).
+
+    Scale shape: one value-level hash agg + ONE range-shuffle prefix
+    pass for all three running counts + a scalar rollup.
+    """
+    pv = _arm_counts(df, value_col, is_a)
+    pv = pv.withColumn("n", F.col("na") + F.col("nb"))
+    c = prefix_sum_multi(
+        pv, ["n", "na", "nb"], order_by=[F.col("v")], names=["cumn", "cuma", "cumb"]
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731 — exact lane
+    rc2 = 2 * F.col("cumn") - F.col("n") + 1
+    d2a = 2 * (F.col("cumn") - F.col("cuma")) - F.col("nb")
+    d2b = 2 * (F.col("cumn") - F.col("cumb")) - F.col("na")
+    # per-element decimal lane: Σ n·d2² is N³-scale (bigint wraps at sf1)
+    m = c.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(dec(F.col("na")) * dec(rc2)).cast("decimal(38,0)").alias("rca2"),
+        F.sum(dec(F.col("nb")) * dec(rc2)).cast("decimal(38,0)").alias("rcb2"),
+        F.sum(dec(F.col("na")) * dec(d2a)).cast("decimal(38,0)").alias("sa1"),
+        F.sum(dec(F.col("na")) * dec(d2a) * dec(d2a))
+        .cast("decimal(38,0)")
+        .alias("sa2"),
+        F.sum(dec(F.col("nb")) * dec(d2b)).cast("decimal(38,0)").alias("sb1"),
+        F.sum(dec(F.col("nb")) * dec(d2b) * dec(d2b))
+        .cast("decimal(38,0)")
+        .alias("sb2"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a = (
+        (dec(n_a) * F.col("sa2") - F.col("sa1") * F.col("sa1"))
+        .cast("double")
+        / (4 * n_a * (n_a - 1)).cast("double")
+    )
+    s_b = (
+        (dec(n_b) * F.col("sb2") - F.col("sb1") * F.col("sb1"))
+        .cast("double")
+        / (4 * n_b * (n_b - 1)).cast("double")
+    )
+    v = m.select(
+        "n_a",
+        "n_b",
+        (F.col("rca2").cast("double") / (2 * n_a)).alias("rc_mean_a"),
+        (F.col("rcb2").cast("double") / (2 * n_b)).alias("rc_mean_b"),
+        s_a.alias("s_a"),
+        s_b.alias("s_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    pooled = n_a * F.col("s_a") + n_b * F.col("s_b")
+    return v.select(
+        "n_a",
+        "n_b",
+        (
+            (F.col("rc_mean_b") - (n_b + 1).cast("double") / 2)
+            / n_a.cast("double")
+        ).alias("p_hat"),
+        (
+            n_a.cast("double") * n_b.cast("double")
+            * (F.col("rc_mean_b") - F.col("rc_mean_a"))
+            / (n_a + n_b).cast("double")
+            / F.sqrt(pooled)
+        ).alias("w_stat"),
+        (
+            pooled * pooled
+            / (
+                (n_a * F.col("s_a")) * (n_a * F.col("s_a")) / (n_a - 1).cast("double")
+                + (n_b * F.col("s_b")) * (n_b * F.col("s_b")) / (n_b - 1).cast("double")
+            )
+        ).alias("df_bm"),
+    )
