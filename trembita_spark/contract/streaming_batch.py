@@ -4324,3 +4324,130 @@ def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.selectExpr(
         "r1 AS pacf1", f"{_PACF2} AS pacf2", f"{_PACF3} AS pacf3"
     )
+
+
+def _det4_expr(el) -> str:
+    """24-term Leibniz expansion of a 4x4 determinant, rendered as SQL
+    text over ``el(row, col) -> str``. Generated ONCE in Python and
+    used VERBATIM on both engines (Spark selectExpr and the DuckDB
+    oracle), so the floating-point expression trees are identical —
+    neither engine reassociates double arithmetic, making the Cramer
+    solve bit-exact without rounding (the t-test discipline applied to
+    linear algebra)."""
+    from itertools import permutations
+
+    terms = []
+    for p in permutations(range(4)):
+        inv = sum(1 for a in range(4) for b in range(a + 1, 4) if p[a] > p[b])
+        sign = "-" if inv % 2 else "+"
+        prod = " * ".join(el(r, p[r]) for r in range(4))
+        terms.append(f"{sign} {prod}")
+    return "(" + " ".join(terms) + ")"
+
+
+_MKV_TRANSIENT = ("click", "error", "signup", "view")  # absorbing: purchase
+
+
+def _mkv_m(i: int, j: int) -> str:
+    # (I - Q)[i][j] from the pivoted count row: exact-integer count /
+    # row total, identical division tree on both engines.
+    lead = "1.0e0" if i == j else "0.0e0"
+    return f"({lead} - CAST(c{i}{j} AS DOUBLE) / rn{i})"
+
+
+def _mkv_dets() -> list[str]:
+    # det(I-Q) plus the four Cramer numerators (column i replaced by
+    # the ones vector of M t = 1).
+    dets = [_det4_expr(lambda r, c: _mkv_m(r, c)) + " AS det_m"]
+    for i in range(4):
+        dets.append(
+            _det4_expr(lambda r, c, i=i: "1.0e0" if c == i else _mkv_m(r, c))
+            + f" AS det_{i}"
+        )
+    return dets
+
+
+_MKV_ABS_MOMENTS = ",\n      ".join(
+    [
+        f"sum(CASE WHEN from_type = '{s}' THEN n ELSE 0 END) AS rn{i}"
+        for i, s in enumerate(_MKV_TRANSIENT)
+    ]
+    + [
+        f"sum(CASE WHEN from_type = '{si}' AND to_type = '{sj}' "
+        f"THEN n ELSE 0 END) AS c{i}{j}"
+        for i, si in enumerate(_MKV_TRANSIENT)
+        for j, sj in enumerate(_MKV_TRANSIENT)
+    ]
+)
+
+
+@register(
+    "q_events_markov_absorbing",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    tc AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL AND from_type <> 'purchase'
+      GROUP BY 1, 2
+    ),
+    mm AS (
+      SELECT
+      {_MKV_ABS_MOMENTS}
+      FROM tc
+    ),
+    d AS (
+      SELECT {", ".join(_mkv_dets())}
+      FROM mm
+    )
+    SELECT 'click' AS state, det_0 / det_m AS expected_steps FROM d
+    UNION ALL SELECT 'error', det_1 / det_m FROM d
+    UNION ALL SELECT 'signup', det_2 / det_m FROM d
+    UNION ALL SELECT 'view', det_3 / det_m FROM d
+    """,
+)
+def q_events_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expected steps to absorption of the per-user event-type Markov
+    # chain with 'purchase' made ABSORBING: t = N·1 where
+    # N = (I−Q)^(-1) is the fundamental matrix over the four transient
+    # states — "how many more events until this user converts, starting
+    # from state s". Solved in CLOSED FORM by Cramer's rule over the
+    # 4x4 system (I−Q)t = 1: the transition-count pivot is one
+    # conditional aggregate to a single 20-integer row (config-sized —
+    # |types|² cells), and the five determinants are one fixed 24-term
+    # Leibniz expression each, generated once (_det4_expr) and used
+    # verbatim on both engines, so every double matches bit-exactly
+    # with NO rounding. Complements q_events_markov_stationary (power
+    # iteration, long-run mix) with the absorbing-chain read (time to
+    # conversion). At 100 TB: the lead() window shuffles on user_id
+    # (high-cardinality), the pair count is one hash agg, and
+    # everything after is a scalar row — the same posture as the
+    # stationary key.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull() & (F.col("from_type") != "purchase"))
+    tc = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mm = tc.agg(
+        *[
+            F.expr(piece).alias(piece.split(" AS ")[-1])
+            for piece in _MKV_ABS_MOMENTS.split(",\n      ")
+        ]
+    )
+    d = mm.selectExpr(*_mkv_dets())
+    return d.selectExpr(
+        "stack(4, 'click', det_0 / det_m, 'error', det_1 / det_m, "
+        "'signup', det_2 / det_m, 'view', det_3 / det_m) "
+        "AS (state, expected_steps)"
+    )
