@@ -171,7 +171,11 @@ def sessionize_tws(
     )
 
 
-def first_occurrence_tws(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def first_occurrence_tws(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    event_time_col: str = "",
+) -> DataFrame:
     """Streaming first-occurrence dedup on the Spark 4.x arbitrary-state
     API, exercising MAP state (``handle.getMapState``) rather than the
     FSM's value state: per user, a map event_type → first-seen marker;
@@ -184,7 +188,14 @@ def first_occurrence_tws(events: DataFrame, watermark: str = "1 hour") -> DataFr
 
     Emits (user_id, event_type, first_ts, first_event_id). At 100 TB
     state is O(users × types-seen); the map entries live in the
-    RocksDB state store like any TWS state."""
+    RocksDB state store like any TWS state.
+
+    ``event_time_col``: pass "first_ts" to mark the output column as
+    the downstream EVENT-TIME column (Spark 4's eventTimeColumnName) —
+    required when ANOTHER stateful operator (windowed agg, join)
+    consumes this one's output, so the watermark propagates through
+    the TWS boundary instead of dying at it (multi-stateful append
+    pipelines)."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -231,6 +242,7 @@ def first_occurrence_tws(events: DataFrame, watermark: str = "1 hour") -> DataFr
             outputStructType=out_schema,
             outputMode="Append",
             timeMode="EventTime",
+            eventTimeColumnName=event_time_col,
         )
     )
 
