@@ -1095,3 +1095,64 @@ def test_no_key_degrades_to_cartesian(spark):
             for off in _bnlj_violations(plan):
                 bad.append(f"{key}: unexpected BroadcastNestedLoopJoin: {off}")
     assert not bad, "\n".join(bad)
+
+
+def test_catalog_stats_survive_roundtrip(spark):
+    # q_catalog_table_roundtrip's contract beyond parity: the ANALYZE'd
+    # table/column statistics must SURVIVE the saveAsTable + spark.table
+    # round trip (DESCRIBE EXTENDED reads them back from the catalog and
+    # the optimized plan carries the analyzed rowCount), and the
+    # partition filter must prune the o_orderpriority directory layout
+    # at scan planning, not post-scan.
+    from pyspark.sql import functions as F
+    from trembita_spark.contract import table as load, run_tmp
+
+    t = "cat_orders_stats_test"
+    base = run_tmp("catalog_test")
+    (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .option("path", f"{base}/{t}")
+        .mode("overwrite")
+        .saveAsTable(t)
+    )
+    try:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS o_totalprice"
+        )
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {t} o_totalprice").collect()
+        }
+        assert desc["min"] != "NULL" and desc["max"] != "NULL", (
+            f"column min/max must survive the catalog round trip: {desc}"
+        )
+        assert desc["distinct_count"] != "NULL" and int(desc["distinct_count"]) > 0
+        n_expected = load(spark, SF_DIR, "orders").count()
+        # rowCount propagates into plan statistics under the cost-based
+        # optimizer; sizeInBytes-only estimation ignores it.
+        prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.table(t)
+            row_count = (
+                df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            )
+            assert row_count.isDefined(), "analyzed rowCount must reach the plan"
+            assert int(str(row_count.get())) == n_expected
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        pruned = spark.table(t).where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # partition filters on the Hive-layout column appear as
+        # PartitionFilters on the scan, NOT as a post-scan Filter over
+        # the partition column.
+        assert "PartitionFilters: [" in plan and "o_orderpriority" in (
+            plan.split("PartitionFilters:")[1][:300]
+        ), f"partition pruning must happen at the scan: {plan[:1500]}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -3529,3 +3529,59 @@ def q_graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n") - 1).cast("double") * (F.col("n") - 2))
         ).alias("centralization"),
     )
+
+
+_CATALOG_SEQ = __import__("itertools").count()
+
+
+@register(
+    "q_catalog_table_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1
+    """,
+)
+def q_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalog/metastore round trip — the surface a real warehouse user
+    # hits before any exotica: saveAsTable a PARTITIONED table
+    # (partition column o_orderpriority becomes directory layout),
+    # ANALYZE TABLE for table- and column-level statistics (rowCount,
+    # per-column min/max/NDV/null-count into the metastore), read it
+    # back with spark.table, and aggregate under a partition-pruning
+    # filter. With CBO enabled the analyzed stats feed join reordering
+    # and broadcast decisions; tests/test_plans.py asserts the stats
+    # SURVIVE the round trip (DESCRIBE EXTENDED shows them; the
+    # optimized plan carries the analyzed rowCount) and that the
+    # partition filter prunes at scan time, not post-scan. At 100 TB
+    # this is exactly the Hive-layout + statistics discipline: pruning
+    # reads 2 of 5 priority partitions, and the decimal-exact revenue
+    # sum is order-independent (parity rule 4).
+    from trembita_spark.contract import run_tmp
+
+    t = f"cat_orders_{next(_CATALOG_SEQ)}"
+    base = run_tmp("catalog")
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .option("path", f"{base}/{t}")
+        .mode("overwrite")
+        .saveAsTable(t)
+    )
+    spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS o_totalprice, o_custkey"
+    )
+    o = spark.table(t).where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
