@@ -684,6 +684,13 @@ def main():
         ),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_CASES")
+    heavy_out = os.environ.get("SPARK_GRAFT_HEAVY_ARTIFACT")
+    if heavy_out and not only:
+        # the committed per-round heavy-key artifact (round-9 verdict
+        # #5): the five heaviest keys at 1x/8x, so round-over-round
+        # regressions on them are mechanically diffable against
+        # BASELINE §15's 57.5s quiet line instead of living in prose.
+        only = "ktruss,betweenness,closeness,eccentricity,corpus_pipeline"
     if only:
         wanted = {c.strip() for c in only.split(",")}
         cases = {k: v for k, v in cases.items() if k in wanted}
@@ -696,7 +703,14 @@ def main():
             "sec_8x": round(t8, 3),
             "ratio": round(t8 / t1, 2),
         }
-    print(json.dumps({"scale": SCALE, "rows_8x": li8.count(), "cases": out}))
+    payload = {"scale": SCALE, "rows_8x": li8.count(), "cases": out}
+    if heavy_out:
+        payload["heavy8x_total"] = round(sum(c["sec_8x"] for c in out.values()), 2)
+        payload["worst_ratio"] = max(c["ratio"] for c in out.values())
+        payload["loadavg"] = list(os.getloadavg())
+        with open(heavy_out, "w") as f:
+            f.write(json.dumps(payload) + "\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

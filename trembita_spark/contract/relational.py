@@ -2270,9 +2270,11 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node degree). Emitted as the residual-support histogram over the
     # surviving edges — fully determined by the edge-level result,
     # compact at any scale. The oracle unrolls the identical recurrence
-    # with id-ordered triangle enumeration; Spark's degree-ordered
-    # enumeration finds the same triangle set, so supports agree
-    # exactly (all-integer, parity rule 1).
+    # with id-ordered triangle enumeration; Spark counts each edge's
+    # support directly as size(array_intersect) of the endpoint
+    # adjacency lists (operators/graph.py round-10 shape — no triangle
+    # materialization), which is the same triangle multiset per edge,
+    # so supports agree exactly (all-integer, parity rule 1).
     from trembita_spark.operators.graph import ktruss_peel
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
