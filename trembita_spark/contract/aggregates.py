@@ -7967,3 +7967,103 @@ def q_stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("purchase", "click")
     )
     return brunner_munzel(ev, "value", F.col("event_type") == "purchase")
+
+
+@register(
+    "q_agg_group_tail_ratio",
+    oracle="""
+    WITH pv AS (
+      SELECT event_type, value AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM pv
+    ),
+    m AS (
+      SELECT event_type,
+             max(n) AS n,
+             min(CASE WHEN cum >= CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1
+                      THEN v END) AS v1_50,
+             min(CASE WHEN cum >= CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 2
+                      THEN v END) AS v2_50,
+             min(CASE WHEN cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1
+                      THEN v END) AS v1_99,
+             min(CASE WHEN cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 2
+                      THEN v END) AS v2_99
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n,
+           v1_50 + (COALESCE(v2_50, v1_50) - v1_50)
+                 * (0.5e0 * (n - 1) - floor(0.5e0 * (n - 1))) AS p50,
+           v1_99 + (COALESCE(v2_99, v1_99) - v1_99)
+                 * (0.99e0 * (n - 1) - floor(0.99e0 * (n - 1))) AS p99,
+           (v1_99 + (COALESCE(v2_99, v1_99) - v1_99)
+                 * (0.99e0 * (n - 1) - floor(0.99e0 * (n - 1))))
+           / (v1_50 + (COALESCE(v2_50, v1_50) - v1_50)
+                 * (0.5e0 * (n - 1) - floor(0.5e0 * (n - 1)))) AS tail_ratio
+    FROM m
+    """,
+)
+def q_agg_group_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group tail ratio p99/p50 — the SLO-reporting shape ("how much
+    # worse is the tail than the median, per event type"), with EXACT
+    # linearly-interpolated percentiles computed on the VALUE-SUPPORT
+    # lane instead of a per-group sort: one hash agg to
+    # (group, value, count), ONE composite-key (group, value) range
+    # shuffle for the global prefix sum, per-group offsets recovered
+    # arithmetically (group cum = global cum − group start, where the
+    # start is max(global cum) − n of the group — a |groups|-row
+    # broadcast, NO low-cardinality data-bearing window), then one
+    # conditional-min aggregate picks the two bracketing order
+    # statistics per percentile and interpolates with the identical
+    # p·(n−1) definition both engines use. At 100 TB: work scales with
+    # the value support, parallelism with the range partitioning —
+    # never with 5 group partitions.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    pv = (
+        ev.where(F.col("value").isNotNull())
+        .select("event_type", F.col("value").alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    c = prefix_sum(pv, "cnt", order_by=[F.col("event_type"), F.col("v")], name="cumg")
+    tot = c.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.max("cumg").cast("bigint").alias("cum_end"),
+    )
+    offs = tot.select(
+        "event_type", "n", (F.col("cum_end") - F.col("n")).alias("off")
+    )
+    j = c.join(F.broadcast(offs), "event_type").withColumn(
+        "cum", (F.col("cumg") - F.col("off")).cast("bigint")
+    )
+    n = F.col("n")
+    def brackets(p: float, name: str):
+        idx = F.lit(p) * (n - 1)
+        k1 = F.floor(idx).cast("bigint") + 1
+        return [
+            F.min(F.when(F.col("cum") >= k1, F.col("v"))).alias(f"v1_{name}"),
+            F.min(F.when(F.col("cum") >= k1 + 1, F.col("v"))).alias(f"v2_{name}"),
+        ]
+    m = j.groupBy("event_type").agg(
+        F.max("n").alias("n"), *brackets(0.5, "50"), *brackets(0.99, "99")
+    )
+    def interp(p: float, name: str):
+        idx = F.lit(p) * (n - 1)
+        frac = idx - F.floor(idx)
+        v1, v2 = F.col(f"v1_{name}"), F.col(f"v2_{name}")
+        return v1 + (F.coalesce(v2, v1) - v1) * frac
+    return m.select(
+        "event_type",
+        "n",
+        interp(0.5, "50").alias("p50"),
+        interp(0.99, "99").alias("p99"),
+        (interp(0.99, "99") / interp(0.5, "50")).alias("tail_ratio"),
+    )
