@@ -8067,3 +8067,372 @@ def q_agg_group_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp(0.99, "99").alias("p99"),
         (interp(0.99, "99") / interp(0.5, "50")).alias("tail_ratio"),
     )
+
+
+_MOOD_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _mood_chi2_text() -> str:
+    # fixed 10-term chain over the pivoted scalar row — addition order
+    # is part of the expression, so chi2 is bit-deterministic on both
+    # engines (the ljung_box convention).
+    terms = []
+    for i in range(len(_MOOD_TYPES)):
+        ni = f"(a{i} + b{i})"
+        ea = f"(CAST(ta AS DOUBLE) * {ni} / nn)"
+        eb = f"(CAST(tb AS DOUBLE) * {ni} / nn)"
+        terms.append(f"(a{i} - {ea}) * (a{i} - {ea}) / {ea}")
+        terms.append(f"(b{i} - {eb}) * (b{i} - {eb}) / {eb}")
+    return " + ".join(terms)
+
+
+@register(
+    "q_stat_mood_median",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+    c AS (
+      SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pv
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM x),
+    med AS (
+      SELECT min(v) AS gm FROM c, tot WHERE cum >= (nn + 1) // 2
+    ),
+    piv AS (
+      SELECT
+        {", ".join(
+            f"CAST(count(*) FILTER (WHERE event_type = '{t}' AND v > gm) AS BIGINT) AS a{i}, "
+            f"CAST(count(*) FILTER (WHERE event_type = '{t}' AND v <= gm) AS BIGINT) AS b{i}"
+            for i, t in enumerate(_MOOD_TYPES))}
+      FROM x, med
+    ),
+    m AS (
+      SELECT *,
+             {" + ".join(f"a{i}" for i in range(5))} AS ta,
+             {" + ".join(f"b{i}" for i in range(5))} AS tb,
+             {" + ".join(f"a{i} + b{i}" for i in range(5))} AS nn,
+             (SELECT gm FROM med) AS gm
+      FROM piv
+    )
+    SELECT nn AS n, gm AS grand_median,
+           {_mood_chi2_text()} AS chi2
+    FROM m
+    """,
+)
+def q_stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mood's median test across the five event types: is the median of
+    # `value` the same in every group? Grand LOWER median (the
+    # ceil(N/2)-th order statistic — a data value, no interpolation)
+    # from the value-support prefix-sum lane, then a 2xk contingency of
+    # above/at-or-below counts per group and the chi-square statistic
+    # as ONE fixed 10-term expression chain over the pivoted scalar row
+    # (generated once, used verbatim by both engines — bit-exact, no
+    # rounding). The k-sample location test that is robust where ANOVA
+    # is not. At 100 TB: one value-support agg + prefix sum + one
+    # conditional-count pivot — no per-group sort.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select("event_type", F.col("value").alias("v"))
+    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    tot = x.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    med = (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(nn + 1) div 2"))
+        .agg(F.min("v").alias("gm"))
+    )
+    piv = x.crossJoin(F.broadcast(med)).agg(
+        *[
+            agg
+            for i, t in enumerate(_MOOD_TYPES)
+            for agg in (
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == t) & (F.col("v") > F.col("gm")), 1
+                    ).otherwise(0)
+                ).cast("bigint").alias(f"a{i}"),
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == t) & (F.col("v") <= F.col("gm")), 1
+                    ).otherwise(0)
+                ).cast("bigint").alias(f"b{i}"),
+            )
+        ],
+        F.min("gm").alias("gm"),
+    )
+    m = piv.selectExpr(
+        "*",
+        " + ".join(f"a{i}" for i in range(5)) + " AS ta",
+        " + ".join(f"b{i}" for i in range(5)) + " AS tb",
+        " + ".join(f"a{i} + b{i}" for i in range(5)) + " AS nn",
+    )
+    return m.selectExpr(
+        "nn AS n", "gm AS grand_median", _mood_chi2_text() + " AS chi2"
+    )
+
+
+_JT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _jt_moments(big: str) -> list[str]:
+    # shared post-aggregate algebra: group-size moments (fixed 5-term
+    # chains), tie moments, mean and the tie-corrected variance of the
+    # Jonckheere-Terpstra statistic (Hollander & Wolfe 6.19–6.21).
+    # ``big`` is the engine's exact wide-integer type (DECIMAL(38,0) on
+    # Spark, HUGEINT on DuckDB) — same op sequence, bit-identical
+    # doubles at the end. Returned as a LIST of column expressions
+    # (joined for SQL, passed one-per-column to selectExpr).
+    n = lambda i: f"CAST(n{i} AS {big})"  # noqa: E731
+    gt1 = " + ".join(f"{n(i)} * (n{i} - 1) * (2 * n{i} + 5)" for i in range(5))
+    gt2 = " + ".join(f"{n(i)} * (n{i} - 1) * (n{i} - 2)" for i in range(5))
+    gt3 = " + ".join(f"{n(i)} * (n{i} - 1)" for i in range(5))
+    sq = " + ".join(f"{n(i)} * n{i}" for i in range(5))
+    return [
+        "n0 + n1 + n2 + n3 + n4 AS nn",
+        f"({gt1}) AS gt1",
+        f"({gt2}) AS gt2",
+        f"({gt3}) AS gt3",
+        f"({sq}) AS nsq",
+    ]
+
+
+_JT_FINAL = """
+    CAST(nn AS BIGINT) AS n,
+    CAST(jt2 AS DOUBLE) / 2 AS jt_stat,
+    (CAST(jt2 AS DOUBLE) / 2
+       - CAST(CAST(nn AS {big}) * nn - nsq AS DOUBLE) / 4)
+      / sqrt(
+          CAST(CAST(nn AS {big}) * (nn - 1) * (2 * nn + 5) - gt1 - vt1 AS DOUBLE) / 72
+          + CAST(gt2 * vt2 AS DOUBLE)
+            / (36.0e0 * nn * (nn - 1.0e0) * (nn - 2.0e0))
+          + CAST(gt3 * vt3 AS DOUBLE) / (8.0e0 * nn * (nn - 1.0e0))
+        ) AS z_stat
+"""
+
+
+@register(
+    "q_stat_jonckheere",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, value AS v FROM events
+      WHERE value IS NOT NULL
+    ),
+    pv AS (
+      SELECT v,
+             {", ".join(
+                 f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS c{i}"
+                 for i, t in enumerate(_JT_TYPES))}
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT *,
+             {", ".join(
+                 f"CAST(sum(c{i}) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m{i}"
+                 for i in range(5))}
+      FROM pv
+    ),
+    agg AS (
+      SELECT
+        {", ".join(f"CAST(sum(c{i}) AS BIGINT) AS n{i}" for i in range(5))},
+        sum({" + ".join(
+            "CAST(c%d AS HUGEINT) * (2 * (%s) + (%s))" % (
+                j,
+                " + ".join(f"(m{i} - c{i})" for i in range(j)),
+                " + ".join(f"c{i}" for i in range(j)),
+            ) for j in range(1, 5))}) AS jt2,
+        sum(CAST(c0 + c1 + c2 + c3 + c4 AS HUGEINT)
+            * (c0 + c1 + c2 + c3 + c4 - 1)
+            * (2 * (c0 + c1 + c2 + c3 + c4) + 5)) AS vt1,
+        sum(CAST(c0 + c1 + c2 + c3 + c4 AS HUGEINT)
+            * (c0 + c1 + c2 + c3 + c4 - 1)
+            * (c0 + c1 + c2 + c3 + c4 - 2)) AS vt2,
+        sum(CAST(c0 + c1 + c2 + c3 + c4 AS HUGEINT)
+            * (c0 + c1 + c2 + c3 + c4 - 1)) AS vt3
+      FROM c
+    ),
+    m AS (SELECT *, {", ".join(_jt_moments("HUGEINT"))} FROM agg)
+    SELECT {_JT_FINAL.format(big="HUGEINT")} FROM m
+    """,
+)
+def q_stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jonckheere-Terpstra trend test: are `value` distributions
+    # stochastically ORDERED along the (alphabetically ordered) event
+    # types? The ordered-alternative k-sample test — strictly more
+    # powerful than Kruskal-Wallis when the alternative is monotone.
+    # JT = Σ_{{i<j}} U_ij, computed WITHOUT any pairwise group joins:
+    # ONE prefix_sum_multi pass carries all five per-group running
+    # counts over the shared value order, so each value row contributes
+    # its below-pairs and tie-pairs to every ordered group pair in a
+    # single fixed expression; tie and group moments feed the
+    # tie-corrected normal variance (Hollander & Wolfe). Doubled-JT
+    # stays an exact HUGEINT/decimal integer; the z is one shared
+    # formula text instantiated per engine with its exact wide-int cast
+    # — identical op sequence, no rounding. At 100 TB: one value-level
+    # hash agg + one range shuffle + a scalar rollup.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    dec = "DECIMAL(38,0)"
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select("event_type", F.col("value").alias("v"))
+    pv = x.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, t in enumerate(_JT_TYPES)
+        ]
+    )
+    c = prefix_sum_multi(
+        pv,
+        [f"c{i}" for i in range(5)],
+        order_by=[F.col("v")],
+        names=[f"m{i}" for i in range(5)],
+    )
+    jt_term = " + ".join(
+        "CAST(c%d AS %s) * (2 * (%s) + (%s))"
+        % (
+            j,
+            dec,
+            " + ".join(f"(m{i} - c{i})" for i in range(j)),
+            " + ".join(f"c{i}" for i in range(j)),
+        )
+        for j in range(1, 5)
+    )
+    t5 = "c0 + c1 + c2 + c3 + c4"
+    agg = c.selectExpr(
+        "*",
+        f"({jt_term}) AS jt_term",
+        f"CAST({t5} AS {dec}) * ({t5} - 1) * (2 * ({t5}) + 5) AS vt1_term",
+        f"CAST({t5} AS {dec}) * ({t5} - 1) * ({t5} - 2) AS vt2_term",
+        f"CAST({t5} AS {dec}) * ({t5} - 1) AS vt3_term",
+    ).agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(5)],
+        F.sum("jt_term").cast(dec.lower()).alias("jt2"),
+        F.sum("vt1_term").cast(dec.lower()).alias("vt1"),
+        F.sum("vt2_term").cast(dec.lower()).alias("vt2"),
+        F.sum("vt3_term").cast(dec.lower()).alias("vt3"),
+    )
+    m = agg.selectExpr("*", *_jt_moments(dec))
+    final = [p.strip() for p in _JT_FINAL.format(big=dec).split(",\n") if p.strip()]
+    return m.selectExpr(*final)
+
+
+@register(
+    "q_ts_pettitt",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY x),
+    rk AS (
+      SELECT x,
+             2 * (CAST(sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  - cnt) + cnt + 1 AS r2
+      FROM pv
+    ),
+    s AS (
+      SELECT hr,
+             CAST(sum(r2) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s2,
+             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t,
+             CAST(count(*) OVER () AS BIGINT) AS nn
+      FROM c JOIN rk USING (x)
+    ),
+    u AS (
+      SELECT hr, t, nn, s2 - t * (nn + 1) AS ut
+      FROM s WHERE t < nn
+    ),
+    k AS (SELECT max(abs(ut)) AS k_stat FROM u),
+    f AS (
+      SELECT k_stat,
+             max(nn) AS n,
+             min(CASE WHEN abs(ut) = k_stat THEN hr END) AS change_hr
+      FROM u, k
+      GROUP BY k_stat
+    )
+    SELECT n, k_stat, change_hr,
+           round(2 * exp(CAST(-6 AS DOUBLE) * (CAST(k_stat AS HUGEINT) * k_stat)
+                         / (CAST(n AS HUGEINT) * n * n
+                            + CAST(n AS HUGEINT) * n)), 6) AS p_approx
+    FROM f
+    """,
+)
+def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pettitt single-changepoint test on the hourly event-count series:
+    # nonparametric "did the level shift, and when" — the rank-based
+    # companion to q_ts_changepoint's CUSUM. U_t = 2·Σ_{i<=t} r_i −
+    # t(N+1) with midranks, so with doubled ranks (the mann_whitney
+    # lane) every U_t is an EXACT integer from two prefix-sum passes:
+    # one over the count-value support for tied ranks, one over time
+    # for the running rank sum; K = max|U_t| and the change hour is the
+    # earliest argmax (unique total order). Approximate significance
+    # 2·exp(−6K²/(N³+N²)) is the standard Pettitt tail bound — exp is
+    # libm (1-ulp cross-engine risk) → round-6 on p only (parity rule
+    # 5); n, K, change_hr stay exact. At 100 TB: the series is a
+    # calendar-spine aggregate; both prefix sums are the distributed
+    # range-partition kind — no O(n²) pair scan (the naive definition
+    # is Σ_j>t sign pairs).
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # feeds rank support + time spine
+    )
+    pv = c.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rkv = prefix_sum(pv, "cnt", order_by=[F.col("x")], name="cum").select(
+        "x", (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2")
+    )
+    joined = c.join(F.broadcast(rkv), "x")
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    s = prefix_sum_multi(
+        joined.withColumn("one", F.lit(1)),
+        ["r2", "one"],
+        order_by=[F.col("hr")],
+        names=["s2", "t"],
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    u = (
+        s.crossJoin(F.broadcast(tot))
+        .where(F.col("t") < F.col("nn"))
+        .select(
+            "hr",
+            "nn",
+            (F.col("s2") - F.col("t") * (F.col("nn") + 1)).alias("ut"),
+        )
+    )
+    k = u.agg(F.max(F.abs(F.col("ut"))).alias("k_stat"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    out = (
+        u.crossJoin(F.broadcast(k))
+        .groupBy("k_stat")
+        .agg(
+            F.max("nn").alias("n"),
+            F.min(
+                F.when(F.abs(F.col("ut")) == F.col("k_stat"), F.col("hr"))
+            ).alias("change_hr"),
+        )
+    )
+    n, ks = F.col("n"), F.col("k_stat")
+    return out.select(
+        "n",
+        ks.alias("k_stat"),
+        "change_hr",
+        F.round(
+            2
+            * F.exp(
+                F.lit(-6).cast("double")
+                * (dec(ks) * ks).cast("double")
+                / (dec(n) * n * n + dec(n) * n).cast("double")
+            ),
+            6,
+        ).alias("p_approx"),
+    )
