@@ -8436,3 +8436,180 @@ def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_approx"),
     )
+
+
+@register(
+    "q_stat_kendall_w",
+    oracle="""
+    WITH us AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    full_blocks AS (
+      SELECT user_id FROM us GROUP BY user_id HAVING count(*) = 5
+    ),
+    cb AS (SELECT us.* FROM us JOIN full_blocks USING (user_id)),
+    r AS (
+      SELECT a.user_id, a.event_type,
+             CAST(2 * sum(CASE WHEN b.t < a.t THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.t = a.t THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM cb a JOIN cb b USING (user_id)
+      GROUP BY a.user_id, a.event_type
+    ),
+    pt AS (
+      SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_t FROM r
+      GROUP BY event_type
+    ),
+    gs AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(r2_t AS HUGEINT) * CAST(r2_t AS HUGEINT))
+                  AS HUGEINT) AS ssr2
+      FROM pt
+    ),
+    nb AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_blocks FROM r
+    ),
+    f AS (
+      SELECT n_blocks, k,
+             3.0 * CAST(ssr2 AS DOUBLE)
+               / CAST(n_blocks * k * (k + 1) AS DOUBLE)
+             - CAST(3 * n_blocks * (k + 1) AS DOUBLE) AS chi2
+      FROM gs CROSS JOIN nb
+    )
+    SELECT n_blocks, k, chi2,
+           chi2 / CAST(n_blocks * (k - 1) AS DOUBLE) AS w_concordance
+    FROM f
+    """,
+)
+def q_stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kendall's coefficient of concordance W — "how much do the blocks
+    # (users) agree on the ranking of the 5 event types by spend?"
+    # W = chi2_F / (m(k-1)), the [0,1]-normalized companion the
+    # Friedman statistic is usually reported WITH (W is the effect
+    # size, chi2 the test). Identical doubled-midrank lane as
+    # q_stat_friedman (ties averaged in the ranks; classic uncorrected
+    # denominator — the friedman_test convention, documented); one
+    # extra division on the final scalar row, bit-exact both engines.
+    from trembita_spark.operators.stats import friedman_test
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    us = ev.groupBy("user_id", "event_type").agg(
+        F.sum(v100).cast("bigint").alias("t")
+    )
+    us = us.localCheckpoint(eager=False)
+    full_blocks = (
+        us.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .where(F.col("__k") == 5)
+        .select("user_id")
+    )
+    cb = us.join(full_blocks, "user_id")
+    f = friedman_test(cb, "user_id", "event_type", "t")
+    return f.select(
+        "n_blocks",
+        "k",
+        "chi2",
+        (
+            F.col("chi2") / (F.col("n_blocks") * (F.col("k") - 1)).cast("double")
+        ).alias("w_concordance"),
+    )
+
+
+@register(
+    "q_stat_icc",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS ni,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS si,
+             CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS HUGEINT) AS ssi
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS gg,
+             CAST(sum(ni) AS BIGINT) AS nn,
+             CAST(sum(CAST(ni AS HUGEINT) * ni) AS HUGEINT) AS sn2,
+             CAST(sum(si) AS BIGINT) AS s_tot,
+             CAST(sum(ssi) AS HUGEINT) AS ss_tot,
+             sum(CAST(CAST(si AS HUGEINT) * si AS DOUBLE) / ni) AS t2
+      FROM g
+    ),
+    v AS (
+      SELECT gg, nn,
+             (t2 - CAST(CAST(s_tot AS HUGEINT) * s_tot AS DOUBLE) / nn)
+               / CAST(gg - 1 AS DOUBLE) AS msb,
+             (CAST(ss_tot AS DOUBLE) - t2) / CAST(nn - gg AS DOUBLE) AS msw,
+             (nn - CAST(sn2 AS DOUBLE) / nn) / CAST(gg - 1 AS DOUBLE) AS k0
+      FROM m
+    )
+    SELECT gg AS n_groups, nn AS n,
+           round(msb, 2) AS msb, round(msw, 2) AS msw,
+           round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+    FROM v
+    """,
+)
+def q_stat_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Intraclass correlation ICC(1,1) — one-way random effects with
+    # users as groups: what fraction of `value` variance is BETWEEN
+    # users (reliability of the user as a unit of analysis — the
+    # clustered-experiment design-effect input). Values enter as exact
+    # cent integers; the only order-sensitive moment is
+    # T2 = Σ_i S_i²/n_i (a sum of per-group rationals over thousands of
+    # groups — engine-ordered double addition), so icc1 carries round-6
+    # and the cent²-scale msb/msw carry round-2 — absolute grids sized
+    # so the half-grid dwarfs the ~1e-13-relative order error at each
+    # magnitude (parity rule 5); counts stay exact. Unequal group sizes
+    # use the standard k0 = (N − Σn_i²/N)/(G−1) correction. At 100 TB:
+    # one user-keyed hash agg + a scalar rollup.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ni"),
+        F.sum(v100).cast("bigint").alias("si"),
+        F.sum(dec(v100) * v100).cast("decimal(38,0)").alias("ssi"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("gg"),
+        F.sum("ni").cast("bigint").alias("nn"),
+        F.sum(dec(F.col("ni")) * F.col("ni")).cast("decimal(38,0)").alias("sn2"),
+        F.sum("si").cast("bigint").alias("s_tot"),
+        F.sum("ssi").cast("decimal(38,0)").alias("ss_tot"),
+        F.sum((dec(F.col("si")) * F.col("si")).cast("double") / F.col("ni")).alias(
+            "t2"
+        ),
+    )
+    gg, nn = F.col("gg"), F.col("nn")
+    msb = (
+        F.col("t2") - (dec(F.col("s_tot")) * F.col("s_tot")).cast("double") / nn
+    ) / (gg - 1).cast("double")
+    msw = (F.col("ss_tot").cast("double") - F.col("t2")) / (nn - gg).cast("double")
+    k0 = (nn - F.col("sn2").cast("double") / nn) / (gg - 1).cast("double")
+    v = m.select(
+        gg.alias("n_groups"),
+        nn.alias("n"),
+        msb.alias("msb_raw"),
+        msw.alias("msw_raw"),
+        k0.alias("k0"),
+    )
+    return v.select(
+        "n_groups",
+        "n",
+        F.round("msb_raw", 2).alias("msb"),
+        F.round("msw_raw", 2).alias("msw"),
+        F.round(
+            (F.col("msb_raw") - F.col("msw_raw"))
+            / (F.col("msb_raw") + (F.col("k0") - 1) * F.col("msw_raw")),
+            6,
+        ).alias("icc1"),
+    )
