@@ -8613,3 +8613,118 @@ def q_stat_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("icc1"),
     )
+
+
+# ADF shares the LR3 Cramer fragments; the extra pieces are the RSS
+# identity and the (1,1) inverse-Gram cofactor for Var(b1) — shared
+# text, identical trees on both engines.
+_ADF_B = [
+    f"{_LR3_DET0} / {_LR3_DET} AS b0",
+    f"{_LR3_DET1} / {_LR3_DET} AS b1",
+    f"{_LR3_DET2} / {_LR3_DET} AS b2",
+]
+_ADF_T = (
+    "b1 / sqrt(((syy - b0 * sy - b1 * s1y - b2 * s2y) / (n - 3))"
+    f" * ((n * s22 - s2 * s2) / {_LR3_DET})) AS t_adf"
+)
+
+
+@register(
+    "q_ts_adf",
+    oracle=f"""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM c),
+                                    (SELECT max(hr) FROM c))) AS hr
+    ),
+    d AS (
+      SELECT spine.hr, COALESCE(c.x, 0) AS x
+      FROM spine LEFT JOIN c USING (hr)
+    ),
+    r AS (
+      SELECT CAST(d0.x - d1.x AS BIGINT) AS y,
+             CAST(d1.x AS BIGINT) AS x1,
+             CAST(d1.x - d2.x AS BIGINT) AS x2
+      FROM d d0
+      JOIN d d1 ON d1.hr = d0.hr - 1
+      JOIN d d2 ON d2.hr = d0.hr - 2
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM r
+    ),
+    b AS (
+      SELECT *, {", ".join(_ADF_B)} FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n, b1 AS gamma, {_ADF_T}
+    FROM b
+    """,
+)
+def q_ts_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Augmented Dickey-Fuller unit-root test (one augmentation lag,
+    # constant, no trend) on the hourly event-count series:
+    # Δx_t = b0 + γ·x_{{t-1}} + b2·Δx_{{t-1}} + ε, H0: γ = 0 (unit
+    # root). The is-this-series-stationary gate every forecasting
+    # pipeline runs first. Lags come from the DENSE calendar spine
+    # (hr-1/hr-2 equi-joins, no window over a single partition); all
+    # ten regression moments are exact integers cast to double once;
+    # the OLS solve reuses the shared 3x3 Cramer fragments
+    # (q_ml_linreg_multi), and the t-statistic closes the form with the
+    # RSS identity and the (1,1) inverse-Gram cofactor — one shared
+    # expression text per engine, bit-exact, NO rounding. Compare t to
+    # the Dickey-Fuller critical values (-2.86 at 5%), not the normal.
+    # At 100 TB: one fact-table groupBy to the hour contingency +
+    # spine joins; the fit is O(1) after the moment scan.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # spine bounds + three join sides
+    )
+    spine = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    d = spine.join(c, "hr", "left").select(
+        "hr", F.coalesce("x", F.lit(0)).alias("x")
+    ).localCheckpoint(eager=False)
+    d0 = d.select(F.col("hr"), F.col("x").alias("x0"))
+    d1 = d.select((F.col("hr") + 1).alias("hr"), F.col("x").alias("xl1"))
+    d2 = d.select((F.col("hr") + 2).alias("hr"), F.col("x").alias("xl2"))
+    r = (
+        d0.join(d1, "hr")
+        .join(d2, "hr")
+        .select(
+            (F.col("x0") - F.col("xl1")).cast("bigint").alias("y"),
+            F.col("xl1").cast("bigint").alias("x1"),
+            (F.col("xl1") - F.col("xl2")).cast("bigint").alias("x2"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(dec(F.col("x1")) * F.col("x1")).cast("double").alias("s11"),
+        F.sum(dec(F.col("x2")) * F.col("x2")).cast("double").alias("s22"),
+        F.sum(dec(F.col("x1")) * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(dec(F.col("x1")) * F.col("y")).cast("double").alias("s1y"),
+        F.sum(dec(F.col("x2")) * F.col("y")).cast("double").alias("s2y"),
+        F.sum(dec(F.col("y")) * F.col("y")).cast("double").alias("syy"),
+    )
+    b = s.selectExpr("*", *_ADF_B)
+    return b.selectExpr("CAST(n AS BIGINT) AS n", "b1 AS gamma", _ADF_T)
