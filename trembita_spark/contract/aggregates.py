@@ -8728,3 +8728,123 @@ def q_ts_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = s.selectExpr("*", *_ADF_B)
     return b.selectExpr("CAST(n AS BIGINT) AS n", "b1 AS gamma", _ADF_T)
+
+
+@register(
+    "q_stat_ordinal_assoc",
+    oracle="""
+    WITH cells AS (
+      SELECT l_quantity AS x, l_linenumber AS y, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS HUGEINT) AS cc,
+        CAST(coalesce(sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS HUGEINT) AS dd
+      FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    mx AS (SELECT x, CAST(sum(c) AS HUGEINT) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(sum(c) AS HUGEINT) AS ny FROM cells GROUP BY y),
+    m AS (
+      SELECT CAST(sum(nx) AS HUGEINT) AS n,
+             CAST(sum(nx * (nx - 1)) AS HUGEINT) AS tx2
+      FROM mx
+    ),
+    m2 AS (SELECT CAST(sum(ny * (ny - 1)) AS HUGEINT) AS ty2 FROM my)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(cc AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE) AS gamma,
+           CAST(cc - dd AS DOUBLE) * 2
+             / CAST(n * (n - 1) - tx2 AS DOUBLE) AS somers_d_yx,
+           CAST(cc - dd AS DOUBLE) * 2
+             / CAST(n * (n - 1) - ty2 AS DOUBLE) AS somers_d_xy
+    FROM p, m, m2
+    """,
+)
+def q_stat_ordinal_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Goodman-Kruskal gamma + both Somers' D asymmetries of quantity vs
+    # line number — the ordinal-association family around Kendall's
+    # tau-b (operators/stats.py: ordinal_association): gamma drops all
+    # tied pairs, Somers' D_yx divides by pairs untied on x only (the
+    # AUC identity D = 2·AUC−1 statistic), D_xy mirrors. Identical
+    # contingency-cell + bounded-pivot + one-prefix-sum lane as
+    # q_stat_kendall — never O(n²) pairs; the oracle replays from the
+    # quadratic CELL join (350 rows). Exact decimal pair moments; the
+    # three ratios are single double trees (no rounding).
+    from trembita_spark.operators.stats import ordinal_association
+
+    li = table(spark, sf_dir, "lineitem")
+    return ordinal_association(
+        li, "l_quantity", "l_linenumber", [1, 2, 3, 4, 5, 6, 7]
+    )
+
+
+@register(
+    "q_stat_median_ci",
+    oracle="""
+    WITH x AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+    c AS (
+      SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+    r AS (
+      SELECT n,
+             greatest(1, CAST(floor((n - 1.959963984540054e0 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)) AS lo_rank,
+             least(n, CAST(ceil((n + 1.959963984540054e0 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) + 1) AS hi_rank,
+             (n + 1) // 2 AS med_rank
+      FROM t
+    )
+    SELECT max(n) AS n,
+           min(CASE WHEN cum >= med_rank THEN v END) AS median,
+           min(CASE WHEN cum >= lo_rank THEN v END) AS ci_lo,
+           min(CASE WHEN cum >= hi_rank THEN v END) AS ci_hi
+    FROM c, r
+    GROUP BY n
+    """,
+)
+def q_stat_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution-free 95% confidence interval for the median of
+    # `value`: the sign-test inversion — CI endpoints are the order
+    # statistics at ranks (n ± z·√n)/2 (normal approximation to the
+    # Binomial(n, ½) counting bound, z = 1.95996...; floor/ceil+1
+    # convention documented here, clamped to [1, n]), median is the
+    # lower (ceil(n/2)-th) order statistic. All three are
+    # conditional-min selections over the value-support prefix-sum lane
+    # — no sort, no interpolation, exact data values out (the ranks are
+    # integers from one identical double expression, so both engines
+    # select the same rows; no rounding anywhere). The uncertainty
+    # companion every median report should carry. At 100 TB: one
+    # value-support agg + prefix sum + one scalar filter-aggregate.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pv = ev.select(F.col("value").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    t = pv.agg(F.sum("cnt").cast("bigint").alias("n"))
+    z = F.lit(1.959963984540054)
+    nd = F.col("n").cast("double")
+    r = t.select(
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((F.col("n") - z * F.sqrt(nd)) / 2).cast("bigint"),
+        ).alias("lo_rank"),
+        F.least(
+            F.col("n"),
+            F.ceil((F.col("n") + z * F.sqrt(nd)) / 2).cast("bigint") + 1,
+        ).alias("hi_rank"),
+        F.expr("(n + 1) div 2").alias("med_rank"),
+    )
+    j = c.crossJoin(F.broadcast(r))
+    return j.groupBy("n").agg(
+        F.min(F.when(F.col("cum") >= F.col("med_rank"), F.col("v"))).alias("median"),
+        F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("v"))).alias("ci_lo"),
+        F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("v"))).alias("ci_hi"),
+    )

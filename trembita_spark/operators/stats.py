@@ -794,3 +794,85 @@ def brunner_munzel(df: DataFrame, value_col: str, is_a: Column) -> DataFrame:
             )
         ).alias("df_bm"),
     )
+
+def ordinal_association(
+    df: DataFrame, x_col: str, y_col: str, y_values: list
+) -> DataFrame:
+    """Goodman-Kruskal gamma and both Somers' D asymmetries between an
+    ordered ``x_col`` and a small enumerated ``y_col`` — the PR-curve
+    family of ordinal association: gamma ignores all ties
+    ((C−D)/(C+D)), Somers' D_yx penalizes ties on the dependent side
+    only (2(C−D)/(n(n−1)−Tx2), the statistic behind the AUC identity
+    D_yx = 2·AUC−1), and D_xy mirrors it. Returns one row:
+    (n, concordant, discordant, gamma, somers_d_yx, somers_d_xy).
+
+    Same contingency-cell + bounded-pivot + ONE prefix-sum lane as
+    kendall_tau_b (never O(n²) pairs); pair and tie moments ride the
+    exact decimal(38,0) lane, the three ratios are single double
+    expressions (identical trees in a SQL oracle — no rounding)."""
+    ys = list(y_values)
+    if ys != sorted(ys):
+        raise ValueError(f"y_values must be sorted ascending, got {ys}")
+    k = len(ys)
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wide = cells.groupBy("x").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("y") == F.lit(yv), F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, yv in enumerate(ys)
+        ]
+    )
+    wide = prefix_sum_multi(
+        wide,
+        [f"c{i}" for i in range(k)],
+        order_by=[F.col("x")],
+        names=[f"p{i}" for i in range(k)],
+    )
+    for i in range(k):
+        wide = wide.withColumn(f"e{i}", F.col(f"p{i}") - F.col(f"c{i}"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact pair lane
+    conc = sum(
+        (
+            dec(F.col(f"c{i}")) * dec(sum((F.col(f"e{j}") for j in range(i)), F.lit(0)))
+            for i in range(1, k)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    disc = sum(
+        (
+            dec(F.col(f"c{i}"))
+            * dec(sum((F.col(f"e{j}") for j in range(i + 1, k)), F.lit(0)))
+            for i in range(k - 1)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    nx = sum((F.col(f"c{i}") for i in range(k)), F.lit(0))
+    s = wide.agg(
+        F.sum(nx).cast("bigint").alias("n"),
+        F.sum(conc).alias("cc"),
+        F.sum(disc).alias("dd"),
+        F.sum(dec(nx) * dec(nx - 1)).alias("tx2"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"ny{i}") for i in range(k)],
+    )
+    ty2 = sum(
+        (dec(F.col(f"ny{i}")) * dec(F.col(f"ny{i}") - 1) for i in range(k)),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    n02 = dec(F.col("n")) * dec(F.col("n") - 1)
+    cd = (F.col("cc") - F.col("dd")).cast("double")
+    return s.select(
+        "n",
+        F.col("cc").cast("bigint").alias("concordant"),
+        F.col("dd").cast("bigint").alias("discordant"),
+        (cd / (F.col("cc") + F.col("dd")).cast("double")).alias("gamma"),
+        (cd * 2 / (n02 - F.col("tx2")).cast("double")).alias("somers_d_yx"),
+        (cd * 2 / (n02 - ty2).cast("double")).alias("somers_d_xy"),
+    )
