@@ -4316,3 +4316,64 @@ def q_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pairs").cast("double") / denom).alias("pair_rate"),
         )
     )
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
+    sig AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ds GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN ds da ON da.doc_id = c.doc_a
+      JOIN ds db ON db.doc_id = c.doc_b AND db.s = da.s
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT CAST(floor(CAST(inter AS DOUBLE)
+                        / CAST(sa.sz + sb.sz - inter AS DOUBLE) * 10) AS BIGINT)
+               AS bucket
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY bucket
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dedup-threshold calibration curve: the decile histogram of EXACT
+    # trigram-Jaccard over ALL LSH candidate pairs (no min filter) —
+    # the corpus-health sweep you run BEFORE choosing the near-dup
+    # knob: it shows where the candidate mass sits (LSH false positives
+    # at low deciles vs true near-dups at high), so the q_dedup_near_
+    # verified threshold is a measurement, not a guess. Work is the
+    # same two-stage shape (candidates → verify ∝ |candidates| ×
+    # shingles, never corpus²); the sweep itself adds one integer
+    # bucket aggregate — floor(j·10) of the engine-identical exact
+    # ratio, so the histogram is bit-exact. At 100 TB: identical
+    # posture to q_dedup_near_verified, output is ≤11 rows.
+    pairs = D.lsh_verified_pairs(
+        table(spark, sf_dir, "documents"), bands=4, k=3, min_jaccard=0.0
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

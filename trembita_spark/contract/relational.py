@@ -3587,3 +3587,53 @@ def q_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "q_quality_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_5,
+           CAST(min(l) AS BIGINT) AS min_l
+    FROM g
+    """,
+)
+def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-anonymity / l-diversity audit — the privacy-governance check a
+    # training-data pipeline runs before release: under the
+    # quasi-identifier pair (nation, market segment), every customer
+    # must be hidden in a group of ≥k peers (min_k is the dataset's
+    # k-anonymity level; groups_below_5/rows_below_5 quantify the
+    # re-identification surface at the conventional k=5), and each
+    # group must carry ≥l distinct sensitive values (account-balance
+    # thousand-buckets; min_l is the l-diversity level — k-anonymity
+    # alone fails when a group is sensitive-homogeneous). One hash
+    # aggregate to the quasi-identifier groups + one scalar rollup —
+    # all-integer, bit-exact. At 100 TB: work ∝ |groups|, the same
+    # two-level aggregate shape as any cardinality audit; pair this
+    # with q_text_pii_scrub for the remediation half.
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).cast("bigint").alias("l"),
+    )
+    return g.agg(
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("bigint").alias("groups_below_5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast("bigint").alias("rows_below_5"),
+        F.min("l").cast("bigint").alias("min_l"),
+    )
