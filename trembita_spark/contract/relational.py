@@ -3637,3 +3637,124 @@ def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast("bigint").alias("rows_below_5"),
         F.min("l").cast("bigint").alias("min_l"),
     )
+
+
+def _topo_round_sql(prev_nodes: str, prev_edges: str, this: str) -> str:
+    # one Kahn peel: sources = surviving nodes with no surviving
+    # in-edge; they take this round's layer and their out-edges leave.
+    return f"""
+    src_{this} AS MATERIALIZED (
+      SELECT node FROM {prev_nodes}
+      WHERE node NOT IN (SELECT x FROM {prev_edges})
+    ),
+    nodes_{this} AS MATERIALIZED (
+      SELECT node FROM {prev_nodes}
+      WHERE node NOT IN (SELECT node FROM src_{this})
+    ),
+    edges_{this} AS MATERIALIZED (
+      SELECT a, x FROM {prev_edges}
+      WHERE a NOT IN (SELECT node FROM src_{this})
+    )"""
+
+
+@register(
+    "q_graph_topo_layers",
+    oracle=f"""
+    WITH e0 AS ({_COBASKET_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY node
+    ),
+    ed AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+                  THEN e0.u ELSE e0.v END AS a,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+                  THEN e0.v ELSE e0.u END AS x
+      FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+    ),
+    nodes_t0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+      SELECT a AS node FROM ed UNION ALL SELECT x FROM ed
+    )),
+    edges_t0 AS MATERIALIZED (SELECT a, x FROM ed),
+    {_topo_round_sql("nodes_t0", "edges_t0", "t1")},
+    {_topo_round_sql("nodes_t1", "edges_t1", "t2")},
+    {_topo_round_sql("nodes_t2", "edges_t2", "t3")}
+    SELECT 1 AS layer, CAST(count(*) AS BIGINT) AS n_nodes FROM src_t1
+    UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM src_t2
+    UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM src_t3
+    UNION ALL SELECT 0, CAST(count(*) AS BIGINT) FROM nodes_t3
+    """,
+)
+def q_graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Topological LAYERING of a DAG (Kahn rounds): the degree-ordered
+    # orientation of the co-basket graph is acyclic by construction
+    # (every edge points toward the higher-(degree, id) endpoint — the
+    # _triangles orientation), and each round peels the current
+    # SOURCES (no surviving in-edge) into the next layer — the
+    # dependency-scheduling primitive ("what can run in wave r").
+    # Three unrolled rounds (the pagerank fixed-recurrence convention);
+    # unpeeled remainder reported as layer 0. Emitted as the
+    # layer-size histogram — compact at any scale. Each round is one
+    # distinct + one anti join on the node key; the frames only
+    # shrink. At 100 TB this is |V|+|E| keyed work per round, no
+    # all-pairs anywhere; for deep DAGs switch to the pointer-jumping
+    # longest-path form (O(log d) rounds like q_dedup_clusters).
+    from trembita_spark.contract import table as _t
+
+    e0 = _cobasket_pairs(spark, sf_dir).select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ed = (
+        e0.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        ed.select(F.col("a").alias("node"))
+        .unionAll(ed.select(F.col("x").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = ed
+    layers = []
+    for r in (1, 2, 3):
+        targets = edges.select(F.col("x").alias("node")).distinct()
+        sources = nodes.join(targets, "node", "left_anti").localCheckpoint(
+            eager=False
+        )
+        layers.append(
+            sources.agg(
+                F.lit(r).cast("int").alias("layer"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            )
+        )
+        nodes = nodes.join(sources, "node", "left_anti").localCheckpoint(
+            eager=False
+        )
+        edges = edges.join(
+            sources.select(F.col("node").alias("a")), "a", "left_anti"
+        ).localCheckpoint(eager=False)
+    rest = nodes.agg(
+        F.lit(0).cast("int").alias("layer"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    out = layers[0]
+    for fr in layers[1:] + [rest]:
+        out = out.unionAll(fr)
+    return out
