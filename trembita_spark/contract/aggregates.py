@@ -8848,3 +8848,76 @@ def q_stat_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("v"))).alias("ci_lo"),
         F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("v"))).alias("ci_hi"),
     )
+
+
+_BENFORD_P = {
+    1: "0.3010299956639812e0", 2: "0.17609125905568124e0",
+    3: "0.12493873660829992e0", 4: "0.09691001300805642e0",
+    5: "0.07918124604762482e0", 6: "0.06694678963061322e0",
+    7: "0.05799194697768673e0", 8: "0.05115252244738129e0",
+    9: "0.04575749056067514e0",
+}
+
+
+def _benford_chi2_text() -> str:
+    # fixed 9-term chain over the pivoted digit counts; the Benford
+    # probabilities are DOUBLE LITERALS (not log10 calls), so no libm
+    # enters and the chi2 is bit-exact on both engines.
+    terms = []
+    for d, p in _BENFORD_P.items():
+        e = f"(nn * {p})"
+        terms.append(f"(o{d} - {e}) * (o{d} - {e}) / {e}")
+    return " + ".join(terms)
+
+
+@register(
+    "q_quality_benford",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(substring(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL AND value >= 1
+    ),
+    piv AS (
+      SELECT
+        {", ".join(f"CAST(count(*) FILTER (WHERE d = {d}) AS BIGINT) AS o{d}" for d in range(1, 10))},
+        CAST(count(*) AS BIGINT) AS nn
+      FROM x
+    )
+    SELECT nn AS n,
+           {", ".join(f"o{d}" for d in range(1, 10))},
+           {_benford_chi2_text()} AS chi2
+    FROM piv
+    """,
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford's-law first-digit audit of `value` — the classic
+    # fabricated-data / corruption screen: natural multi-scale
+    # magnitudes follow P(d) = log10(1+1/d), so a chi-square against
+    # the Benford distribution flags synthetic or truncated feeds
+    # (here it FIRES, correctly: the fixture's uniform-ish values are
+    # not Benford — the audit's job is to measure, not to pass). First
+    # significant digit via integer floor + string head (exact, no
+    # float log); the nine Benford probabilities are hardcoded double
+    # literals so no libm call enters either engine, and the chi2 is
+    # one fixed 9-term chain over the pivoted counts — bit-exact, NO
+    # rounding. At 100 TB: one conditional-count scan to a scalar row.
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 1)
+    )
+    d = F.substring(
+        F.floor(F.col("value")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    piv = ev.select(d.alias("d")).agg(
+        *[
+            F.sum(F.when(F.col("d") == dd, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"o{dd}")
+            for dd in range(1, 10)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+    )
+    return piv.selectExpr(
+        "nn AS n",
+        *[f"o{dd}" for dd in range(1, 10)],
+        _benford_chi2_text() + " AS chi2",
+    )
