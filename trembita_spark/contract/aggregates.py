@@ -8921,3 +8921,303 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"o{dd}" for dd in range(1, 10)],
         _benford_chi2_text() + " AS chi2",
     )
+
+
+@register(
+    "q_stat_quade",
+    oracle="""
+    WITH us AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    full_blocks AS (
+      SELECT user_id FROM us GROUP BY user_id HAVING count(*) = 5
+    ),
+    cb AS (SELECT us.* FROM us JOIN full_blocks USING (user_id)),
+    r AS (
+      SELECT a.user_id, a.event_type,
+             CAST(2 * sum(CASE WHEN b.t < a.t THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.t = a.t THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM cb a JOIN cb b USING (user_id)
+      GROUP BY a.user_id, a.event_type
+    ),
+    rng AS (
+      SELECT user_id, CAST(max(t) - min(t) AS BIGINT) AS rg
+      FROM cb GROUP BY user_id
+    ),
+    rv AS (SELECT rg, CAST(count(*) AS BIGINT) AS cnt FROM rng GROUP BY rg),
+    wr AS (
+      SELECT rg,
+             2 * (CAST(sum(cnt) OVER (ORDER BY rg ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  - cnt) + cnt + 1 AS w2
+      FROM rv
+    ),
+    q AS (
+      SELECT r.event_type,
+             CAST(w2 AS HUGEINT) * (r2 - 6) AS q4
+      FROM r JOIN rng USING (user_id) JOIN wr USING (rg)
+    ),
+    sj AS (
+      SELECT event_type, CAST(sum(q4) AS HUGEINT) AS s4
+      FROM q GROUP BY event_type
+    ),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM full_blocks) AS n_blocks,
+             (SELECT CAST(count(*) AS BIGINT) FROM sj) AS k,
+             (SELECT CAST(sum(CAST(q4 AS HUGEINT) * q4) AS HUGEINT) FROM q) AS a16,
+             (SELECT CAST(sum(s4 * s4) AS HUGEINT) FROM sj) AS b16n
+    )
+    SELECT n_blocks, k,
+           CAST((n_blocks - 1) AS DOUBLE) * CAST(b16n AS DOUBLE)
+             / (CAST(n_blocks AS DOUBLE) * CAST(a16 AS DOUBLE)
+                - CAST(b16n AS DOUBLE)) AS f_quade
+    FROM m
+    """,
+)
+def q_stat_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quade test — the range-weighted Friedman: blocks (users) with
+    # larger spend RANGES carry more weight, recovering power Friedman
+    # throws away when treatment effects scale with block level. All
+    # rank algebra stays in doubled-integer lanes: within-block
+    # midranks r2 (the k2 self-join), block-range ranks w2 (one
+    # value-support prefix sum over the exact cent ranges), and the
+    # scaled score q4 = w2*(r2 - (k+1)) = 4*w_b*(r_bj - (k+1)/2), whose
+    # uniform 4x scaling cancels in F = (n-1)*B/(A-B) computed as
+    # (n-1)*SUM(S_j^2) / (n*SUM(q4^2) - SUM(S_j^2)) - exact
+    # HUGEINT/decimal moments, ONE final double tree, no rounding.
+    # (k+1) = 6 is a literal: the treatment domain is the five event
+    # types, same convention as q_stat_friedman. At 100 TB: two
+    # user-key shuffles + one value-support prefix + a 5-row rollup.
+    from trembita_spark.operators.ranking import prefix_sum
+    from trembita_spark.operators.stats import friedman_test  # noqa: F401 — lane kin
+
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    us = ev.groupBy("user_id", "event_type").agg(
+        F.sum(v100).cast("bigint").alias("t")
+    )
+    us = us.localCheckpoint(eager=False)
+    full_blocks = (
+        us.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .where(F.col("__k") == 5)
+        .select("user_id")
+    )
+    cb = us.join(full_blocks, "user_id").localCheckpoint(eager=False)
+    b = cb.select(
+        F.col("user_id"), F.col("event_type").alias("trt_b"), F.col("t").alias("t_b")
+    )
+    r = (
+        cb.join(b, "user_id")
+        .groupBy("user_id", "event_type")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("t_b") < F.col("t"), 1).otherwise(0))
+                + F.sum(F.when(F.col("t_b") == F.col("t"), 1).otherwise(0))
+                + 1
+            ).cast("bigint").alias("r2")
+        )
+    )
+    rng = cb.groupBy("user_id").agg((F.max("t") - F.min("t")).cast("bigint").alias("rg"))
+    rv = rng.groupBy("rg").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wr = prefix_sum(rv, "cnt", order_by=[F.col("rg")], name="cum").select(
+        "rg", (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("w2")
+    )
+    q = (
+        r.join(rng, "user_id")
+        .join(wr, "rg")
+        .select("event_type", (dec(F.col("w2")) * (F.col("r2") - 6)).alias("q4"))
+    )
+    q = q.localCheckpoint(eager=False)  # feeds a16 + the per-treatment rollup
+    sj = q.groupBy("event_type").agg(F.sum("q4").cast("decimal(38,0)").alias("s4"))
+    m = (
+        q.agg(F.sum(F.col("q4") * F.col("q4")).cast("decimal(38,0)").alias("a16"))
+        .crossJoin(
+            F.broadcast(
+                sj.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("k"),
+                    F.sum(F.col("s4") * F.col("s4"))
+                    .cast("decimal(38,0)")
+                    .alias("b16n"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                full_blocks.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+            )
+        )
+    )
+    nb = F.col("n_blocks")
+    return m.select(
+        "n_blocks",
+        "k",
+        (
+            (nb - 1).cast("double") * F.col("b16n").cast("double")
+            / (
+                nb.cast("double") * F.col("a16").cast("double")
+                - F.col("b16n").cast("double")
+            )
+        ).alias("f_quade"),
+    )
+
+
+@register(
+    "q_ts_cointegration",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM c),
+                                    (SELECT max(hr) FROM c))) AS hr
+    ),
+    d AS (
+      SELECT spine.hr, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+      FROM spine LEFT JOIN c USING (hr)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM d
+    ),
+    co AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM s
+    ),
+    e AS (
+      SELECT d.hr, d.y - a - b * d.x AS res, a, b, n
+      FROM d, co
+    ),
+    p AS (
+      SELECT e0.res - e1.res AS de, e1.res AS el, e0.a, e0.b, e0.n
+      FROM e e0 JOIN e e1 ON e1.hr = e0.hr - 1
+    ),
+    m AS (
+      SELECT max(a) AS a, max(b) AS b, max(n) AS n,
+             CAST(count(*) AS BIGINT) AS m,
+             sum(el * de) AS s1, sum(el * el) AS s2, sum(de * de) AS s3
+      FROM p
+    )
+    SELECT n, b AS b_coint,
+           round(s1 / s2, 6) AS gamma_resid,
+           round((s1 / s2)
+                 / sqrt(((s3 - 2 * (s1 / s2) * s1 + (s1 / s2) * (s1 / s2) * s2)
+                         / (m - 1)) / s2), 6) AS t_eg
+    FROM m
+    """,
+)
+def q_ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engle-Granger two-stage cointegration test between the hourly
+    # click and purchase count series: stage 1 fits the long-run
+    # relation y = a + b·x by OLS (closed form over exact integer
+    # moments — b_coint is bit-exact, no rounding); stage 2 runs a
+    # Dickey-Fuller regression WITHOUT constant on the residuals
+    # (Δe_t = γ·e_{t−1}): if the residuals mean-revert (t_eg below the
+    # Engle-Granger critical value, ≈−3.34 at 5%), the two series are
+    # cointegrated — the pairs-trading / KPI-coupling question. The
+    # residuals are per-row doubles (identical trees), but their
+    # moment SUMS are engine-ordered → γ and t_eg carry round-6
+    # (parity rule 5; relative order error ~1e-13 ≪ the 5e-7
+    # half-grid at these ~1-magnitude values). RSS uses the identity
+    # Σ(Δe−γe)² = s3 − 2γs1 + γ²s2 — no second pass. At 100 TB: one
+    # fact groupBy to the hour contingency, spine joins, two scalar
+    # rollups.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"), "event_type"
+        )
+        .groupBy("hr")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spine = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    d = (
+        spine.join(c, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b_expr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    co = s.select(
+        "n", b_expr.alias("b"), ((F.col("sy") - b_expr * F.col("sx")) / nd).alias("a")
+    )
+    e = d.crossJoin(F.broadcast(co)).select(
+        "hr",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("x")).alias("res"),
+        "a",
+        "b",
+        "n",
+    )
+    e0 = e
+    e1 = e.select((F.col("hr") + 1).alias("hr"), F.col("res").alias("res_l"))
+    p = e0.join(e1, "hr").select(
+        (F.col("res") - F.col("res_l")).alias("de"),
+        F.col("res_l").alias("el"),
+        "a",
+        "b",
+        "n",
+    )
+    m = p.agg(
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("el") * F.col("de")).alias("s1"),
+        F.sum(F.col("el") * F.col("el")).alias("s2"),
+        F.sum(F.col("de") * F.col("de")).alias("s3"),
+    )
+    g = F.col("s1") / F.col("s2")
+    return m.select(
+        "n",
+        F.col("b").alias("b_coint"),
+        F.round(g, 6).alias("gamma_resid"),
+        F.round(
+            g
+            / F.sqrt(
+                (
+                    (F.col("s3") - 2 * g * F.col("s1") + g * g * F.col("s2"))
+                    / (F.col("m") - 1)
+                )
+                / F.col("s2")
+            ),
+            6,
+        ).alias("t_eg"),
+    )
