@@ -9221,3 +9221,107 @@ def q_ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_eg"),
     )
+
+
+@register(
+    "q_ts_variance_ratio",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM c),
+                                    (SELECT max(hr) FROM c))) AS hr
+    ),
+    d AS (
+      SELECT spine.hr, COALESCE(c.x, 0) AS x
+      FROM spine LEFT JOIN c USING (hr)
+    ),
+    d1 AS (
+      SELECT CAST(a.x - b.x AS BIGINT) AS dx
+      FROM d a JOIN d b ON b.hr = a.hr - 1
+    ),
+    dq AS (
+      SELECT CAST(a.x - b.x AS BIGINT) AS dq
+      FROM d a JOIN d b ON b.hr = a.hr - 4
+    ),
+    m1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(dx) AS BIGINT) AS s1,
+             CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS ss1
+      FROM d1
+    ),
+    mq AS (
+      SELECT CAST(count(*) AS BIGINT) AS nq,
+             CAST(sum(dq) AS BIGINT) AS sq,
+             CAST(sum(CAST(dq AS HUGEINT) * dq) AS HUGEINT) AS ssq
+      FROM dq
+    )
+    SELECT n1 AS n,
+           (CAST(nq AS DOUBLE) * CAST(ssq AS DOUBLE) - CAST(CAST(sq AS HUGEINT) * sq AS DOUBLE))
+             / (CAST(nq AS DOUBLE) * nq)
+             / (4 * ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * n1))) AS vr4,
+           ((CAST(nq AS DOUBLE) * CAST(ssq AS DOUBLE) - CAST(CAST(sq AS HUGEINT) * sq AS DOUBLE))
+             / (CAST(nq AS DOUBLE) * nq)
+             / (4 * ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * n1))) - 1)
+             / sqrt(2.0e0 * (2 * 4 - 1) * (4 - 1) / (3.0e0 * 4 * n1)) AS z_vr
+    FROM m1, mq
+    """,
+)
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lo-MacKinlay variance-ratio test (q = 4) on the hourly
+    # event-count series: VR(q) = Var(q-period differences) /
+    # (q·Var(1-period differences)) — 1 under a random walk, < 1 under
+    # mean reversion, > 1 under momentum/trending; the
+    # is-this-a-random-walk companion to q_ts_adf. Both difference
+    # series come from dense-spine hr−1 / hr−4 equi-joins; all moments
+    # are exact integers (population variances, the Lo-MacKinlay
+    # convention), and VR and the homoscedastic z are single double
+    # trees over them — bit-exact, NO rounding. At 100 TB: one
+    # fact-table groupBy to the hour contingency + two spine joins +
+    # two scalar rollups.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    spine = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    d = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+
+    def diff_moments(lag: int, pre: str):
+        b = d.select((F.col("hr") + lag).alias("hr"), F.col("x").alias("xl"))
+        dd = d.join(b, "hr").select((F.col("x") - F.col("xl")).cast("bigint").alias("dx"))
+        return dd.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n{pre}"),
+            F.sum("dx").cast("bigint").alias(f"s{pre}"),
+            F.sum(dec(F.col("dx")) * F.col("dx")).cast("decimal(38,0)").alias(f"ss{pre}"),
+        )
+    m = diff_moments(1, "1").crossJoin(F.broadcast(diff_moments(4, "q")))
+    n1d = F.col("n1").cast("double")
+    nqd = F.col("nq").cast("double")
+    var1 = (n1d * F.col("ss1").cast("double")
+            - (dec(F.col("s1")) * F.col("s1")).cast("double")) / (n1d * F.col("n1"))
+    varq = (nqd * F.col("ssq").cast("double")
+            - (dec(F.col("sq")) * F.col("sq")).cast("double")) / (nqd * F.col("nq"))
+    vr = varq / (4 * var1)
+    return m.select(
+        F.col("n1").alias("n"),
+        vr.alias("vr4"),
+        (
+            (vr - 1)
+            / F.sqrt(F.lit(2.0) * (2 * 4 - 1) * (4 - 1) / (F.lit(3.0) * 4 * n1d))
+        ).alias("z_vr"),
+    )
