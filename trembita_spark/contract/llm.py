@@ -4377,3 +4377,68 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "q_text_burstiness",
+    oracle="""
+    WITH tfc AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS s,
+             CAST(sum(CAST(tf AS HUGEINT) * tf) AS HUGEINT) AS ss
+      FROM tfc GROUP BY token
+    ),
+    top AS (
+      SELECT * FROM per ORDER BY df DESC, token LIMIT 10
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT token, df, s AS total_tf,
+           CAST(CAST(n_docs AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+             / CAST(CAST(n_docs AS HUGEINT) * s AS DOUBLE) AS vmr
+    FROM top, n
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Term burstiness (Church-Gale): the variance-to-mean ratio of
+    # per-document counts — including the zero counts of documents NOT
+    # containing the term, handled in closed form:
+    # VMR = (N·Σc² − (Σc)²)/(N·Σc) over all N docs, where only
+    # occurrence rows are ever materialized. VMR ≈ 1 means Poisson
+    # scatter (function words); VMR ≫ 1 means bursty content terms —
+    # the corpus-linguistics signal behind stopword lists, keyword
+    # weighting, and topical-dup screens. Reported for the top-10
+    # document-frequency terms (unique order: df desc, token asc — a
+    # TakeOrdered, never a global sort). All moments exact
+    # integers; VMR is one double division — bit-exact, no rounding.
+    # At 100 TB: one (doc, token) agg + one token agg + a top-k.
+    docs = table(spark, sf_dir, "documents")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    tfc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    per = tfc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("s"),
+        F.sum(dec(F.col("tf")) * F.col("tf")).cast("decimal(38,0)").alias("ss"),
+    )
+    top = per.orderBy(F.col("df").desc(), F.col("token")).limit(10)
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    j = top.crossJoin(F.broadcast(n))
+    return j.select(
+        "token",
+        "df",
+        F.col("s").alias("total_tf"),
+        (
+            (dec(F.col("n_docs")) * F.col("ss") - dec(F.col("s")) * F.col("s"))
+            .cast("double")
+            / (dec(F.col("n_docs")) * F.col("s")).cast("double")
+        ).alias("vmr"),
+    )
