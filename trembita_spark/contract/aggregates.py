@@ -9325,3 +9325,90 @@ def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.lit(2.0) * (2 * 4 - 1) * (4 - 1) / (F.lit(3.0) * 4 * n1d))
         ).alias("z_vr"),
     )
+
+
+_NEYMAN_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _neyman_w(i: int) -> str:
+    # N_h * S_h with the sample SD from exact cent moments — one
+    # identical double tree per stratum on both engines.
+    return (
+        f"(n{i} * sqrt((CAST(n{i} AS DOUBLE) * CAST(ss{i} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+        f" / (CAST(n{i} AS DOUBLE) * (n{i} - 1))))"
+    )
+
+
+@register(
+    "q_agg_neyman_allocation",
+    oracle=f"""
+    WITH piv AS (
+      SELECT
+        {", ".join(
+            f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n{i}, "
+            f"CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) FILTER (WHERE event_type = '{t}') AS BIGINT) AS s{i}, "
+            f"CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)"
+            f" * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) FILTER (WHERE event_type = '{t}') AS HUGEINT) AS ss{i}"
+            for i, t in enumerate(_NEYMAN_TYPES))}
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT *,
+        {", ".join(f"{_neyman_w(i)} AS w{i}" for i in range(5))}
+      FROM piv
+    ),
+    tot AS (SELECT *, w0 + w1 + w2 + w3 + w4 AS wt FROM w)
+    {" UNION ALL ".join(
+        ("SELECT '" + t + "' AS stratum, n" + str(i) + " AS n_rows, "
+         "w" + str(i) + " / n" + str(i) + " AS sd_cents, "
+         "w" + str(i) + " / wt AS alloc_frac FROM tot")
+        for i, t in enumerate(_NEYMAN_TYPES))}
+    """,
+)
+def q_agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Neyman optimal allocation for stratified sampling: given strata
+    # (event types) with sizes N_h and spend SDs S_h, the
+    # variance-minimizing sample allocates n_h ∝ N_h·S_h — the
+    # survey-design rule every stratified data-collection (and
+    # stratified eval-set construction) should use instead of
+    # proportional allocation when strata differ in spread. All
+    # moments are exact cent integers pivoted to ONE scalar row; each
+    # stratum's N_h·S_h and the allocation fractions are identical
+    # double trees with the 5-term total written in fixed literal
+    # order — bit-exact, no rounding. At 100 TB: one conditional-
+    # aggregate scan; pairs with q_sampling_stratified for execution.
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    piv = ev.agg(
+        *[
+            agg
+            for i, t in enumerate(_NEYMAN_TYPES)
+            for agg in (
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n{i}"),
+                F.sum(F.when(F.col("event_type") == t, v100).otherwise(0))
+                .cast("bigint")
+                .alias(f"s{i}"),
+                F.sum(
+                    F.when(F.col("event_type") == t, dec(v100) * v100).otherwise(
+                        F.lit(0).cast("decimal(38,0)")
+                    )
+                )
+                .cast("decimal(38,0)")
+                .alias(f"ss{i}"),
+            )
+        ]
+    )
+    w = piv.selectExpr("*", *[f"{_neyman_w(i)} AS w{i}" for i in range(5)])
+    tot = w.selectExpr("*", "w0 + w1 + w2 + w3 + w4 AS wt")
+    return tot.selectExpr(
+        "stack(5, "
+        + ", ".join(
+            f"'{t}', n{i}, w{i} / n{i}, w{i} / wt"
+            for i, t in enumerate(_NEYMAN_TYPES)
+        )
+        + ") AS (stratum, n_rows, sd_cents, alloc_frac)"
+    )
