@@ -9412,3 +9412,84 @@ def q_agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ") AS (stratum, n_rows, sd_cents, alloc_frac)"
     )
+
+
+def _mh_terms(expr: str) -> str:
+    # fixed 7-term chain over the per-stratum pivoted cells
+    return " + ".join(expr.format(i=i) for i in range(7))
+
+
+@register(
+    "q_stat_mantel_haenszel",
+    oracle=f"""
+    WITH x AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS e,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    piv AS (
+      SELECT
+        {", ".join(
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 1 AND y = 1) AS BIGINT) AS a{i}, "
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 1 AND y = 0) AS BIGINT) AS b{i}, "
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 0 AND y = 1) AS BIGINT) AS c{i}, "
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 0 AND y = 0) AS BIGINT) AS d{i}"
+            for i in range(7))}
+      FROM x
+    ),
+    t AS (
+      SELECT *,
+        {", ".join(f"CAST(a{i} + b{i} + c{i} + d{i} AS BIGINT) AS n{i}" for i in range(7))}
+      FROM piv
+    )
+    SELECT {_mh_terms("n{i}")} AS n,
+           ({_mh_terms("CAST(CAST(a{i} AS HUGEINT) * d{i} AS DOUBLE) / n{i}")})
+             / ({_mh_terms("CAST(CAST(b{i} AS HUGEINT) * c{i} AS DOUBLE) / n{i}")})
+             AS or_mh,
+           {_mh_terms("CAST(CAST(a{i} AS HUGEINT) * d{i} AS DOUBLE) / n{i}")} AS r_sum,
+           {_mh_terms("CAST(CAST(b{i} AS HUGEINT) * c{i} AS DOUBLE) / n{i}")} AS s_sum
+    FROM t
+    """,
+)
+def q_stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mantel-Haenszel common odds ratio: the association between
+    # high-value events (value >= 50) and purchasing, ADJUSTED for
+    # day-of-week strata — the stratified-2x2 estimator that defeats
+    # Simpson's paradox (a crude pooled OR can reverse sign when the
+    # strata differ). OR_MH = SUM(a_i*d_i/n_i) / SUM(b_i*c_i/n_i) over
+    # the 7 strata. Day of week derives from integer epoch-day
+    # arithmetic ((days + 4) mod 7 — 1970-01-01 was a Thursday) so the
+    # strata are engine-identical (Spark's dayofweek() and DuckDB's
+    # disagree on numbering — the q_ml_poisson lesson). One
+    # conditional-count scan to a 28-cell scalar row; both sums are
+    # FIXED 7-term chains — bit-exact, no rounding. At 100 TB: one
+    # scan, O(1) after it.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dow = F.expr("(unix_micros(ts) div 86400000000 + 4) % 7")
+    e = F.when(F.col("value") >= 50, 1).otherwise(0)
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    x = ev.select(dow.alias("dow"), e.alias("e"), y.alias("y"))
+    piv = x.agg(
+        *[
+            agg
+            for i in range(7)
+            for agg in (
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0)).cast("bigint").alias(f"a{i}"),
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 1) & (F.col("y") == 0), 1).otherwise(0)).cast("bigint").alias(f"b{i}"),
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 0) & (F.col("y") == 1), 1).otherwise(0)).cast("bigint").alias(f"c{i}"),
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 0) & (F.col("y") == 0), 1).otherwise(0)).cast("bigint").alias(f"d{i}"),
+            )
+        ]
+    )
+    t = piv.selectExpr(
+        "*", *[f"CAST(a{i} + b{i} + c{i} + d{i} AS BIGINT) AS n{i}" for i in range(7)]
+    )
+    r_txt = _mh_terms("CAST(CAST(a{i} AS DECIMAL(38,0)) * d{i} AS DOUBLE) / n{i}")
+    s_txt = _mh_terms("CAST(CAST(b{i} AS DECIMAL(38,0)) * c{i} AS DOUBLE) / n{i}")
+    return t.selectExpr(
+        _mh_terms("n{i}") + " AS n",
+        f"({r_txt}) / ({s_txt}) AS or_mh",
+        f"{r_txt} AS r_sum",
+        f"{s_txt} AS s_sum",
+    )

@@ -4598,3 +4598,160 @@ def q_stream_tws_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_first"))
         .select(F.col("w.start").alias("wstart"), "n_first")
     )
+
+
+@register(
+    "q_stat_logrank",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(ts) AS entry_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+             max(ts) AS last_ts,
+             CASE WHEN min(CASE WHEN event_type = 'signup' THEN ts END) = min(ts)
+                  THEN 1 ELSE 0 END AS arm_a
+      FROM events GROUP BY user_id
+    ),
+    pu AS (
+      SELECT CAST(CASE WHEN purch_ts IS NOT NULL
+                  THEN CAST(purch_ts AS DATE) - CAST(entry_ts AS DATE)
+                  ELSE CAST(last_ts AS DATE) - CAST(entry_ts AS DATE) END
+                  AS BIGINT) AS t,
+             CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             arm_a
+      FROM per
+    ),
+    lv AS (
+      SELECT t,
+             CAST(sum(CASE WHEN arm_a = 1 THEN obs ELSE 0 END) AS BIGINT) AS da,
+             CAST(sum(CASE WHEN arm_a = 0 THEN obs ELSE 0 END) AS BIGINT) AS db,
+             CAST(sum(arm_a) AS BIGINT) AS ma,
+             CAST(sum(1 - arm_a) AS BIGINT) AS mb
+      FROM pu GROUP BY t
+    ),
+    c AS (
+      SELECT *,
+             CAST(sum(ma) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cma,
+             CAST(sum(mb) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cmb
+      FROM lv
+    ),
+    tt AS (
+      SELECT CAST(sum(ma) AS BIGINT) AS na_tot,
+             CAST(sum(mb) AS BIGINT) AS nb_tot
+      FROM lv
+    ),
+    r AS (
+      SELECT t, da, db,
+             CAST(na_tot - (cma - ma) AS BIGINT) AS nra,
+             CAST(nb_tot - (cmb - mb) AS BIGINT) AS nrb
+      FROM c CROSS JOIN tt
+      WHERE da + db >= 1
+    ),
+    m AS (
+      SELECT CAST(sum(da) AS BIGINT) AS o_a,
+             sum(CAST(da + db AS DOUBLE) * nra / (nra + nrb)) AS e_a,
+             sum(CASE WHEN nra + nrb > 1 THEN
+                 CAST(da + db AS DOUBLE) * nra * nrb
+                   * (nra + nrb - (da + db))
+                   / (CAST(nra + nrb AS DOUBLE) * (nra + nrb) * (nra + nrb - 1))
+                 ELSE 0 END) AS v
+      FROM r
+    )
+    SELECT o_a, round(e_a, 6) AS e_a,
+           round((o_a - e_a) * (o_a - e_a) / v, 6) AS chi2_logrank
+    FROM m
+    """,
+)
+def q_stat_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Log-rank test: do users who ENTER via signup convert to purchase
+    # on a different survival curve than users who enter any other way?
+    # The arm is fixed at entry (first event type == 'signup'), so
+    # there is no immortal-time bias; durations and right-censoring are
+    # exactly q_events_kaplan_meier's. At each event time the
+    # hypergeometric contribution (expected arm-A deaths and variance
+    # given the margins) accumulates; O_a is an exact integer, while
+    # E_a and V are sums of per-time rationals (engine-ordered double
+    # addition over the duration support) → round-6 (parity rule 5).
+    # Per-arm risk sets come from ONE prefix_sum_multi pass over the
+    # duration-level frame. At 100 TB: one user agg + one duration agg
+    # + one range-partitioned prefix pass + a scalar rollup.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("entry_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+        F.when(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            == F.min("ts"),
+            1,
+        )
+        .otherwise(0)
+        .alias("arm_a"),
+    )
+    end_ts = F.coalesce("purch_ts", "last_ts")
+    pu = per.select(
+        F.datediff(end_ts.cast("date"), F.col("entry_ts").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("purch_ts").isNotNull(), 1).otherwise(0).alias("obs"),
+        "arm_a",
+    )
+    lv = pu.groupBy("t").agg(
+        F.sum(F.when(F.col("arm_a") == 1, F.col("obs")).otherwise(0))
+        .cast("bigint")
+        .alias("da"),
+        F.sum(F.when(F.col("arm_a") == 0, F.col("obs")).otherwise(0))
+        .cast("bigint")
+        .alias("db"),
+        F.sum("arm_a").cast("bigint").alias("ma"),
+        F.sum(1 - F.col("arm_a")).cast("bigint").alias("mb"),
+    )
+    c = prefix_sum_multi(lv, ["ma", "mb"], order_by=[F.col("t")], names=["cma", "cmb"])
+    tt = lv.agg(
+        F.sum("ma").cast("bigint").alias("na_tot"),
+        F.sum("mb").cast("bigint").alias("nb_tot"),
+    )
+    r = (
+        c.crossJoin(F.broadcast(tt))
+        .where(F.col("da") + F.col("db") >= 1)
+        .select(
+            "t",
+            "da",
+            "db",
+            (F.col("na_tot") - (F.col("cma") - F.col("ma")))
+            .cast("bigint")
+            .alias("nra"),
+            (F.col("nb_tot") - (F.col("cmb") - F.col("mb")))
+            .cast("bigint")
+            .alias("nrb"),
+        )
+    )
+    n = F.col("nra") + F.col("nrb")
+    d = F.col("da") + F.col("db")
+    m = r.agg(
+        F.sum("da").cast("bigint").alias("o_a"),
+        F.sum(d.cast("double") * F.col("nra") / n).alias("e_a"),
+        F.sum(
+            F.when(
+                n > 1,
+                d.cast("double")
+                * F.col("nra")
+                * F.col("nrb")
+                * (n - d)
+                / (n.cast("double") * n * (n - 1)),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    return m.select(
+        "o_a",
+        F.round("e_a", 6).alias("e_a"),
+        F.round(
+            (F.col("o_a") - F.col("e_a")) * (F.col("o_a") - F.col("e_a"))
+            / F.col("v"),
+            6,
+        ).alias("chi2_logrank"),
+    )
