@@ -9493,3 +9493,163 @@ def q_stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{r_txt} AS r_sum",
         f"{s_txt} AS s_sum",
     )
+
+
+@register(
+    "q_stat_cuped",
+    oracle="""
+    WITH mid AS (
+      SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS m
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) < m
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= m
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+      FROM events, mid
+      WHERE value IS NOT NULL
+      GROUP BY user_id, m
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM per
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2
+    FROM s
+    """,
+)
+def q_stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUPED (Controlled-experiment Using Pre-Existing Data): the
+    # industry-standard A/B variance-reduction preprocessing — adjust
+    # each user's experiment-period metric Y by θ·(X − X̄) where X is
+    # the same user's PRE-period metric and θ = cov(X,Y)/var(X); the
+    # adjusted metric's variance shrinks by exactly ρ² (the fraction
+    # reported here — rho2 = 0.2 means 20% fewer users for the same
+    # power). Pre/post split at the fixture's temporal midpoint
+    # (integer epoch-µs arithmetic, engine-identical); per-user spend
+    # enters as exact cent integers, all six moments are exact
+    # HUGEINT/decimal, and θ/ρ² are single double trees — bit-exact,
+    # NO rounding. At 100 TB: one user-keyed agg + a scalar rollup.
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mid = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+            ).cast("bigint")
+        ).alias("m")
+    )
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    per = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") < F.col("m"), v100).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.unix_micros("ts") >= F.col("m"), v100).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec(F.col("x")) * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cxy = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return s.select(
+        "n",
+        (cxy / vx).alias("theta"),
+        ((cxy * cxy) / (vx * vy)).alias("rho2"),
+    )
+
+
+@register(
+    "q_stat_srm",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS BIGINT) AS arm
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(arm) AS BIGINT) AS n1
+      FROM u
+    )
+    SELECT n, n - n1 AS n_arm0, n1 AS n_arm1,
+           (CAST(n - n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+             * (CAST(n - n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+             / (CAST(n AS DOUBLE) / 2)
+           + (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+             * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+             / (CAST(n AS DOUBLE) / 2) AS chi2_srm
+    FROM c
+    """,
+)
+def q_stat_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sample-ratio-mismatch guardrail: deterministically hash-assign
+    # every user to one of two arms (md5 head, the repo's RNG-free
+    # bucketing convention — exactly how a real experiment assigns) and
+    # chi-square the realized split against the designed 50/50. SRM is
+    # the first thing a trustworthy A/B platform checks — a significant
+    # chi2 means the assignment or logging pipeline is broken and every
+    # downstream p-value is garbage. All counts exact; chi2 is one
+    # fixed 2-cell double chain — bit-exact, no rounding. At 100 TB:
+    # one distinct + one scalar rollup.
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    u = ev.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    c = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("arm").cast("bigint").alias("n1"),
+    )
+    nd = F.col("n").cast("double")
+    e = nd / 2
+    a0 = (F.col("n") - F.col("n1")).cast("double")
+    a1 = F.col("n1").cast("double")
+    return c.select(
+        "n",
+        (F.col("n") - F.col("n1")).alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        ((a0 - e) * (a0 - e) / e + (a1 - e) * (a1 - e) / e).alias("chi2_srm"),
+    )
