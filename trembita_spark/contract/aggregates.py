@@ -9653,3 +9653,153 @@ def q_stat_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_arm1"),
         ((a0 - e) * (a0 - e) / e + (a1 - e) * (a1 - e) / e).alias("chi2_srm"),
     )
+
+
+@register(
+    "q_ts_kpss",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM c),
+                                    (SELECT max(hr) FROM c))) AS hr
+    ),
+    d AS (
+      SELECT spine.hr, COALESCE(c.x, 0) AS x
+      FROM spine LEFT JOIN c USING (hr)
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM d
+    ),
+    cu AS (
+      SELECT hr,
+             CAST(sum(x) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS i,
+             x
+      FROM d
+    ),
+    num AS (
+      SELECT sum(CAST(CAST(n AS HUGEINT) * cum - i * s AS HUGEINT)
+                 * (CAST(n AS HUGEINT) * cum - i * s)) AS ssn
+      FROM cu, t
+    ),
+    g0 AS (
+      SELECT sum(CAST(CAST(n AS HUGEINT) * x - s AS HUGEINT)
+                 * (CAST(n AS HUGEINT) * x - s)) AS g
+      FROM d, t
+    ),
+    gl AS (
+      SELECT l.l,
+             sum(CAST(CAST(n AS HUGEINT) * a.x - s AS HUGEINT)
+                 * (CAST(n AS HUGEINT) * b.x - s)) AS g
+      FROM d a
+      JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l ON true
+      JOIN d b ON b.hr = a.hr - l.l
+      CROSS JOIN t
+      GROUP BY l.l
+    ),
+    lr AS (
+      SELECT CAST((SELECT g FROM g0) AS DOUBLE)
+             + 2 * (CAST((SELECT g FROM gl WHERE l = 1) AS DOUBLE) * 4 / 5
+                    + CAST((SELECT g FROM gl WHERE l = 2) AS DOUBLE) * 3 / 5
+                    + CAST((SELECT g FROM gl WHERE l = 3) AS DOUBLE) * 2 / 5
+                    + CAST((SELECT g FROM gl WHERE l = 4) AS DOUBLE) * 1 / 5)
+               AS s2n3
+      FROM t
+    )
+    SELECT n,
+           CAST((SELECT ssn FROM num) AS DOUBLE)
+             / CAST(n AS DOUBLE) / s2n3 AS kpss_stat
+    FROM t, lr
+    """,
+)
+def q_ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KPSS level-stationarity test on the hourly count series — the
+    # null-reversed complement to q_ts_adf (KPSS H0 = stationary, ADF
+    # H0 = unit root; running both gives the standard four-quadrant read).
+    # η = N^-2·Σ S_t² / s²(q) with S_t the demeaned partial sums and
+    # s²(q) the Bartlett long-run variance (q = 4). EVERYTHING is
+    # exact integer algebra until one final division chain: the scaled
+    # partial sum N·S_t = N·cum_t − t·S is an exact integer (no
+    # per-row double mean ever subtracted), Σ(N·S_t)² rides HUGEINT/
+    # decimal, and each scaled autocovariance Σ(N·x_t − S)(N·x_{t−l} −
+    # S) is exact too; the Bartlett weights (1 − l/(q+1)) enter as
+    # exact rationals 4/5..1/5. Scale bookkeeping: Σ(N·S_t)² = N²·ΣS_t²
+    # and the scaled autocovariance sums are N³·γ_l, so η = ssn/(N·s2n3)
+    # — the single-N divisor is numpy-validated (the first cut divided
+    # by N² on BOTH engines and parity alone could not catch it: shared
+    # algebra errors are exactly what the external cross-check is for).
+    # Bit-exact, NO rounding (unlike most KPSS implementations, which
+    # demean in floats). At 100 TB: spine
+    # prefix sum + four lag joins on the calendar frame.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    spine = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    d = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    cu = prefix_sum_multi(
+        d.withColumn("one", F.lit(1)),
+        ["x", "one"],
+        order_by=[F.col("hr")],
+        names=["cum", "i"],
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ns_t = dec(F.col("n")) * F.col("cum") - dec(F.col("i")) * F.col("s")
+    num = cu.crossJoin(F.broadcast(t)).agg(
+        F.sum(ns_t * ns_t).cast("decimal(38,0)").alias("ssn")
+    )
+    e_t = dec(F.col("n")) * F.col("x") - F.col("s")
+    g0 = d.crossJoin(F.broadcast(t)).agg(
+        F.sum(e_t * e_t).cast("decimal(38,0)").alias("g0")
+    )
+    lags = {}
+    for lag in (1, 2, 3, 4):
+        b = d.select((F.col("hr") + lag).alias("hr"), F.col("x").alias("xl"))
+        e_a = dec(F.col("n")) * F.col("x") - F.col("s")
+        e_b = dec(F.col("n")) * F.col("xl") - F.col("s")
+        lags[lag] = (
+            d.join(b, "hr")
+            .crossJoin(F.broadcast(t))
+            .agg(F.sum(e_a * e_b).cast("decimal(38,0)").alias(f"g{lag}"))
+        )
+    m = t.crossJoin(F.broadcast(num)).crossJoin(F.broadcast(g0))
+    for lag in (1, 2, 3, 4):
+        m = m.crossJoin(F.broadcast(lags[lag]))
+    s2n3 = (
+        F.col("g0").cast("double")
+        + 2
+        * (
+            F.col("g1").cast("double") * 4 / 5
+            + F.col("g2").cast("double") * 3 / 5
+            + F.col("g3").cast("double") * 2 / 5
+            + F.col("g4").cast("double") * 1 / 5
+        )
+    )
+    return m.select(
+        "n",
+        (
+            F.col("ssn").cast("double")
+            / F.col("n").cast("double")
+            / s2n3
+        ).alias("kpss_stat"),
+    )
