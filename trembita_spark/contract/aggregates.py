@@ -9803,3 +9803,168 @@ def q_ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
             / s2n3
         ).alias("kpss_stat"),
     )
+
+
+@register(
+    "q_agg_lorenz",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(CAST(v AS HUGEINT) * cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumv
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT) * cnt) AS HUGEINT) AS s
+      FROM pv
+    ),
+    g AS (
+      SELECT CAST((10 * CAST(cum AS HUGEINT) + n - 1) // n AS BIGINT) AS dl,
+             max(cumv) AS mv
+      FROM c, t
+      GROUP BY 1
+    ),
+    dec_ AS (SELECT unnest(generate_series(1, 10)) AS d),
+    pts AS (
+      SELECT d, coalesce(max(CASE WHEN dl <= d THEN mv END), 0) AS below
+      FROM g, dec_
+      GROUP BY d
+    )
+    SELECT d AS decile,
+           CAST(below AS DOUBLE) / CAST((SELECT s FROM t) AS DOUBLE) AS cum_share
+    FROM pts
+    """,
+)
+def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lorenz curve sample points — the inequality curve behind
+    # q_agg_gini, reported as the cumulative spend share held by the
+    # bottom d/10 of events for d = 1..10 (L(1.0) = 1 closes the
+    # curve). Point definition kept EXACT and integral: "below" at
+    # decile d = the running cent total of the largest value-support
+    # prefix whose population count satisfies cum·10 ≤ n·d (no
+    # interpolation — a data-defined step function both engines agree
+    # on exactly). One value-support prefix pass carries both running
+    # count and running cent total; each support row then maps to its
+    # MINIMAL qualifying decile dl = ceil(10·cum/n) (exact integer
+    # division) and collapses to a ≤10-row (dl, max cumv) frame, so
+    # the decile lookups are a config-sized join — the data-bearing
+    # frame never cross-joins the spine. Output is ten exact-integer
+    # ratios — bit-exact, no rounding. At 100 TB: value-support work
+    # only.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    pv = ev.select(v100.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pv = pv.withColumn("vw", (dec(F.col("v")) * F.col("cnt")).cast("decimal(38,0)"))
+    c = prefix_sum_multi(
+        pv, ["cnt", "vw"], order_by=[F.col("v")], names=["cum", "cumv"]
+    )
+    t = pv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("vw").cast("decimal(38,0)").alias("s"),
+    )
+    g = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.expr("CAST((10 * CAST(cum AS DECIMAL(38,0)) + n - 1) div n AS BIGINT)").alias("dl"),
+            "cumv",
+            "s",
+        )
+        .groupBy("dl")
+        .agg(F.max("cumv").alias("mv"), F.max("s").alias("s"))
+    )
+    decs = ev.sparkSession.range(1, 11).select(F.col("id").alias("d"))
+    pts = (
+        g.crossJoin(F.broadcast(decs))
+        .groupBy("d")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("dl") <= F.col("d"), F.col("mv"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("below"),
+            F.max("s").alias("s"),
+        )
+    )
+    return pts.select(
+        F.col("d").alias("decile"),
+        (F.col("below").cast("double") / F.col("s").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+@register(
+    "q_stat_power_mde",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM per
+    )
+    SELECT n,
+           CAST(sy AS DOUBLE) / n AS mean_cents,
+           sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1))
+             AS sd_cents,
+           (1.959963984540054e0 + 0.8416212335729143e0)
+             * sqrt(2 * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1))
+                    / (CAST(n AS DOUBLE) / 2)) AS mde_cents,
+           (1.959963984540054e0 + 0.8416212335729143e0)
+             * sqrt(2 * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1))
+                    / (CAST(n AS DOUBLE) / 2))
+             / (CAST(sy AS DOUBLE) / n) AS mde_rel
+    FROM s
+    """,
+)
+def q_stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Experiment power planning: the minimum detectable effect (MDE)
+    # of a two-arm test that splits THIS user population 50/50 on
+    # per-user spend — MDE = (z_{α/2} + z_β)·sqrt(2σ²/n_arm) at
+    # α = 0.05 two-sided, 80% power (z constants are hardcoded double
+    # literals, so no inverse-normal call enters either engine). The
+    # question every A/B design review asks first: "can this
+    # population even detect the lift you're claiming?" Moments are
+    # exact cent integers; sd/MDE are single double trees — bit-exact,
+    # NO rounding. At 100 TB: one user agg + a scalar rollup; pairs
+    # with q_stat_srm (trust) and q_stat_cuped (shrinking this MDE by
+    # sqrt(1−ρ²)).
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    per = ev.groupBy("user_id").agg(F.sum(v100).cast("bigint").alias("y"))
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec(F.col("y")) * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n")
+    var = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / n
+    ) / (n - 1)
+    z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    mde = z * F.sqrt(2 * var / (n.cast("double") / 2))
+    return s.select(
+        "n",
+        (F.col("sy").cast("double") / n).alias("mean_cents"),
+        F.sqrt(var).alias("sd_cents"),
+        mde.alias("mde_cents"),
+        (mde / (F.col("sy").cast("double") / n)).alias("mde_rel"),
+    )
