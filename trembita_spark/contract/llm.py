@@ -4442,3 +4442,115 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (dec(F.col("n_docs")) * F.col("s")).cast("double")
         ).alias("vmr"),
     )
+
+
+@register(
+    "q_text_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM tok),
+    tr AS (
+      SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 5 <> 0
+    ),
+    te AS (
+      SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 5 = 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test_grams,
+             CAST(count(*) FILTER (WHERE g NOT IN (SELECT g FROM tr)) AS BIGINT)
+               AS n_novel
+      FROM te
+    )
+    SELECT n_test_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / n_test_grams AS novelty_rate
+    FROM m
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # N-gram novelty of a held-out split: the fraction of the test
+    # split's distinct word trigrams NEVER seen in the train split —
+    # the generalization-pressure metric behind contamination audits
+    # (novelty ~ 0 means the eval set is memorizable from train) and
+    # the dedup-strength dial (over-aggressive dedup drives novelty
+    # toward 1 by deleting shared boilerplate). Deterministic 80/20
+    # split on doc_id % 5; distinct-gram frames + one anti join — the
+    # exact complement of q_text_contamination's semi join. All-integer
+    # counts, one exact ratio. At 100 TB: two distinct-gram aggregates
+    # + a hash anti join keyed on the gram — work ∝ vocabulary of
+    # 3-grams, never pairwise.
+    from trembita_spark.operators.dedup import shingles_expr
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles_expr("text", 3)).alias("g"))
+    tr = sh.where(F.col("doc_id") % 5 != 0).select("g").distinct()
+    te = sh.where(F.col("doc_id") % 5 == 0).select("g").distinct()
+    novel = te.join(tr, "g", "left_anti")
+    m = te.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_grams")).crossJoin(
+        F.broadcast(novel.agg(F.count(F.lit(1)).cast("bigint").alias("n_novel")))
+    )
+    return m.select(
+        "n_test_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_test_grams")).alias(
+            "novelty_rate"
+        ),
+    )
+
+
+@register(
+    "q_embedding_anisotropy",
+    oracle=f"""
+    WITH comp AS (
+      SELECT s.j, CAST(embedding[s.j] AS DECIMAL(18,12)) AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS s(j)
+    ),
+    dims AS (
+      SELECT j, CAST(sum(x) AS DOUBLE) AS sj
+      FROM comp GROUP BY j
+    ),
+    mu AS (SELECT sum(sj * sj) AS mu2 FROM dims),
+    nrm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST({_NORM_SQL} AS DECIMAL(18,12))) AS DOUBLE) AS norm_sum
+      FROM embeddings
+    )
+    SELECT n, norm_sum,
+           round(sqrt(mu2) / n, 6) AS centroid_norm,
+           round(sqrt(mu2) / norm_sum, 6) AS r_bar
+    FROM nrm, mu
+    """,
+)
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding ANISOTROPY audit — the "narrow cone" pathology check
+    # (Ethayarajh-style): contextual embedding spaces often collapse
+    # toward a common direction, which silently breaks cosine
+    # similarity (everything looks similar). Mean resultant length
+    # R̄ = ‖Σv‖ / Σ‖v‖ is the direction-concentration statistic: ~0
+    # for an isotropic cloud, → 1 as vectors align; centroid_norm =
+    # ‖Σv‖/n is its unnormalized sibling. Per-dimension sums ride the
+    # decimal(18,12) trick (exact, order-free — parity rule 4); the
+    # 64-term Σ s_j² and the norms' fold are the only engine-ordered
+    # float sums → round-6 on the two ratios (rule 5), with n and the
+    # decimal norm_sum exact. At 100 TB: one posexplode scan to a
+    # |dims|-row aggregate + one norm scan — no shuffle wider than the
+    # 64-dim frame. Pair with q_embedding_covariance/PCA for the full spectrum.
+    from trembita_spark.operators.similarity import with_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("j", "x")
+    ).select("j", F.col("x").cast("decimal(18,12)").alias("x"))
+    dims = comp.groupBy("j").agg(F.sum("x").cast("double").alias("sj"))
+    mu = dims.agg(F.sum(F.col("sj") * F.col("sj")).alias("mu2"))
+    nrm = with_norm(emb).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("norm").cast("decimal(18,12)")).cast("double").alias("norm_sum"),
+    )
+    m = nrm.crossJoin(F.broadcast(mu))
+    return m.select(
+        "n",
+        "norm_sum",
+        F.round(F.sqrt(F.col("mu2")) / F.col("n"), 6).alias("centroid_norm"),
+        F.round(F.sqrt(F.col("mu2")) / F.col("norm_sum"), 6).alias("r_bar"),
+    )

@@ -4755,3 +4755,47 @@ def q_stat_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_logrank"),
     )
+
+
+@register(
+    "q_stream_exactly_once_sink",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    """,
+)
+def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACTLY-ONCE file-sink evidence: the same availableNow query is
+    # STARTED TWICE against the same checkpoint location and the same
+    # parquet sink — run 1 processes the whole fixture; run 2 starts,
+    # consults the checkpoint's committed offsets, finds nothing new,
+    # and writes NOTHING. The oracle (events, exactly once) therefore
+    # checks the real guarantee a production pipeline leans on: source
+    # offsets + sink commit log make restarts idempotent — a re-run
+    # after a crash or an orchestrator retry must not duplicate rows.
+    # (The memory-sink keys can't show this: they re-register per run.)
+    # At 100 TB this is THE recovery contract of every structured-
+    # streaming job; checkpoint state is offsets + sink metadata, not
+    # data-sized. Column subset keeps the parquet round trip
+    # timestamp-exact (props carries none of the semantics).
+    from trembita_spark.contract import run_tmp
+
+    base = run_tmp("stream_once")
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    src = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    for _ in range(2):  # second start must be a no-op via the checkpoint
+        q = (
+            src.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(sink)
