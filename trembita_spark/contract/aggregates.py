@@ -9968,3 +9968,55 @@ def q_stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_cents"),
         (mde / (F.col("sy").cast("double") / n)).alias("mde_rel"),
     )
+
+
+@register(
+    "q_agg_hill_tail_index",
+    oracle="""
+    WITH top AS (
+      SELECT value AS v FROM events
+      WHERE value IS NOT NULL AND value > 0
+      ORDER BY value DESC, event_id
+      LIMIT 100
+    ),
+    xk AS (SELECT min(v) AS vk FROM top),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(ln(v / vk)) AS slog
+      FROM top, xk
+    )
+    SELECT k,
+           round(slog / k, 6) AS hill_xi,
+           round(CAST(k AS DOUBLE) / slog, 6) AS tail_alpha
+    FROM m
+    """,
+)
+def q_agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hill estimator of the tail index over the top-100 order
+    # statistics of `value`: ξ = (1/k)·Σ ln(x_(i)/x_(k)) and
+    # α = 1/ξ — the heavy-tail diagnostic behind "is p99 even finite
+    # to estimate?" (α ≤ 2 means infinite variance; α ≤ 1 infinite
+    # mean — SLO math changes regime). The top-k multiset is selected
+    # under a UNIQUE total order (value desc, event_id) so boundary
+    # ties resolve identically on both engines (a TakeOrdered, never a
+    # global sort); the k=100 log terms are identical addends whose
+    # SUM is engine-ordered + libm ln → round-6 on ξ and α (parity
+    # rule 5), k exact. At 100 TB: one top-k + a 100-row rollup.
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    top = (
+        ev.select(F.col("value").alias("v"), "event_id")
+        .orderBy(F.col("v").desc(), F.col("event_id"))
+        .limit(100)
+    )
+    xk = top.agg(F.min("v").alias("vk"))
+    m = top.crossJoin(F.broadcast(xk)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.log(F.col("v") / F.col("vk"))).alias("slog"),
+    )
+    return m.select(
+        "k",
+        F.round(F.col("slog") / F.col("k"), 6).alias("hill_xi"),
+        F.round(F.col("k").cast("double") / F.col("slog"), 6).alias("tail_alpha"),
+    )
