@@ -10020,3 +10020,72 @@ def q_agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("slog") / F.col("k"), 6).alias("hill_xi"),
         F.round(F.col("k").cast("double") / F.col("slog"), 6).alias("tail_alpha"),
     )
+
+
+@register(
+    "q_stat_risk_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(count(*) FILTER (WHERE hour(ts) >= 12 AND event_type = 'purchase') AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE hour(ts) >= 12 AND event_type <> 'purchase') AS BIGINT) AS b,
+             CAST(count(*) FILTER (WHERE hour(ts) < 12 AND event_type = 'purchase') AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE hour(ts) < 12 AND event_type <> 'purchase') AS BIGINT) AS d
+      FROM events
+    ),
+    r AS (
+      SELECT a, b, c, d,
+             CAST(a AS DOUBLE) / (a + b) AS p1,
+             CAST(c AS DOUBLE) / (c + d) AS p0
+      FROM t
+    )
+    SELECT a + b + c + d AS n,
+           round(p1 / p0, 12) AS rr,
+           round(exp(ln(p1 / p0)
+                     - 1.959963984540054e0
+                       * sqrt(CAST(b AS DOUBLE) / a / (a + b)
+                              + CAST(d AS DOUBLE) / c / (c + d))), 12) AS rr_lo,
+           round(exp(ln(p1 / p0)
+                     + 1.959963984540054e0
+                       * sqrt(CAST(b AS DOUBLE) / a / (a + b)
+                              + CAST(d AS DOUBLE) / c / (c + d))), 12) AS rr_hi,
+           round(p1 - p0, 12) AS risk_diff,
+           round(1.0e0 / (p1 - p0), 6) AS nnt
+    FROM r
+    """,
+)
+def q_stat_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Relative risk with the Katz log 95% CI, plus the absolute
+    # measures epidemiology and A/B readouts actually act on: risk
+    # difference (attributable risk) and number-needed-to-treat
+    # 1/(p1−p0). Same 2x2 frame as q_stat_odds_ratio (exposure =
+    # afternoon, outcome = purchase) — RR answers the
+    # probability-ratio question the OR only approximates when the
+    # outcome is common. Cells exact from one scan; ln/exp are libm →
+    # round-12 on the CI, round-6 on the NNT reciprocal (its ~1e2
+    # magnitude needs the coarser absolute grid); p-ratios identical
+    # trees. At 100 TB: one conditional-count scan to a scalar row.
+    ev = table(spark, sf_dir, "events")
+    exp_ = F.hour("ts") >= 12
+    out_ = F.col("event_type") == "purchase"
+    cell = lambda p, t: F.sum(F.when(p & t, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    t = ev.agg(
+        cell(exp_, out_).alias("a"),
+        cell(exp_, ~out_).alias("b"),
+        cell(~exp_, out_).alias("c"),
+        cell(~exp_, ~out_).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    p1 = a.cast("double") / (a + b)
+    p0 = c.cast("double") / (c + d)
+    se = F.sqrt(
+        b.cast("double") / a / (a + b) + d.cast("double") / c / (c + d)
+    )
+    z = F.lit(1.959963984540054)
+    return t.select(
+        (a + b + c + d).alias("n"),
+        F.round(p1 / p0, 12).alias("rr"),
+        F.round(F.exp(F.log(p1 / p0) - z * se), 12).alias("rr_lo"),
+        F.round(F.exp(F.log(p1 / p0) + z * se), 12).alias("rr_hi"),
+        F.round(p1 - p0, 12).alias("risk_diff"),
+        F.round(F.lit(1.0) / (p1 - p0), 6).alias("nnt"),
+    )
