@@ -10089,3 +10089,53 @@ def q_stat_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 - p0, 12).alias("risk_diff"),
         F.round(F.lit(1.0) / (p1 - p0), 6).alias("nnt"),
     )
+
+
+@register(
+    "q_stat_cohens_h",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(count(*) FILTER (WHERE hour(ts) >= 12 AND event_type = 'purchase') AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE hour(ts) >= 12) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE hour(ts) < 12 AND event_type = 'purchase') AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE hour(ts) < 12) AS BIGINT) AS n0
+      FROM events
+    )
+    SELECT n1 + n0 AS n,
+           CAST(a AS DOUBLE) / n1 AS p1,
+           CAST(c AS DOUBLE) / n0 AS p0,
+           round(2 * asin(sqrt(CAST(a AS DOUBLE) / n1))
+                 - 2 * asin(sqrt(CAST(c AS DOUBLE) / n0)), 12) AS cohens_h
+    FROM t
+    """,
+)
+def q_stat_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohen's h — the effect size for a DIFFERENCE OF PROPORTIONS
+    # (afternoon vs morning purchase rate) on the arcsine-sqrt scale,
+    # where equal differences are equally detectable regardless of the
+    # baseline rate (the variance-stabilizing transform): the number
+    # you plug into power analysis for two-proportion tests, next to
+    # q_stat_proportion_z's significance and q_stat_power_mde's
+    # continuous-metric MDE. Counts exact from one scan; the two
+    # proportions are identical double trees; asin is libm →
+    # round-12 on h only (the odds-ratio discipline). At 100 TB: one
+    # conditional-count scan to a scalar row.
+    ev = table(spark, sf_dir, "events")
+    aft = F.hour("ts") >= 12
+    pur = F.col("event_type") == "purchase"
+    t = ev.agg(
+        F.sum(F.when(aft & pur, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(aft, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~aft & pur, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~aft, 1).otherwise(0)).cast("bigint").alias("n0"),
+    )
+    p1 = F.col("a").cast("double") / F.col("n1")
+    p0 = F.col("c").cast("double") / F.col("n0")
+    return t.select(
+        (F.col("n1") + F.col("n0")).alias("n"),
+        p1.alias("p1"),
+        p0.alias("p0"),
+        F.round(2 * F.asin(F.sqrt(p1)) - 2 * F.asin(F.sqrt(p0)), 12).alias(
+            "cohens_h"
+        ),
+    )
