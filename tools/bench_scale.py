@@ -685,15 +685,26 @@ def main():
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_CASES")
     heavy_out = os.environ.get("SPARK_GRAFT_HEAVY_ARTIFACT")
-    if heavy_out and not only:
+    if heavy_out:
         # the committed per-round heavy-key artifact (round-9 verdict
         # #5): the five heaviest keys at 1x/8x, so round-over-round
         # regressions on them are mechanically diffable against
         # BASELINE §15's 57.5s quiet line instead of living in prose.
+        # The heavy artifact PINS this case list: honoring a stray
+        # SPARK_GRAFT_SCALE_CASES here would silently record a
+        # different set under the same heavy8x_total label (ADVICE r10).
+        if only:
+            print(
+                "NOTE: SPARK_GRAFT_SCALE_CASES ignored — the heavy "
+                "artifact records its fixed case list",
+                file=sys.stderr,
+            )
         only = "ktruss,betweenness,closeness,eccentricity,corpus_pipeline"
     if only:
         wanted = {c.strip() for c in only.split(",")}
         cases = {k: v for k, v in cases.items() if k in wanted}
+    if not cases:
+        sys.exit(f"no scale cases matched filter {only!r}")
     out = {}
     for name, (f1, f8) in cases.items():
         t1 = median_time(f1)

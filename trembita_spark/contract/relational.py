@@ -3566,27 +3566,36 @@ def q_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = f"cat_orders_{next(_CATALOG_SEQ)}"
     base = run_tmp("catalog")
-    (
-        table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-        .write.partitionBy("o_orderpriority")
-        .option("path", f"{base}/{t}")
-        .mode("overwrite")
-        .saveAsTable(t)
-    )
-    spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
-    spark.sql(
-        f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS o_totalprice, o_custkey"
-    )
-    o = spark.table(t).where(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    )
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
-    )
+    try:
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.partitionBy("o_orderpriority")
+            .option("path", f"{base}/{t}")
+            .mode("overwrite")
+            .saveAsTable(t)
+        )
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS o_totalprice, o_custkey"
+        )
+        o = spark.table(t).where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        res = o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        # Materialize (2-row aggregate) so the returned frame no longer
+        # depends on the table, then drop the metastore entry — repeated
+        # parity/bench invocations must not accumulate catalog entries
+        # and warehouse dirs (ADVICE r10; run_tmp reaps the files, the
+        # DROP reaps the metastore row).
+        return res.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 @register(

@@ -4350,9 +4350,13 @@ _MKV_TRANSIENT = ("click", "error", "signup", "view")  # absorbing: purchase
 
 def _mkv_m(i: int, j: int) -> str:
     # (I - Q)[i][j] from the pivoted count row: exact-integer count /
-    # row total, identical division tree on both engines.
+    # row total, identical division tree on both engines. NULLIF guards
+    # an empty transient state (rn=0): Spark's non-ANSI x/0 is NULL
+    # while DuckDB's IEEE division is inf/NaN — a confusing cross-engine
+    # parity mismatch; NULLIF makes both engines propagate NULL
+    # identically instead (ADVICE r10).
     lead = "1.0e0" if i == j else "0.0e0"
-    return f"({lead} - CAST(c{i}{j} AS DOUBLE) / rn{i})"
+    return f"({lead} - CAST(c{i}{j} AS DOUBLE) / NULLIF(rn{i}, 0))"
 
 
 def _mkv_dets() -> list[str]:

@@ -809,14 +809,20 @@ def ordinal_association(
     Same contingency-cell + bounded-pivot + ONE prefix-sum lane as
     kendall_tau_b (never O(n²) pairs); pair and tie moments ride the
     exact decimal(38,0) lane, the three ratios are single double
-    expressions (identical trees in a SQL oracle — no rounding)."""
+    expressions (identical trees in a SQL oracle — no rounding).
+
+    Rows whose y is OUTSIDE ``y_values`` are excluded from the test
+    (n, ties, and pair moments) — filtered explicitly here, so the
+    restriction is part of the operator's contract rather than an
+    accident of the pivot (ADVICE r10: a SQL oracle that counts all y
+    values would silently diverge)."""
     ys = list(y_values)
     if ys != sorted(ys):
         raise ValueError(f"y_values must be sorted ascending, got {ys}")
     k = len(ys)
     cells = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .where(F.col("x").isNotNull() & F.col("y").isin(ys))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c"))
     )
