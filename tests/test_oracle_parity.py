@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 
 from tests.conftest import SF_DIR
+from trembita_spark import checksum as CK
 from trembita_spark import contract
 
 contract.load_all()
@@ -21,6 +22,19 @@ contract.load_all()
 KEYS = sorted(contract.QUERIES)
 ORACLE_KEYS = [k for k in KEYS if k in contract.ORACLES]
 ROWS_ONLY_KEYS = [k for k in KEYS if k not in contract.ORACLES]
+
+import os
+
+# In-engine checksum comparison for LARGE results (round-10 verdict
+# item 5): above the row threshold, parity compares the two engines'
+# order-insensitive 60-bit folds (3 scalars each, computed inside the
+# engine — see trembita_spark/checksum.py) instead of collecting and
+# sorting every row, so parity cost stops being driver-collect-bound
+# and the same harness scales to 8x/32x replicas. "auto" (default)
+# switches per key on oracle row count; "force" folds every key (used
+# for the identical-verdicts validation sweep); "0" disables.
+CHECKSUM_MODE = os.environ.get("SPARK_GRAFT_PARITY_CHECKSUM", "auto")
+CHECKSUM_ROWS = int(os.environ.get("SPARK_GRAFT_PARITY_CHECKSUM_ROWS", "100000"))
 
 
 def _canon_value(v):
@@ -87,9 +101,77 @@ def _driver_canon(cols, rows, key, side):
     return pdf.reset_index(drop=True)
 
 
+def _checksum_parity(key, sdf, oracle, sql):
+    """Large-result path: compare in-engine folds plus the driver-trap
+    mirrors (hashable cells, numeric dtype kind, column names) on a
+    1000-row sample. Returns the oracle fold so the caller can report."""
+    cols = CK.duckdb_describe(oracle, sql)
+    ocols = [c[0] for c in cols]
+    assert sorted(sdf.columns) == sorted(ocols), (
+        f"{key}: column names differ: spark={sorted(sdf.columns)} "
+        f"oracle={sorted(ocols)}"
+    )
+    # driver-trap mirrors on a bounded sample (the driver collects and
+    # hashes EVERYTHING — unhashable cells and int-vs-float dtype drift
+    # must still fail locally even when full rows aren't collected).
+    # The sample must be the SAME multiset on both engines: pandas
+    # dtype kind depends on whether the sample happens to contain
+    # NULLs (int64 vs float64), so an arbitrary LIMIT on each side
+    # false-alarms on outer-join keys. Order by ALL columns with
+    # explicit NULLS LAST on both engines (keeps outer-join NULL
+    # padding out of the sample so numeric columns stay typed) — a
+    # top-k on either engine, never a full sort.
+    from pyspark.sql import functions as _F
+
+    sample = sdf.orderBy(
+        *[_F.col(f"`{c}`").asc_nulls_last() for c in sorted(sdf.columns)]
+    ).limit(1000)
+    srows = [tuple(r) for r in sample.collect()]
+    spdf = _driver_canon(sdf.columns, srows, key, "spark")
+    order = ", ".join(f'"{c}" ASC NULLS LAST' for c in sorted(ocols))
+    odf = oracle.execute(
+        f"SELECT * FROM ({sql.rstrip().rstrip(';')}) __k "
+        f"ORDER BY {order} LIMIT 1000"
+    ).df()
+
+    def _kind(dt_):
+        return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(dt_.kind)
+
+    for c in spdf.columns:
+        if spdf[c].isna().all() and odf[c].isna().all():
+            continue  # all-NULL sample: pandas kind is unknowable
+        sk, ok = _kind(spdf[c].dtype), _kind(odf[c].dtype)
+        if sk is not None or ok is not None:
+            assert sk == ok, (
+                f"{key}: column {c!r} numeric kind differs — spark "
+                f"{spdf[c].dtype} vs oracle-pandas {odf[c].dtype}"
+            )
+    sfold = CK.spark_checksum(sdf)
+    ofold = oracle.execute(CK.duckdb_fold_sql(sql, cols)).fetchone()
+    assert sfold == tuple(ofold), (
+        f"{key}: checksum fold differs (n_rows, sum, xor): "
+        f"spark={sfold} oracle={tuple(ofold)}"
+    )
+
+
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_oracle_parity(key, spark, oracle):
     sdf = contract.QUERIES[key](spark, SF_DIR)
+
+    if CHECKSUM_MODE not in ("0", "", "off"):
+        sql = contract.ORACLES[key]
+        if CHECKSUM_MODE == "force":
+            _checksum_parity(key, sdf, oracle, sql)
+            return
+        # Decide on the oracle's row count (one cheap native DuckDB
+        # pass; re-running the oracle below is equally cheap).
+        n_oracle = oracle.execute(
+            f"SELECT count(*) FROM ({sql.rstrip().rstrip(';')}) __n"
+        ).fetchone()[0]
+        if n_oracle > CHECKSUM_ROWS:
+            _checksum_parity(key, sdf, oracle, sql)
+            return
+
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
