@@ -1518,3 +1518,51 @@ def test_cobasket_cache_reuses_frame(spark):
     b = _cobasket_pairs(spark, SF_DIR)
     assert a is b
     assert a.storageLevel.useMemory or a.storageLevel.useDisk
+
+
+def test_fisher_exact_matches_lgamma_reference(spark):
+    # fisher_exact_2x2's distributed-lnfact construction must reproduce
+    # the direct lgamma hypergeometric computation (which itself matches
+    # scipy.stats.fisher_exact) to well within the round-6 grid.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trembita_spark.operators.stats import fisher_exact_2x2
+
+    def ref(a, b, c, d):
+        r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+        lg = math.lgamma
+
+        def lp(k):
+            return (
+                (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1))
+                + (lg(r2 + 1) - lg(c1 - k + 1) - lg(r2 - c1 + k + 1))
+                - (lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1))
+            )
+
+        ks = range(max(0, c1 - r2), min(r1, c1) + 1)
+        pa = math.exp(lp(a))
+        ps = {k: math.exp(lp(k)) for k in ks}
+        return (
+            pa,
+            min(sum(p for p in ps.values() if p <= pa * (1 + 1e-7)), 1.0),
+            min(sum(p for k, p in ps.items() if k >= a), 1.0),
+            min(sum(p for k, p in ps.items() if k <= a), 1.0),
+        )
+
+    for a, b, c, d in [(3, 7, 5, 5), (10, 2, 3, 15), (8, 2, 1, 5), (50, 30, 20, 60)]:
+        rows = (
+            [(True, True)] * a
+            + [(True, False)] * b
+            + [(False, True)] * c
+            + [(False, False)] * d
+        )
+        df = spark.createDataFrame(rows, "e boolean, o boolean")
+        r = fisher_exact_2x2(df, F.col("e"), F.col("o")).collect()[0]
+        pp, two, ge, le = ref(a, b, c, d)
+        assert abs(r["p_point"] - pp) < 2e-6, (a, b, c, d, r["p_point"], pp)
+        assert abs(r["p_two_sided"] - two) < 2e-6
+        assert abs(r["p_greater"] - ge) < 2e-6
+        assert abs(r["p_less"] - le) < 2e-6
+        assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)

@@ -1156,3 +1156,58 @@ def test_catalog_stats_survive_roundtrip(spark):
         ), f"partition pruning must happen at the scan: {plan[:1500]}"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_schema_evolution_pruning_survives(spark):
+    # q_catalog_schema_evolution's contract beyond parity: after ALTER
+    # TABLE ADD COLUMNS with old and new files coexisting, filter
+    # pushdown and column pruning must STILL reach the parquet scan —
+    # an evolved schema that silently disables pushdown would read the
+    # whole table at 100 TB.
+    from pyspark.sql import functions as F
+    from trembita_spark.contract import table as load, run_tmp
+
+    t = "cat_evo_plan_test"
+    base = run_tmp("schema_evo_test")
+    od = load(spark, SF_DIR, "orders")
+    (
+        od.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey")
+        .write.option("path", f"{base}/{t}")
+        .mode("overwrite")
+        .saveAsTable(t)
+    )
+    try:
+        spark.sql(f"ALTER TABLE {t} ADD COLUMNS (o_priority_rank BIGINT)")
+        (
+            od.where(F.col("o_orderkey") % 2 == 1)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit(3).cast("bigint").alias("o_priority_rank"),
+            )
+            .write.mode("append")
+            .saveAsTable(t)
+        )
+        q = (
+            spark.table(t)
+            .where(F.col("o_custkey") > 1000)
+            .select("o_custkey", "o_priority_rank")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        pushed = plan.split("PushedFilters:")[1][:200] if "PushedFilters:" in plan else ""
+        assert "GreaterThan(o_custkey" in pushed, (
+            f"filter pushdown must survive schema evolution: {plan[:1500]}"
+        )
+        read = plan.split("ReadSchema:")[1][:250] if "ReadSchema:" in plan else ""
+        assert "o_custkey" in read and "o_priority_rank" in read, read
+        assert "o_orderkey" not in read, (
+            f"column pruning must survive schema evolution (o_orderkey "
+            f"not requested): {read}"
+        )
+        # semantic spot check: old files back-fill NULL for the column
+        # added after their write.
+        n_old = q.where(F.col("o_priority_rank").isNull()).count()
+        assert n_old > 0, "old files must surface the added column as NULL"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

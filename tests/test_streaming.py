@@ -757,3 +757,82 @@ def test_tws_processing_time_timer_flushes_idle_keys(spark):
     # observed Spark 4.1 behavior — so it is allowed but not required.
     assert {(1, 2), (2, 1)} <= flushed, flushed
     assert flushed <= {(1, 2), (2, 1), (3, 1)}, flushed
+
+
+def test_stream_crash_midrun_recovers_exactly_once(spark, tmp_path):
+    """Failure-injection sibling of test_checkpoint_restart_is_exactly_once
+    (round-10 verdict item 7): the query CRASHES mid-run — after the sink
+    write of micro-batch 1 but BEFORE its offset commit, the classic
+    partial-failure window — and the restart from the same checkpoint
+    re-delivers that batch. With the idempotent key-merge sink
+    (q_stream_sink_idempotent's foreachBatch shape) the emitted set must
+    equal the uninterrupted run's: no loss, no duplicates."""
+    import os as _os
+
+    from trembita_spark.streaming.sources import staged_dir
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    slices = [
+        ev.where(F.col("event_id") < 300),
+        ev.where((F.col("event_id") >= 300) & (F.col("event_id") < 600)),
+        ev.where((F.col("event_id") >= 600) & (F.col("event_id") < 900)),
+    ]
+    schema = staged_dir(spark, slices, src)
+    crashed = {"seen": False}
+
+    def make_merge(fail_after_batch):
+        def merge(batch, batch_id):
+            b = batch
+            if _os.path.exists(f"{target}/_SUCCESS"):
+                existing = spark.read.parquet(target).select("event_id")
+                b = b.join(existing, "event_id", "left_anti")
+            b = b.localCheckpoint(eager=True)
+            b.write.mode("append").parquet(target)
+            if fail_after_batch is not None and batch_id == fail_after_batch:
+                crashed["seen"] = True
+                raise RuntimeError(
+                    "injected crash: sink written, offset NOT committed"
+                )
+
+        return merge
+
+    def run(fail_after):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+            .writeStream.foreachBatch(make_merge(fail_after))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces here on run 1
+        finally:
+            if q.isActive:
+                q.stop()
+
+    run(fail_after=1)
+    assert crashed["seen"], "the fault must actually fire mid-run"
+    n_after_crash = spark.read.parquet(target).count()
+
+    run(fail_after=None)  # restart from the same checkpoint, fault off
+    got = spark.read.parquet(target)
+    want = ev.where(F.col("event_id") < 900)
+    assert got.count() == want.count(), (
+        "recovered run must emit exactly the uninterrupted set "
+        f"(crash left {n_after_crash} rows; batch 1 was re-delivered)"
+    )
+    assert got.select("event_id").distinct().count() == got.count(), (
+        "the re-delivered batch must not duplicate through the merge"
+    )

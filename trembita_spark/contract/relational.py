@@ -3599,6 +3599,90 @@ def q_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_catalog_schema_evolution",
+    oracle="""
+    WITH evolved AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CASE WHEN o_orderkey % 2 = 1
+                  THEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) END
+               AS o_priority_rank
+      FROM orders
+    )
+    SELECT o_priority_rank IS NOT NULL AS has_new_col,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS sum_price,
+           CAST(coalesce(sum(o_priority_rank), 0) AS BIGINT) AS sum_rank
+    FROM evolved
+    GROUP BY 1
+    """,
+)
+def q_catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema-evolution round trip (round-10 verdict item 6) — the
+    # maintenance story every long-lived table hits: create a catalog
+    # table with the ORIGINAL schema from half the rows, ALTER TABLE
+    # ADD COLUMNS, append the other half WITH the new column, then read
+    # back through the catalog with old and new files COEXISTING. The
+    # catalog schema is authoritative on read: old files surface the
+    # added o_priority_rank as NULL (the parquet reader back-fills
+    # missing columns), new files carry real values — the aggregate
+    # groups on exactly that presence split, so any back-fill or
+    # column-resolution bug breaks the value hash. Extends
+    # q_catalog_table_roundtrip (same saveAsTable lane) and
+    # q_scan_merge_schema (pathless mergeSchema read);
+    # tests/test_plans.py::test_schema_evolution_pruning_survives pins
+    # that filter pushdown and column pruning still reach the scan
+    # AFTER evolution. At 100 TB: ADD COLUMN is a metadata-only
+    # operation (no rewrite of old files) — exactly why this read path
+    # must be exercised; the decimal-exact sum is order-independent
+    # (parity rule 4).
+    from trembita_spark.contract import run_tmp
+
+    t = f"cat_evo_{next(_CATALOG_SEQ)}"
+    base = run_tmp("schema_evo")
+    od = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    try:
+        (
+            od.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", price)
+            .write.option("path", f"{base}/{t}")
+            .mode("overwrite")
+            .saveAsTable(t)
+        )
+        spark.sql(f"ALTER TABLE {t} ADD COLUMNS (o_priority_rank BIGINT)")
+        (
+            od.where(F.col("o_orderkey") % 2 == 1)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                price,
+                F.substring("o_orderpriority", 1, 1)
+                .cast("bigint")
+                .alias("o_priority_rank"),
+            )
+            .write.mode("append")
+            .saveAsTable(t)
+        )
+        res = (
+            spark.table(t)
+            .groupBy(
+                F.col("o_priority_rank").isNotNull().alias("has_new_col")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("price").cast("double").alias("sum_price"),
+                F.coalesce(F.sum("o_priority_rank"), F.lit(0))
+                .cast("bigint")
+                .alias("sum_rank"),
+            )
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@register(
     "q_quality_k_anonymity",
     oracle="""
     WITH g AS (

@@ -4803,3 +4803,69 @@ def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.isActive:
                 q.stop()
     return spark.read.parquet(sink)
+
+
+@register(
+    "q_stream_sink_idempotent",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    """,
+)
+def q_stream_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SINK-side exactly-once evidence (round-10 verdict item 3) — the
+    # complement of q_stream_exactly_once_sink's SOURCE-side no-op: a
+    # foreachBatch idempotent MERGE (insert-if-absent on event_id) into
+    # a parquet target, with the SAME micro-batch delivered TWICE. The
+    # stream runs to completion once; then the merge function is
+    # re-invoked manually with the ENTIRE source frame (a checkpoint
+    # rewind / orchestrator retry re-delivers everything in the worst
+    # case) — the key-anti-join finds every row already present and
+    # appends nothing. Oracle = events exactly once: any duplicate from
+    # the re-delivery breaks the value hash. This is the shape every
+    # warehouse sink actually runs (MERGE INTO target USING batch ON
+    # key WHEN NOT MATCHED THEN INSERT); on plain parquet it is
+    # left_anti + append, with the batch localCheckpoint'ed first so
+    # the append never writes into files its own plan is reading.
+    # At 100 TB: the anti-join shuffles batch-vs-target on the merge
+    # key — a real deployment bounds the target scan with a table
+    # format's file skipping (partition/z-order on the key) or Delta/
+    # Iceberg MERGE; the exactly-once SEMANTICS pinned here are
+    # identical. State is the target itself — the restart contract
+    # needs no sink commit log, only key uniqueness.
+    import os as _os
+
+    from trembita_spark.contract import run_tmp
+
+    base = run_tmp("stream_merge")
+    target, ckpt = f"{base}/target", f"{base}/ckpt"
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(*cols)
+        if _os.path.exists(f"{target}/_SUCCESS"):
+            existing = spark.read.parquet(target).select("event_id")
+            b = b.join(existing, "event_id", "left_anti")
+        # break lineage to the target's current files BEFORE appending
+        b = b.localCheckpoint(eager=True)
+        b.write.mode("append").parquet(target)
+
+    src = events_stream(spark, sf_dir).select(*cols)
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    # re-delivery: the worst-case rewind hands the merge the full data
+    # set again under a fresh batch id — must be a no-op.
+    from trembita_spark.contract import table as _table
+
+    merge_batch(
+        _table(spark, sf_dir, "events").select(*cols), batch_id=10_000
+    )
+    return spark.read.parquet(target)

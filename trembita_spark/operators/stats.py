@@ -882,3 +882,112 @@ def ordinal_association(
         (cd * 2 / (n02 - F.col("tx2")).cast("double")).alias("somers_d_yx"),
         (cd * 2 / (n02 - ty2).cast("double")).alias("somers_d_xy"),
     )
+
+
+def fisher_exact_2x2(
+    df: DataFrame, exposure: Column, outcome: Column
+) -> DataFrame:
+    """Fisher's EXACT test for the 2x2 table (exposure x outcome), made
+    distributable: the hypergeometric null P(X=k) =
+    C(r1,k)·C(r2,c1-k)/C(n,c1) needs log-factorials up to ln(n!), and a
+    data-sized table of them is built as a DISTRIBUTED prefix sum of
+    ln(i) (operators/ranking.prefix_sum — two-phase, never a
+    single-partition window), so the "small-sample" exact test runs at
+    any n. Returns one row: (a, b, c, d, p_point, p_two_sided,
+    p_greater, p_less); two-sided uses the standard inclusion rule
+    sum{ P(k) : P(k) <= P(a)·(1+1e-7) } (the relative slack absorbs
+    cross-engine float noise on STRUCTURALLY tied opposite-tail terms).
+
+    Numeric discipline (cross-engine bit-stability): each ln(i) is
+    quantized to DECIMAL(32,12) — one correctly-rounded cast per
+    element — and the prefix sum then rides the EXACT decimal lane, so
+    its value is independent of summation order (a raw double prefix
+    sum would differ between Spark's two-phase composition and a SQL
+    window's sequential scan by ~1e-6 at n=1e6, blowing past the
+    round-6 grid; the quantized lane's only cross-engine wiggle is
+    libm's 1-ulp on ln(i) flipping a 5e-13 rounding boundary —
+    bounded ~1e-10 in any log-probability). Each term's log-prob is a
+    9-entry decimal combination (exact), exp() is one libm call, and
+    the final p sums are double adds rounded to 6dp (parity rule 5).
+
+    Scale shape: one scan for the 2x2 (a config-sized 1-row collect —
+    the same sanctioned scalar pattern as the streaming watermark
+    sentinels), one prefix sum over n elements, one explode of the
+    candidate-k range into 4 integer lookup keys, one shuffle join to
+    the lnfact table, one scalar rollup. Work is O(n + |k-range|) with
+    no all-pairs anywhere, so the plan survives 100 TB (where n itself
+    is the dataset's row count, the lnfact build is the same cost as
+    any zip_with_index pass).
+    """
+    spark = df.sparkSession
+    cell = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    row = df.agg(
+        cell(exposure & outcome).alias("a"),
+        cell(exposure & ~outcome).alias("b"),
+        cell(~exposure & outcome).alias("c"),
+        cell(~exposure & ~outcome).alias("d"),
+    ).collect()[0]
+    a, b, c, d = int(row["a"]), int(row["b"]), int(row["c"]), int(row["d"])
+    r1, r2, c1 = a + b, c + d, a + c
+    n = r1 + r2
+    kmin, kmax = max(0, c1 - r2), min(r1, c1)
+
+    lf = spark.range(1, n + 1).select(
+        F.col("id").alias("i"),
+        F.log(F.col("id").cast("double")).cast("decimal(32,12)").alias("lnl"),
+    )
+    lf = prefix_sum(lf, "lnl", [F.col("i")], name="lf").select("i", "lf")
+    zero = F.lit(0).cast("decimal(38,12)")
+
+    def pick(idx: int) -> Column:
+        return F.coalesce(
+            F.max(F.when(F.col("i") == F.lit(idx), F.col("lf"))), zero
+        )
+
+    consts = lf.agg(
+        (pick(r1) + pick(r2) + pick(c1) + pick(n - c1) - pick(n)).alias("c_tot")
+    )
+    ks = spark.range(kmin, kmax + 1).select(F.col("id").alias("k"))
+    lk = ks.select(
+        "k",
+        F.explode(
+            F.array(
+                F.col("k"),
+                F.lit(r1) - F.col("k"),
+                F.lit(c1) - F.col("k"),
+                F.lit(r2 - c1) + F.col("k"),
+            )
+        ).alias("i"),
+    )
+    neg = (
+        lk.join(lf, "i", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("lf"), zero)).alias("neg"))
+    )
+    terms = neg.crossJoin(F.broadcast(consts)).select(
+        "k", F.exp((F.col("c_tot") - F.col("neg")).cast("double")).alias("p")
+    )
+    pt = terms.agg(
+        F.max(F.when(F.col("k") == F.lit(a), F.col("p"))).alias("p_point")
+    )
+    res = terms.crossJoin(F.broadcast(pt)).agg(
+        F.max("p_point").alias("p_point"),
+        F.sum(
+            F.when(
+                F.col("p") <= F.col("p_point") * (F.lit(1.0) + F.lit(1e-7)),
+                F.col("p"),
+            )
+        ).alias("p_two"),
+        F.sum(F.when(F.col("k") >= F.lit(a), F.col("p"))).alias("p_ge"),
+        F.sum(F.when(F.col("k") <= F.lit(a), F.col("p"))).alias("p_le"),
+    )
+    return res.select(
+        F.lit(a).cast("bigint").alias("a"),
+        F.lit(b).cast("bigint").alias("b"),
+        F.lit(c).cast("bigint").alias("c"),
+        F.lit(d).cast("bigint").alias("d"),
+        F.round("p_point", 6).alias("p_point"),
+        F.round(F.least(F.col("p_two"), F.lit(1.0)), 6).alias("p_two_sided"),
+        F.round(F.least(F.col("p_ge"), F.lit(1.0)), 6).alias("p_greater"),
+        F.round(F.least(F.col("p_le"), F.lit(1.0)), 6).alias("p_less"),
+    )
