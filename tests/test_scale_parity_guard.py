@@ -1,0 +1,78 @@
+"""Gauntlet-guard-style enforcement for the at-scale parity artifact
+(round-10 verdict item 1): the committed ``SCALE_PARITY_r{N}.json``
+must exist, be green, and cover the pinned risky-key set — so "values
+were checked at 8x" is a mechanically verifiable claim, not prose.
+
+The pinned set mirrors tools/scale_parity.py's TARGET_KEYS rationale:
+iterative graph plans, the exact integer-moment stats lanes, the
+double-precision time-series lanes, the prefix-sum percentile lanes,
+the corpus pipeline, and two >100k-row detail results that exercise
+the in-engine checksum fold itself.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Minimum coverage the artifact must certify (a superset is fine).
+PINNED = {
+    "q_graph_ktruss",
+    "q_graph_betweenness",
+    "q_graph_closeness",
+    "q_graph_eccentricity",
+    "q_stat_kruskal",
+    "q_stat_cvm",
+    "q_stat_jonckheere",
+    "q_ts_kpss",
+    "q_ts_adf",
+    "q_agg_percentile",
+    "q_events_gap_percentiles",
+    "q_pipeline_clean_corpus",
+    "q_corpus_budget_select",
+    "q_window_rank",
+    "q_quality_checksum",
+}
+
+
+def _latest_artifact() -> str | None:
+    best, best_round = None, -1
+    for path in glob.glob(os.path.join(REPO, "SCALE_PARITY_r*.json")):
+        m = re.search(r"SCALE_PARITY_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_round:
+            best, best_round = path, int(m.group(1))
+    return best
+
+
+def test_scale_parity_artifact_green():
+    path = _latest_artifact()
+    assert path, (
+        "no committed SCALE_PARITY_r*.json — run tools/scale_parity.py "
+        "and commit the artifact"
+    )
+    with open(path) as f:
+        payload = json.load(f)
+    assert payload.get("scale", 0) >= 8, (
+        f"{os.path.basename(path)}: at-scale parity must run at >=8x "
+        f"(got scale={payload.get('scale')})"
+    )
+    keys = payload.get("keys", {})
+    missing = sorted(PINNED - set(keys))
+    assert not missing, (
+        f"{os.path.basename(path)} missing pinned at-scale keys: {missing}"
+    )
+    failed = sorted(k for k, v in keys.items() if not v.get("pass"))
+    assert payload.get("all_pass") and not failed, (
+        f"{os.path.basename(path)} records at-scale value mismatches: "
+        f"{failed} — a red artifact certifies nothing; fix and re-run "
+        f"tools/scale_parity.py"
+    )
+    # every passing entry must have actually compared something
+    for k in PINNED:
+        assert keys[k].get("n_rows", 0) > 0, (
+            f"{k}: 0-row at-scale result certifies nothing"
+        )

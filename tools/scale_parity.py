@@ -1,0 +1,259 @@
+"""Oracle VALUE parity at 8x scale (round-10 verdict item 1).
+
+Every per-round correctness artifact so far checks values at
+sf0.001/0.01/0.1; the 8x replicas (tools/bench_scale.py) were timed but
+never value-checked. Precision/overflow bug classes are
+scale-dependent — the round-8 n^3 BIGINT overflow and the round-10 KPSS
+shared-N^2 algebra bug were both caught by extra rigor, not by small-sf
+parity — so this tool points DuckDB at the SAME 8x replica the scaling
+bench uses and value-checks the riskiest keys there:
+
+  * the seeded-BFS graph family + ktruss (heaviest iterative plans),
+  * the HUGEINT/decimal exact-moment stats lanes (kruskal, cvm, kpss,
+    adf, jonckheere, mann-whitney, ansari, brunner-munzel, kendall,
+    cointegration, variance ratio) where integer moments grow ~n^3,
+  * the distributed prefix-sum percentile/median lanes,
+  * the corpus pipeline (closest shape to the real 100 TB workload),
+  * two >100k-row detail results exercising the in-engine checksum path.
+
+Comparison is the order-insensitive in-engine fold
+(trembita_spark/checksum.py): three scalars per engine, never a
+driver-side collect — the same harness therefore scales to 32x
+(SPARK_GRAFT_SCALE=32) unchanged.
+
+Usage:
+    python tools/scale_parity.py                # 8x, writes SCALE_PARITY_r{N}.json
+    SPARK_GRAFT_SCALE=32 SPARK_GRAFT_SCALE_PARITY_KEYS=q_ts_kpss \\
+        python tools/scale_parity.py            # subset at 32x
+
+Writes the replica under /tmp (reusing bench_scale's builder) and the
+artifact at the repo root; exits non-zero on any mismatch.
+tests/test_scale_parity_guard.py asserts the committed artifact is
+green and covers the pinned key set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from tools.bench_scale import BASE, SCALE, SF_DIR, build_scaled  # noqa: E402
+from trembita_spark import checksum as CK  # noqa: E402
+from trembita_spark import contract  # noqa: E402
+from trembita_spark.io import TABLES  # noqa: E402
+from trembita_spark.session import get_session  # noqa: E402
+
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "11")
+SCALED_TABLES = ("lineitem", "events", "orders", "documents")
+
+# The pinned at-scale key set. Each entry names why IT is the risky one
+# (the guard test enforces this exact minimum coverage).
+TARGET_KEYS = [
+    # iterative graph plans — heaviest shuffle/round structure
+    "q_graph_ktruss",
+    "q_graph_betweenness",
+    "q_graph_closeness",
+    "q_graph_eccentricity",
+    # exact integer-moment stats lanes (HUGEINT/decimal; moments ~ n^3)
+    "q_stat_kruskal",
+    "q_stat_cvm",
+    "q_stat_jonckheere",
+    "q_stat_mannwhitney",
+    "q_stat_ansari_bradley",
+    "q_stat_brunner_munzel",
+    "q_stat_kendall",
+    # new this round: lnfact prefix-sum construction, n grows with data
+    "q_stat_fisher_exact",
+    # double-precision time-series lanes (shared-N^2 KPSS bug class)
+    "q_ts_kpss",
+    "q_ts_adf",
+    "q_ts_variance_ratio",
+    "q_ts_cointegration",
+    # distributed prefix-sum percentile/median lanes
+    "q_agg_percentile",
+    "q_events_gap_percentiles",
+    "q_agg_weighted_median",
+    # corpus pipeline — the 100 TB workload shape
+    "q_pipeline_clean_corpus",
+    "q_corpus_budget_select",
+    # >100k-row detail results — exercises the checksum fold itself
+    "q_window_rank",
+    "q_quality_checksum",
+]
+
+
+# --- staged oracle overrides -------------------------------------------
+# DuckDB 1.0 executes deep MATERIALIZED-CTE chains pathologically at the
+# 8x replica (measured: the committed q_graph_ktruss oracle's 2-round
+# chain runs >10 min / 25 GB as ONE statement, while the IDENTICAL
+# recurrence staged as temp tables runs in ~8 s — per-reference CTE-scan
+# overhead plus stats-less join order inside the chain). For such keys
+# the sweep runs the SAME formulation split into sequential statements:
+# setup DDL into temp tables, then one final SELECT that gets folded.
+# The committed single-statement oracle remains the sf0.001/0.01/0.1
+# parity gate; the override is recorded in the artifact per key.
+_KTRUSS_T0 = """
+    CREATE OR REPLACE TEMP TABLE __kt_t0 AS
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey < l2.l_partkey
+"""
+
+
+def _ktruss_round(prev: str, this: str, min_sup: int) -> list:
+    return [
+        f"""CREATE OR REPLACE TEMP TABLE __kt_tri_{this} AS
+            SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM {prev} ab JOIN {prev} bc ON ab.v = bc.u
+            JOIN {prev} ac ON ac.u = ab.u AND ac.v = bc.v""",
+        f"""CREATE OR REPLACE TEMP TABLE __kt_sup_{this} AS
+            SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+              SELECT a AS u, b AS v FROM __kt_tri_{this}
+              UNION ALL SELECT a AS u, c AS v FROM __kt_tri_{this}
+              UNION ALL SELECT b AS u, c AS v FROM __kt_tri_{this}
+            ) GROUP BY 1, 2""",
+        f"""CREATE OR REPLACE TEMP TABLE {this} AS
+            SELECT e.u, e.v FROM {prev} e LEFT JOIN __kt_sup_{this} s
+              ON e.u = s.u AND e.v = s.v
+            WHERE COALESCE(s.support, 0) >= {min_sup}""",
+    ]
+
+
+STAGED_ORACLES = {
+    "q_graph_ktruss": {
+        "setup": (
+            [_KTRUSS_T0]
+            + _ktruss_round("__kt_t0", "__kt_t1", 3)
+            + _ktruss_round("__kt_t1", "__kt_t2", 3)
+            + _ktruss_round("__kt_t2", "__kt_fin", -1)[:2]  # tri+sup only
+        ),
+        "final": """
+            SELECT CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM __kt_t2 e LEFT JOIN __kt_sup___kt_fin s
+              ON e.u = s.u AND e.v = s.v
+            GROUP BY 1
+        """,  # table names: _ktruss_round(this='__kt_fin') emits
+        # __kt_tri___kt_fin / __kt_sup___kt_fin
+    }
+}
+
+
+def make_sf_dir() -> str:
+    """Assemble an sf-dir-shaped directory over the 8x replica: scaled
+    fact tables from the replica, everything else symlinked unscaled."""
+    d = f"{BASE}_sfdir"
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        link = f"{d}/{t}.parquet"
+        target = (
+            f"{BASE}/{t}.parquet" if t in SCALED_TABLES else f"{SF_DIR}/{t}.parquet"
+        )
+        if os.path.islink(link) or os.path.exists(link):
+            if os.path.islink(link) and os.readlink(link) == target:
+                continue
+            os.remove(link)
+        os.symlink(target, link)
+    return d
+
+
+def make_oracle() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        if t in SCALED_TABLES:
+            # Spark-written replica = a DIRECTORY of part files
+            src = f"read_parquet('{BASE}/{t}.parquet/*.parquet')"
+        else:
+            src = f"'{SF_DIR}/{t}.parquet'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    return con
+
+
+def main() -> int:
+    contract.load_all()
+    keys = TARGET_KEYS
+    only = os.environ.get("SPARK_GRAFT_SCALE_PARITY_KEYS")
+    if only:
+        keys = [k.strip() for k in only.split(",") if k.strip()]
+    missing = [k for k in keys if k not in contract.ORACLES]
+    if missing:
+        sys.exit(f"keys without oracles: {missing}")
+
+    spark = get_session(app_name="trembita_scale_parity")
+    build_scaled(spark)
+    sfdir = make_sf_dir()
+    con = make_oracle()
+
+    results: dict[str, dict] = {}
+    all_pass = True
+    for key in keys:
+        entry: dict = {}
+        try:
+            t0 = time.perf_counter()
+            sdf = contract.QUERIES[key](spark, sfdir)
+            scols = sorted(sdf.columns)
+            sfold = CK.spark_checksum(sdf)
+            entry["spark_sec"] = round(time.perf_counter() - t0, 2)
+
+            t0 = time.perf_counter()
+            staged = STAGED_ORACLES.get(key)
+            if staged:
+                for stmt in staged["setup"]:
+                    con.execute(stmt)
+                sql = staged["final"]
+                entry["oracle_staged"] = True
+            else:
+                sql = contract.ORACLES[key]
+            cols = CK.duckdb_describe(con, sql)
+            ocols = sorted(c[0] for c in cols)
+            ofold = tuple(con.execute(CK.duckdb_fold_sql(sql, cols)).fetchone())
+            entry["oracle_sec"] = round(time.perf_counter() - t0, 2)
+
+            entry["n_rows"] = sfold[0]
+            entry["cols_match"] = scols == ocols
+            entry["rows_match"] = sfold[0] == ofold[0]
+            entry["sum_match"] = sfold[1] == ofold[1]
+            entry["xor_match"] = sfold[2] == ofold[2]
+            entry["pass"] = all(
+                entry[k] for k in ("cols_match", "rows_match", "sum_match", "xor_match")
+            )
+            if not entry["pass"]:
+                entry["spark_fold"] = list(sfold)
+                entry["oracle_fold"] = list(ofold)
+        except Exception as e:  # surface, keep sweeping
+            entry["pass"] = False
+            entry["error"] = f"{type(e).__name__}: {e}"[:500]
+        all_pass = all_pass and entry["pass"]
+        print(f"{key}: {'PASS' if entry['pass'] else 'FAIL'} {entry}", flush=True)
+        results[key] = entry
+
+    payload = {
+        "scale": SCALE,
+        "sf_base": SF_DIR,
+        "method": "in-engine order-insensitive 60-bit fold (n_rows, sum mod 2^60, xor)",
+        "keys": results,
+        "n_keys": len(results),
+        "all_pass": all_pass,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    out = os.path.join(REPO, f"SCALE_PARITY_r{ROUND}.json")
+    # A filtered/subset sweep must not overwrite the committed full
+    # artifact with a narrower one under the same name.
+    if only:
+        out = f"/tmp/scale_parity_subset_r{ROUND}.json"
+        print(f"subset run -> {out} (committed artifact untouched)")
+    with open(out, "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    print(f"wrote {out}: {len(results)} keys, all_pass={all_pass}")
+    return 0 if all_pass else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
