@@ -86,6 +86,28 @@ TARGET_KEYS = [
     # >100k-row detail results — exercises the checksum fold itself
     "q_window_rank",
     "q_quality_checksum",
+    # second tranche: repeated-measures decimal lanes, iterative
+    # merge-order double sums (pagerank/katz round-12 grids at 8x
+    # magnitudes), the Cramer closed forms, changepoint prefix-max,
+    # LSH near-dup end-to-end, and more regression-style double lanes
+    "q_stat_kendall_w",
+    "q_stat_icc",
+    "q_stat_quade",
+    "q_stat_friedman",
+    "q_stat_spearman",
+    "q_stat_cuped",
+    "q_stat_srm",
+    "q_ts_pettitt",
+    "q_ts_mann_kendall",
+    "q_ts_theil_sen",
+    "q_events_markov_absorbing",
+    "q_events_markov_stationary",
+    "q_graph_pagerank",
+    "q_graph_katz",
+    "q_dedup_near",
+    "q_dedup_near_verified",
+    "q_agg_lorenz",
+    "q_agg_hill_tail_index",
 ]
 
 
@@ -243,7 +265,8 @@ def main() -> int:
         "all_pass": all_pass,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
-    out = os.path.join(REPO, f"SCALE_PARITY_r{ROUND}.json")
+    suffix = "" if SCALE == 8 else f"_{SCALE}x"
+    out = os.path.join(REPO, f"SCALE_PARITY_r{ROUND}{suffix}.json")
     # A filtered/subset sweep must not overwrite the committed full
     # artifact with a narrower one under the same name.
     if only:
