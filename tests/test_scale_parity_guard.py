@@ -76,3 +76,24 @@ def test_scale_parity_artifact_green():
         assert keys[k].get("n_rows", 0) > 0, (
             f"{k}: 0-row at-scale result certifies nothing"
         )
+
+
+def test_staged_oracle_matches_committed_oracle(oracle):
+    """tools/scale_parity.py stages some oracles as temp-table statement
+    sequences (DuckDB 1.0 executes deep MATERIALIZED-CTE chains
+    pathologically at 8x). The staged sequence must stay the IDENTICAL
+    recurrence: at sf0.01 its result must equal the committed
+    single-statement oracle's, row for row."""
+    from tools.scale_parity import STAGED_ORACLES
+    from trembita_spark import contract
+
+    contract.load_all()
+    for key, staged in STAGED_ORACLES.items():
+        for stmt in staged["setup"]:
+            oracle.execute(stmt)
+        got = sorted(oracle.execute(staged["final"]).fetchall())
+        want = sorted(oracle.execute(contract.ORACLES[key]).fetchall())
+        assert got == want, (
+            f"{key}: staged oracle diverged from the committed oracle "
+            f"(first rows: staged={got[:3]} committed={want[:3]})"
+        )

@@ -168,15 +168,68 @@ STAGED_ORACLES = {
 }
 
 
+# --- skew replica ---------------------------------------------------------
+# SPARK_GRAFT_SCALE_SKEW=1 swaps the uniform 8x replica for a HOT-KEY
+# replica: the 20 lowest orderkeys get a 500x lineitem fan-out
+# (l_linenumber offset keeps rows unique), everything else unscaled.
+# Hot groups then carry ~500x the median rows — the shape that breaks
+# naive joins/aggregations at 100 TB. Parity on this replica checks that
+# the skew-sensitive keys (salted join, hash aggregates, windows, the
+# TPC-H star join) stay VALUE-correct under heavy key skew, not merely
+# fast. Oracle sees the identical files, so any skew-triggered plan
+# change (AQE splitting, salting) that altered values would mismatch.
+SKEW = os.environ.get("SPARK_GRAFT_SCALE_SKEW") == "1"
+SKEW_BASE = "/tmp/trembita_skew500"
+SKEW_TABLES = ("lineitem",)
+
+SKEW_TARGET_KEYS = [
+    "q_join_salted",     # THE skew key: salted join vs plain-join oracle
+    "q_join_inner",
+    "q_flagship_q1",
+    "q_agg_rollup",
+    "q_window_rank",
+    "q_topk",
+    "q_distinct_by",
+    "q_sql_q5",
+    "q_agg_percentile",
+    "q_quality_checksum",
+]
+
+
+def build_skew(spark) -> None:
+    if os.path.exists(f"{SKEW_BASE}/lineitem.parquet/_SUCCESS"):
+        return
+    from pyspark.sql import functions as F
+
+    from trembita_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    hot = (
+        li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(20)
+    )
+    reps = spark.range(1, 500).withColumnRenamed("id", "rep")
+    extra = (
+        li.join(F.broadcast(hot), "l_orderkey")
+        .crossJoin(F.broadcast(reps))
+        .withColumn("l_linenumber", F.col("l_linenumber") + 10 * F.col("rep"))
+        .drop("rep")
+    )
+    li.unionByName(extra.select(*li.columns)).write.mode("overwrite").parquet(
+        f"{SKEW_BASE}/lineitem.parquet"
+    )
+
+
 def make_sf_dir() -> str:
-    """Assemble an sf-dir-shaped directory over the 8x replica: scaled
-    fact tables from the replica, everything else symlinked unscaled."""
-    d = f"{BASE}_sfdir"
+    """Assemble an sf-dir-shaped directory over the replica: scaled (or
+    skewed) fact tables from the replica, everything else symlinked
+    unscaled."""
+    base, scaled = (SKEW_BASE, SKEW_TABLES) if SKEW else (BASE, SCALED_TABLES)
+    d = f"{base}_sfdir"
     os.makedirs(d, exist_ok=True)
     for t in TABLES:
         link = f"{d}/{t}.parquet"
         target = (
-            f"{BASE}/{t}.parquet" if t in SCALED_TABLES else f"{SF_DIR}/{t}.parquet"
+            f"{base}/{t}.parquet" if t in scaled else f"{SF_DIR}/{t}.parquet"
         )
         if os.path.islink(link) or os.path.exists(link):
             if os.path.islink(link) and os.readlink(link) == target:
@@ -187,11 +240,12 @@ def make_sf_dir() -> str:
 
 
 def make_oracle() -> duckdb.DuckDBPyConnection:
+    base, scaled = (SKEW_BASE, SKEW_TABLES) if SKEW else (BASE, SCALED_TABLES)
     con = duckdb.connect()
     for t in TABLES:
-        if t in SCALED_TABLES:
+        if t in scaled:
             # Spark-written replica = a DIRECTORY of part files
-            src = f"read_parquet('{BASE}/{t}.parquet/*.parquet')"
+            src = f"read_parquet('{base}/{t}.parquet/*.parquet')"
         else:
             src = f"'{SF_DIR}/{t}.parquet'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
@@ -200,7 +254,7 @@ def make_oracle() -> duckdb.DuckDBPyConnection:
 
 def main() -> int:
     contract.load_all()
-    keys = TARGET_KEYS
+    keys = SKEW_TARGET_KEYS if SKEW else TARGET_KEYS
     only = os.environ.get("SPARK_GRAFT_SCALE_PARITY_KEYS")
     if only:
         keys = [k.strip() for k in only.split(",") if k.strip()]
@@ -209,7 +263,10 @@ def main() -> int:
         sys.exit(f"keys without oracles: {missing}")
 
     spark = get_session(app_name="trembita_scale_parity")
-    build_scaled(spark)
+    if SKEW:
+        build_skew(spark)
+    else:
+        build_scaled(spark)
     sfdir = make_sf_dir()
     con = make_oracle()
 
@@ -257,7 +314,8 @@ def main() -> int:
         results[key] = entry
 
     payload = {
-        "scale": SCALE,
+        "scale": 1 if SKEW else SCALE,
+        "skew": SKEW and "20 hot orderkeys x500 lineitem fan-out" or None,
         "sf_base": SF_DIR,
         "method": "in-engine order-insensitive 60-bit fold (n_rows, sum mod 2^60, xor)",
         "keys": results,
@@ -265,7 +323,7 @@ def main() -> int:
         "all_pass": all_pass,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
-    suffix = "" if SCALE == 8 else f"_{SCALE}x"
+    suffix = "_skew" if SKEW else ("" if SCALE == 8 else f"_{SCALE}x")
     out = os.path.join(REPO, f"SCALE_PARITY_r{ROUND}{suffix}.json")
     # A filtered/subset sweep must not overwrite the committed full
     # artifact with a narrower one under the same name.
