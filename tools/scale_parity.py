@@ -252,12 +252,57 @@ def make_oracle() -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _fold_with_timeout(con, sql: str, cols: list, timeout_s: float):
+    """Run the DuckDB fold under a watchdog: some oracle formulations
+    that are fine at sf0.01 hit DuckDB 1.0 CTE pathologies at replica
+    scale (the ktruss case ran >10 min); an interrupt turns an unknown
+    hang into a recorded per-key skip instead of stalling the sweep."""
+    import threading
+
+    out: dict = {}
+
+    def run():
+        try:
+            out["fold"] = tuple(
+                con.execute(CK.duckdb_fold_sql(sql, cols)).fetchone()
+            )
+        except Exception as e:  # surfaced to the caller below
+            out["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        con.interrupt()
+        t.join(30)
+        raise TimeoutError(f"oracle fold exceeded {timeout_s:.0f}s (interrupted)")
+    if "err" in out:
+        raise out["err"]
+    return out["fold"]
+
+
 def main() -> int:
     contract.load_all()
     keys = SKEW_TARGET_KEYS if SKEW else TARGET_KEYS
     only = os.environ.get("SPARK_GRAFT_SCALE_PARITY_KEYS")
     if only:
         keys = [k.strip() for k in only.split(",") if k.strip()]
+    tranche = os.environ.get("SPARK_GRAFT_SCALE_PARITY_TRANCHE")
+    if tranche and not only:
+        # Rotating tranche: a deterministic per-round sample of keys
+        # OUTSIDE the pinned sets, so at-scale coverage grows round
+        # over round instead of re-checking the same pin (the driver's
+        # rotating 50-key sample, applied to the replicas). Hash-ranked
+        # by (key, round) for reproducibility.
+        import hashlib
+
+        pool = sorted(
+            set(contract.ORACLES) - set(TARGET_KEYS) - set(SKEW_TARGET_KEYS)
+        )
+        ranked = sorted(
+            pool, key=lambda k: hashlib.md5(f"{k}:{ROUND}".encode()).hexdigest()
+        )
+        keys = ranked[: int(tranche)]
     missing = [k for k in keys if k not in contract.ORACLES]
     if missing:
         sys.exit(f"keys without oracles: {missing}")
@@ -292,7 +337,12 @@ def main() -> int:
                 sql = contract.ORACLES[key]
             cols = CK.duckdb_describe(con, sql)
             ocols = sorted(c[0] for c in cols)
-            ofold = tuple(con.execute(CK.duckdb_fold_sql(sql, cols)).fetchone())
+            ofold = _fold_with_timeout(
+                con,
+                sql,
+                cols,
+                float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "900")),
+            )
             entry["oracle_sec"] = round(time.perf_counter() - t0, 2)
 
             entry["n_rows"] = sfold[0]
@@ -306,11 +356,19 @@ def main() -> int:
             if not entry["pass"]:
                 entry["spark_fold"] = list(sfold)
                 entry["oracle_fold"] = list(ofold)
+        except TimeoutError as e:
+            # recorded as a SKIP, not a verdict: the value check did not
+            # run. The guard test still rejects a skipped PINNED key
+            # (no n_rows), so skips can't silently certify the pin.
+            entry["skipped"] = str(e)
+            entry["pass"] = None
         except Exception as e:  # surface, keep sweeping
             entry["pass"] = False
             entry["error"] = f"{type(e).__name__}: {e}"[:500]
-        all_pass = all_pass and entry["pass"]
-        print(f"{key}: {'PASS' if entry['pass'] else 'FAIL'} {entry}", flush=True)
+        if entry["pass"] is not None:
+            all_pass = all_pass and entry["pass"]
+        state = {True: "PASS", False: "FAIL", None: "SKIP"}[entry["pass"]]
+        print(f"{key}: {state} {entry}", flush=True)
         results[key] = entry
 
     payload = {
@@ -320,14 +378,21 @@ def main() -> int:
         "method": "in-engine order-insensitive 60-bit fold (n_rows, sum mod 2^60, xor)",
         "keys": results,
         "n_keys": len(results),
+        "n_skipped": sum(1 for v in results.values() if v.get("pass") is None),
         "all_pass": all_pass,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     suffix = "_skew" if SKEW else ("" if SCALE == 8 else f"_{SCALE}x")
     out = os.path.join(REPO, f"SCALE_PARITY_r{ROUND}{suffix}.json")
-    # A filtered/subset sweep must not overwrite the committed full
-    # artifact with a narrower one under the same name.
-    if only:
+    # A filtered/subset sweep must not overwrite a committed full
+    # artifact with a narrower one under the same name; an explicit
+    # SPARK_GRAFT_SCALE_PARITY_OUT names intentional subset artifacts
+    # (e.g. the 64x overflow-lane spot check).
+    explicit = os.environ.get("SPARK_GRAFT_SCALE_PARITY_OUT")
+    if explicit:
+        out = explicit
+        payload["keys_list"] = keys
+    elif only:
         out = f"/tmp/scale_parity_subset_r{ROUND}.json"
         print(f"subset run -> {out} (committed artifact untouched)")
     with open(out, "w") as f:
