@@ -10141,10 +10141,8 @@ def q_stat_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_stat_fisher_exact",
-    oracle="""
-    WITH t AS (
+_FISHER_CTES = """
+WITH t AS (
       SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND event_type = 'purchase') AS BIGINT) AS a,
              CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND event_type <> 'purchase') AS BIGINT) AS b,
              CAST(count(*) FILTER (WHERE user_id % 2 <> 0 AND event_type = 'purchase') AS BIGINT) AS c,
@@ -10191,6 +10189,13 @@ def q_stat_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT max(CASE WHEN terms.k = m.a THEN terms.p END) AS p_point
       FROM terms, m
     )
+"""
+
+
+@register(
+    "q_stat_fisher_exact",
+    oracle=f"""
+    {_FISHER_CTES}
     SELECT m.a, m.b, m.c, m.d,
            round(pt.p_point, 6) AS p_point,
            round(least(sum(CASE WHEN terms.p <= pt.p_point * (1.0e0 + 1e-7)
@@ -10230,4 +10235,45 @@ def q_stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         exposure=F.col("user_id") % 2 == 0,
         outcome=F.col("event_type") == "purchase",
+    )
+
+
+@register(
+    "q_stat_fisher_midp",
+    oracle=f"""
+    {_FISHER_CTES}
+    SELECT m.a, m.b, m.c, m.d,
+           round(pt.p_point, 6) AS p_point,
+           round(least(2.0e0 * least(
+                   sum(CASE WHEN terms.k >= m.a THEN terms.p END)
+                     - 0.5e0 * pt.p_point,
+                   sum(CASE WHEN terms.k <= m.a THEN terms.p END)
+                     - 0.5e0 * pt.p_point), 1.0e0), 6) AS midp_two_sided,
+           round(least(sum(CASE WHEN terms.k >= m.a THEN terms.p END)
+                         - 0.5e0 * pt.p_point, 1.0e0), 6) AS midp_greater,
+           round(least(sum(CASE WHEN terms.k <= m.a THEN terms.p END)
+                         - 0.5e0 * pt.p_point, 1.0e0), 6) AS midp_less
+    FROM terms, pt, m
+    GROUP BY m.a, m.b, m.c, m.d, pt.p_point
+    """,
+)
+def q_stat_fisher_midp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mid-p Fisher (Lancaster correction) — the recommended-practice
+    # variant that counts the observed table at HALF weight, fixing the
+    # exact test's conservatism (its actual type-I rate sits well below
+    # nominal alpha; mid-p restores it near alpha without the
+    # asymptotic approximations the chi-square lane leans on). Same
+    # distributed DECIMAL(32,12)-quantized lnfact prefix-sum lane as
+    # q_stat_fisher_exact; the mid-p tails are single double
+    # expressions (tail − 0.5·P(a), doubling rule capped at 1) replayed
+    # verbatim by the oracle. Same 100 TB posture: O(n) prefix sum +
+    # O(|k-range|) explode-join.
+    from trembita_spark.operators.stats import fisher_exact_2x2
+
+    ev = table(spark, sf_dir, "events")
+    return fisher_exact_2x2(
+        ev,
+        exposure=F.col("user_id") % 2 == 0,
+        outcome=F.col("event_type") == "purchase",
+        midp=True,
     )

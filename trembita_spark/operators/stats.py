@@ -885,7 +885,7 @@ def ordinal_association(
 
 
 def fisher_exact_2x2(
-    df: DataFrame, exposure: Column, outcome: Column
+    df: DataFrame, exposure: Column, outcome: Column, midp: bool = False
 ) -> DataFrame:
     """Fisher's EXACT test for the 2x2 table (exposure x outcome), made
     distributable: the hypergeometric null P(X=k) =
@@ -981,12 +981,31 @@ def fisher_exact_2x2(
         F.sum(F.when(F.col("k") >= F.lit(a), F.col("p"))).alias("p_ge"),
         F.sum(F.when(F.col("k") <= F.lit(a), F.col("p"))).alias("p_le"),
     )
-    return res.select(
+    cells = [
         F.lit(a).cast("bigint").alias("a"),
         F.lit(b).cast("bigint").alias("b"),
         F.lit(c).cast("bigint").alias("c"),
         F.lit(d).cast("bigint").alias("d"),
         F.round("p_point", 6).alias("p_point"),
+    ]
+    if midp:
+        # Mid-p correction (Lancaster): count the observed table at HALF
+        # weight — the recommended-practice fix for the exact test's
+        # conservatism. One-sided mid-p = tail sum − 0.5·P(a); two-sided
+        # by the doubling rule, capped at 1. Identical double expression
+        # trees on both engines; same round-6 grid.
+        mg = F.col("p_ge") - F.lit(0.5) * F.col("p_point")
+        ml = F.col("p_le") - F.lit(0.5) * F.col("p_point")
+        return res.select(
+            *cells,
+            F.round(F.least(F.lit(2.0) * F.least(mg, ml), F.lit(1.0)), 6).alias(
+                "midp_two_sided"
+            ),
+            F.round(F.least(mg, F.lit(1.0)), 6).alias("midp_greater"),
+            F.round(F.least(ml, F.lit(1.0)), 6).alias("midp_less"),
+        )
+    return res.select(
+        *cells,
         F.round(F.least(F.col("p_two"), F.lit(1.0)), 6).alias("p_two_sided"),
         F.round(F.least(F.col("p_ge"), F.lit(1.0)), 6).alias("p_greater"),
         F.round(F.least(F.col("p_le"), F.lit(1.0)), 6).alias("p_less"),
