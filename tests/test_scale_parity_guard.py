@@ -84,7 +84,7 @@ def test_staged_oracle_matches_committed_oracle(oracle):
     pathologically at 8x). The staged sequence must stay the IDENTICAL
     recurrence: at sf0.01 its result must equal the committed
     single-statement oracle's, row for row."""
-    from tools.scale_parity import STAGED_ORACLES
+    from tools.scale_parity import ALT_ORACLES, STAGED_ORACLES
     from trembita_spark import contract
 
     contract.load_all()
@@ -96,4 +96,13 @@ def test_staged_oracle_matches_committed_oracle(oracle):
         assert got == want, (
             f"{key}: staged oracle diverged from the committed oracle "
             f"(first rows: staged={got[:3]} committed={want[:3]})"
+        )
+    # ALT reformulations (different SQL, same result) carry the same
+    # obligation: row-for-row equality with the committed oracle.
+    for key, alt in ALT_ORACLES.items():
+        got = sorted(oracle.execute(alt).fetchall())
+        want = sorted(oracle.execute(contract.ORACLES[key]).fetchall())
+        assert got == want, (
+            f"{key}: ALT oracle diverged from the committed oracle "
+            f"(first rows: alt={got[:3]} committed={want[:3]})"
         )

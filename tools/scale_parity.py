@@ -148,6 +148,35 @@ def _ktruss_round(prev: str, this: str, min_sup: int) -> list:
     ]
 
 
+# Equivalent single-statement REFORMULATIONS for oracles whose committed
+# form hits a DuckDB-1.0-at-scale pathology (distinct from staging:
+# different SQL, same result). Guarded by a row-for-row sf0.01 equality
+# test against the committed oracle (test_scale_parity_guard.py).
+# q_stream_tws_topk: the committed inequality self-join (count of prior
+# same-user events with value >= mine) exceeds the 120s watchdog at 8x;
+# the per-user list formulation computes the same prefix rank in O(k^2)
+# per user, vectorized — 1.3s at 8x.
+ALT_ORACLES = {
+    "q_stream_tws_topk": """
+    WITH per AS (
+      SELECT user_id,
+             list(struct_pack(ts := ts, event_id := event_id, value := value)
+                  ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    ),
+    ex AS (
+      SELECT user_id,
+             unnest(generate_series(1, len(evs))) AS i,
+             evs
+      FROM per
+    )
+    SELECT user_id, evs[i].event_id AS event_id, evs[i].ts AS ts,
+           evs[i].value AS value
+    FROM ex
+    WHERE len(list_filter(evs[1:i-1], x -> x.value >= evs[i].value)) < 3
+    """
+}
+
 STAGED_ORACLES = {
     "q_graph_ktruss": {
         "setup": (
@@ -333,6 +362,9 @@ def main() -> int:
                     con.execute(stmt)
                 sql = staged["final"]
                 entry["oracle_staged"] = True
+            elif key in ALT_ORACLES:
+                sql = ALT_ORACLES[key]
+                entry["oracle_alt"] = True
             else:
                 sql = contract.ORACLES[key]
             cols = CK.duckdb_describe(con, sql)

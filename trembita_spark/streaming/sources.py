@@ -41,15 +41,34 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = _events_raw_schema(spark, sf_dir)
-    # The file source requires a directory: stream the sf dir with a glob
-    # pinned to the events file (one micro-batch per discovered file).
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .option("recursiveFileLookup", "false")
-        .load(sf_dir)
-    )
+    # The events fixture ships in two physical shapes: the driver's
+    # SINGLE FILE sf_dir/events.parquet, and (for the scale replicas) a
+    # Spark-written DIRECTORY of part files under the same name. A glob
+    # pinned to "events.parquet" without recursion silently streams 0
+    # rows from the directory shape (part files don't match the glob) —
+    # dispatch on the actual shape instead.
+    import os as _os
+
+    ev_path = _os.path.join(sf_dir, "events.parquet")
+    if _os.path.isdir(ev_path):
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "false")
+            .load(ev_path)
+        )
+    else:
+        # file shape: the file source requires a directory — stream the
+        # sf dir with a glob pinned to the events file (one micro-batch
+        # per discovered file).
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .option("recursiveFileLookup", "false")
+            .load(sf_dir)
+        )
     return raw.withColumn("ts", _normalize_ts(schema["ts"].dataType))
 
 
