@@ -78,6 +78,56 @@ def test_scale_parity_artifact_green():
         )
 
 
+# Cumulative at-scale coverage floor (round-11 verdict item 1): the
+# committed ledger may only GROW. Bump this constant when a round adds
+# coverage; a ledger regression (lost evidence, clobbered file) fails
+# here mechanically. r11 seeded 96 keys from the five committed
+# SCALE_PARITY_r11* artifacts.
+COVERAGE_FLOOR = 96
+
+
+def test_scale_coverage_ledger_cumulative():
+    path = os.path.join(REPO, "SCALE_COVERAGE.json")
+    assert os.path.exists(path), (
+        "no committed SCALE_COVERAGE.json — tools/scale_parity.py "
+        "maintains the cumulative at-scale coverage ledger"
+    )
+    with open(path) as f:
+        ledger = json.load(f)
+    covered = ledger.get("covered", {})
+    assert len(covered) >= COVERAGE_FLOOR, (
+        f"coverage ledger shrank: {len(covered)} < floor {COVERAGE_FLOOR} "
+        f"— at-scale evidence is append-only; restore the lost entries"
+    )
+    assert ledger.get("n_keys_covered") == len(covered)
+    # every ledger key must be a real registry key (a rename must
+    # migrate its evidence, not strand it)
+    from trembita_spark import contract
+
+    contract.load_all()
+    stray = sorted(set(covered) - set(contract.QUERIES))
+    assert not stray, f"ledger keys not in the registry: {stray}"
+    # evidence tags are well-formed
+    for k, tags in covered.items():
+        assert tags and all(
+            re.fullmatch(r"r\d+@(\d+x|skew)", t) for t in tags
+        ), f"{k}: malformed evidence tags {tags}"
+    # consistency: every green key in the committed at-scale artifacts
+    # appears in the ledger (the union step ran)
+    for path in glob.glob(os.path.join(REPO, "SCALE_PARITY_r*.json")):
+        with open(path) as f:
+            payload = json.load(f)
+        missing = sorted(
+            k
+            for k, v in payload.get("keys", {}).items()
+            if v.get("pass") is True and k not in covered
+        )
+        assert not missing, (
+            f"{os.path.basename(path)}: green keys absent from the "
+            f"coverage ledger: {missing}"
+        )
+
+
 def test_staged_oracle_matches_committed_oracle(oracle):
     """tools/scale_parity.py stages some oracles as temp-table statement
     sequences (DuckDB 1.0 executes deep MATERIALIZED-CTE chains

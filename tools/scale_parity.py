@@ -252,6 +252,8 @@ def make_sf_dir() -> str:
     """Assemble an sf-dir-shaped directory over the replica: scaled (or
     skewed) fact tables from the replica, everything else symlinked
     unscaled."""
+    import shutil
+
     base, scaled = (SKEW_BASE, SKEW_TABLES) if SKEW else (BASE, SCALED_TABLES)
     d = f"{base}_sfdir"
     os.makedirs(d, exist_ok=True)
@@ -263,7 +265,13 @@ def make_sf_dir() -> str:
         if os.path.islink(link) or os.path.exists(link):
             if os.path.islink(link) and os.readlink(link) == target:
                 continue
-            os.remove(link)
+            if os.path.islink(link):
+                os.remove(link)
+            else:
+                # a stale REAL directory (e.g. an interrupted replica
+                # write) occupying the slot would make os.remove raise
+                # IsADirectoryError and abort the sweep (ADVICE r11)
+                shutil.rmtree(link)
         os.symlink(target, link)
     return d
 
@@ -281,8 +289,8 @@ def make_oracle() -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _fold_with_timeout(con, sql: str, cols: list, timeout_s: float):
-    """Run the DuckDB fold under a watchdog: some oracle formulations
+def _duckdb_with_timeout(con, fn, timeout_s: float, what: str):
+    """Run a DuckDB call under a watchdog: some oracle formulations
     that are fine at sf0.01 hit DuckDB 1.0 CTE pathologies at replica
     scale (the ktruss case ran >10 min); an interrupt turns an unknown
     hang into a recorded per-key skip instead of stalling the sweep."""
@@ -292,9 +300,7 @@ def _fold_with_timeout(con, sql: str, cols: list, timeout_s: float):
 
     def run():
         try:
-            out["fold"] = tuple(
-                con.execute(CK.duckdb_fold_sql(sql, cols)).fetchone()
-            )
+            out["val"] = fn()
         except Exception as e:  # surfaced to the caller below
             out["err"] = e
 
@@ -304,10 +310,19 @@ def _fold_with_timeout(con, sql: str, cols: list, timeout_s: float):
     if t.is_alive():
         con.interrupt()
         t.join(30)
-        raise TimeoutError(f"oracle fold exceeded {timeout_s:.0f}s (interrupted)")
+        raise TimeoutError(f"{what} exceeded {timeout_s:.0f}s (interrupted)")
     if "err" in out:
         raise out["err"]
-    return out["fold"]
+    return out["val"]
+
+
+def _fold_with_timeout(con, sql: str, cols: list, timeout_s: float):
+    return _duckdb_with_timeout(
+        con,
+        lambda: tuple(con.execute(CK.duckdb_fold_sql(sql, cols)).fetchone()),
+        timeout_s,
+        "oracle fold",
+    )
 
 
 def main() -> int:
@@ -358,8 +373,18 @@ def main() -> int:
             t0 = time.perf_counter()
             staged = STAGED_ORACLES.get(key)
             if staged:
+                # each setup statement rides the SAME watchdog as the
+                # final fold: a DuckDB at-scale pathology inside a staged
+                # temp-table statement (the very class staging works
+                # around) must become a recorded per-key skip, not a
+                # sweep-wide hang (ADVICE r11)
                 for stmt in staged["setup"]:
-                    con.execute(stmt)
+                    _duckdb_with_timeout(
+                        con,
+                        lambda s=stmt: con.execute(s),
+                        float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "900")),
+                        "staged oracle setup",
+                    )
                 sql = staged["final"]
                 entry["oracle_staged"] = True
             elif key in ALT_ORACLES:
@@ -419,18 +444,60 @@ def main() -> int:
     # A filtered/subset sweep must not overwrite a committed full
     # artifact with a narrower one under the same name; an explicit
     # SPARK_GRAFT_SCALE_PARITY_OUT names intentional subset artifacts
-    # (e.g. the 64x overflow-lane spot check).
+    # (e.g. the 64x overflow-lane spot check). A TRANCHE run is a
+    # subset too — its non-pinned key set must not clobber the pinned
+    # artifact either (ADVICE r11), so it defaults to a _tranche-
+    # suffixed path at the repo root (committed per round).
     explicit = os.environ.get("SPARK_GRAFT_SCALE_PARITY_OUT")
     if explicit:
         out = explicit
         payload["keys_list"] = keys
+    elif tranche and not only:
+        out = os.path.join(REPO, f"SCALE_PARITY_r{ROUND}_tranche.json")
+        payload["tranche"] = int(tranche)
+        print(f"tranche run -> {out} (pinned artifact untouched)")
     elif only:
         out = f"/tmp/scale_parity_subset_r{ROUND}.json"
         print(f"subset run -> {out} (committed artifact untouched)")
     with open(out, "w") as f:
         f.write(json.dumps(payload) + "\n")
     print(f"wrote {out}: {len(results)} keys, all_pass={all_pass}")
+    update_coverage_ledger(results)
     return 0 if all_pass else 1
+
+
+def update_coverage_ledger(results: dict) -> None:
+    """Union every key that PASSED this sweep into the committed
+    cumulative ledger SCALE_COVERAGE.json (round-11 verdict item 1:
+    at-scale value-parity coverage must be CUMULATIVE across rounds,
+    not a per-round snapshot the tranche rotation forgets). The ledger
+    maps key -> sorted list of evidence tags 'r{round}@{scale}x' (or
+    '@skew'); tests/test_scale_parity_guard.py asserts it only grows
+    and meets the pinned coverage floor. Append-only by construction:
+    a red or skipped key never removes prior evidence."""
+    path = os.path.join(REPO, "SCALE_COVERAGE.json")
+    ledger: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            ledger = json.load(f)
+    covered = ledger.setdefault("covered", {})
+    tag = f"r{ROUND}@skew" if SKEW else f"r{ROUND}@{SCALE}x"
+    added = 0
+    for key, entry in results.items():
+        if entry.get("pass") is True:
+            tags = covered.setdefault(key, [])
+            if tag not in tags:
+                tags.append(tag)
+                tags.sort()
+                added += 1
+    ledger["n_keys_covered"] = len(covered)
+    with open(path, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"coverage ledger: {ledger['n_keys_covered']} keys covered "
+        f"(+{added} new evidence tags this run)"
+    )
 
 
 if __name__ == "__main__":

@@ -8736,7 +8736,10 @@ def q_ts_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cells AS (
       SELECT l_quantity AS x, l_linenumber AS y, CAST(count(*) AS BIGINT) AS c
       FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+      -- same y-domain restriction the operator enforces (y IN y_values);
+      -- the fixture's domain happens to be exactly 1..7, but the oracle
+      -- must not rely on that accident (ADVICE r11)
+      WHERE l_quantity IS NOT NULL AND l_linenumber IN (1, 2, 3, 4, 5, 6, 7)
       GROUP BY 1, 2
     ),
     p AS (

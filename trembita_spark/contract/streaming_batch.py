@@ -4861,11 +4861,23 @@ def q_stream_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
-    # re-delivery: the worst-case rewind hands the merge the full data
-    # set again under a fresh batch id — must be a no-op.
+    # Loss gate BEFORE the re-delivery: the anti-join merge would
+    # silently BACK-FILL any rows the stream failed to deliver (the
+    # exact 0-row source-bug class the round-11 tranche caught in
+    # events_stream), turning a delivery hole into a green oracle. The
+    # key certifies no-duplicates; source-side completeness must fail
+    # loudly here instead of being repaired by the rewind (ADVICE r11).
     from trembita_spark.contract import table as _table
 
-    merge_batch(
-        _table(spark, sf_dir, "events").select(*cols), batch_id=10_000
-    )
+    src_batch = _table(spark, sf_dir, "events").select(*cols)
+    delivered = spark.read.parquet(target).count()
+    expected = src_batch.count()
+    if delivered != expected:
+        raise AssertionError(
+            f"stream delivered {delivered} rows, source has {expected} — "
+            f"source-side loss; refusing to mask it via re-delivery"
+        )
+    # re-delivery: the worst-case rewind hands the merge the full data
+    # set again under a fresh batch id — must be a no-op.
+    merge_batch(src_batch, batch_id=10_000)
     return spark.read.parquet(target)
