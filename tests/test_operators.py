@@ -1566,3 +1566,72 @@ def test_fisher_exact_matches_lgamma_reference(spark):
         assert abs(r["p_greater"] - ge) < 2e-6
         assert abs(r["p_less"] - le) < 2e-6
         assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+
+
+def test_barnard_exact_matches_brute_force(spark):
+    # barnard_exact_2x2's O((n1+n2)*grid) tail decomposition must
+    # reproduce the naive (n1+1)x(n2+1) full-table enumeration at the
+    # same 20-point nuisance grid, pooled-Wald statistic, and corner
+    # convention (s(N-s)=0 tables have T := 0) to well within the
+    # round-6 grid — including a zn=0 degenerate (p=1) and a one-sided
+    # extreme table.
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trembita_spark.operators.stats import barnard_exact_2x2
+
+    def ref(a, b, c, d, grid=20):
+        n1, n2 = a + b, c + d
+        nn, s0 = n1 + n2, a + c
+        zn, s0c = a * n2 - c * n1, (a + c) * (b + d)
+        x1 = np.arange(n1 + 1)[:, None]
+        x2 = np.arange(n2 + 1)[None, :]
+        s = x1 + x2
+        extreme = (
+            s0c * (x1 * n2 - x2 * n1).astype(float) ** 2
+            >= float(zn) ** 2 * (s * (nn - s)).astype(float)
+        )
+        if zn != 0:
+            extreme[0, 0] = False
+            extreme[n1, n2] = False
+        lg = math.lgamma
+
+        def binom(n, pi):
+            ks = np.arange(n + 1)
+            return np.exp(
+                [
+                    lg(n + 1) - lg(k + 1) - lg(n - k + 1)
+                    + k * math.log(pi)
+                    + (n - k) * math.log(1 - pi)
+                    for k in ks
+                ]
+            )
+
+        best = 0.0
+        for g in range(1, grid + 1):
+            pi = g / (grid + 1)
+            p = float(
+                (binom(n1, pi)[:, None] * binom(n2, pi)[None, :] * extreme).sum()
+            )
+            best = max(best, p)
+        p0 = s0 / nn
+        wald = (a / n1 - c / n2) / math.sqrt(
+            p0 * (1 - p0) * (1 / n1 + 1 / n2)
+        )
+        return wald, best
+
+    for a, b, c, d in [(6, 13, 11, 7), (10, 2, 3, 15), (7, 12, 8, 3), (5, 5, 5, 5)]:
+        rows = (
+            [(True, True)] * a
+            + [(True, False)] * b
+            + [(False, True)] * c
+            + [(False, False)] * d
+        )
+        df = spark.createDataFrame(rows, "e boolean, o boolean")
+        r = barnard_exact_2x2(df, F.col("e"), F.col("o")).collect()[0]
+        wald, p = ref(a, b, c, d)
+        assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+        assert abs(r["wald"] - wald) < 2e-6, (a, b, c, d, r["wald"], wald)
+        assert abs(r["p_value"] - p) < 2e-6, (a, b, c, d, r["p_value"], p)

@@ -69,8 +69,10 @@ TARGET_KEYS = [
     "q_stat_ansari_bradley",
     "q_stat_brunner_munzel",
     "q_stat_kendall",
-    # new this round: lnfact prefix-sum construction, n grows with data
+    # lnfact prefix-sum construction, n grows with data (r11); Barnard
+    # adds the O((n1+n2)*grid) unconditional lane on top of it (r12)
     "q_stat_fisher_exact",
+    "q_stat_barnard",
     # double-precision time-series lanes (shared-N^2 KPSS bug class)
     "q_ts_kpss",
     "q_ts_adf",

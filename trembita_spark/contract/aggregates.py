@@ -10280,3 +10280,178 @@ def q_stat_fisher_midp(spark: SparkSession, sf_dir: str) -> DataFrame:
         outcome=F.col("event_type") == "purchase",
         midp=True,
     )
+
+
+@register(
+    "q_stat_barnard",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND event_type = 'purchase') AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND event_type <> 'purchase') AS BIGINT) AS b,
+             CAST(count(*) FILTER (WHERE user_id % 2 <> 0 AND event_type = 'purchase') AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE user_id % 2 <> 0 AND event_type <> 'purchase') AS BIGINT) AS d
+      FROM events
+    ),
+    m AS (
+      SELECT a, b, c, d, a + b AS n1, c + d AS n2, a + b + c + d AS nn,
+             a + c AS s0,
+             a * (c + d) - c * (a + b) AS zn,
+             (a + c) * (b + d) AS s0c
+      FROM t
+    ),
+    mm AS (
+      SELECT m.*, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             CAST(nn AS DOUBLE) AS nd, CAST(zn AS DOUBLE) AS znd,
+             CAST(s0c AS DOUBLE) AS s0cd, CAST(s0 AS DOUBLE) AS s0d,
+             CAST(s0c AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               + CAST(zn AS DOUBLE) * CAST(zn AS DOUBLE) AS qa
+      FROM m
+    ),
+    lf AS MATERIALIZED (
+      SELECT i,
+             sum(CAST(ln(CAST(i AS DOUBLE)) AS DECIMAL(32,12))) OVER
+               (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lf
+      FROM (SELECT unnest(generate_series(1, (SELECT greatest(n1, n2) FROM m))) AS i)
+    ),
+    lfc AS (
+      SELECT coalesce(max(CASE WHEN lf.i = m.n1 THEN lf.lf END), 0) AS lf_n1,
+             coalesce(max(CASE WHEN lf.i = m.n2 THEN lf.lf END), 0) AS lf_n2
+      FROM lf, m
+    ),
+    gd AS (
+      SELECT g, CAST(g AS DOUBLE) / 21.0e0 AS pi
+      FROM (SELECT unnest(generate_series(1, 20)) AS g)
+    ),
+    gd2 AS (SELECT g, pi, ln(pi) AS lnpi, ln(1.0e0 - pi) AS lnq FROM gd),
+    x2f AS (
+      SELECT x2s.x2,
+             CAST(lfc.lf_n2 - coalesce(l1.lf, 0) - coalesce(l2.lf, 0) AS DOUBLE) AS lnc2
+      FROM (SELECT unnest(generate_series(0, (SELECT n2 FROM m))) AS x2) x2s
+      CROSS JOIN lfc CROSS JOIN m
+      LEFT JOIN lf l1 ON l1.i = x2s.x2
+      LEFT JOIN lf l2 ON l2.i = m.n2 - x2s.x2
+    ),
+    t2 AS MATERIALIZED (
+      SELECT gd2.g, x2f.x2,
+             CAST(exp(x2f.lnc2 + CAST(x2f.x2 AS DOUBLE) * gd2.lnpi
+                      + (mm.n2d - CAST(x2f.x2 AS DOUBLE)) * gd2.lnq)
+                  AS DECIMAL(38,33)) AS b2q
+      FROM x2f CROSS JOIN gd2 CROSS JOIN mm
+    ),
+    cdf AS MATERIALIZED (
+      SELECT g, x2,
+             sum(b2q) OVER (PARTITION BY g ORDER BY x2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+      FROM t2
+    ),
+    blocks AS (
+      SELECT g, sum(b2q) AS tot2,
+             max(CASE WHEN t2.x2 = 0 THEN b2q END) AS b2q0,
+             max(CASE WHEN t2.x2 = m.n2 THEN b2q END) AS b2qn2
+      FROM t2 CROSS JOIN m
+      GROUP BY g
+    ),
+    x1b AS (
+      SELECT x1s.x1,
+             CAST(lfc.lf_n1 - coalesce(l1.lf, 0) - coalesce(l2.lf, 0) AS DOUBLE) AS lnc1,
+             CAST(x1s.x1 AS DOUBLE) AS x1d
+      FROM (SELECT unnest(generate_series(0, (SELECT n1 FROM m))) AS x1) x1s
+      CROSS JOIN lfc CROSS JOIN m
+      LEFT JOIN lf l1 ON l1.i = x1s.x1
+      LEFT JOIN lf l2 ON l2.i = m.n1 - x1s.x1
+    ),
+    bnd AS (
+      SELECT x1, lnc1, x1d, mm.qa,
+             -2.0e0 * mm.s0cd * mm.n1d * mm.n2d * x1d
+               - mm.znd * mm.znd * (mm.nd - 2.0e0 * x1d) AS qb,
+             mm.s0cd * mm.n2d * mm.n2d * x1d * x1d
+               - mm.znd * mm.znd * x1d * (mm.nd - x1d) AS qc
+      FROM x1b CROSS JOIN mm
+    ),
+    bnd2 AS (
+      SELECT *, qb * qb - 4.0e0 * qa * qc AS disc,
+             -qb / (2.0e0 * qa) AS vtx
+      FROM bnd
+    ),
+    bnd3 AS (
+      SELECT *,
+        CAST(floor((-qb - sqrt(greatest(disc, 0.0e0))) / (2.0e0 * qa)) AS BIGINT) AS flo,
+        CAST(ceil((-qb + sqrt(greatest(disc, 0.0e0))) / (2.0e0 * qa)) AS BIGINT) AS fhi
+      FROM bnd2
+    ),
+    uv AS (
+      SELECT x1, lnc1, x1d,
+        CASE WHEN disc <= 0.0e0 THEN m.n2
+             ELSE least(coalesce(list_max(list_filter(generate_series(flo - 2, flo + 2),
+                  j -> CAST(j AS DOUBLE) <= vtx
+                       AND qa * CAST(j AS DOUBLE) * CAST(j AS DOUBLE)
+                           + qb * CAST(j AS DOUBLE) + qc >= 0.0e0)), -1), m.n2) END AS u,
+        CASE WHEN disc <= 0.0e0 THEN m.n2 + 1
+             ELSE greatest(coalesce(list_min(list_filter(generate_series(fhi - 2, fhi + 2),
+                  j -> CAST(j AS DOUBLE) >= vtx
+                       AND qa * CAST(j AS DOUBLE) * CAST(j AS DOUBLE)
+                           + qb * CAST(j AS DOUBLE) + qc >= 0.0e0)), m.n2 + 1), 0) END AS v
+      FROM bnd3 CROSS JOIN m
+    ),
+    t1 AS (
+      SELECT gd2.g, uv.x1, uv.u, uv.v,
+             exp(uv.lnc1 + uv.x1d * gd2.lnpi + (mm.n1d - uv.x1d) * gd2.lnq) AS b1
+      FROM uv CROSS JOIN gd2 CROSS JOIN mm
+    ),
+    tails AS (
+      SELECT t1.g,
+        CAST(t1.b1 * (
+          coalesce(CAST(cl.cdf AS DOUBLE), 0.0e0)
+          + (CASE WHEN t1.v > m.n2 THEN 0.0e0
+                  ELSE CAST(blocks.tot2 AS DOUBLE)
+                       - coalesce(CAST(ch.cdf AS DOUBLE), 0.0e0) END)
+          - (CASE WHEN t1.x1 = 0 AND m.zn <> 0
+                  THEN CAST(blocks.b2q0 AS DOUBLE) ELSE 0.0e0 END)
+          - (CASE WHEN t1.x1 = m.n1 AND m.zn <> 0
+                  THEN CAST(blocks.b2qn2 AS DOUBLE) ELSE 0.0e0 END)
+        ) AS DECIMAL(38,33)) AS term
+      FROM t1 CROSS JOIN m
+      JOIN blocks ON blocks.g = t1.g
+      LEFT JOIN cdf cl ON cl.g = t1.g AND cl.x2 = t1.u
+      LEFT JOIN cdf ch ON ch.g = t1.g AND ch.x2 = t1.v - 1
+    ),
+    psum AS (SELECT g, sum(term) AS p_dec FROM tails GROUP BY g)
+    SELECT m.a, m.b, m.c, m.d,
+      round((CAST(m.a AS DOUBLE) / mm.n1d - CAST(m.c AS DOUBLE) / mm.n2d)
+            / sqrt((mm.s0d / mm.nd) * (1.0e0 - mm.s0d / mm.nd)
+                   * (1.0e0 / mm.n1d + 1.0e0 / mm.n2d)), 6) AS wald,
+      round(CAST(max(p_dec) AS DOUBLE), 6) AS p_value
+    FROM psum CROSS JOIN m CROSS JOIN mm
+    GROUP BY m.a, m.b, m.c, m.d, mm.n1d, mm.n2d, mm.s0d, mm.nd
+    """,
+)
+def q_stat_barnard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Barnard's UNCONDITIONAL exact 2x2 test (round-11 verdict item 3 —
+    # the last hole in the small-sample 2x2 family Fisher opened):
+    # X1 ~ Bin(n1, pi), X2 ~ Bin(n2, pi); pooled-Wald extremeness;
+    # p = max over a 20-point uniform nuisance grid (the same
+    # published-practice discretization class as scipy's 32-point
+    # default). The quadratic-tables trap is dodged by solving the
+    # extremeness condition PER x1: clearing denominators turns
+    # |T| >= |T_obs| into one integer-coefficient quadratic in x2, so
+    # the extreme set is two tails {x2<=u} ∪ {x2>=v} and p(pi) needs
+    # only the Bin(n2,pi) CDF at the boundaries — one distributed
+    # prefix sum per grid point, O((n1+n2)*grid) total, never
+    # (n1+1)x(n2+1) tables. Boundaries are pure IEEE double
+    # *,+,-,sqrt over <2^53 integers with the IDENTICAL tree here and
+    # in the oracle (no libm), so both engines pick identical u, v;
+    # probability terms ride the fisher lnfact DECIMAL(32,12) lane and
+    # a DECIMAL(38,33) quantized term lane (order-independent sums);
+    # the 0/0-statistic corner tables (0,0) and (n1,n2) are defined
+    # T=0 and subtracted exactly. operators/stats.py:barnard_exact_2x2,
+    # brute-force-validated in tests. At 100 TB: one scan for the 2x2,
+    # O(n) prefix sums, equi joins only.
+    from trembita_spark.operators.stats import barnard_exact_2x2
+
+    ev = table(spark, sf_dir, "events")
+    return barnard_exact_2x2(
+        ev,
+        exposure=F.col("user_id") % 2 == 0,
+        outcome=F.col("event_type") == "purchase",
+    )

@@ -1010,3 +1010,285 @@ def fisher_exact_2x2(
         F.round(F.least(F.col("p_ge"), F.lit(1.0)), 6).alias("p_greater"),
         F.round(F.least(F.col("p_le"), F.lit(1.0)), 6).alias("p_less"),
     )
+
+
+def barnard_exact_2x2(
+    df: DataFrame, exposure: Column, outcome: Column, grid: int = 20
+) -> DataFrame:
+    """Barnard's UNCONDITIONAL exact test for the 2x2 table — the more
+    powerful sibling of Fisher's conditional test (round-11 verdict
+    item 3; Fisher fixes both margins, Barnard fixes only the group
+    sizes and maximizes over the common null proportion pi). Model:
+    X1 ~ Bin(n1, pi), X2 ~ Bin(n2, pi) independent; statistic is the
+    pooled-variance Wald Z (the standard choice, e.g. scipy's
+    default); p(pi) = sum of P(x1)P(x2) over tables at least as
+    extreme as observed (|T| >= |T_obs|); reported p is max over a
+    config-sized uniform pi grid g/(grid+1), g = 1..grid (the same
+    published-practice discretization as scipy's 32-point default).
+    Returns one row: (a, b, c, d, wald, p_value).
+
+    The naive sum enumerates (n1+1)(n2+1) tables — quadratic, dead at
+    scale. This implementation is O((n1 + n2)·grid): for FIXED x1 the
+    extremeness condition T(x1, x2)^2 >= T_obs^2 clears denominators to
+    a single QUADRATIC inequality in x2 —
+
+        s0(N−s0)·(x1·n2 − x2·n1)^2 >= (a·n2 − c·n1)^2·s(N−s), s = x1+x2
+
+    — so the extreme set per x1 is {x2 <= u(x1)} ∪ {x2 >= v(x1)} with
+    u, v from the quadratic's roots, and p(pi) needs only the binomial
+    CDF of x2 at those boundaries: one distributed prefix sum of the
+    Bin(n2, pi) terms per grid point (ONE global two-phase prefix sum
+    over (g, x2) plus a grid-sized offset frame), then an O(n1·grid)
+    join. Tables with s(N−s) = 0 (the (0,0) and (n1,n2) corners) have a
+    0/0 statistic, defined as T = 0 — NON-extreme whenever T_obs != 0;
+    they are subtracted structurally (their exact quantized term), which
+    is also what makes p < 1 possible at all: the corners' mass -> 1 as
+    pi -> 0 or 1.
+
+    Numeric discipline (cross-engine):
+    - the boundary decision is pure IEEE double *,+,-,sqrt over integer
+      inputs below 2^53 — no libm transcendentals — evaluated by the
+      IDENTICAL expression tree in the SQL oracle, so both engines pick
+      identical u, v even 1 ulp from a root (root-finding error is
+      covered by probing floor(root)±2 against the exact quadratic);
+    - log-binomial weights ride the SAME DECIMAL(32,12)-quantized
+      lnfact prefix-sum lane as fisher_exact_2x2;
+    - each probability term is quantized to DECIMAL(38,33) (one cast)
+      and every running/group sum is exact decimal — order-independent
+      inside each engine; the cross-engine drift is libm's 1-ulp on
+      exp/ln per term, bounded ~1e-10 over the whole sum, absorbed by
+      the round-6 output grid.
+
+    Scale shape: one scan for the 2x2, one O(max(n1,n2)) lnfact prefix
+    sum, two O(n·grid) term frames, one global prefix sum, three equi
+    shuffle joins — no all-pairs anywhere, so the "exact small-sample
+    test" survives 100 TB the same way the Fisher lane does.
+    """
+    spark = df.sparkSession
+    cell = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    row = df.agg(
+        cell(exposure & outcome).alias("a"),
+        cell(exposure & ~outcome).alias("b"),
+        cell(~exposure & outcome).alias("c"),
+        cell(~exposure & ~outcome).alias("d"),
+    ).collect()[0]
+    a, b, c, d = int(row["a"]), int(row["b"]), int(row["c"]), int(row["d"])
+    n1, n2 = a + b, c + d
+    nn, s0 = n1 + n2, a + c
+    zn = a * n2 - c * n1  # BIGINT-exact (< 2^53 through 64x replicas)
+    s0c = s0 * (nn - s0)
+    gp1 = float(grid + 1)
+    n1d, n2d, nd = float(n1), float(n2), float(nn)
+    znd, s0cd, s0d = float(zn), float(s0c), float(s0)
+
+    # --- shared lnfact lane (identical to fisher_exact_2x2) ------------
+    m = max(n1, n2)
+    lf = spark.range(1, m + 1).select(
+        F.col("id").alias("i"),
+        F.log(F.col("id").cast("double")).cast("decimal(32,12)").alias("lnl"),
+    )
+    lf = prefix_sum(lf, "lnl", [F.col("i")], name="lf").select("i", "lf")
+    zlf = F.lit(0).cast("decimal(38,12)")
+
+    def pick(idx: int) -> Column:
+        return F.coalesce(
+            F.max(F.when(F.col("i") == F.lit(idx), F.col("lf"))), zlf
+        )
+
+    lfc = lf.agg(pick(n1).alias("lf_n1"), pick(n2).alias("lf_n2"))
+
+    # --- nuisance grid: pi_g = g/(grid+1), libm logs once per point ----
+    gd = spark.range(1, grid + 1).select(
+        F.col("id").alias("g"),
+        (F.col("id").cast("double") / F.lit(gp1)).alias("pi"),
+    )
+    gd = gd.select(
+        "g",
+        "pi",
+        F.log(F.col("pi")).alias("lnpi"),
+        F.log(F.lit(1.0) - F.col("pi")).alias("lnq"),
+    )
+
+    # --- Bin(n2, pi) term table + distributed CDF ----------------------
+    x2f = (
+        spark.range(0, n2 + 1)
+        .select(F.col("id").alias("x2"))
+        .join(lf.select(F.col("i").alias("x2"), F.col("lf").alias("lf_a")), "x2", "left")
+        .withColumn("i2", F.lit(n2) - F.col("x2"))
+        .join(lf.select(F.col("i").alias("i2"), F.col("lf").alias("lf_b")), "i2", "left")
+        .crossJoin(F.broadcast(lfc))
+        .select(
+            "x2",
+            (
+                F.col("lf_n2")
+                - F.coalesce(F.col("lf_a"), zlf)
+                - F.coalesce(F.col("lf_b"), zlf)
+            )
+            .cast("double")
+            .alias("lnc2"),
+        )
+    )
+    t2 = x2f.crossJoin(F.broadcast(gd)).select(
+        "g",
+        "x2",
+        F.exp(
+            F.col("lnc2")
+            + F.col("x2").cast("double") * F.col("lnpi")
+            + (F.lit(n2d) - F.col("x2").cast("double")) * F.col("lnq")
+        )
+        .cast("decimal(38,33)")
+        .alias("b2q"),
+    )
+    cum = prefix_sum(t2, "b2q", [F.col("g"), F.col("x2")], name="cum")
+    blocks = t2.groupBy("g").agg(
+        F.sum("b2q").alias("tot2"),
+        F.max(F.when(F.col("x2") == 0, F.col("b2q"))).alias("b2q0"),
+        F.max(F.when(F.col("x2") == F.lit(n2), F.col("b2q"))).alias("b2qn2"),
+    )
+    blocks = prefix_sum(blocks, "tot2", [F.col("g")], name="incl")
+    blocks = blocks.select(
+        "g", "tot2", "b2q0", "b2qn2", (F.col("incl") - F.col("tot2")).alias("off")
+    )
+    cdf2 = cum.join(F.broadcast(blocks.select("g", "off")), "g").select(
+        "g", "x2", (F.col("cum") - F.col("off")).alias("cdf")
+    )
+
+    # --- per-x1 extreme-set boundaries (exact quadratic, doubles) ------
+    x1f = (
+        spark.range(0, n1 + 1)
+        .select(F.col("id").alias("x1"))
+        .join(lf.select(F.col("i").alias("x1"), F.col("lf").alias("lf_a")), "x1", "left")
+        .withColumn("i2", F.lit(n1) - F.col("x1"))
+        .join(lf.select(F.col("i").alias("i2"), F.col("lf").alias("lf_b")), "i2", "left")
+        .crossJoin(F.broadcast(lfc))
+        .select(
+            "x1",
+            (
+                F.col("lf_n1")
+                - F.coalesce(F.col("lf_a"), zlf)
+                - F.coalesce(F.col("lf_b"), zlf)
+            )
+            .cast("double")
+            .alias("lnc1"),
+            F.col("x1").cast("double").alias("x1d"),
+        )
+    )
+    qa = F.lit(s0cd) * F.lit(n1d) * F.lit(n1d) + F.lit(znd) * F.lit(znd)
+    x1f = x1f.select(
+        "x1",
+        "lnc1",
+        "x1d",
+        qa.alias("qa"),
+        (
+            F.lit(-2.0) * F.lit(s0cd) * F.lit(n1d) * F.lit(n2d) * F.col("x1d")
+            - F.lit(znd) * F.lit(znd) * (F.lit(nd) - F.lit(2.0) * F.col("x1d"))
+        ).alias("qb"),
+        (
+            F.lit(s0cd) * F.lit(n2d) * F.lit(n2d) * F.col("x1d") * F.col("x1d")
+            - F.lit(znd) * F.lit(znd) * F.col("x1d") * (F.lit(nd) - F.col("x1d"))
+        ).alias("qc"),
+    )
+    x1f = x1f.withColumn(
+        "disc", F.col("qb") * F.col("qb") - F.lit(4.0) * F.col("qa") * F.col("qc")
+    ).withColumn("vtx", -F.col("qb") / (F.lit(2.0) * F.col("qa")))
+    x1f = x1f.withColumn(
+        "flo",
+        F.expr(
+            "CAST(floor((-qb - sqrt(greatest(disc, 0.0D))) / (2.0D * qa)) AS BIGINT)"
+        ),
+    ).withColumn(
+        "fhi",
+        F.expr(
+            "CAST(ceil((-qb + sqrt(greatest(disc, 0.0D))) / (2.0D * qa)) AS BIGINT)"
+        ),
+    )
+    # probe floor(root)±2 against the exact quadratic; vertex splits the
+    # two branches (Q < 0 strictly at the vertex whenever disc > 0)
+    qj = (
+        "qa * CAST(j AS DOUBLE) * CAST(j AS DOUBLE)"
+        " + qb * CAST(j AS DOUBLE) + qc >= 0.0D"
+    )
+    x1f = x1f.select(
+        "x1",
+        "lnc1",
+        "x1d",
+        F.expr(
+            f"CASE WHEN disc <= 0.0D THEN {n2}L ELSE least(coalesce("
+            f"array_max(filter(sequence(flo - 2L, flo + 2L),"
+            f" j -> CAST(j AS DOUBLE) <= vtx AND {qj})), -1L), {n2}L) END"
+        ).alias("u"),
+        F.expr(
+            f"CASE WHEN disc <= 0.0D THEN {n2 + 1}L ELSE greatest(coalesce("
+            f"array_min(filter(sequence(fhi - 2L, fhi + 2L),"
+            f" j -> CAST(j AS DOUBLE) >= vtx AND {qj})), {n2 + 1}L), 0L) END"
+        ).alias("v"),
+    )
+
+    # --- assemble p(pi) and maximize over the grid ----------------------
+    t1 = x1f.crossJoin(F.broadcast(gd)).select(
+        "g",
+        "x1",
+        "u",
+        "v",
+        F.exp(
+            F.col("lnc1")
+            + F.col("x1d") * F.col("lnpi")
+            + (F.lit(n1d) - F.col("x1d")) * F.col("lnq")
+        ).alias("b1"),
+    )
+    t1 = (
+        t1.join(
+            cdf2.select("g", F.col("x2").alias("u"), F.col("cdf").alias("cdf_lo")),
+            ["g", "u"],
+            "left",
+        )
+        .withColumn("vm1", F.col("v") - 1)
+        .join(
+            cdf2.select("g", F.col("x2").alias("vm1"), F.col("cdf").alias("cdf_hi")),
+            ["g", "vm1"],
+            "left",
+        )
+        .join(F.broadcast(blocks.select("g", "tot2", "b2q0", "b2qn2")), "g")
+    )
+    # the tail is a FIXED 4-term expression (not a data-sized sum), so
+    # it rides doubles with an identical tree in the oracle — decimal
+    # addition would widen past precision 38, which the two engines cap
+    # differently; the inputs are exact decimals equal cross-engine, so
+    # the double casts and the fixed-order adds match bit for bit
+    tail = (
+        F.coalesce(F.col("cdf_lo").cast("double"), F.lit(0.0))
+        + F.when(F.col("v") > F.lit(n2), F.lit(0.0)).otherwise(
+            F.col("tot2").cast("double")
+            - F.coalesce(F.col("cdf_hi").cast("double"), F.lit(0.0))
+        )
+        - F.when(
+            (F.col("x1") == 0) & (F.lit(zn) != 0), F.col("b2q0").cast("double")
+        ).otherwise(F.lit(0.0))
+        - F.when(
+            (F.col("x1") == F.lit(n1)) & (F.lit(zn) != 0),
+            F.col("b2qn2").cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+    terms = t1.select(
+        "g",
+        (F.col("b1") * tail).cast("decimal(38,33)").alias("term"),
+    )
+    pmax = terms.groupBy("g").agg(F.sum("term").alias("p_dec")).agg(
+        F.max("p_dec").alias("p_max")
+    )
+    wald = (
+        (F.lit(float(a)) / F.lit(n1d) - F.lit(float(c)) / F.lit(n2d))
+        / F.sqrt(
+            (F.lit(s0d) / F.lit(nd))
+            * (F.lit(1.0) - F.lit(s0d) / F.lit(nd))
+            * (F.lit(1.0) / F.lit(n1d) + F.lit(1.0) / F.lit(n2d))
+        )
+    )
+    return pmax.select(
+        F.lit(a).cast("bigint").alias("a"),
+        F.lit(b).cast("bigint").alias("b"),
+        F.lit(c).cast("bigint").alias("c"),
+        F.lit(d).cast("bigint").alias("d"),
+        F.round(wald, 6).alias("wald"),
+        F.round(F.col("p_max").cast("double"), 6).alias("p_value"),
+    )
