@@ -372,6 +372,23 @@ def test_incremental_dedup_semi_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_incremental_corpus_ingest_shuffles_batch_only(spark):
+    # The composite ingestion cycle's pre-sink half (admission control +
+    # payload join-back): every shuffle-bearing shape must be bounded by
+    # the BATCH, never the corpus — the dedup probes stay semi joins
+    # against the corpus' distinct-key index frames (no pair expansion),
+    # the payload join-back is an equi join, and nothing degenerates to
+    # a cartesian. The sink-side merge (left_anti + append, delivered
+    # twice) is value-gated by the key's oracle; this pins the plan.
+    from trembita_spark.contract.llm import incremental_corpus_admitted
+
+    df = incremental_corpus_admitted(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not _bnlj_violations(plan), plan
+    assert "LeftSemi" in plan or "BroadcastHashJoin" in plan, plan
+
+
 def test_pq_scoring_broadcast_only(spark):
     # PQ: every join in training + ADC scoring is a broadcast (centroid
     # tables, distance tables — all fixed-size); the corpus itself is
