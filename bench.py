@@ -91,8 +91,11 @@ def main() -> None:
     cal_df = _calibration_frame(spark)
     _calibrate(cal_df)  # warm the probe's codegen path too
     samples: dict[str, list[float]] = {k: [] for k in keys}
+    fold_samples: dict[str, list[float]] = {k: [] for k in keys}
     load_per_trip = []
     calibration_sec = []
+    from trembita_spark import checksum as CK
+
     for _ in range(RUNS):
         load_per_trip.append([round(x, 2) for x in os.getloadavg()])
         calibration_sec.append(round(_calibrate(cal_df), 4))
@@ -100,8 +103,28 @@ def main() -> None:
             t0 = time.perf_counter()
             contract.QUERIES[key](spark, SF_DIR).collect()
             samples[key].append(time.perf_counter() - t0)
+        # Dual report (round-11 verdict item 4): the same plan ended in
+        # the in-engine 3-scalar checksum fold instead of a driver
+        # collect — the cost a 100 TB run (which ends in a sink, never a
+        # driver transfer) actually pays. Keys whose headline line is
+        # dominated by the protocol's collect (q_window_rank moves 600k
+        # rows) stop mis-pricing the PLAN in the fold line. Raw `value`
+        # stays the official §4-comparable metric.
+        for key in keys:
+            try:
+                t0 = time.perf_counter()
+                CK.spark_fold(contract.QUERIES[key](spark, SF_DIR)).collect()
+                fold_samples[key].append(time.perf_counter() - t0)
+            except TypeError:  # non-foldable output schema (array cols)
+                pass
     timings = {k: round(statistics.median(v), 4) for k, v in samples.items()}
     total = round(sum(timings.values()), 4)
+    timings_fold = {
+        k: round(statistics.median(v), 4)
+        for k, v in fold_samples.items()
+        if v
+    }
+    total_fold = round(sum(timings_fold.values()), 4)
     # Normalized total: each trip's headline sum divided by that trip's
     # calibration inflation vs CAL_QUIET (the pinned probe floor,
     # BASELINE.md §14), then the median across trips. The probe is
@@ -137,6 +160,8 @@ def main() -> None:
                 "calibration_quiet_sec": CAL_QUIET,
                 "value_calibrated": value_calibrated,
                 "queries_calibrated": timings_calibrated,
+                "value_fold": total_fold,
+                "queries_fold": timings_fold,
                 "load_per_trip": load_per_trip,
                 "load_before": load_before,
                 "load_after": [round(x, 2) for x in os.getloadavg()],
