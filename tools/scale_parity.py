@@ -159,6 +159,23 @@ def _ktruss_round(prev: str, this: str, min_sup: int) -> list:
 # the per-user list formulation computes the same prefix rank in O(k^2)
 # per user, vectorized — 1.3s at 8x.
 ALT_ORACLES = {
+    # q_join_band: the committed abs(p-c) <= 0.05 predicate can't use
+    # DuckDB's IEJoin (one expression mixes both sides), so 8x plans a
+    # blockwise NL join (~1.2e12 comparisons, 193 s measured; r12 sweep).
+    # A plain two-inequality rewrite is NOT equivalent: values are
+    # cent-quantized, so a whole 1-cent bucket of pairs sits at exact
+    # distance 0.05 and the rounding of c+0.05 classifies ~7% of pairs
+    # differently. Instead: IEJoin-able SLACK prefilter (0.051 covers
+    # every true-band pair with >1e9 ulp margin) + the exact committed
+    # residual filter — bit-identical result set, 0.8 s at 8x.
+    "q_join_band": """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.value AS p_value, c.value AS c_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.value <= c.value + 0.051 AND p.value >= c.value - 0.051
+    WHERE abs(p.value - c.value) <= 0.05
+    """,
     "q_stream_tws_topk": """
     WITH per AS (
       SELECT user_id,
@@ -179,7 +196,63 @@ ALT_ORACLES = {
     """
 }
 
+# q_graph_hits: the committed oracle's per-iteration CTEs are referenced
+# multiple times (the L1 totals are scalar subqueries over the SAME CTE),
+# so DuckDB 1.0 re-executes the whole upstream chain per reference — the
+# ktruss pathology in its non-MATERIALIZED form; >150 s at 8x as one
+# statement, seconds as temp tables. Identical recurrence, staged.
+_HITS_EDGES = """
+    CREATE OR REPLACE TEMP TABLE __hits_edges AS
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _hits_round(prev: str, tag: str) -> list:
+    return [
+        f"""CREATE OR REPLACE TEMP TABLE __hits_au_{tag} AS
+            SELECT n.node, COALESCE(ar.r, CAST(0 AS DOUBLE)) AS r
+            FROM __hits_nodes n LEFT JOIN (
+              SELECT e.dst AS node, sum(h.hub) AS r
+              FROM __hits_edges e JOIN {prev} h ON e.src = h.node
+              GROUP BY e.dst
+            ) ar ON n.node = ar.node""",
+        f"""CREATE OR REPLACE TEMP TABLE __hits_a_{tag} AS
+            SELECT node, r / (SELECT sum(r) FROM __hits_au_{tag}) AS auth
+            FROM __hits_au_{tag}""",
+        f"""CREATE OR REPLACE TEMP TABLE __hits_hu_{tag} AS
+            SELECT n.node, COALESCE(hr.r, CAST(0 AS DOUBLE)) AS r
+            FROM __hits_nodes n LEFT JOIN (
+              SELECT e.src AS node, sum(a.auth) AS r
+              FROM __hits_edges e JOIN __hits_a_{tag} a ON e.dst = a.node
+              GROUP BY e.src
+            ) hr ON n.node = hr.node""",
+        f"""CREATE OR REPLACE TEMP TABLE __hits_h_{tag} AS
+            SELECT node, r / (SELECT sum(r) FROM __hits_hu_{tag}) AS hub
+            FROM __hits_hu_{tag}""",
+    ]
+
+
 STAGED_ORACLES = {
+    "q_graph_hits": {
+        "setup": (
+            [
+                _HITS_EDGES,
+                """CREATE OR REPLACE TEMP TABLE __hits_nodes AS
+                   SELECT src AS node FROM __hits_edges
+                   UNION SELECT dst FROM __hits_edges""",
+                """CREATE OR REPLACE TEMP TABLE __hits_h_it0 AS
+                   SELECT node, CAST(1 AS DOUBLE) AS hub FROM __hits_nodes""",
+            ]
+            + _hits_round("__hits_h_it0", "it1")
+            + _hits_round("__hits_h_it1", "it2")
+        ),
+        "final": """
+            SELECT h.node, round(h.hub, 12) AS hub, round(a.auth, 12) AS auth
+            FROM __hits_h_it2 h JOIN __hits_a_it2 a ON h.node = a.node
+        """,
+    },
     "q_graph_ktruss": {
         "setup": (
             [_KTRUSS_T0]

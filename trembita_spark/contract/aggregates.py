@@ -3975,7 +3975,12 @@ def q_agg_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT grp,
              CAST(count(*) AS BIGINT) AS n_sellers,
-             CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+             -- DECIMAL(19,2) factors force DuckDB's HUGEINT lane: at the
+             -- 8x replica x reaches ~1.2e9 and the (18,2)x(18,2) multiply
+             -- overflows its INT64 physical type (caught by the r12
+             -- oracle watchdog sweep); (19,2)x(19,2) -> (38,4) is exact,
+             -- identical in value to Spark's (18,2)x(18,2) -> (37,4)
+             CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
                   AS DOUBLE) AS sxx,
              CAST(sum(x) AS DOUBLE) AS sx
       FROM per GROUP BY grp
