@@ -134,14 +134,13 @@ def test_staged_oracle_matches_committed_oracle(oracle):
     pathologically at 8x). The staged sequence must stay the IDENTICAL
     recurrence: at sf0.01 its result must equal the committed
     single-statement oracle's, row for row."""
-    from tools.scale_parity import ALT_ORACLES, STAGED_ORACLES
+    from tools.scale_parity import ALT_ORACLES, STAGED_ORACLES, run_staged
     from trembita_spark import contract
 
     contract.load_all()
     for key, staged in STAGED_ORACLES.items():
-        for stmt in staged["setup"]:
-            oracle.execute(stmt)
-        got = sorted(oracle.execute(staged["final"]).fetchall())
+        final = run_staged(oracle, staged)
+        got = sorted(oracle.execute(final).fetchall())
         want = sorted(oracle.execute(contract.ORACLES[key]).fetchall())
         assert got == want, (
             f"{key}: staged oracle diverged from the committed oracle "

@@ -196,6 +196,52 @@ ALT_ORACLES = {
     """
 }
 
+# q_dedup_clusters: the committed oracle's recursive reach(node, lab)
+# closure accumulates |lab-set per node| = cluster-size^2 rows, and the
+# 8x replica turns every duplicate group into an (8x larger) clique —
+# sum(size^2) grows ~64x and the closure alone runs >150 s even with the
+# edge list pre-staged (measured, r12 sweep). The staged form runs
+# MIN-LABEL PROPAGATION TO FIXPOINT instead — the same fixpoint (the
+# committed closure's cluster_id is min(reachable label) = the
+# component minimum, exactly what propagation converges to), state is
+# one label per node instead of a label SET per node, and the loop is
+# driven from Python with a convergence check (the "loop" key below).
+# sf0.01 row-for-row equality vs the committed oracle is guard-tested.
+_DC_EDGES = """
+    CREATE OR REPLACE TEMP TABLE __dc_edges AS
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_transform(generate_series(1, len(t) - 2),
+                                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                       ELSE [] END AS shingles
+           FROM tok),
+    sig AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles, s -> substring(md5(concat('g', band // 4, '|', s)), 1 + 8 * (band % 4), 8))) AS sig
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      WHERE len(shingles) > 0
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+"""
+
+_DC_STEP = [
+    """CREATE OR REPLACE TEMP TABLE __dc_next AS
+       SELECT l.node,
+              least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+       FROM __dc_lab l
+       LEFT JOIN __dc_edges e ON e.d = l.node
+       LEFT JOIN __dc_lab nl ON nl.node = e.s
+       GROUP BY l.node, l.lab""",
+]
+
 # q_graph_hits: the committed oracle's per-iteration CTEs are referenced
 # multiple times (the L1 totals are scalar subqueries over the SAME CTE),
 # so DuckDB 1.0 re-executes the whole upstream chain per reference — the
@@ -235,6 +281,33 @@ def _hits_round(prev: str, tag: str) -> list:
 
 
 STAGED_ORACLES = {
+    "q_dedup_clusters": {
+        "setup": [
+            _DC_EDGES,
+            """CREATE OR REPLACE TEMP TABLE __dc_lab AS
+               SELECT DISTINCT s AS node, s AS lab FROM __dc_edges""",
+        ],
+        # iterate the step statements until the check query returns 0
+        # (labels unchanged = fixpoint); bounded by max_iters
+        "loop": {
+            "stmts": _DC_STEP
+            + [
+                # change count BEFORE the swap
+                """CREATE OR REPLACE TEMP TABLE __dc_chg AS
+                   SELECT count(*) AS n FROM __dc_next n
+                   JOIN __dc_lab o ON n.node = o.node AND n.lab <> o.lab""",
+                "DROP TABLE __dc_lab",
+                "ALTER TABLE __dc_next RENAME TO __dc_lab",
+            ],
+            "check": "SELECT n FROM __dc_chg",
+            "max_iters": 200,
+        },
+        "final": """
+            SELECT d.doc_id AS doc_id,
+                   coalesce(cc.lab, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN __dc_lab cc ON cc.node = d.doc_id
+        """,
+    },
     "q_graph_hits": {
         "setup": (
             [
@@ -400,6 +473,31 @@ def _fold_with_timeout(con, sql: str, cols: list, timeout_s: float):
     )
 
 
+def run_staged(con, staged: dict, timeout_s: float = 900.0) -> str:
+    """Execute a STAGED_ORACLES entry's setup (and optional fixpoint
+    loop) on ``con``, each statement under the watchdog; returns the
+    final SELECT. Shared by the sweep and the sf0.01 equality guard so
+    the guarded sequence IS the executed sequence."""
+    for stmt in staged["setup"]:
+        _duckdb_with_timeout(
+            con, lambda s=stmt: con.execute(s), timeout_s, "staged oracle setup"
+        )
+    loop = staged.get("loop")
+    if loop:
+        for _ in range(loop["max_iters"]):
+            for stmt in loop["stmts"]:
+                _duckdb_with_timeout(
+                    con, lambda s=stmt: con.execute(s), timeout_s, "staged loop"
+                )
+            if con.execute(loop["check"]).fetchone()[0] == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"staged fixpoint loop did not converge in {loop['max_iters']} iters"
+            )
+    return staged["final"]
+
+
 def main() -> int:
     contract.load_all()
     keys = SKEW_TARGET_KEYS if SKEW else TARGET_KEYS
@@ -448,19 +546,16 @@ def main() -> int:
             t0 = time.perf_counter()
             staged = STAGED_ORACLES.get(key)
             if staged:
-                # each setup statement rides the SAME watchdog as the
-                # final fold: a DuckDB at-scale pathology inside a staged
-                # temp-table statement (the very class staging works
+                # every staged statement (setup and loop) rides the SAME
+                # watchdog as the final fold: a DuckDB at-scale pathology
+                # inside a staged statement (the very class staging works
                 # around) must become a recorded per-key skip, not a
                 # sweep-wide hang (ADVICE r11)
-                for stmt in staged["setup"]:
-                    _duckdb_with_timeout(
-                        con,
-                        lambda s=stmt: con.execute(s),
-                        float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "900")),
-                        "staged oracle setup",
-                    )
-                sql = staged["final"]
+                sql = run_staged(
+                    con,
+                    staged,
+                    float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "900")),
+                )
                 entry["oracle_staged"] = True
             elif key in ALT_ORACLES:
                 sql = ALT_ORACLES[key]
