@@ -281,6 +281,47 @@ def _hits_round(prev: str, tag: str) -> list:
 
 
 STAGED_ORACLES = {
+    # q_graph_rich_club: edges/club CTEs are each referenced 2-3 times
+    # (deg, nk, and BOTH sides of the e_k self-join), so DuckDB 1.0
+    # re-executes the lineitem-join edge derivation per reference —
+    # >150 s at 8x as one statement (r12 extras2 sweep), ~3 s staged.
+    "q_graph_rich_club": {
+        "setup": [
+            f"""CREATE OR REPLACE TEMP TABLE __rc_edges AS
+                WITH base AS ({{edges}})
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base""".format(
+                edges="""
+                  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                """
+            ),
+            """CREATE OR REPLACE TEMP TABLE __rc_club AS
+               SELECT ks.k, deg.node
+               FROM (SELECT unnest([4, 8, 16]) AS k) ks
+               JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                     FROM __rc_edges GROUP BY src) deg
+                 ON deg.d > ks.k""",
+        ],
+        "final": """
+            WITH nk AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS n_k
+              FROM __rc_club GROUP BY k
+            ),
+            ek AS (
+              SELECT c1.k, CAST(count(*) AS BIGINT) AS e_k
+              FROM __rc_edges e
+              JOIN __rc_club c1 ON c1.node = e.src
+              JOIN __rc_club c2 ON c2.node = e.dst AND c2.k = c1.k
+              GROUP BY c1.k
+            )
+            SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+                   CAST(COALESCE(ek.e_k, 0) AS DOUBLE)
+                     / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE) AS phi
+            FROM nk LEFT JOIN ek ON ek.k = nk.k
+        """,
+    },
     "q_dedup_clusters": {
         "setup": [
             _DC_EDGES,
