@@ -82,6 +82,12 @@ TARGET_KEYS = [
     "q_agg_percentile",
     "q_events_gap_percentiles",
     "q_agg_weighted_median",
+    # r12: the AQE double-execution divergence class — these two keys
+    # caught the zip_with_index/prefix_sum range-exchange branch bug
+    # (nondeterministic __pid misalignment at 8x); pinned so every
+    # round re-proves the barrier holds
+    "q_sample_systematic",
+    "q_ml_lift_deciles",
     # corpus pipeline — the 100 TB workload shape
     "q_pipeline_clean_corpus",
     "q_corpus_budget_select",

@@ -111,6 +111,14 @@ def prefix_sum_multi(
     )
     for vc, nm in zip(value_cols, names):
         out = out.withColumn(f"__lc_{nm}", F.sum(vc).over(w_local))
+    # BARRIER — `out` is consumed twice (totals agg + the join back);
+    # without a materialization each branch re-executes the range
+    # exchange independently, and under AQE the two executions can
+    # coalesce partitions DIFFERENTLY, misaligning the __pid spaces
+    # (silent duplicate/skipped prefix positions — caught at the 8x
+    # replica, r12 extras2 sweep; see pipeline.zip_with_index). The
+    # lazy localCheckpoint freezes one partitioning for both consumers.
+    out = out.localCheckpoint(eager=False)
     totals = out.groupBy("__pid").agg(
         *[F.sum(vc).alias(f"__t_{nm}") for vc, nm in zip(value_cols, names)]
     )

@@ -168,6 +168,11 @@ def budget_select(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     part = part.withColumn("__local_cum", F.sum(weight_col).over(local_w))
+    # BARRIER — `part` is consumed twice (totals agg + the join back);
+    # see pipeline.zip_with_index: without this, AQE can coalesce the
+    # two independent executions of the range exchange differently and
+    # the __pid spaces diverge (silent cum-weight corruption at scale).
+    part = part.localCheckpoint(eager=False)
     totals = part.groupBy("__pid").agg(F.sum(weight_col).alias("__n"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn("__off", F.coalesce(F.sum("__n").over(off_w), F.lit(0)))

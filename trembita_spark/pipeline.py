@@ -291,6 +291,16 @@ class Pipeline:
                 Window.partitionBy("__pid").orderBy(*[_as_column(c) for c in order_by])
             ),
         )
+        # BARRIER — the frame below is consumed TWICE (the offsets agg
+        # and the join back), and without a materialization each branch
+        # re-executes the range exchange independently: under AQE the
+        # two executions can coalesce partitions DIFFERENTLY, so the
+        # __pid spaces diverge and offsets misalign — positions silently
+        # duplicate/skip. Caught at the 8x replica (q_sample_systematic
+        # and q_ml_lift_deciles value-diverged nondeterministically,
+        # r12 extras2 sweep); the lazy localCheckpoint freezes one
+        # partitioning for both consumers.
+        df = df.localCheckpoint(eager=False)
         counts = df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
         w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
         offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
