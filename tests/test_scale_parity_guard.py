@@ -83,8 +83,9 @@ def test_scale_parity_artifact_green():
 # coverage; a ledger regression (lost evidence, clobbered file) fails
 # here mechanically. r11 seeded 96 keys from the five committed
 # SCALE_PARITY_r11* artifacts; the r12 sweeps (pinned 42, tranche 96,
-# extra 84, 32x/64x/skew) brought the union to 267 (54%).
-COVERAGE_FLOOR = 267
+# extra 84+224+3, 32x/64x/skew) completed the registry: every key
+# value-checked at replica scale at least once.
+COVERAGE_FLOOR = 492
 
 
 def test_scale_coverage_ledger_cumulative():
