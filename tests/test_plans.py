@@ -20,8 +20,27 @@ contract.load_all()
 
 
 def plan_of(key: str, spark) -> str:
-    df = contract.QUERIES[key](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed-plan text for a contract key, INCLUDING pre-checkpoint
+    lineage: the two-phase prefix machinery ends phase 1 in a lazy
+    localCheckpoint (AQE partition-space barrier, r12), which truncates
+    the consumer's explain to a Scan ExistingRDD — plan_debug.capture
+    hands the audits the phase-1 frame so rangepartitioning/__pid-window
+    pins keep auditing what production actually executes."""
+    from trembita_spark import plan_debug
+
+    plan_debug.ENABLED = True
+    plan_debug.CAPTURED.clear()
+    try:
+        df = contract.QUERIES[key](spark, SF_DIR)
+        plans = [df._jdf.queryExecution().executedPlan().toString()]
+        plans += [
+            d._jdf.queryExecution().executedPlan().toString()
+            for d in plan_debug.CAPTURED
+        ]
+    finally:
+        plan_debug.ENABLED = False
+        plan_debug.CAPTURED.clear()
+    return "\n".join(plans)
 
 
 def optimized_of(key: str, spark) -> str:

@@ -118,7 +118,11 @@ def prefix_sum_multi(
     # (silent duplicate/skipped prefix positions — caught at the 8x
     # replica, r12 extras2 sweep; see pipeline.zip_with_index). The
     # lazy localCheckpoint freezes one partitioning for both consumers.
-    out = out.localCheckpoint(eager=False)
+    # (plan_debug.capture is a no-op unless the plan audits enable it —
+    # the barrier hides phase 1 from the consumer's explain; see module.)
+    from trembita_spark import plan_debug
+
+    out = plan_debug.capture(out).localCheckpoint(eager=False)
     totals = out.groupBy("__pid").agg(
         *[F.sum(vc).alias(f"__t_{nm}") for vc, nm in zip(value_cols, names)]
     )

@@ -172,7 +172,11 @@ def budget_select(
     # see pipeline.zip_with_index: without this, AQE can coalesce the
     # two independent executions of the range exchange differently and
     # the __pid spaces diverge (silent cum-weight corruption at scale).
-    part = part.localCheckpoint(eager=False)
+    # plan_debug.capture is a no-op unless the plan audits enable it
+    # (the barrier hides the range exchange from the consumer's explain).
+    from trembita_spark import plan_debug
+
+    part = plan_debug.capture(part).localCheckpoint(eager=False)
     totals = part.groupBy("__pid").agg(F.sum(weight_col).alias("__n"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn("__off", F.coalesce(F.sum("__n").over(off_w), F.lit(0)))

@@ -299,8 +299,12 @@ class Pipeline:
         # duplicate/skip. Caught at the 8x replica (q_sample_systematic
         # and q_ml_lift_deciles value-diverged nondeterministically,
         # r12 extras2 sweep); the lazy localCheckpoint freezes one
-        # partitioning for both consumers.
-        df = df.localCheckpoint(eager=False)
+        # partitioning for both consumers. plan_debug.capture is a no-op
+        # unless the plan audits enable it (the barrier hides this phase
+        # from the consumer's explain).
+        from trembita_spark import plan_debug
+
+        df = plan_debug.capture(df).localCheckpoint(eager=False)
         counts = df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
         w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
         offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
