@@ -4881,3 +4881,127 @@ def q_stream_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set again under a fresh batch id — must be a no-op.
     merge_batch(src_batch, batch_id=10_000)
     return spark.read.parquet(target)
+
+
+# ---------------------------------------------------------------------------
+# Holt exponential smoothing (level + trend), linear and damped-trend.
+#
+# SURVEY §3.12's smoothing family previously stopped at the bounded-frame
+# EWMA (q_window_ewma): the full recurrence l_t = αx_t + (1-α)(l_{t-1} +
+# φb_{t-1}) was documented as declined because a data-sized linear
+# recurrence "doesn't unroll" into SQL. It does fold, though: both
+# engines have an ordered left-fold primitive (Spark `aggregate`, DuckDB
+# `list_reduce`), and with dyadic coefficients (α=1/2, β=1/4, φ=7/8 —
+# all exact binary fractions) every fold step is the same short sequence
+# of correctly-rounded IEEE ops in both engines, so the final state is
+# BIT-IDENTICAL with no rounding, the same argument as q_window_ewma.
+#
+# Cross-engine trap (probed, DuckDB 1.0): `list_reduce` mutates a STRUCT
+# accumulator IN PLACE field by field — a later field reading `acc.l`
+# sees the value the CURRENT step just wrote into `l`, not the previous
+# state (probe: fold [1,2,4] with l := acc.l + e.l, b := acc.l returns
+# b = 7, not 3), and nesting the struct one level down inherits the bug.
+# A LIST accumulator is constructed fresh each step and folds correctly,
+# so the state rides DOUBLE[2] = [level, trend] on both engines.
+#
+# Scale shape: the scale axis is the NUMBER of series (users), not
+# series length — one hash shuffle to group each user's (bounded,
+# per-user) event history, then a JVM-codegen fold per group; no window
+# over the data-bearing frame, no Python, no driver state. At 100 TB
+# the per-user history bound is the same contract every sessionization
+# key in this module already carries.
+# ---------------------------------------------------------------------------
+
+def _holt_pair(phi_spark: str, phi_duck: str, h3_spark: str, h3_duck: str):
+    """(Spark fold expr, DuckDB oracle) for one damping factor φ.
+
+    The two texts spell the IDENTICAL op sequence: new level
+    ``αx + (1-α)(l + φb)`` (the φ-product bound first), new trend
+    ``β(l_new - l) + (1-β)(φb)`` with the level expression repeated
+    verbatim (no reassociation), then forecast ``l + (φ+φ²+φ³)·b``
+    with the horizon-3 geometric sum as one exact dyadic literal.
+    """
+    spark_expr = f"""
+      aggregate(
+        slice(xs, 2, greatest(size(xs) - 1, 0)),
+        array(element_at(xs, 1), CAST(0 AS DOUBLE)),
+        (acc, x) -> array(
+          0.5D * x + 0.5D * (element_at(acc, 1) + {phi_spark} * element_at(acc, 2)),
+          0.25D * ((0.5D * x + 0.5D * (element_at(acc, 1) + {phi_spark} * element_at(acc, 2)))
+                   - element_at(acc, 1))
+          + 0.75D * ({phi_spark} * element_at(acc, 2))))
+    """
+    oracle = f"""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, len(xs) AS n_obs,
+             list_reduce(
+               list_transform(xs, x -> [x, 0.0::DOUBLE]),
+               (acc, e) -> [
+                 0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + {phi_duck} * acc[2]),
+                 0.25::DOUBLE * ((0.5::DOUBLE * e[1]
+                                  + 0.5::DOUBLE * (acc[1] + {phi_duck} * acc[2]))
+                                 - acc[1])
+                 + 0.75::DOUBLE * ({phi_duck} * acc[2])]) AS st
+      FROM s
+    )
+    SELECT user_id, n_obs, st[1] AS level, st[2] AS trend,
+           st[1] + {h3_duck} * st[2] AS forecast3
+    FROM f
+    """
+    return spark_expr, oracle
+
+
+def _holt_query(spark: SparkSession, sf_dir: str, fold_expr: str, h3_spark: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s"))
+        .select("user_id", F.expr("transform(s, e -> e.value)").alias("xs"))
+    )
+    st = F.expr(fold_expr)
+    return (
+        series.select("user_id", F.size("xs").alias("n_obs"), st.alias("st"))
+        .select(
+            "user_id",
+            "n_obs",
+            F.element_at("st", 1).alias("level"),
+            F.element_at("st", 2).alias("trend"),
+            (F.element_at("st", 1) + F.expr(h3_spark) * F.element_at("st", 2)).alias(
+                "forecast3"
+            ),
+        )
+    )
+
+
+_HOLT_LINEAR = _holt_pair("1.0D", "1.0::DOUBLE", "3.0D", "3.0::DOUBLE")
+# φ = 7/8: φ+φ²+φ³ = (448+392+343)/512 = 1183/512 — exact dyadic.
+_HOLT_DAMPED = _holt_pair(
+    "0.875D", "0.875::DOUBLE", "2.310546875D", "2.310546875::DOUBLE"
+)
+
+
+@register("q_ts_holt_linear", oracle=_HOLT_LINEAR[1])
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Holt's linear-trend double exponential smoothing per user (α=1/2,
+    # β=1/4, l₁=x₁, b₁=0): final level/trend state and the 3-step
+    # forecast l + 3b over each user's (ts, event_id)-ordered value
+    # series. Closes the SURVEY §3.12 smoothing-family decline — see the
+    # block comment above for the fold construction, the bit-exactness
+    # argument, and the DuckDB list_reduce in-place-struct trap this
+    # deliberately avoids with a DOUBLE[2] list state.
+    return _holt_query(spark, sf_dir, _HOLT_LINEAR[0], "3.0D")
+
+
+@register("q_ts_holt_damped", oracle=_HOLT_DAMPED[1])
+def q_ts_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Damped-trend Holt (φ=7/8): the production-forecasting default —
+    # trend contributions decay geometrically, so long-horizon forecasts
+    # flatten instead of extrapolating. Identical fold lane as
+    # q_ts_holt_linear with the φ-product bound first in BOTH engines;
+    # the h=3 forecast multiplier φ+φ²+φ³ = 1183/512 is one exact
+    # dyadic literal.
+    return _holt_query(spark, sf_dir, _HOLT_DAMPED[0], "2.310546875D")
