@@ -5005,3 +5005,114 @@ def q_ts_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the h=3 forecast multiplier φ+φ²+φ³ = 1183/512 is one exact
     # dyadic literal.
     return _holt_query(spark, sf_dir, _HOLT_DAMPED[0], "2.310546875D")
+
+
+_HW_M = 24  # seasonal period: hours per daily cycle
+_HW_ZEROS = ", ".join(["0.0::DOUBLE"] * _HW_M)
+
+
+@register(
+    "q_ts_holt_winters",
+    oracle=f"""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS x FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, CAST(COALESCE(c.x, 0) AS DOUBLE) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    arr AS (SELECT list(x ORDER BY hr) AS xs FROM dense),
+    f AS (
+      SELECT list_reduce(
+        list_prepend(
+          list_concat([xs[1], 0.0::DOUBLE], [{_HW_ZEROS}]),
+          list_transform(xs[2:], x -> [x])),
+        (acc, e) -> list_concat(
+          list_concat(
+            [
+              0.5::DOUBLE * (e[1] - acc[3]) + 0.5::DOUBLE * (acc[1] + acc[2]),
+              0.25::DOUBLE * ((0.5::DOUBLE * (e[1] - acc[3]) + 0.5::DOUBLE * (acc[1] + acc[2]))
+                              - acc[1])
+              + 0.75::DOUBLE * acc[2]
+            ],
+            acc[4:{_HW_M + 2}]),
+          [
+            0.25::DOUBLE * (e[1] - (0.5::DOUBLE * (e[1] - acc[3]) + 0.5::DOUBLE * (acc[1] + acc[2])))
+            + 0.75::DOUBLE * acc[3]
+          ])) AS st
+      FROM arr
+    )
+    SELECT h, st[2 + h] AS seasonal, st[1] AS level, st[2] AS trend,
+           st[1] + CAST(h AS DOUBLE) * st[2] + st[2 + h] AS forecast
+    FROM f, (SELECT unnest(generate_series(1, {_HW_M})) AS h)
+    """,
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triple (seasonal additive) Holt-Winters over the dense hourly
+    # event-count series, period m=24 — the final member of the
+    # smoothing family the Holt keys above opened (α=1/2, β=1/4, γ=1/4,
+    # init l₁=x₁, b₁=0, s≡0): per forecast horizon h=1..24, the
+    # seasonal state s_{t-m+h}, final level/trend, and the forecast
+    # l + h·b + s_{t-m+h}. State rides DOUBLE[m+2] = [l, b, s-ring]
+    # folded left in both engines — the ring rotates by slicing
+    # positions 4..m+2 and appending the fresh seasonal, so s_{t-m} is
+    # always slot 3; all coefficients dyadic → bit-exact, no rounding
+    # (the q_ts_holt_linear argument with a wider state vector; same
+    # DuckDB in-place-struct trap avoided by the list accumulator).
+    # Scale shape = q_ts_autocorr's: the only fact-table pass is the
+    # events → hourly-counts aggregate; the spine is time-bounded
+    # (thousands of rows at ANY data volume — at 100 TB it is still
+    # just the calendar), so the single sequential fold runs over a
+    # config-sized list regardless of event volume.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)  # feeds spine bounds + dense join
+    )
+    spine = (
+        c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    dense = spine.join(c, "hr", "left").select(
+        "hr", F.coalesce("x", F.lit(0)).cast("double").alias("x")
+    )
+    arr = dense.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(hr, x))), e -> e.x)"
+        ).alias("xs")
+    )
+    st = F.expr(f"""
+      aggregate(
+        slice(xs, 2, greatest(size(xs) - 1, 0)),
+        concat(array(element_at(xs, 1), CAST(0 AS DOUBLE)),
+               array_repeat(CAST(0 AS DOUBLE), {_HW_M})),
+        (acc, x) -> concat(
+          array(
+            0.5D * (x - element_at(acc, 3)) + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+            0.25D * ((0.5D * (x - element_at(acc, 3)) + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))
+                     - element_at(acc, 1))
+            + 0.75D * element_at(acc, 2)),
+          slice(acc, 4, {_HW_M - 1}),
+          array(
+            0.25D * (x - (0.5D * (x - element_at(acc, 3)) + 0.5D * (element_at(acc, 1) + element_at(acc, 2))))
+            + 0.75D * element_at(acc, 3))))
+    """)
+    return (
+        arr.select(st.alias("st"))
+        .select(F.explode(F.sequence(F.lit(1), F.lit(_HW_M))).alias("h"), "st")
+        .select(
+            "h",
+            F.element_at("st", F.col("h") + 2).alias("seasonal"),
+            F.element_at("st", 1).alias("level"),
+            F.element_at("st", 2).alias("trend"),
+            (
+                F.element_at("st", 1)
+                + F.col("h").cast("double") * F.element_at("st", 2)
+                + F.element_at("st", F.col("h") + 2)
+            ).alias("forecast"),
+        )
+    )
