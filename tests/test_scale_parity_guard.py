@@ -84,9 +84,9 @@ def test_scale_parity_artifact_green():
 # here mechanically. r11 seeded 96 keys from the five committed
 # SCALE_PARITY_r11* artifacts; the r12 sweeps (pinned 42, tranche 96,
 # extra 84+224+3, 32x/64x/skew) completed the registry: every key
-# value-checked at replica scale at least once; the Holt keys landed
-# with their 8x evidence in the same session (extra4).
-COVERAGE_FLOOR = 494
+# value-checked at replica scale at least once; the Holt-Winters keys
+# landed with their 8x evidence in the same session (extra4, extra5).
+COVERAGE_FLOOR = 495
 
 
 def test_scale_coverage_ledger_cumulative():
@@ -113,7 +113,7 @@ def test_scale_coverage_ledger_cumulative():
     # evidence tags are well-formed
     for k, tags in covered.items():
         assert tags and all(
-            re.fullmatch(r"r\d+@(\d+x|skew)", t) for t in tags
+            re.fullmatch(r"r\d+@(\d+x|u?skew)", t) for t in tags
         ), f"{k}: malformed evidence tags {tags}"
     # consistency: every green key in the committed at-scale artifacts
     # appears in the ledger (the union step ran)

@@ -402,9 +402,35 @@ STAGED_ORACLES = {
 # TPC-H star join) stay VALUE-correct under heavy key skew, not merely
 # fast. Oracle sees the identical files, so any skew-triggered plan
 # change (AQE splitting, salting) that altered values would mismatch.
-SKEW = os.environ.get("SPARK_GRAFT_SCALE_SKEW") == "1"
+_SKEW_MODE = os.environ.get("SPARK_GRAFT_SCALE_SKEW", "")
+SKEW = _SKEW_MODE == "1"  # hot ORDERKEY fan-out on lineitem (r11)
+USKEW = _SKEW_MODE == "user"  # hot USER fan-out on events (r12): the
+# per-user-series lanes (sessionization, FSM, per-user windows, the
+# Holt folds) have a different worst case than join-key skew — one
+# user whose bounded history is 500x everyone else's stresses the
+# collect_list/fold/applyInPandas group paths the lineitem replica
+# never touches.
 SKEW_BASE = "/tmp/trembita_skew500"
 SKEW_TABLES = ("lineitem",)
+USKEW_BASE = "/tmp/trembita_uskew500"
+USKEW_TABLES = ("events",)
+
+USKEW_TARGET_KEYS = [
+    "q_ts_holt_linear",   # ~50k-element hot series through the fold
+    "q_ts_holt_damped",
+    "q_fsm_sessionize",
+    "q_fsm_applyinpandas",  # one pandas group carries the hot user
+    "q_events_gap_percentiles",
+    "q_events_streaks",
+    "q_events_top_paths",
+    "q_events_window_funnel",
+    "q_events_markov",
+    "q_events_rfm",
+    "q_events_time_to_convert",
+    "q_window_ewma",
+    "q_window_median",
+    "q_stream_session",   # streaming session windows with a hot user
+]
 
 SKEW_TARGET_KEYS = [
     "q_join_salted",     # THE skew key: salted join vs plain-join oracle
@@ -443,13 +469,54 @@ def build_skew(spark) -> None:
     )
 
 
+def build_skew_user(spark) -> None:
+    """Hot-USER replica: the 3 most active users get 500x their event
+    history (fresh event_ids; ts jittered by rep microseconds so the
+    (ts, event_id) total orders stay unique and sessions stay dense) —
+    one user's 'bounded' series at ~50k rows while 1,497 others stay at
+    ~600, the skew shape per-user group operators actually meet."""
+    if os.path.exists(f"{USKEW_BASE}/events.parquet/_SUCCESS"):
+        return
+    from pyspark.sql import functions as F
+
+    from trembita_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    hot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(3)
+        .select("user_id")
+    )
+    reps = spark.range(1, 500).withColumnRenamed("id", "rep")
+    extra = (
+        ev.join(F.broadcast(hot), "user_id")
+        .crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+        .withColumn("ts", F.expr("timestampadd(MICROSECOND, rep, ts)"))
+        .drop("rep")
+    )
+    ev.unionByName(extra.select(*ev.columns)).write.mode("overwrite").parquet(
+        f"{USKEW_BASE}/events.parquet"
+    )
+
+
+def _replica_base() -> tuple:
+    if USKEW:
+        return USKEW_BASE, USKEW_TABLES
+    if SKEW:
+        return SKEW_BASE, SKEW_TABLES
+    return BASE, SCALED_TABLES
+
+
 def make_sf_dir() -> str:
     """Assemble an sf-dir-shaped directory over the replica: scaled (or
     skewed) fact tables from the replica, everything else symlinked
     unscaled."""
     import shutil
 
-    base, scaled = (SKEW_BASE, SKEW_TABLES) if SKEW else (BASE, SCALED_TABLES)
+    base, scaled = _replica_base()
     d = f"{base}_sfdir"
     os.makedirs(d, exist_ok=True)
     for t in TABLES:
@@ -472,7 +539,7 @@ def make_sf_dir() -> str:
 
 
 def make_oracle() -> duckdb.DuckDBPyConnection:
-    base, scaled = (SKEW_BASE, SKEW_TABLES) if SKEW else (BASE, SCALED_TABLES)
+    base, scaled = _replica_base()
     con = duckdb.connect()
     for t in TABLES:
         if t in scaled:
@@ -547,7 +614,7 @@ def run_staged(con, staged: dict, timeout_s: float = 900.0) -> str:
 
 def main() -> int:
     contract.load_all()
-    keys = SKEW_TARGET_KEYS if SKEW else TARGET_KEYS
+    keys = USKEW_TARGET_KEYS if USKEW else (SKEW_TARGET_KEYS if SKEW else TARGET_KEYS)
     only = os.environ.get("SPARK_GRAFT_SCALE_PARITY_KEYS")
     if only:
         keys = [k.strip() for k in only.split(",") if k.strip()]
@@ -572,7 +639,9 @@ def main() -> int:
         sys.exit(f"keys without oracles: {missing}")
 
     spark = get_session(app_name="trembita_scale_parity")
-    if SKEW:
+    if USKEW:
+        build_skew_user(spark)
+    elif SKEW:
         build_skew(spark)
     else:
         build_scaled(spark)
@@ -646,8 +715,12 @@ def main() -> int:
         results[key] = entry
 
     payload = {
-        "scale": 1 if SKEW else SCALE,
-        "skew": SKEW and "20 hot orderkeys x500 lineitem fan-out" or None,
+        "scale": 1 if (SKEW or USKEW) else SCALE,
+        "skew": (
+            "20 hot orderkeys x500 lineitem fan-out"
+            if SKEW
+            else ("3 hot users x500 event fan-out" if USKEW else None)
+        ),
         "sf_base": SF_DIR,
         "method": "in-engine order-insensitive 60-bit fold (n_rows, sum mod 2^60, xor)",
         "keys": results,
@@ -656,7 +729,12 @@ def main() -> int:
         "all_pass": all_pass,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
-    suffix = "_skew" if SKEW else ("" if SCALE == 8 else f"_{SCALE}x")
+    if USKEW:
+        suffix = "_uskew"
+    elif SKEW:
+        suffix = "_skew"
+    else:
+        suffix = "" if SCALE == 8 else f"_{SCALE}x"
     out = os.path.join(REPO, f"SCALE_PARITY_r{ROUND}{suffix}.json")
     # A filtered/subset sweep must not overwrite a committed full
     # artifact with a narrower one under the same name; an explicit
@@ -698,7 +776,12 @@ def update_coverage_ledger(results: dict) -> None:
         with open(path) as f:
             ledger = json.load(f)
     covered = ledger.setdefault("covered", {})
-    tag = f"r{ROUND}@skew" if SKEW else f"r{ROUND}@{SCALE}x"
+    if USKEW:
+        tag = f"r{ROUND}@uskew"
+    elif SKEW:
+        tag = f"r{ROUND}@skew"
+    else:
+        tag = f"r{ROUND}@{SCALE}x"
     added = 0
     for key, entry in results.items():
         if entry.get("pass") is True:
