@@ -1088,6 +1088,12 @@ def test_no_key_degrades_to_cartesian(spark):
         # rows here, ~10^3 over years, never row-count-sized; same
         # bound class as Mann-Kendall's hourly frame)
         "q_ts_theil_sen",
+        # Page's trend test: the treatment-position self-join is
+        # distinct-treatments × distinct-treatments — both sides the
+        # |event_type|-row frame (5 rows; config-bounded by the type
+        # vocabulary, never row-count-sized; same bound class as Tukey
+        # HSD's group-stats frame below)
+        "q_stat_page",
         # Tukey HSD: the pairwise join is group-stats × group-stats —
         # both sides the |event_type|-row moment frame (config-bounded
         # k, k(k-1)/2 output pairs; same bound class as the chi-sq

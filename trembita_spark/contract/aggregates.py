@@ -2932,6 +2932,86 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return friedman_test(cb, "user_id", "event_type", "t")
 
 
+@register(
+    "q_stat_page",
+    oracle="""
+    WITH us AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    full_blocks AS (
+      SELECT user_id FROM us GROUP BY user_id HAVING count(*) = 5
+    ),
+    cb AS (SELECT us.* FROM us JOIN full_blocks USING (user_id)),
+    r AS (
+      SELECT a.user_id, a.event_type,
+             CAST(2 * sum(CASE WHEN b.t < a.t THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.t = a.t THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM cb a JOIN cb b USING (user_id)
+      GROUP BY a.user_id, a.event_type
+    ),
+    pt AS (
+      SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_t FROM r
+      GROUP BY event_type
+    ),
+    trts AS (SELECT DISTINCT event_type FROM pt),
+    pos AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.event_type < a.event_type THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS pos
+      FROM trts a JOIN trts b ON true
+      GROUP BY a.event_type
+    ),
+    l AS (
+      SELECT CAST(sum(pos.pos * pt.r2_t) AS BIGINT) AS l2,
+             CAST(count(*) AS BIGINT) AS k
+      FROM pt JOIN pos USING (event_type)
+    ),
+    nb AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_blocks FROM r
+    )
+    SELECT n_blocks, k,
+           CAST(l2 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS l_stat,
+           (CAST(l2 AS DOUBLE)
+              - CAST(n_blocks * k * (k + 1) * (k + 1) AS DOUBLE)
+                / CAST(2.0 AS DOUBLE))
+           / (CAST(2.0 AS DOUBLE)
+              * sqrt(CAST(n_blocks * k * k * (k + 1) * (k * k - 1) AS DOUBLE)
+                     / CAST(144.0 AS DOUBLE))) AS z
+    FROM l CROSS JOIN nb
+    """,
+)
+def q_stat_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Page's trend test (operators/stats.py: page_test) — the
+    # ordered-alternative sibling of q_stat_friedman on the SAME
+    # complete-block doubled-rank lane: treatments (the 5 event types,
+    # a-priori ordered by their natural label sort) are position-
+    # weighted, L = Σ pos_j·R_j, with the large-sample z closing the
+    # form. L2 = 2L stays an exact BIGINT (position k²-self-join is
+    # windowless on the k-row treatment frame); z is ONE double tree
+    # with a correctly-rounded sqrt — bit-exact both engines, NO
+    # rounding. Completes the repeated-measures family Friedman/Quade/
+    # Kendall-W opened. 100 TB: identical cost shape to friedman —
+    # two user-key shuffles, work ∝ users·k².
+    from trembita_spark.operators.stats import page_test
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    us = ev.groupBy("user_id", "event_type").agg(
+        F.sum(v100).cast("bigint").alias("t")
+    )
+    us = us.localCheckpoint(eager=False)  # feeds the block filter + join
+    full_blocks = us.groupBy("user_id").agg(F.count(F.lit(1)).alias("__k")).where(
+        F.col("__k") == 5
+    ).select("user_id")
+    cb = us.join(full_blocks, "user_id")
+    return page_test(cb, "user_id", "event_type", "t")
+
+
 # Ridge variants of the shared Cramer fragments: the Gram diagonal of the
 # non-intercept features carries +lambda (s11 -> s11l, s22 -> s22l); the
 # intercept row/column is unpenalized (standard ridge).

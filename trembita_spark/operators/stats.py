@@ -555,6 +555,74 @@ def friedman_test(
     )
 
 
+def page_test(
+    totals: DataFrame, block_col: str, treat_col: str, t_col: str
+) -> DataFrame:
+    """Page's trend test (L statistic) — the ORDERED-alternative sibling
+    of :func:`friedman_test` on the same complete-block rank lane: the
+    treatments carry an a-priori monotone ordering (their natural label
+    sort order here), and L = Σ_j pos_j·R_j weights each treatment's
+    rank sum by its hypothesized position, with the large-sample normal
+    z = (L − nk(k+1)²/4) / sqrt(nk²(k+1)(k²−1)/144).
+
+    Everything integer-exact until one final double tree: within-block
+    tied-average ranks ride the doubled 2r = 2·#less + #equal + 1
+    self-join (so L2 = 2L is an exact BIGINT), and treatment positions
+    come from a k²-row self-join on the k-row distinct-treatment frame
+    (windowless — no single-partition window anywhere). Returns one row
+    (n_blocks, k, l_stat, z). 100 TB: identical cost shape to
+    friedman_test — two block-key shuffles, work ∝ blocks·k²."""
+    a = totals.select(
+        F.col(block_col).alias("blk"),
+        F.col(treat_col).alias("trt"),
+        F.col(t_col).alias("t"),
+    )
+    b = a.select(
+        F.col("blk"), F.col("trt").alias("trt_b"), F.col("t").alias("t_b")
+    )
+    r = (
+        a.join(b, "blk")
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("t_b") < F.col("t"), 1).otherwise(0))
+                + F.sum(F.when(F.col("t_b") == F.col("t"), 1).otherwise(0))
+                + 1
+            ).cast("bigint").alias("r2")
+        )
+    )
+    r = r.localCheckpoint(eager=False)  # feeds rank sums + block count
+    per_t = r.groupBy("trt").agg(F.sum("r2").cast("bigint").alias("r2_t"))
+    trts = per_t.select("trt").distinct()
+    pos = (
+        trts.crossJoin(F.broadcast(trts.select(F.col("trt").alias("trt_b"))))
+        .groupBy("trt")
+        .agg(
+            (
+                F.sum(F.when(F.col("trt_b") < F.col("trt"), 1).otherwise(0)) + 1
+            ).cast("bigint").alias("pos")
+        )
+    )
+    l2 = per_t.join(pos, "trt").agg(
+        F.sum(F.col("pos") * F.col("r2_t")).cast("bigint").alias("l2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    nb = r.agg(F.count_distinct(F.col("blk")).cast("bigint").alias("n_blocks"))
+    z = l2.crossJoin(F.broadcast(nb))
+    n, k = F.col("n_blocks"), F.col("k")
+    l2d = F.col("l2").cast("double")
+    mu2 = (n * k * (k + 1) * (k + 1)).cast("double") / F.lit(2.0)
+    denom = F.lit(2.0) * F.sqrt(
+        (n * k * k * (k + 1) * (k * k - 1)).cast("double") / F.lit(144.0)
+    )
+    return z.select(
+        "n_blocks",
+        "k",
+        (l2d / F.lit(2.0)).alias("l_stat"),
+        ((l2d - mu2) / denom).alias("z"),
+    )
+
+
 def kaplan_meier(per: DataFrame, dur_col: str, obs_col: str) -> DataFrame:
     """Kaplan-Meier survival estimator over a per-subject
     (duration, observed∈{0,1}) frame. Returns one row per distinct
