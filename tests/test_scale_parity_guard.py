@@ -84,10 +84,10 @@ def test_scale_parity_artifact_green():
 # here mechanically. r11 seeded 96 keys from the five committed
 # SCALE_PARITY_r11* artifacts; the r12 sweeps (pinned 42, tranche 96,
 # extra 84+224+3, 32x/64x/skew) completed the registry: every key
-# value-checked at replica scale at least once; the Holt-Winters and
-# Page keys landed with their 8x evidence in the same session
-# (extra4-extra6).
-COVERAGE_FLOOR = 496
+# value-checked at replica scale at least once; the Holt-Winters,
+# Page, and Croston keys landed with their 8x (+skew where per-user)
+# evidence in the same session (extra4-extra7, uskew2).
+COVERAGE_FLOOR = 497
 
 
 def test_scale_coverage_ledger_cumulative():

@@ -418,6 +418,7 @@ USKEW_TABLES = ("events",)
 USKEW_TARGET_KEYS = [
     "q_ts_holt_linear",   # ~50k-element hot series through the fold
     "q_ts_holt_damped",
+    "q_ts_croston",       # hot user's demand epochs through the fold
     "q_fsm_sessionize",
     "q_fsm_applyinpandas",  # one pandas group carries the hot user
     "q_events_gap_percentiles",

@@ -5116,3 +5116,81 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast"),
         )
     )
+
+
+@register(
+    "q_ts_croston",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT user_id,
+             list([x, CAST(hr AS DOUBLE), 0.0::DOUBLE] ORDER BY hr) AS xs
+      FROM d GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, len(xs) AS n_demands,
+             list_reduce(
+               list_prepend([xs[1][1], 1.0::DOUBLE, xs[1][2]], xs[2:]),
+               (acc, e) -> [
+                 0.5::DOUBLE * e[1] + 0.5::DOUBLE * acc[1],
+                 0.5::DOUBLE * (e[2] - acc[3]) + 0.5::DOUBLE * acc[2],
+                 e[2]]) AS st
+      FROM s
+    )
+    SELECT user_id, n_demands, st[1] AS demand_size, st[2] AS demand_interval,
+           st[1] / st[2] AS demand_rate
+    FROM f
+    """,
+)
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Croston's method for intermittent demand, per user (α=1/2): the
+    # industry-standard sparse-series forecaster — two coupled EWMAs,
+    # demand SIZE and inter-demand INTERVAL, updated only at demand
+    # epochs, with forecast rate = size/interval. The demand-epoch
+    # formulation needs NO dense zero-filled grid: each user's series
+    # is just their nonzero demand hours (hr, count), and the interval
+    # is recovered INSIDE the fold by carrying the previous demand hour
+    # in the state — DOUBLE[3] = [size_ewma, interval_ewma, prev_hr]
+    # (hour indexes < 2^26 are exact doubles; counts are exact; α
+    # dyadic → every step bit-identical cross-engine, the
+    # q_ts_holt_linear lane). Init: size = first demand, interval = 1.
+    # Scale shape: one (user, hour) aggregate on the fact table, one
+    # user-key shuffle, JVM-codegen fold per bounded per-user series —
+    # no window, no Python, work ∝ demand points (sparser than the raw
+    # events), never calendar × users.
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.select("user_id", F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("user_id", "hr")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    series = d.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(hr, x))), "
+            "e -> array(e.x, CAST(e.hr AS DOUBLE), CAST(0 AS DOUBLE)))"
+        ).alias("xs")
+    )
+    st = F.expr("""
+      aggregate(
+        slice(xs, 2, greatest(size(xs) - 1, 0)),
+        array(element_at(element_at(xs, 1), 1), CAST(1 AS DOUBLE),
+              element_at(element_at(xs, 1), 2)),
+        (acc, e) -> array(
+          0.5D * element_at(e, 1) + 0.5D * element_at(acc, 1),
+          0.5D * (element_at(e, 2) - element_at(acc, 3)) + 0.5D * element_at(acc, 2),
+          element_at(e, 2)))
+    """)
+    return (
+        series.select("user_id", F.size("xs").alias("n_demands"), st.alias("st"))
+        .select(
+            "user_id",
+            "n_demands",
+            F.element_at("st", 1).alias("demand_size"),
+            F.element_at("st", 2).alias("demand_interval"),
+            (F.element_at("st", 1) / F.element_at("st", 2)).alias("demand_rate"),
+        )
+    )
