@@ -86,8 +86,9 @@ def test_scale_parity_artifact_green():
 # extra 84+224+3, 32x/64x/skew) completed the registry: every key
 # value-checked at replica scale at least once; the Holt-Winters,
 # Page, and Croston keys landed with their 8x (+skew where per-user)
-# evidence in the same session (extra4-extra7, uskew2).
-COVERAGE_FLOOR = 497
+# evidence in the same session (extra4-extra7, uskew2); Anderson-
+# Darling landed with its 8x evidence in extra8.
+COVERAGE_FLOOR = 498
 
 
 def test_scale_coverage_ledger_cumulative():

@@ -7348,6 +7348,142 @@ def q_stat_ks_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stat_anderson_darling",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    m AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(v * cnt) AS BIGINT) AS s,
+             CAST(sum(v * v * cnt) AS BIGINT) AS q
+      FROM pv
+    ),
+    st AS (
+      SELECT n, CAST(s AS DOUBLE) / n AS mu,
+             sqrt(CAST(q AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      FROM m
+    ),
+    zc AS (
+      SELECT c.cnt, c.cum, st.n, (c.v - st.mu) / st.sd AS zv
+      FROM c CROSS JOIN st
+    ),
+    ph AS (
+      SELECT cnt, cum, n, zv, abs(zv) / sqrt(2.0e0) AS xh FROM zc
+    ),
+    pp AS (
+      SELECT cnt, cum, n, zv, ({_P_TWO_SIDED}) AS p2 FROM ph
+    ),
+    lg AS (
+      SELECT cnt, cum, n,
+             CASE WHEN zv >= 0 THEN ln(1.0e0 - p2 / 2)
+                  ELSE ln(p2 / 2) END AS lnphi,
+             CASE WHEN zv >= 0 THEN ln(p2 / 2)
+                  ELSE ln(1.0e0 - p2 / 2) END AS ln1m
+      FROM pp
+    ),
+    tm AS (
+      SELECT n,
+             CAST((2.0e0 * CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE))
+                    * CAST(cnt AS DOUBLE) * lnphi
+                  + (2.0e0 * CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE)
+                     - (2.0e0 * CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE))
+                       * CAST(cnt AS DOUBLE)) * ln1m
+                  AS DECIMAL(38,12)) AS term
+      FROM lg
+    )
+    SELECT n,
+           round(-CAST(n AS DOUBLE) - CAST(sum(term) AS DOUBLE) / n, 6) AS a2,
+           round((-CAST(n AS DOUBLE) - CAST(sum(term) AS DOUBLE) / n)
+                 * (1.0e0 + 0.75e0 / n
+                    + 2.25e0 / (CAST(n AS DOUBLE) * n)), 6) AS a2_star
+    FROM tm GROUP BY n
+    """,
+)
+def q_stat_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-sample Anderson-Darling normality statistic on the fitted
+    # Normal(mu-hat, sd-hat) — the tail-weighted companion to
+    # q_stat_ks_normal's worst-point ECDF distance (AD's 1/[F(1-F)]
+    # weight makes it the standard test when tail departures matter).
+    # A2 = -n - (1/n) SUM_j [(2j-1) ln PHI(z_j) + (2n+1-2j) ln(1-PHI(z_j))]
+    # over the SORTED sample; a tied run occupying positions a..b
+    # compresses to exact integer weight sums (SUM(2j-1) = (2cum-cnt)cnt,
+    # SUM(2n+1-2j) = 2n cnt - (2cum-cnt)cnt), so the whole statistic
+    # rides the value-support prefix sum — never a per-row sort. Each
+    # log picks the well-conditioned branch of the shared erf fragment
+    # (ln PHI from 1-p/2, ln(1-PHI) from p/2 directly — no cancellation
+    # in the far tail). The support-row terms carry ~n-magnitude partial
+    # sums that cancel to an O(1..100) statistic, so a float sum in
+    # engine order would lose the round-6 grid; instead each term is
+    # quantized to DECIMAL(38,12) and summed EXACTLY (the Fisher lnfact
+    # lane), making the fold order-insensitive. a2_star applies the
+    # (1 + 0.75/n + 2.25/n^2) finite-sample correction. round-6: libm
+    # ln/exp skew ~n*1e-16*|ln| stays below half-grid through 8x.
+    # 100 TB: one partial agg + one support-sized prefix sum; all
+    # per-support column work, exact-decimal reduce.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v")
+    )
+    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + moments
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    m = pv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v") * F.col("cnt")).cast("bigint").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    st = m.select(
+        "n",
+        mu.alias("mu"),
+        F.sqrt(F.col("q").cast("double") / F.col("n") - mu * mu).alias("sd"),
+    )
+    zc = c.crossJoin(F.broadcast(st)).select(
+        "cnt", "cum", "n", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("zv")
+    )
+    ph = zc.withColumn("xh", F.abs(F.col("zv")) / F.sqrt(F.lit(2.0)))
+    pp = ph.selectExpr("cnt", "cum", "n", "zv", f"({_P_TWO_SIDED}) AS p2")
+    lg = pp.selectExpr(
+        "cnt",
+        "cum",
+        "n",
+        "CASE WHEN zv >= 0 THEN ln(1.0e0 - p2 / 2) ELSE ln(p2 / 2) END AS lnphi",
+        "CASE WHEN zv >= 0 THEN ln(p2 / 2) ELSE ln(1.0e0 - p2 / 2) END AS ln1m",
+    )
+    tm = lg.selectExpr(
+        "n",
+        "CAST((2.0e0 * CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE))"
+        "       * CAST(cnt AS DOUBLE) * lnphi"
+        "     + (2.0e0 * CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE)"
+        "        - (2.0e0 * CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE))"
+        "          * CAST(cnt AS DOUBLE)) * ln1m"
+        "     AS DECIMAL(38,12)) AS term",
+    )
+    return tm.groupBy("n").agg(
+        F.expr(
+            "round(-CAST(n AS DOUBLE) - CAST(sum(term) AS DOUBLE) / n, 6)"
+        ).alias("a2"),
+        F.expr(
+            "round((-CAST(n AS DOUBLE) - CAST(sum(term) AS DOUBLE) / n)"
+            " * (1.0e0 + 0.75e0 / n"
+            "    + 2.25e0 / (CAST(n AS DOUBLE) * n)), 6)"
+        ).alias("a2_star"),
+    )
+
+
+@register(
     "q_stat_power_sample_size",
     oracle="""
     WITH c AS (
