@@ -87,8 +87,8 @@ def test_scale_parity_artifact_green():
 # value-checked at replica scale at least once; the Holt-Winters,
 # Page, and Croston keys landed with their 8x (+skew where per-user)
 # evidence in the same session (extra4-extra7, uskew2); Anderson-
-# Darling landed with its 8x evidence in extra8.
-COVERAGE_FLOOR = 498
+# Darling and Theta landed with their 8x evidence in extra8/extra9.
+COVERAGE_FLOOR = 499
 
 
 def test_scale_coverage_ledger_cumulative():

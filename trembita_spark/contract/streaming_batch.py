@@ -5194,3 +5194,160 @@ def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.element_at("st", 1) / F.element_at("st", 2)).alias("demand_rate"),
         )
     )
+
+
+@register(
+    "q_ts_theta",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    dense AS (
+      SELECT t.event_type, g.day - (SELECT lo FROM b) + 1 AS t,
+             COALESCE(d.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+      FROM types t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day FROM b) g
+      LEFT JOIN d ON d.event_type = t.event_type AND d.day = g.day
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             sum(rev) AS sx,
+             sum(t * rev) AS stx
+      FROM dense GROUP BY 1
+    ),
+    ab1 AS (
+      SELECT event_type, n, st, sx,
+             CAST(n * stx - st * sx AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS slope
+      FROM mo
+    ),
+    ab2 AS (
+      SELECT event_type, n, slope,
+             (CAST(sx AS DOUBLE) - slope * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+      FROM ab1
+    ),
+    s AS (
+      SELECT event_type,
+             list([CAST(rev AS DOUBLE), CAST(t AS DOUBLE)] ORDER BY t) AS xs
+      FROM dense GROUP BY event_type
+    ),
+    f AS (
+      SELECT s.event_type, ab2.n, ab2.slope, ab2.intercept,
+             list_reduce(
+               list_transform(s.xs,
+                 e -> 2.0::DOUBLE * e[1] - (ab2.intercept + ab2.slope * e[2])),
+               (acc, x) -> 0.5::DOUBLE * x + 0.5::DOUBLE * acc) AS ses_theta
+      FROM s JOIN ab2 USING (event_type)
+    )
+    SELECT event_type, n AS n_days, slope, intercept, ses_theta,
+           0.5e0 * (intercept + slope * (CAST(n AS DOUBLE) + 7.0e0))
+             + 0.5e0 * ses_theta AS forecast7
+    FROM f
+    """,
+)
+def q_ts_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theta-method forecast (Assimakopoulos & Nikolopoulos; the M3
+    # winner) per event_type over the dense daily revenue spine: the
+    # theta(0) line is the OLS linear trend, the theta(2) line is
+    # 2x_t - trend_t, and the h=7 forecast is the equal-weight
+    # combination of the trend extrapolation and the flat SES forecast
+    # of the theta(2) line (alpha=1/2, s1=l1 — the dyadic SES of the
+    # Holt lane). Trend coefficients come from EXACT moments — t is the
+    # 1..n day index so Sum(t), Sum(t^2) are exact BIGINT and
+    # Sum(rev), Sum(t*rev) exact DECIMAL — collapsed to doubles by ONE
+    # division each, staged so slope's tree is computed once and
+    # intercept reuses the column (identical trees cross-engine). The
+    # theta line and the SES fold are identical op sequences in both
+    # engines (Spark transform/aggregate vs DuckDB
+    # list_transform/list_reduce), so the result is bit-exact with NO
+    # rounding. 100 TB: one fact-table groupBy to (type, day); the
+    # spine is calendar-bounded, the series per type is calendar-sized,
+    # and the scale axis is series count — the q_ts_holt_winters
+    # argument.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+        .localCheckpoint(eager=False)  # feeds bounds + types + dense join
+    )
+    b = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = b.select("lo", F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = d.select("event_type").distinct()
+    dense = (
+        types.crossJoin(spine)
+        .join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            (F.col("day") - F.col("lo") + 1).alias("t"),
+            F.coalesce("rev", F.lit(0).cast("decimal(18,2)")).alias("rev"),
+        )
+        .localCheckpoint(eager=False)  # feeds moments + the series fold
+    )
+    mo = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("t") * F.col("rev")).alias("stx"),
+    )
+    ab1 = mo.select(
+        "event_type",
+        "n",
+        "st",
+        "sx",
+        (
+            (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+        ).alias("slope"),
+    )
+    ab2 = ab1.select(
+        "event_type",
+        "n",
+        "slope",
+        (
+            (F.col("sx").cast("double") - F.col("slope") * F.col("st").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )
+    s = dense.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(t, rev))), "
+            "e -> array(CAST(e.rev AS DOUBLE), CAST(e.t AS DOUBLE)))"
+        ).alias("xs")
+    )
+    f = s.join(F.broadcast(ab2), "event_type").selectExpr(
+        "event_type",
+        "n",
+        "slope",
+        "intercept",
+        "aggregate("
+        "  slice(transform(xs, e -> 2.0D * element_at(e, 1)"
+        "                           - (intercept + slope * element_at(e, 2))),"
+        "        2, greatest(size(xs) - 1, 0)),"
+        "  element_at(transform(xs, e -> 2.0D * element_at(e, 1)"
+        "                               - (intercept + slope * element_at(e, 2))), 1),"
+        "  (acc, x) -> 0.5D * x + 0.5D * acc) AS ses_theta",
+    )
+    return f.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "slope",
+        "intercept",
+        "ses_theta",
+        "0.5e0 * (intercept + slope * (CAST(n AS DOUBLE) + 7.0e0))"
+        " + 0.5e0 * ses_theta AS forecast7",
+    )
