@@ -10676,3 +10676,236 @@ def q_stat_barnard(spark: SparkSession, sf_dir: str) -> DataFrame:
         exposure=F.col("user_id") % 2 == 0,
         outcome=F.col("event_type") == "purchase",
     )
+
+
+# Acklam's rational approximation to the inverse normal CDF (probit),
+# |relative err| <= 1.15e-9 — staged as column text so BOTH engines run
+# the identical op sequence (the erf-fragment pattern, in the inverse
+# direction). Expects staged columns: pq (the probability), rr = pq-0.5,
+# ss = rr*rr, qtl = sqrt(-2 ln pq), qtu = sqrt(-2 ln(1-pq)). The rank
+# keys (Fligner-Killeen, van der Waerden) evaluate it per SUPPORT row,
+# never per data row; validated against Python's NormalDist.inv_cdf
+# (max err 1.6e-9 over both tails and the center).
+def _probit_tail_num(q: str) -> str:
+    return (
+        f"(((((-7.784894002430293e-03 * {q} - 3.223964580411365e-01) * {q}"
+        f" - 2.400758277161838e+00) * {q} - 2.549732539343734e+00) * {q}"
+        f" + 4.374664141464968e+00) * {q} + 2.938163982698783e+00)"
+    )
+
+
+def _probit_tail_den(q: str) -> str:
+    return (
+        f"((((7.784695709041462e-03 * {q} + 3.224671290700398e-01) * {q}"
+        f" + 2.445134137142996e+00) * {q} + 3.754408661907416e+00) * {q}"
+        f" + 1.0e0)"
+    )
+
+
+_PROBIT_CNUM = (
+    "(((((-3.969683028665376e+01 * ss + 2.209460984245205e+02) * ss"
+    " - 2.759285104469687e+02) * ss + 1.383577518672690e+02) * ss"
+    " - 3.066479806614716e+01) * ss + 2.506628277459239e+00)"
+)
+_PROBIT_CDEN = (
+    "(((((-5.447609879822406e+01 * ss + 1.615858368580409e+02) * ss"
+    " - 1.556989798598866e+02) * ss + 6.680131188771972e+01) * ss"
+    " - 1.328068155288572e+01) * ss + 1.0e0)"
+)
+_PROBIT = (
+    f"CASE WHEN pq < 0.02425e0"
+    f" THEN {_probit_tail_num('qtl')} / {_probit_tail_den('qtl')}"
+    f" WHEN pq <= 0.97575e0 THEN {_PROBIT_CNUM} * rr / {_PROBIT_CDEN}"
+    f" ELSE -({_probit_tail_num('qtu')} / {_probit_tail_den('qtu')}) END"
+)
+# The staged helper columns, shared verbatim by both engines.
+_PROBIT_STAGE = (
+    "pq - 0.5e0 AS rr",
+    "(pq - 0.5e0) * (pq - 0.5e0) AS ss",
+    "sqrt(-2.0e0 * ln(pq)) AS qtl",
+    "sqrt(-2.0e0 * ln(1.0e0 - pq)) AS qtu",
+)
+
+
+@register(
+    "q_stat_fligner_killeen",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY g, v),
+    gc AS (
+      SELECT g, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM gv
+    ),
+    gt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM gv GROUP BY g),
+    med AS (
+      SELECT gc.g,
+             max(CASE WHEN gc.cum - gc.cnt < (gt.n_g + 1) // 2
+                      AND gc.cum >= (gt.n_g + 1) // 2 THEN gc.v END) AS med
+      FROM gc JOIN gt USING (g) GROUP BY gc.g
+    ),
+    dg AS (
+      SELECT gv.g, abs(gv.v - med.med) AS d, CAST(sum(gv.cnt) AS BIGINT) AS cnt
+      FROM gv JOIN med USING (g) GROUP BY 1, 2
+    ),
+    pd AS (SELECT d, CAST(sum(cnt) AS BIGINT) AS cnt FROM dg GROUP BY d),
+    c AS (
+      SELECT d, cnt,
+             CAST(sum(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pd
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pd),
+    pr AS (
+      SELECT c.d, c.cnt, t.n,
+             (2.0e0 * (t.n + 1) + (2 * (c.cum - c.cnt) + c.cnt + 1))
+               / (4.0e0 * (t.n + 1)) AS pq
+      FROM c CROSS JOIN t
+    ),
+    stg AS (
+      SELECT d, cnt, n, pq, {", ".join(_PROBIT_STAGE)} FROM pr
+    ),
+    sc AS (SELECT d, cnt, n, ({_PROBIT}) AS a FROM stg),
+    ga AS (
+      SELECT dg.g, CAST(sum(dg.cnt) AS BIGINT) AS n_g,
+             sum(CAST(CAST(dg.cnt AS DOUBLE) * sc.a AS DECIMAL(38,12))) AS sa
+      FROM dg JOIN sc USING (d) GROUP BY dg.g
+    ),
+    tot AS (
+      SELECT max(n) AS n,
+             sum(CAST(CAST(cnt AS DOUBLE) * a AS DECIMAL(38,12))) AS sa_all,
+             sum(CAST(CAST(cnt AS DOUBLE) * a * a AS DECIMAL(38,12))) AS saa_all
+      FROM sc
+    ),
+    f1 AS (
+      SELECT n, saa_all, CAST(sa_all AS DOUBLE) / n AS abar FROM tot
+    ),
+    f2 AS (
+      SELECT n, abar,
+             (CAST(saa_all AS DOUBLE) - n * abar * abar) / (n - 1) AS s2
+      FROM f1
+    )
+    SELECT f2.n AS n_tot, CAST(count(*) AS BIGINT) AS k,
+           round(sum((CAST(ga.sa AS DOUBLE) - ga.n_g * f2.abar)
+                     * (CAST(ga.sa AS DOUBLE) - ga.n_g * f2.abar)
+                     / ga.n_g) / f2.s2, 6) AS fk_stat
+    FROM ga CROSS JOIN f2
+    GROUP BY f2.n, f2.s2
+    """,
+)
+def q_stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fligner-Killeen homogeneity-of-variances test across the five
+    # event_type arms of events.value — the rank-based, most
+    # outlier-robust member of the variance family (Levene/Bartlett/
+    # Ansari-Bradley already registered; FK is R's fligner.test
+    # default). Pipeline: per-group LOWER median (exact order statistic
+    # on the per-group cent-support, the qq_deciles selection), exact
+    # integer deviations d = |v - med_g|, pooled d-support midranks via
+    # the distributed prefix sum (doubled-rank form, the kruskal lane),
+    # normal scores a = probit(1/2 + r/(2(N+1))) through the shared
+    # Acklam fragment per SUPPORT row, then
+    # X2 = sum_g n_g(Abar_g - abar)^2 / s^2 with s^2 the (N-1)-divisor
+    # variance of the scores. The support-sized score sums are
+    # quantized to DECIMAL(38,12) and summed EXACTLY (the
+    # anderson_darling lane), so only the k-group rollup sums doubles
+    # in engine order -> round-6 (the kruskal rule). 100 TB: two
+    # contingency aggregates, one support prefix sum, k-row frames
+    # everywhere else; the per-group median window rides the
+    # aggregate-sized per-group support (the qq_deciles exemption).
+    from pyspark.sql.window import Window
+
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    x = ev.select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    gv = x.groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    gv = gv.localCheckpoint(eager=False)  # feeds median + deviations
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gc = gv.withColumn("cum", F.sum("cnt").over(w).cast("bigint"))
+    gt = gv.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n_g"))
+    rank = (F.col("n_g") + 1) - ((F.col("n_g") + 1) % 2)  # 2*((n_g+1)//2)
+    med = (
+        gc.join(F.broadcast(gt), "g")
+        .groupBy("g")
+        .agg(
+            F.max(
+                F.when(
+                    ((F.col("cum") - F.col("cnt")) * 2 < rank)
+                    & (F.col("cum") * 2 >= rank),
+                    F.col("v"),
+                )
+            ).alias("med")
+        )
+    )
+    dg = (
+        gv.join(F.broadcast(med), "g")
+        .groupBy("g", F.abs(F.col("v") - F.col("med")).alias("d"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    dg = dg.localCheckpoint(eager=False)  # feeds pooled support + per-group sums
+    pd_ = dg.groupBy("d").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    pd_ = pd_.localCheckpoint(eager=False)  # feeds prefix sum + total
+    c = prefix_sum(pd_, "cnt", order_by=[F.col("d")], name="cum")
+    t = pd_.agg(F.sum("cnt").cast("bigint").alias("n"))
+    pr = c.crossJoin(F.broadcast(t)).selectExpr(
+        "d",
+        "cnt",
+        "n",
+        "(2.0e0 * (n + 1) + (2 * (cum - cnt) + cnt + 1))"
+        " / (4.0e0 * (n + 1)) AS pq",
+    )
+    stg = pr.selectExpr("d", "cnt", "n", "pq", *_PROBIT_STAGE)
+    sc = stg.selectExpr("d", "cnt", "n", f"({_PROBIT}) AS a")
+    sc = sc.localCheckpoint(eager=False)  # feeds per-group join + totals
+    ga = (
+        dg.join(sc.select("d", "a"), "d")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(
+                F.expr("CAST(CAST(cnt AS DOUBLE) * a AS DECIMAL(38,12))")
+            ).alias("sa"),
+        )
+    )
+    tot = sc.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("CAST(CAST(cnt AS DOUBLE) * a AS DECIMAL(38,12))")).alias(
+            "sa_all"
+        ),
+        F.sum(
+            F.expr("CAST(CAST(cnt AS DOUBLE) * a * a AS DECIMAL(38,12))")
+        ).alias("saa_all"),
+    )
+    f1 = tot.selectExpr("n", "saa_all", "CAST(sa_all AS DOUBLE) / n AS abar")
+    f2 = f1.selectExpr(
+        "n",
+        "abar",
+        "(CAST(saa_all AS DOUBLE) - n * abar * abar) / (n - 1) AS s2",
+    )
+    return (
+        ga.crossJoin(F.broadcast(f2))
+        .groupBy("n", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.expr(
+                "round(sum((CAST(sa AS DOUBLE) - n_g * abar)"
+                "          * (CAST(sa AS DOUBLE) - n_g * abar)"
+                "          / n_g) / s2, 6)"
+            ).alias("fk_stat"),
+        )
+        .selectExpr("n AS n_tot", "k", "fk_stat")
+    )
