@@ -10909,3 +10909,120 @@ def q_stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("n AS n_tot", "k", "fk_stat")
     )
+
+
+@register(
+    "q_stat_van_der_waerden",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY g, v),
+    pv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt FROM gv GROUP BY v),
+    c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+    pr AS (
+      SELECT c.v, c.cnt, t.n,
+             (2 * (c.cum - c.cnt) + c.cnt + 1)
+               / (2.0e0 * (t.n + 1)) AS pq
+      FROM c CROSS JOIN t
+    ),
+    stg AS (
+      SELECT v, cnt, n, pq, {", ".join(_PROBIT_STAGE)} FROM pr
+    ),
+    sc AS (SELECT v, cnt, n, ({_PROBIT}) AS a FROM stg),
+    ga AS (
+      SELECT gv.g, CAST(sum(gv.cnt) AS BIGINT) AS n_g,
+             sum(CAST(CAST(gv.cnt AS DOUBLE) * sc.a AS DECIMAL(38,12))) AS sa
+      FROM gv JOIN sc USING (v) GROUP BY gv.g
+    ),
+    tot AS (
+      SELECT max(n) AS n,
+             sum(CAST(CAST(cnt AS DOUBLE) * a * a AS DECIMAL(38,12))) AS saa
+      FROM sc
+    ),
+    f1 AS (SELECT n, CAST(saa AS DOUBLE) / (n - 1) AS s2 FROM tot)
+    SELECT f1.n AS n_tot, CAST(count(*) AS BIGINT) AS k,
+           round(sum(CAST(ga.sa AS DOUBLE) * CAST(ga.sa AS DOUBLE)
+                     / ga.n_g) / f1.s2, 6) AS vdw_stat
+    FROM ga CROSS JOIN f1
+    GROUP BY f1.n, f1.s2
+    """,
+)
+def q_stat_van_der_waerden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Van der Waerden normal-scores k-sample test (Conover's T1) across
+    # the five event_type arms of events.value — the normal-scores
+    # transform of the Kruskal-Wallis lane: pooled-support midranks
+    # through the distributed prefix sum, a = probit(r/(N+1)) per
+    # SUPPORT row via the shared Acklam fragment (midrank r staged as
+    # the doubled-rank integer, so pq = 2r/(2(N+1)) is one
+    # double tree), then T1 = sum_g (S_g^2/n_g) / s^2 with
+    # s^2 = sum a_i^2/(N-1) (scores sum to ~0 by symmetry; Conover's
+    # uncentered form is the standard). Score sums quantized to
+    # DECIMAL(38,12) and summed exactly (the anderson_darling lane);
+    # only the k-group rollup sums doubles in engine order -> round-6
+    # (the kruskal rule). ARE 1.0 vs ANOVA under normality while
+    # keeping rank robustness — the practical middle ground between
+    # q_stat_anova and q_stat_kruskal. 100 TB: one contingency
+    # aggregate + one support prefix sum; k-row frames after.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    x = ev.select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    gv = x.groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    gv = gv.localCheckpoint(eager=False)  # feeds pooled support + group sums
+    pv = gv.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + total
+    c = prefix_sum(pv, "cnt", order_by=[F.col("v")], name="cum")
+    t = pv.agg(F.sum("cnt").cast("bigint").alias("n"))
+    pr = c.crossJoin(F.broadcast(t)).selectExpr(
+        "v",
+        "cnt",
+        "n",
+        "(2 * (cum - cnt) + cnt + 1)"
+        " / (2.0e0 * (n + 1)) AS pq",
+    )
+    stg = pr.selectExpr("v", "cnt", "n", "pq", *_PROBIT_STAGE)
+    sc = stg.selectExpr("v", "cnt", "n", f"({_PROBIT}) AS a")
+    sc = sc.localCheckpoint(eager=False)  # feeds per-group join + totals
+    ga = (
+        gv.join(sc.select("v", "a"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(
+                F.expr("CAST(CAST(cnt AS DOUBLE) * a AS DECIMAL(38,12))")
+            ).alias("sa"),
+        )
+    )
+    tot = sc.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr("CAST(CAST(cnt AS DOUBLE) * a * a AS DECIMAL(38,12))")
+        ).alias("saa"),
+    )
+    f1 = tot.selectExpr("n", "CAST(saa AS DOUBLE) / (n - 1) AS s2")
+    return (
+        ga.crossJoin(F.broadcast(f1))
+        .groupBy("n", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.expr(
+                "round(sum(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+                "          / n_g) / s2, 6)"
+            ).alias("vdw_stat"),
+        )
+        .selectExpr("n AS n_tot", "k", "vdw_stat")
+    )
