@@ -11026,3 +11026,117 @@ def q_stat_van_der_waerden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("n AS n_tot", "k", "vdw_stat")
     )
+
+
+@register(
+    "q_geo_moran_i",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+             CAST(floor(lon / 10) AS BIGINT) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS y
+      FROM pts GROUP BY 1, 2
+    ),
+    offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dl, dn)),
+    pairs AS (
+      SELECT a.y AS yi, b.y AS yj
+      FROM cells a
+      CROSS JOIN offs o
+      JOIN cells b
+        ON b.cell_lat = a.cell_lat + o.dl AND b.cell_lon = a.cell_lon + o.dn
+    ),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(sum(CAST(yi AS DECIMAL(38,0)) * yj) AS DECIMAL(38,0)) AS pa,
+             CAST(sum(CAST(yi AS DECIMAL(38,0)) + yj) AS DECIMAL(38,0)) AS pb
+      FROM pairs
+    ),
+    ct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM cells
+    )
+    SELECT ct.n AS n_cells, ag.s0,
+           CAST(ct.n * ct.n * ag.pa - ct.n * ct.sy * ag.pb
+                + CAST(ct.sy AS DECIMAL(38,0)) * ct.sy * ag.s0 AS DOUBLE)
+             / CAST(ag.s0 * (ct.n * ct.syy
+                             - CAST(ct.sy AS DECIMAL(38,0)) * ct.sy) AS DOUBLE)
+             AS moran_i
+    FROM ct CROSS JOIN ag
+    """,
+)
+def q_geo_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Moran's I global spatial autocorrelation over the 10-degree grid
+    # cells of the synthetic customer point cloud (the
+    # q_geo_grid_density lattice), rook adjacency, binary weights —
+    # the is-the-density-map-clustered-or-dispersed readout every
+    # spatial pipeline computes after the heat map. The cross-product
+    # numerator is expanded to EXACT integer moments:
+    # I = (N^2 A - N Sy B + Sy^2 S0) / (S0 (N Syy - Sy^2)) with
+    # A = sum w y_i y_j, B = sum w (y_i + y_j), S0 = sum w over the
+    # directed neighbor pairs — every term exact DECIMAL(38,0) (cell
+    # counts square past BIGINT at full scale, the kruskal n^3
+    # lesson), ONE double division at the end -> bit-exact
+    # cross-engine, no rounding. Neighbor pairs come from an equi-join
+    # of the cell frame against itself shifted by a 4-row offset
+    # table. 100 TB: one partial-aggregated scan to the grid-bounded
+    # cell frame (16 x 36 cells max); everything after is
+    # lattice-sized, the offs cross join is a 4-row broadcast.
+    pts = table(spark, sf_dir, "customer").select(
+        (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / 10).cast("bigint").alias("cell_lat"),
+        F.floor(F.col("lon") / 10).cast("bigint").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    cells = cells.localCheckpoint(eager=False)  # feeds both join sides + moments
+    offs = spark.sql(
+        "SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dl, dn)"
+    )
+    a = cells.select(
+        F.col("cell_lat").alias("al"), F.col("cell_lon").alias("an"),
+        F.col("y").alias("yi"),
+    )
+    b = cells.select(
+        F.col("cell_lat").alias("bl"), F.col("cell_lon").alias("bn"),
+        F.col("y").alias("yj"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            F.broadcast(b),
+            (F.col("bl") == F.col("al") + F.col("dl"))
+            & (F.col("bn") == F.col("an") + F.col("dn")),
+        )
+        .select("yi", "yj")
+    )
+    ag = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        F.sum(F.col("yi").cast("decimal(38,0)") * F.col("yj"))
+        .cast("decimal(38,0)")
+        .alias("pa"),
+        F.sum(F.col("yi").cast("decimal(38,0)") + F.col("yj"))
+        .cast("decimal(38,0)")
+        .alias("pb"),
+    )
+    ct = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    return ct.crossJoin(F.broadcast(ag)).selectExpr(
+        "n AS n_cells",
+        "s0",
+        "CAST(n * n * pa - n * sy * pb"
+        "     + CAST(sy AS DECIMAL(38,0)) * sy * s0 AS DOUBLE)"
+        " / CAST(s0 * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)"
+        " AS moran_i",
+    )
