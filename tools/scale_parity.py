@@ -431,6 +431,22 @@ USKEW_TARGET_KEYS = [
     "q_window_ewma",
     "q_window_median",
     "q_stream_session",   # streaming session windows with a hot user
+    # r12 rotation 2: attribution, survival, and sequence lanes — the
+    # remaining per-user-series families whose worst case is one user
+    # with a 500x history (path collect, censoring windows, per-user
+    # pattern matching), not join-key skew.
+    "q_events_attribution",
+    "q_events_attribution_lastclick",
+    "q_events_attribution_linear",
+    "q_events_kaplan_meier",
+    "q_events_nelson_aalen",
+    "q_events_logrank",
+    "q_events_seq_pattern",
+    "q_events_sequence_match",
+    "q_events_bounce_rate",
+    "q_events_stickiness",
+    "q_events_cohort_ltv",
+    "q_events_burstiness",
 ]
 
 SKEW_TARGET_KEYS = [
