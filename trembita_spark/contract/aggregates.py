@@ -11140,3 +11140,109 @@ def q_geo_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(s0 * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)"
         " AS moran_i",
     )
+
+
+@register(
+    "q_geo_geary_c",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+             CAST(floor(lon / 10) AS BIGINT) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS y
+      FROM pts GROUP BY 1, 2
+    ),
+    offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dl, dn)),
+    pairs AS (
+      SELECT a.y AS yi, b.y AS yj
+      FROM cells a
+      CROSS JOIN offs o
+      JOIN cells b
+        ON b.cell_lat = a.cell_lat + o.dl AND b.cell_lon = a.cell_lon + o.dn
+    ),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(sum(CAST(yi - yj AS DECIMAL(38,0))
+                      * CAST(yi - yj AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dd
+      FROM pairs
+    ),
+    ct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM cells
+    )
+    SELECT ct.n AS n_cells, ag.s0,
+           CAST((ct.n - 1) * ct.n * ag.dd AS DOUBLE)
+             / CAST(2 * ag.s0 * (ct.n * ct.syy
+                                 - CAST(ct.sy AS DECIMAL(38,0)) * ct.sy)
+                    AS DOUBLE) AS geary_c
+    FROM ct CROSS JOIN ag
+    """,
+)
+def q_geo_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Geary's C contiguity ratio over the same rook-adjacency lattice
+    # as q_geo_moran_i — the local-difference companion (C < 1
+    # clustered, C > 1 dispersed; more sensitive to local structure
+    # than Moran's global cross-product). C = (N-1) sum w (y_i-y_j)^2 /
+    # (2 S0 sum (y-ybar)^2), cleared of ybar by multiplying through by
+    # N: every term — the squared pair differences and the variance
+    # moments — is an EXACT DECIMAL(38,0) integer, collapsed by ONE
+    # double division: bit-exact cross-engine, no rounding. Same
+    # lattice-bounded cost shape as Moran (one partial-aggregated scan,
+    # 4-row offset broadcast equi-join).
+    pts = table(spark, sf_dir, "customer").select(
+        (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / 10).cast("bigint").alias("cell_lat"),
+        F.floor(F.col("lon") / 10).cast("bigint").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    cells = cells.localCheckpoint(eager=False)  # feeds both join sides + moments
+    offs = spark.sql(
+        "SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dl, dn)"
+    )
+    a = cells.select(
+        F.col("cell_lat").alias("al"), F.col("cell_lon").alias("an"),
+        F.col("y").alias("yi"),
+    )
+    b = cells.select(
+        F.col("cell_lat").alias("bl"), F.col("cell_lon").alias("bn"),
+        F.col("y").alias("yj"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            F.broadcast(b),
+            (F.col("bl") == F.col("al") + F.col("dl"))
+            & (F.col("bn") == F.col("an") + F.col("dn")),
+        )
+        .select("yi", "yj")
+    )
+    ag = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        F.sum(
+            (F.col("yi") - F.col("yj")).cast("decimal(38,0)")
+            * (F.col("yi") - F.col("yj")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("dd"),
+    )
+    ct = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    return ct.crossJoin(F.broadcast(ag)).selectExpr(
+        "n AS n_cells",
+        "s0",
+        "CAST((n - 1) * n * dd AS DOUBLE)"
+        " / CAST(2 * s0 * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)"
+        " AS geary_c",
+    )
