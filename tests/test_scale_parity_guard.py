@@ -87,9 +87,10 @@ def test_scale_parity_artifact_green():
 # value-checked at replica scale at least once; the Holt-Winters,
 # Page, and Croston keys landed with their 8x (+skew where per-user)
 # evidence in the same session (extra4-extra7, uskew2); Anderson-
-# Darling, Theta, Fligner-Killeen, van der Waerden, Moran's I, and
-# Geary's C landed with their 8x evidence in extra8-extra13.
-COVERAGE_FLOOR = 503
+# Darling, Theta, Fligner-Killeen, van der Waerden, Moran's I,
+# Geary's C, Getis-Ord G, turning-points, and Bartels rank landed
+# with their 8x evidence in extra8-extra14.
+COVERAGE_FLOOR = 506
 
 
 def test_scale_coverage_ledger_cumulative():

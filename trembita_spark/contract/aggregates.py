@@ -11246,3 +11246,106 @@ def q_geo_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(2 * s0 * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)"
         " AS geary_c",
     )
+
+
+@register(
+    "q_geo_getis_g",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((c_custkey * 37) % 160 - 80 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+             CAST(floor(lon / 10) AS BIGINT) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS y
+      FROM pts GROUP BY 1, 2
+    ),
+    offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dl, dn)),
+    pairs AS (
+      SELECT a.y AS yi, b.y AS yj
+      FROM cells a
+      CROSS JOIN offs o
+      JOIN cells b
+        ON b.cell_lat = a.cell_lat + o.dl AND b.cell_lon = a.cell_lon + o.dn
+    ),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(sum(CAST(yi AS DECIMAL(38,0)) * yj) AS DECIMAL(38,0)) AS pa
+      FROM pairs
+    ),
+    ct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM cells
+    )
+    SELECT ct.n AS n_cells, ag.s0,
+           CAST(ag.pa AS DOUBLE)
+             / CAST(CAST(ct.sy AS DECIMAL(38,0)) * ct.sy - ct.syy AS DOUBLE)
+             AS getis_g,
+           CAST(ag.s0 AS DOUBLE) / CAST(ct.n * (ct.n - 1) AS DOUBLE)
+             AS expected_g
+    FROM ct CROSS JOIN ag
+    """,
+)
+def q_geo_getis_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Getis-Ord General G over the Moran/Geary lattice: the hot-spot
+    # statistic — G = sum w y_i y_j / sum_{i<>j} y_i y_j compares the
+    # neighbor-pair product mass to ALL ordered-pair product mass, so
+    # (unlike Moran/Geary) it distinguishes clustering of HIGH values
+    # from clustering of low ones; reported next to its null
+    # expectation E[G] = S0/(N(N-1)). Numerator reuses Moran's exact
+    # pair-product moment; the denominator is the exact identity
+    # Sy^2 - Syy (ordered pairs i<>j) — every term DECIMAL(38,0), two
+    # double divisions, bit-exact, no rounding. Same lattice-bounded
+    # cost shape as q_geo_moran_i.
+    pts = table(spark, sf_dir, "customer").select(
+        (((F.col("c_custkey") * 37) % 160 - 80).cast("double") + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / 10).cast("bigint").alias("cell_lat"),
+        F.floor(F.col("lon") / 10).cast("bigint").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    cells = cells.localCheckpoint(eager=False)  # feeds both join sides + moments
+    offs = spark.sql(
+        "SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dl, dn)"
+    )
+    a = cells.select(
+        F.col("cell_lat").alias("al"), F.col("cell_lon").alias("an"),
+        F.col("y").alias("yi"),
+    )
+    b = cells.select(
+        F.col("cell_lat").alias("bl"), F.col("cell_lon").alias("bn"),
+        F.col("y").alias("yj"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            F.broadcast(b),
+            (F.col("bl") == F.col("al") + F.col("dl"))
+            & (F.col("bn") == F.col("an") + F.col("dn")),
+        )
+        .select("yi", "yj")
+    )
+    ag = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        F.sum(F.col("yi").cast("decimal(38,0)") * F.col("yj"))
+        .cast("decimal(38,0)")
+        .alias("pa"),
+    )
+    ct = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    return ct.crossJoin(F.broadcast(ag)).selectExpr(
+        "n AS n_cells",
+        "s0",
+        "CAST(pa AS DOUBLE)"
+        " / CAST(CAST(sy AS DECIMAL(38,0)) * sy - syy AS DOUBLE) AS getis_g",
+        "CAST(s0 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS expected_g",
+    )

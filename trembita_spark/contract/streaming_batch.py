@@ -5351,3 +5351,185 @@ def q_ts_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0.5e0 * (intercept + slope * (CAST(n AS DOUBLE) + 7.0e0))"
         " + 0.5e0 * ses_theta AS forecast7",
     )
+
+
+@register(
+    "q_ts_turning_points",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS t_points
+      FROM dense d
+      JOIN dense p ON p.hr = d.hr - 1
+      JOIN dense nx ON nx.hr = d.hr + 1
+      WHERE (d.x > p.x AND d.x > nx.x) OR (d.x < p.x AND d.x < nx.x)
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dense)
+    SELECT t.n, tp.t_points,
+           (CAST(tp.t_points AS DOUBLE) - 2.0e0 * (t.n - 2) / 3.0e0)
+             / sqrt((16.0e0 * t.n - 29.0e0) / 90.0e0) AS z
+    FROM t CROSS JOIN tp
+    """,
+)
+def q_ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Turning-point test of randomness on the dense hourly event-count
+    # series (the holt_winters spine): T = number of strict local
+    # peaks/troughs, z = (T - 2(n-2)/3) / sqrt((16n-29)/90) — the
+    # classic is-this-series-iid screen run before any smoothing or
+    # autocorrelation model is trusted. Neighbors come from EQUI-joins
+    # of the spine against itself at hr+-1 (no window, no sort): T is
+    # an exact integer, the moments are exact rationals, and z is one
+    # double tree with a correctly-rounded sqrt -> bit-exact
+    # cross-engine, no rounding. Strict inequalities make plateau ties
+    # deterministic on both engines. 100 TB: one fact-table groupBy to
+    # the calendar-bounded spine; the three-way self-join is
+    # spine-sized.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    b = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    dense = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # feeds the three-way self-join + count
+    )
+    d = dense
+    p = dense.select((F.col("hr") + 1).alias("hr"), F.col("x").alias("xp"))
+    nx = dense.select((F.col("hr") - 1).alias("hr"), F.col("x").alias("xn"))
+    tp = (
+        d.join(p, "hr")
+        .join(nx, "hr")
+        .where(
+            ((F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")))
+            | ((F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn")))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_points"))
+    )
+    t = dense.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return t.crossJoin(F.broadcast(tp)).selectExpr(
+        "n",
+        "t_points",
+        "(CAST(t_points AS DOUBLE) - 2.0e0 * (n - 2) / 3.0e0)"
+        " / sqrt((16.0e0 * n - 29.0e0) / 90.0e0) AS z",
+    )
+
+
+@register(
+    "q_ts_bartels_rank",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    pv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM dense GROUP BY x),
+    cc AS (
+      SELECT x, cnt,
+             CAST(sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM pv
+    ),
+    rk AS (SELECT x, 2 * (cum - cnt) + cnt + 1 AS r2 FROM cc),
+    dr AS (SELECT d.hr, r.r2 FROM dense d JOIN rk r USING (x)),
+    nm AS (
+      SELECT CAST(sum((a.r2 - bb.r2) * (a.r2 - bb.r2)) AS BIGINT) AS nm2
+      FROM dr a JOIN dr bb ON bb.hr = a.hr + 1
+    ),
+    dn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2 * r2) AS BIGINT) AS sr2
+      FROM dr
+    )
+    SELECT dn.n,
+           CAST(nm.nm2 AS DOUBLE)
+             / CAST(dn.sr2 - dn.n * (dn.n + 1) * (dn.n + 1) AS DOUBLE) AS rvn,
+           (CAST(nm.nm2 AS DOUBLE)
+              / CAST(dn.sr2 - dn.n * (dn.n + 1) * (dn.n + 1) AS DOUBLE)
+            - 2.0e0)
+             / sqrt(4.0e0 * (dn.n - 2) * (5.0e0 * dn.n * dn.n - 2.0e0 * dn.n - 9.0e0)
+                    / (5.0e0 * dn.n * (dn.n + 1)
+                       * (CAST(dn.n - 1 AS DOUBLE) * (dn.n - 1)))) AS z
+    FROM dn CROSS JOIN nm
+    """,
+)
+def q_ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bartels' rank version of von Neumann's ratio on the dense hourly
+    # count series: RVN = sum (r_t - r_{t+1})^2 / sum (r_t - rbar)^2
+    # over the series MIDRANKS — the nonparametric serial-randomness
+    # complement to q_ts_turning_points (sensitive to trend and
+    # autocorrelation, not just local extrema). Doubled midranks come
+    # from the value-support prefix sum (exact integers, kruskal lane);
+    # consecutive pairs from an hr+1 EQUI-join (no window); numerator
+    # and denominator are exact BIGINT (doubling cancels in the ratio;
+    # sum R = n(n+1) exactly makes the centered denominator
+    # sum R^2 - n(n+1)^2), so RVN is ONE double division and z one
+    # double tree with the Bartels null variance
+    # 4(n-2)(5n^2-2n-9)/(5n(n+1)(n-1)^2) -> bit-exact, no rounding.
+    # 100 TB: one fact groupBy to the calendar-bounded spine; support
+    # prefix sum + spine-sized equi-joins after.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    b = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    dense = (
+        spine.join(c, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # feeds support + rank join
+    )
+    pv = dense.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum
+    cc = prefix_sum(pv, "cnt", order_by=[F.col("x")], name="cum")
+    rk = cc.select(
+        "x", (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2")
+    )
+    dr = dense.join(rk, "x").select("hr", "r2")
+    dr = dr.localCheckpoint(eager=False)  # feeds both sides of the hr+1 join
+    a = dr
+    bb = dr.select((F.col("hr") - 1).alias("hr"), F.col("r2").alias("r2b"))
+    nm = (
+        a.join(bb, "hr")
+        .agg(
+            F.sum((F.col("r2") - F.col("r2b")) * (F.col("r2") - F.col("r2b")))
+            .cast("bigint")
+            .alias("nm2")
+        )
+    )
+    dn = dr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("sr2"),
+    )
+    return dn.crossJoin(F.broadcast(nm)).selectExpr(
+        "n",
+        "CAST(nm2 AS DOUBLE)"
+        " / CAST(sr2 - n * (n + 1) * (n + 1) AS DOUBLE) AS rvn",
+        "(CAST(nm2 AS DOUBLE)"
+        "   / CAST(sr2 - n * (n + 1) * (n + 1) AS DOUBLE)"
+        " - 2.0e0)"
+        " / sqrt(4.0e0 * (n - 2) * (5.0e0 * n * n - 2.0e0 * n - 9.0e0)"
+        "        / (5.0e0 * n * (n + 1)"
+        "           * (CAST(n - 1 AS DOUBLE) * (n - 1)))) AS z",
+    )
