@@ -11349,3 +11349,115 @@ def q_geo_getis_g(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(CAST(sy AS DECIMAL(38,0)) * sy - syy AS DOUBLE) AS getis_g",
         "CAST(s0 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS expected_g",
     )
+
+
+def _bd_e(i: int) -> str:
+    # Expected exposed-case count under the common OR psi for stratum i:
+    # the in-range (minus) root of (psi-1)E^2 - B E + psi r1 c1 = 0,
+    # B = psi(r1+c1) + (n - r1 - c1) — verified in-range over 20k random
+    # tables x psi in [0.05, 20].
+    r1, c1 = f"(a{i} + b{i})", f"(a{i} + c{i})"
+    bq = f"(psi * ({r1} + {c1}) + (n{i} - {r1} - {c1}))"
+    return (
+        f"(({bq} - sqrt({bq} * {bq}"
+        f" - 4.0e0 * (psi - 1.0e0) * psi * {r1} * {c1}))"
+        f" / (2.0e0 * (psi - 1.0e0)))"
+    )
+
+
+def _bd_term(i: int) -> str:
+    r1, c1 = f"(a{i} + b{i})", f"(a{i} + c{i})"
+    return (
+        f"(a{i} - ee{i}) * (a{i} - ee{i})"
+        f" * (1.0e0 / ee{i} + 1.0e0 / ({r1} - ee{i})"
+        f" + 1.0e0 / ({c1} - ee{i})"
+        f" + 1.0e0 / (n{i} - {r1} - {c1} + ee{i}))"
+    )
+
+
+@register(
+    "q_stat_breslow_day",
+    oracle=f"""
+    WITH x AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS e,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    piv AS (
+      SELECT
+        {", ".join(
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 1 AND y = 1) AS BIGINT) AS a{i}, "
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 1 AND y = 0) AS BIGINT) AS b{i}, "
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 0 AND y = 1) AS BIGINT) AS c{i}, "
+            f"CAST(count(*) FILTER (WHERE dow = {i} AND e = 0 AND y = 0) AS BIGINT) AS d{i}"
+            for i in range(7))}
+      FROM x
+    ),
+    t AS (
+      SELECT *,
+        {", ".join(f"CAST(a{i} + b{i} + c{i} + d{i} AS BIGINT) AS n{i}" for i in range(7))}
+      FROM piv
+    ),
+    p1 AS (
+      SELECT *,
+        ({_mh_terms("CAST(CAST(a{i} AS HUGEINT) * d{i} AS DOUBLE) / n{i}")})
+          / ({_mh_terms("CAST(CAST(b{i} AS HUGEINT) * c{i} AS DOUBLE) / n{i}")})
+          AS psi
+      FROM t
+    ),
+    ex AS (
+      SELECT *, {", ".join(f"{_bd_e(i)} AS ee{i}" for i in range(7))} FROM p1
+    )
+    SELECT {_mh_terms("n{i}")} AS n, psi AS or_mh,
+           CAST(6 AS BIGINT) AS df,
+           {" + ".join(_bd_term(i) for i in range(7))} AS bd_stat
+    FROM ex
+    """,
+)
+def q_stat_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Breslow-Day homogeneity-of-odds-ratios test over the
+    # mantel_haenszel day-of-week strata: is the high-value ->
+    # purchase association the SAME in every stratum, or does the MH
+    # common OR average away real effect modification? Per stratum the
+    # expected exposed-case count under the common OR is the closed
+    # form in-range root of the Breslow-Day quadratic (_bd_e above),
+    # and X2 = sum (a_k - E_k)^2 / Var_k with Var_k the harmonic
+    # variance of the four expected cells, df = K-1 = 6. Everything
+    # rides the SAME one-row 28-cell pivot as q_stat_mantel_haenszel:
+    # psi is the MH fixed chain, each E/V/term is one double tree over
+    # named scalar columns, and the stratum sum is a FIXED 7-term
+    # chain -> bit-exact cross-engine, NO rounding (sqrt is correctly
+    # rounded; psi = 1 exactly would 0/0 but is measure-zero for real
+    # counts). 100 TB: one conditional-count scan, O(1) after.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("e"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    piv = x.agg(
+        *[
+            agg
+            for i in range(7)
+            for agg in (
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0)).cast("bigint").alias(f"a{i}"),
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 1) & (F.col("y") == 0), 1).otherwise(0)).cast("bigint").alias(f"b{i}"),
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 0) & (F.col("y") == 1), 1).otherwise(0)).cast("bigint").alias(f"c{i}"),
+                F.sum(F.when((F.col("dow") == i) & (F.col("e") == 0) & (F.col("y") == 0), 1).otherwise(0)).cast("bigint").alias(f"d{i}"),
+            )
+        ]
+    )
+    t = piv.selectExpr(
+        "*", *[f"CAST(a{i} + b{i} + c{i} + d{i} AS BIGINT) AS n{i}" for i in range(7)]
+    )
+    r_txt = _mh_terms("CAST(CAST(a{i} AS DECIMAL(38,0)) * d{i} AS DOUBLE) / n{i}")
+    s_txt = _mh_terms("CAST(CAST(b{i} AS DECIMAL(38,0)) * c{i} AS DOUBLE) / n{i}")
+    p1 = t.selectExpr("*", f"({r_txt}) / ({s_txt}) AS psi")
+    ex = p1.selectExpr("*", *[f"{_bd_e(i)} AS ee{i}" for i in range(7)])
+    return ex.selectExpr(
+        _mh_terms("n{i}") + " AS n",
+        "psi AS or_mh",
+        "CAST(6 AS BIGINT) AS df",
+        " + ".join(_bd_term(i) for i in range(7)) + " AS bd_stat",
+    )
