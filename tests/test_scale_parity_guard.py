@@ -89,8 +89,9 @@ def test_scale_parity_artifact_green():
 # evidence in the same session (extra4-extra7, uskew2); Anderson-
 # Darling, Theta, Fligner-Killeen, van der Waerden, Moran's I,
 # Geary's C, Getis-Ord G, turning-points, and Bartels rank landed
-# with their 8x evidence in extra8-extra14; Breslow-Day in extra15.
-COVERAGE_FLOOR = 507
+# with their 8x evidence in extra8-extra14; Breslow-Day and Dunn's
+# post-hoc in extra15/extra16.
+COVERAGE_FLOOR = 508
 
 
 def test_scale_coverage_ledger_cumulative():

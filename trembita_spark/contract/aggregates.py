@@ -11461,3 +11461,114 @@ def q_stat_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(6 AS BIGINT) AS df",
         " + ".join(_bd_term(i) for i in range(7)) + " AS bd_stat",
     )
+
+
+@register(
+    "q_stat_dunn_posthoc",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v, event_type AS g
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    gv AS (
+      SELECT v, g, CAST(count(*) AS BIGINT) AS ngv FROM x GROUP BY v, g
+    ),
+    pv AS (SELECT v, CAST(sum(ngv) AS BIGINT) AS n FROM gv GROUP BY v),
+    c AS (
+      SELECT v, n,
+             CAST(sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumn
+      FROM pv
+    ),
+    r AS (SELECT v, 2 * (cumn - n) + n + 1 AS r2v FROM c),
+    pg AS (
+      SELECT g, CAST(sum(ngv) AS BIGINT) AS n_g,
+             CAST(sum(ngv * r2v) AS BIGINT) AS r2_g
+      FROM gv JOIN r USING (v) GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(CASE WHEN n > 1
+                      THEN CAST(n AS HUGEINT) * n * n - n ELSE 0 END)
+                  AS HUGEINT) AS tie3
+      FROM c
+    )
+    SELECT a.g AS g1, b.g AS g2,
+           CAST(a.r2_g AS DOUBLE) / (2.0e0 * a.n_g) AS mean_rank_1,
+           CAST(b.r2_g AS DOUBLE) / (2.0e0 * b.n_g) AS mean_rank_2,
+           (CAST(a.r2_g AS DOUBLE) / (2.0e0 * a.n_g)
+            - CAST(b.r2_g AS DOUBLE) / (2.0e0 * b.n_g))
+             / sqrt((CAST(t.n_tot AS DOUBLE) * (t.n_tot + 1) / 12.0e0
+                     - CAST(t.tie3 AS DOUBLE) / (12.0e0 * (t.n_tot - 1)))
+                    * (1.0e0 / a.n_g + 1.0e0 / b.n_g)) AS z
+    FROM pg a JOIN pg b ON a.g < b.g CROSS JOIN t
+    """,
+)
+def q_stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dunn's post-hoc pairwise comparisons after Kruskal-Wallis: for
+    # every pair of event_type arms, z = (Rbar_i - Rbar_j) /
+    # sqrt((N(N+1)/12 - SUM(t^3-t)/(12(N-1))) (1/n_i + 1/n_j)) with the
+    # tie-corrected pooled rank variance — the which-groups-differ
+    # readout q_stat_kruskal's omnibus H cannot give. Rides the
+    # IDENTICAL exact machinery: doubled tied ranks off the value-
+    # support prefix sum, per-group integer moments (n_g, 2R_g), tie
+    # cubes in HUGEINT/DECIMAL; the pairwise frame is a k x k self-join
+    # of the k-row group frame (k=5 -> 10 rows). Every z is one double
+    # tree over exact integers -> bit-exact, NO rounding, no
+    # engine-order sums. 100 TB: one contingency agg + one support
+    # prefix sum (the kruskal cost), then k-row frames.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    x = ev.select(F.col("value").alias("v"), F.col("event_type").alias("g"))
+    gv = x.groupBy("v", "g").agg(F.count(F.lit(1)).cast("bigint").alias("ngv"))
+    gv = gv.localCheckpoint(eager=False)  # feeds pooled support + group sums
+    pv = gv.groupBy("v").agg(F.sum("ngv").cast("bigint").alias("n"))
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + tie totals
+    c = prefix_sum(pv, "n", order_by=[F.col("v")], name="cumn")
+    r = c.select(
+        "v", (2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1).alias("r2v")
+    )
+    pg = (
+        gv.join(r, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("ngv").cast("bigint").alias("n_g"),
+            F.sum(F.col("ngv") * F.col("r2v")).cast("bigint").alias("r2_g"),
+        )
+    )
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n")
+                - F.col("n"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    a = pg.select(
+        F.col("g").alias("g1"), F.col("n_g").alias("na"), F.col("r2_g").alias("ra")
+    )
+    b = pg.select(
+        F.col("g").alias("g2"), F.col("n_g").alias("nb"), F.col("r2_g").alias("rb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "g1",
+            "g2",
+            "CAST(ra AS DOUBLE) / (2.0e0 * na) AS mean_rank_1",
+            "CAST(rb AS DOUBLE) / (2.0e0 * nb) AS mean_rank_2",
+            "(CAST(ra AS DOUBLE) / (2.0e0 * na)"
+            " - CAST(rb AS DOUBLE) / (2.0e0 * nb))"
+            " / sqrt((CAST(n_tot AS DOUBLE) * (n_tot + 1) / 12.0e0"
+            "         - CAST(tie3 AS DOUBLE) / (12.0e0 * (n_tot - 1)))"
+            "        * (1.0e0 / na + 1.0e0 / nb)) AS z",
+        )
+    )
