@@ -89,9 +89,9 @@ def test_scale_parity_artifact_green():
 # evidence in the same session (extra4-extra7, uskew2); Anderson-
 # Darling, Theta, Fligner-Killeen, van der Waerden, Moran's I,
 # Geary's C, Getis-Ord G, turning-points, and Bartels rank landed
-# with their 8x evidence in extra8-extra14; Breslow-Day and Dunn's
-# post-hoc in extra15/extra16.
-COVERAGE_FLOOR = 508
+# with their 8x evidence in extra8-extra14; Breslow-Day, Dunn's
+# post-hoc, and Heaps' law in extra15-extra17.
+COVERAGE_FLOOR = 509
 
 
 def test_scale_coverage_ledger_cumulative():

@@ -4676,3 +4676,127 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("mu2")) / F.col("n"), 6).alias("centroid_norm"),
         F.round(F.sqrt(F.col("mu2")) / F.col("norm_sum"), 6).alias("r_bar"),
     )
+
+
+@register(
+    "q_text_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tpd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok FROM tok GROUP BY 1
+    ),
+    fo AS (SELECT token, CAST(min(doc_id) AS BIGINT) AS fd FROM tok GROUP BY 1),
+    nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS ntypes FROM fo GROUP BY 1),
+    base AS (
+      SELECT tpd.doc_id, tpd.ntok, COALESCE(nv.ntypes, 0) AS ntypes
+      FROM tpd LEFT JOIN nv USING (doc_id)
+    ),
+    cum AS (
+      SELECT doc_id,
+             CAST(sum(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS t_d,
+             CAST(sum(ntypes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS v_d
+      FROM base
+    ),
+    lg AS (
+      SELECT CAST(ln(CAST(t_d AS DOUBLE)) AS DECIMAL(38,12)) AS lx,
+             CAST(ln(CAST(v_d AS DOUBLE)) AS DECIMAL(38,12)) AS ly,
+             CAST(ln(CAST(t_d AS DOUBLE)) * ln(CAST(v_d AS DOUBLE))
+                  AS DECIMAL(38,12)) AS lxy,
+             CAST(ln(CAST(t_d AS DOUBLE)) * ln(CAST(t_d AS DOUBLE))
+                  AS DECIMAL(38,12)) AS lxx
+      FROM cum
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lxy) AS sxy, sum(lxx) AS sxx
+      FROM lg
+    ),
+    fit AS (
+      SELECT n, sx, sy,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS beta
+      FROM mo
+    ),
+    f2 AS (
+      SELECT n, beta,
+             (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n AS ln_k
+      FROM fit
+    )
+    SELECT n AS n_docs, round(beta, 6) AS beta, round(ln_k, 6) AS ln_k
+    FROM f2
+    """,
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps' law fit over the corpus: V(T) ~ k T^beta, estimated by OLS
+    # of ln V_d on ln T_d at every document boundary in doc_id order —
+    # the vocabulary-growth fingerprint next to q_text_zipf's
+    # rank-frequency curve (beta ~ 0.4-0.6 for natural text; beta near
+    # 1 means unbounded novelty = noise, near 0 means boilerplate).
+    # T_d/V_d are exact integer prefix sums: per-doc token counts and
+    # per-doc NEW-type counts (each type attributed to min(doc_id) via
+    # one groupBy — never a per-token window), both cumulated by the
+    # distributed prefix sum over the doc-id-support frame. The ln
+    # moment terms are quantized to DECIMAL(38,12) per doc row and
+    # summed EXACTLY (the anderson_darling lane) so the doc-sized
+    # reduce is order-insensitive; beta/ln_k are staged double trees,
+    # round-6 against the per-row libm-ln ulp skew. 100 TB: one token
+    # explode + two groupBys + two prefix sums over the DOC support —
+    # work ~ corpus tokens for the scan, doc-count for everything
+    # after.
+    from trembita_spark.operators.ranking import prefix_sum_multi
+
+    doc = table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tpd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("ntok"))
+    fo = tok.groupBy("token").agg(F.min("doc_id").cast("bigint").alias("fd"))
+    nv = fo.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ntypes")
+    )
+    base = (
+        tpd.join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ntok",
+            F.coalesce("ntypes", F.lit(0)).cast("bigint").alias("ntypes"),
+        )
+    )
+    base = base.localCheckpoint(eager=False)  # feeds the two prefix sums
+    cum = prefix_sum_multi(
+        base, ["ntok", "ntypes"], [F.col("doc_id")], ["t_d", "v_d"]
+    )
+    lg = cum.selectExpr(
+        "CAST(ln(CAST(t_d AS DOUBLE)) AS DECIMAL(38,12)) AS lx",
+        "CAST(ln(CAST(v_d AS DOUBLE)) AS DECIMAL(38,12)) AS ly",
+        "CAST(ln(CAST(t_d AS DOUBLE)) * ln(CAST(v_d AS DOUBLE))"
+        " AS DECIMAL(38,12)) AS lxy",
+        "CAST(ln(CAST(t_d AS DOUBLE)) * ln(CAST(t_d AS DOUBLE))"
+        " AS DECIMAL(38,12)) AS lxx",
+    )
+    mo = lg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum("lxy").alias("sxy"),
+        F.sum("lxx").alias("sxx"),
+    )
+    fit = mo.selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " AS beta",
+    )
+    f2 = fit.selectExpr(
+        "n",
+        "beta",
+        "(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n AS ln_k",
+    )
+    return f2.selectExpr(
+        "n AS n_docs", "round(beta, 6) AS beta", "round(ln_k, 6) AS ln_k"
+    )
