@@ -90,8 +90,9 @@ def test_scale_parity_artifact_green():
 # Darling, Theta, Fligner-Killeen, van der Waerden, Moran's I,
 # Geary's C, Getis-Ord G, turning-points, and Bartels rank landed
 # with their 8x evidence in extra8-extra14; Breslow-Day, Dunn's
-# post-hoc, and Heaps' law in extra15-extra17.
-COVERAGE_FLOOR = 509
+# post-hoc, and Heaps' law in extra15-extra17; RMST in extra18 +
+# uskew4.
+COVERAGE_FLOOR = 510
 
 
 def test_scale_coverage_ledger_cumulative():

@@ -447,6 +447,7 @@ USKEW_TARGET_KEYS = [
     "q_events_stickiness",
     "q_events_cohort_ltv",
     "q_events_burstiness",
+    "q_events_rmst",      # survival area with a hot user's history
 ]
 
 SKEW_TARGET_KEYS = [

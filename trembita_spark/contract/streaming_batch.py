@@ -5533,3 +5533,166 @@ def q_ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        / (5.0e0 * n * (n + 1)"
         "           * (CAST(n - 1 AS DOUBLE) * (n - 1)))) AS z",
     )
+
+
+@register(
+    "q_events_rmst",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(ts) AS entry_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    pu AS (
+      SELECT CAST(CASE WHEN purch_ts IS NOT NULL
+                  THEN CAST(purch_ts AS DATE) - CAST(entry_ts AS DATE)
+                  ELSE CAST(last_ts AS DATE) - CAST(entry_ts AS DATE) END
+                  AS BIGINT) AS t,
+             CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM per
+    ),
+    lv AS (
+      SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m
+      FROM pu GROUP BY t
+    ),
+    c AS (
+      SELECT t, d, m,
+             CAST(sum(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumm
+      FROM lv
+    ),
+    tt AS (SELECT CAST(sum(m) AS BIGINT) AS n_tot FROM lv),
+    r AS (
+      SELECT t, d, CAST(n_tot - (cumm - m) AS BIGINT) AS n_risk, n_tot
+      FROM c CROSS JOIN tt
+    ),
+    ev AS (
+      SELECT t, d, n_risk, n_tot,
+             CASE WHEN n_risk > d
+                  THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             END AS lnf
+      FROM r WHERE d >= 1
+    ),
+    s AS (
+      SELECT t, n_tot,
+             sum(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumln,
+             max(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zmax
+      FROM ev
+    ),
+    seg AS (
+      SELECT t, n_tot,
+             CASE WHEN zmax = 1 THEN 0.0e0 ELSE exp(cumln) END AS sv,
+             COALESCE(lead(t) OVER (ORDER BY t), CAST(30 AS BIGINT)) AS t_next
+      FROM s
+    ),
+    tail_ AS (
+      SELECT max(n_tot) AS n_tot,
+             sum(CAST(sv * (least(CAST(t_next AS DOUBLE), 30.0e0)
+                            - least(CAST(t AS DOUBLE), 30.0e0))
+                      AS DECIMAL(38,12))) AS tail_area,
+             least(CAST(min(t) AS BIGINT), 30) AS head_area
+      FROM seg
+    )
+    SELECT CAST(30 AS BIGINT) AS tau, n_tot,
+           round(head_area + COALESCE(CAST(tail_area AS DOUBLE), 0.0e0), 6)
+             AS rmst
+    FROM tail_
+    """,
+)
+def q_events_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Restricted mean survival time at tau = 30 days on the
+    # q_events_kaplan_meier lane: the area under the KM
+    # time-to-first-purchase curve up to 30 days — the
+    # clinically-standard single-number summary that (unlike median
+    # survival) is defined even when the curve never crosses 0.5, and
+    # the honest average-days-without-conversion readout. The step
+    # curve contributes min(t_1, tau) at S=1, then S_i (min(t_{i+1},
+    # tau) - min(t_i, tau)) per level — segments past tau cancel to 0,
+    # so no WHERE is needed. S_i = exp(prefix ln survival) exactly as
+    # the KM key (identical window op sequence both engines); a running
+    # max flags the S=0 absorbing case (n_risk = d) so later levels do
+    # not resurrect. Segment terms are DECIMAL(38,12)-quantized and
+    # summed exactly (order-insensitive); round-6 against libm exp/ln.
+    # 100 TB: one per-user agg, then the duration-level support frame
+    # (bounded by distinct durations) carries every window.
+    from pyspark.sql.window import Window
+
+    ev0 = table(spark, sf_dir, "events")
+    per = ev0.groupBy("user_id").agg(
+        F.min("ts").alias("entry_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    pu = per.select(
+        F.when(
+            F.col("purch_ts").isNotNull(),
+            F.datediff(F.col("purch_ts").cast("date"), F.col("entry_ts").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("last_ts").cast("date"), F.col("entry_ts").cast("date"))
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("purch_ts").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    lv = pu.groupBy("t").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    lv = lv.localCheckpoint(eager=False)  # feeds prefix + total
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = lv.withColumn("cumm", F.sum("m").over(w).cast("bigint"))
+    tt = lv.agg(F.sum("m").cast("bigint").alias("n_tot"))
+    r = c.crossJoin(F.broadcast(tt)).select(
+        "t",
+        "d",
+        (F.col("n_tot") - (F.col("cumm") - F.col("m"))).cast("bigint").alias("n_risk"),
+        "n_tot",
+    )
+    evl = r.where(F.col("d") >= 1).selectExpr(
+        "t",
+        "d",
+        "n_risk",
+        "n_tot",
+        "CASE WHEN n_risk > d"
+        " THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END AS lnf",
+    )
+    s = evl.select(
+        "t",
+        "n_tot",
+        F.sum("lnf").over(w).alias("cumln"),
+        F.max(
+            F.when(F.col("n_risk") == F.col("d"), 1).otherwise(0)
+        ).over(w).alias("zmax"),
+    )
+    seg = s.select(
+        "t",
+        "n_tot",
+        F.expr("CASE WHEN zmax = 1 THEN 0.0e0 ELSE exp(cumln) END").alias("sv"),
+        F.coalesce(
+            F.lead("t").over(Window.orderBy("t")), F.lit(30).cast("bigint")
+        ).alias("t_next"),
+    )
+    tail_ = seg.agg(
+        F.max("n_tot").alias("n_tot"),
+        F.sum(
+            F.expr(
+                "CAST(sv * (least(CAST(t_next AS DOUBLE), 30.0e0)"
+                " - least(CAST(t AS DOUBLE), 30.0e0)) AS DECIMAL(38,12))"
+            )
+        ).alias("tail_area"),
+        F.least(F.min("t").cast("bigint"), F.lit(30).cast("bigint")).alias(
+            "head_area"
+        ),
+    )
+    return tail_.selectExpr(
+        "CAST(30 AS BIGINT) AS tau",
+        "n_tot",
+        "round(head_area + COALESCE(CAST(tail_area AS DOUBLE), 0.0e0), 6) AS rmst",
+    )
