@@ -11572,3 +11572,141 @@ def q_stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * (1.0e0 / na + 1.0e0 / nb)) AS z",
         )
     )
+
+
+@register(
+    "q_stat_cucconi",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    gv AS (
+      SELECT v, CAST(sum(is_y) AS BIGINT) AS ny,
+             CAST(sum(1 - is_y) AS BIGINT) AS nx
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT v, ny, nx,
+             CAST(sum(ny + nx) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM gv
+    ),
+    t AS (
+      SELECT CAST(sum(ny) AS BIGINT) AS m, CAST(sum(nx) AS BIGINT) AS n
+      FROM gv
+    ),
+    r AS (
+      SELECT c.v, c.ny, t.m, t.n, t.m + t.n AS nn,
+             2 * (c.cum - (c.ny + c.nx)) + (c.ny + c.nx) + 1 AS r2
+      FROM c CROSS JOIN t
+    ),
+    mo AS (
+      SELECT max(m) AS m, max(n) AS n, max(nn) AS nn,
+             CAST(sum(CAST(ny AS DECIMAL(38,0)) * r2 * r2) AS DECIMAL(38,0))
+               AS sr2,
+             CAST(sum(CAST(ny AS DECIMAL(38,0))
+                      * (2 * (nn + 1) - r2) * (2 * (nn + 1) - r2))
+                  AS DECIMAL(38,0)) AS sc2
+      FROM r GROUP BY nn
+    ),
+    uv AS (
+      SELECT m, n, nn,
+             (6.0e0 * (CAST(sr2 AS DOUBLE) / 4.0e0)
+              - m * (CAST(nn AS DOUBLE) + 1) * (2.0e0 * nn + 1))
+               / sqrt(CAST(m AS DOUBLE) * n * (nn + 1) * (2.0e0 * nn + 1)
+                      * (8.0e0 * nn + 11) / 5.0e0) AS u,
+             (6.0e0 * (CAST(sc2 AS DOUBLE) / 4.0e0)
+              - m * (CAST(nn AS DOUBLE) + 1) * (2.0e0 * nn + 1))
+               / sqrt(CAST(m AS DOUBLE) * n * (nn + 1) * (2.0e0 * nn + 1)
+                      * (8.0e0 * nn + 11) / 5.0e0) AS v_,
+             2.0e0 * (CAST(nn AS DOUBLE) * nn - 4)
+               / ((2.0e0 * nn + 1) * (8.0e0 * nn + 11)) - 1.0e0 AS rho
+      FROM mo
+    )
+    SELECT m AS n_purchase, n AS n_click,
+           round((u * u + v_ * v_ - 2.0e0 * rho * u * v_)
+                 / (2.0e0 * (1.0e0 - rho * rho)), 6) AS cucconi_c
+    FROM uv
+    """,
+)
+def q_stat_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cucconi's joint location-scale two-sample test (purchase vs
+    # click values) — the single-statistic alternative to running
+    # Mann-Whitney (location) and Ansari-Bradley (scale) separately,
+    # and historically PRIOR to the better-known Lepage combination:
+    # C = (U^2 + V^2 - 2 rho U V) / (2 (1 - rho^2)) with U from the
+    # squared pooled ranks of the Y sample and V from the squared
+    # CONTRARY ranks (N + 1 - R). Midranks extend it to ties: the
+    # doubled-rank support lane gives Sum R^2 = Sum r2^2 / 4 exactly,
+    # and the contrary doubled rank is 2(N+1) - r2 — both rank-square
+    # moments are EXACT DECIMAL(38,0) integers (r2^2 ~ 4N^2 x counts
+    # crosses BIGINT at replica scale, the kruskal n^3 lesson). U, V,
+    # rho, C are staged double trees over those exact moments ->
+    # round-6 only for the engine-shared sqrt/division sequence (the
+    # kruskal rule; no engine-order float sums anywhere). 100 TB: one
+    # contingency agg + one support prefix sum, scalar frames after.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    ).select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_y"),
+    )
+    gv = x.groupBy("v").agg(
+        F.sum("is_y").cast("bigint").alias("ny"),
+        F.sum(1 - F.col("is_y")).cast("bigint").alias("nx"),
+    )
+    gv = gv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    gv2 = gv.withColumn("cnt", (F.col("ny") + F.col("nx")).cast("bigint"))
+    c = prefix_sum(gv2, "cnt", order_by=[F.col("v")], name="cum")
+    t = gv.agg(
+        F.sum("ny").cast("bigint").alias("m"),
+        F.sum("nx").cast("bigint").alias("n"),
+    )
+    r = c.crossJoin(F.broadcast(t)).selectExpr(
+        "v",
+        "ny",
+        "m",
+        "n",
+        "m + n AS nn",
+        "2 * (cum - cnt) + cnt + 1 AS r2",
+    )
+    mo = r.groupBy("nn").agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr("CAST(ny AS DECIMAL(38,0)) * r2 * r2")
+        ).cast("decimal(38,0)").alias("sr2"),
+        F.sum(
+            F.expr(
+                "CAST(ny AS DECIMAL(38,0))"
+                " * (2 * (nn + 1) - r2) * (2 * (nn + 1) - r2)"
+            )
+        ).cast("decimal(38,0)").alias("sc2"),
+    )
+    uv = mo.selectExpr(
+        "m",
+        "n",
+        "nn",
+        "(6.0e0 * (CAST(sr2 AS DOUBLE) / 4.0e0)"
+        " - m * (CAST(nn AS DOUBLE) + 1) * (2.0e0 * nn + 1))"
+        " / sqrt(CAST(m AS DOUBLE) * n * (nn + 1) * (2.0e0 * nn + 1)"
+        "        * (8.0e0 * nn + 11) / 5.0e0) AS u",
+        "(6.0e0 * (CAST(sc2 AS DOUBLE) / 4.0e0)"
+        " - m * (CAST(nn AS DOUBLE) + 1) * (2.0e0 * nn + 1))"
+        " / sqrt(CAST(m AS DOUBLE) * n * (nn + 1) * (2.0e0 * nn + 1)"
+        "        * (8.0e0 * nn + 11) / 5.0e0) AS v_",
+        "2.0e0 * (CAST(nn AS DOUBLE) * nn - 4)"
+        " / ((2.0e0 * nn + 1) * (8.0e0 * nn + 11)) - 1.0e0 AS rho",
+    )
+    return uv.selectExpr(
+        "m AS n_purchase",
+        "n AS n_click",
+        "round((u * u + v_ * v_ - 2.0e0 * rho * u * v_)"
+        " / (2.0e0 * (1.0e0 - rho * rho)), 6) AS cucconi_c",
+    )
