@@ -11710,3 +11710,104 @@ def q_stat_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((u * u + v_ * v_ - 2.0e0 * rho * u * v_)"
         " / (2.0e0 * (1.0e0 - rho * rho)), 6) AS cucconi_c",
     )
+
+
+# Fixed multiplicative-hash parameters for the Count-Min Sketch key:
+# d = 4 rows x w = 64 buckets; bucket_i(u) = ((u * A_i + B_i) mod P)
+# mod w with P = 1048583 (prime > 2^20). Pure BIGINT arithmetic ->
+# identical in both engines, no hex parsing, no md5.
+_CMS_P = 1048583
+_CMS_W = 64
+_CMS_ROWS = ((1000003, 12345), (999983, 54321), (999979, 98765), (1000033, 24680))
+
+
+@register(
+    "q_sketch_countmin",
+    oracle=f"""
+    WITH uc AS (
+      SELECT user_id AS u, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    hh AS (
+      SELECT r.i, uc.u, uc.cnt,
+             ((uc.u * r.a + r.b) % {_CMS_P}) % {_CMS_W} AS bucket
+      FROM uc
+      CROSS JOIN (
+        SELECT * FROM (VALUES
+          {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))}
+        ) AS t(i, a, b)
+      ) r
+    ),
+    counters AS (
+      SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM hh GROUP BY i, bucket
+    ),
+    top5 AS (
+      SELECT u, cnt FROM uc ORDER BY cnt DESC, u LIMIT 5
+    ),
+    est AS (
+      SELECT t.u, t.cnt, CAST(min(co.c) AS BIGINT) AS cms_est
+      FROM top5 t
+      CROSS JOIN (
+        SELECT * FROM (VALUES
+          {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))}
+        ) AS t2(i, a, b)
+      ) r
+      JOIN counters co
+        ON co.i = r.i AND co.bucket = ((t.u * r.a + r.b) % {_CMS_P}) % {_CMS_W}
+      GROUP BY t.u, t.cnt
+    )
+    SELECT u AS user_id, cnt AS exact_cnt, cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min Sketch heavy-hitter estimation with an EXACT value
+    # oracle — the sketch family's only fully-checkable member (HLL and
+    # KLL are estimate-parameterized rows-only keys; CMS with FIXED
+    # multiplicative hashes is bit-deterministic): d=4 x w=64 counters
+    # over per-user event counts, and for the five heaviest users
+    # (deterministic order: count desc, user_id) the CMS estimate
+    # min_i counter[i][bucket_i(u)] next to the exact count — the
+    # classic one-sided overcount is visible in the output. Everything
+    # is exact BIGINT: counters are one hash-key aggregate of the
+    # per-user frame (4x fan-out, 256 counter cells total at ANY data
+    # size), estimates a 5x4 broadcast join. 100 TB: one user
+    # aggregate; the sketch itself is O(d*w) — THE mergeable-summary
+    # pattern for distributed heavy-hitter monitoring.
+    uc = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    uc = uc.localCheckpoint(eager=False)  # feeds counters + top5
+    rows_sql = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))
+    rfr = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS t(i, a, b)")
+    hh = uc.crossJoin(F.broadcast(rfr)).selectExpr(
+        "i",
+        "u",
+        "cnt",
+        f"((u * a + b) % {_CMS_P}) % {_CMS_W} AS bucket",
+    )
+    counters = hh.groupBy("i", "bucket").agg(F.sum("cnt").cast("bigint").alias("c"))
+    top5 = uc.orderBy(F.col("cnt").desc(), F.col("u")).limit(5)
+    est = (
+        top5.crossJoin(F.broadcast(rfr.selectExpr("i AS i2", "a", "b")))
+        .join(
+            counters,
+            (F.col("i") == F.col("i2"))
+            & (
+                F.col("bucket")
+                == ((F.col("u") * F.col("a") + F.col("b")) % _CMS_P) % _CMS_W
+            ),
+        )
+        .groupBy("u", "cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return est.selectExpr(
+        "u AS user_id",
+        "cnt AS exact_cnt",
+        "cms_est",
+        "CAST(cms_est - cnt AS BIGINT) AS overcount",
+    )
