@@ -11811,3 +11811,120 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         "CAST(cms_est - cnt AS BIGINT) AS overcount",
     )
+
+
+# AMS sketch sign-hash rows: s_i(u) = 1 - 2*((u*A_i + B_i) mod P mod 2),
+# five fixed rows so the median estimate is the exact 3rd order
+# statistic — all BIGINT/DECIMAL arithmetic, no randomness at runtime.
+_AMS_ROWS = (
+    (1000003, 12345),
+    (999983, 54321),
+    (999979, 98765),
+    (1000033, 24680),
+    (1000037, 13579),
+)
+
+
+@register(
+    "q_sketch_ams_f2",
+    oracle=f"""
+    WITH uc AS (
+      SELECT user_id AS u, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    sg AS (
+      SELECT r.i, uc.u, uc.cnt,
+             1 - 2 * (((uc.u * r.a + r.b) % {_CMS_P}) % 2) AS s
+      FROM uc
+      CROSS JOIN (
+        SELECT * FROM (VALUES
+          {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_AMS_ROWS))}
+        ) AS t(i, a, b)
+      ) r
+    ),
+    xs AS (
+      SELECT i, CAST(sum(s * cnt) AS BIGINT) AS x FROM sg GROUP BY i
+    ),
+    ests AS (
+      SELECT i, CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0)) AS est
+      FROM xs
+    ),
+    rk AS (
+      SELECT a.i, a.est,
+             CAST(sum(CASE WHEN b.est < a.est
+                           OR (b.est = a.est AND b.i <= a.i)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM ests a CROSS JOIN ests b GROUP BY a.i, a.est
+    ),
+    med AS (SELECT est AS ams_f2 FROM rk WHERE r = 3),
+    ex AS (
+      SELECT CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+               AS exact_f2,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM uc
+    )
+    SELECT ex.n_keys, CAST(ex.exact_f2 AS DOUBLE) AS exact_f2,
+           CAST(med.ams_f2 AS DOUBLE) AS ams_f2,
+           CAST(med.ams_f2 AS DOUBLE) / CAST(ex.exact_f2 AS DOUBLE) AS ratio
+    FROM ex CROSS JOIN med
+    """,
+)
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AMS (Alon-Matias-Szegedy) second-frequency-moment sketch with an
+    # EXACT value oracle: five fixed sign-hash rows s_i(u) = +-1, each
+    # row's estimate is (sum_u s_i(u) cnt_u)^2, and the sketch output
+    # is the MEDIAN row (exact 3rd order statistic via a 5x5
+    # total-order rank join — ties broken by row id, so the median is
+    # engine-identical). Reported next to the exact F2 = sum cnt^2 and
+    # their ratio — the estimator's multiplicative error is visible in
+    # the output, the q_sketch_countmin pattern applied to join-size /
+    # self-join cost estimation (F2 IS the self-join size). Every
+    # quantity is exact BIGINT/DECIMAL(38,0); the only doubles are the
+    # final casts and one division -> bit-exact, no rounding. 100 TB:
+    # one per-user aggregate, a 5x fan-out of the user frame into five
+    # signed sums (each a partial-aggregated scalar), O(1) after.
+    uc = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    uc = uc.localCheckpoint(eager=False)  # feeds sign sums + exact F2
+    rows_sql = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_AMS_ROWS))
+    rfr = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS t(i, a, b)")
+    sg = uc.crossJoin(F.broadcast(rfr)).selectExpr(
+        "i",
+        "cnt",
+        f"1 - 2 * (((u * a + b) % {_CMS_P}) % 2) AS s",
+    )
+    xs = sg.groupBy("i").agg(F.sum(F.col("s") * F.col("cnt")).cast("bigint").alias("x"))
+    ests = xs.selectExpr("i", "CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0)) AS est")
+    a = ests.selectExpr("i", "est")
+    b = ests.selectExpr("i AS ib", "est AS estb")
+    rk = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy("i", "est")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("estb") < F.col("est"))
+                    | ((F.col("estb") == F.col("est")) & (F.col("ib") <= F.col("i"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    med = rk.where(F.col("r") == 3).select(F.col("est").alias("ams_f2"))
+    ex = uc.agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("decimal(38,0)")
+        .alias("exact_f2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return ex.crossJoin(F.broadcast(med)).selectExpr(
+        "n_keys",
+        "CAST(exact_f2 AS DOUBLE) AS exact_f2",
+        "CAST(ams_f2 AS DOUBLE) AS ams_f2",
+        "CAST(ams_f2 AS DOUBLE) / CAST(exact_f2 AS DOUBLE) AS ratio",
+    )
