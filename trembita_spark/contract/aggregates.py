@@ -11928,3 +11928,143 @@ def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ams_f2 AS DOUBLE) AS ams_f2",
         "CAST(ams_f2 AS DOUBLE) / CAST(exact_f2 AS DOUBLE) AS ratio",
     )
+
+
+@register(
+    "q_stat_by_fdr",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS grp,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value >= 50) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(x) AS BIGINT) AS tx,
+             CAST(count(*) AS BIGINT) AS m
+      FROM g
+    ),
+    z AS (
+      SELECT grp, dow, n, x, m,
+             (CAST(x AS DOUBLE) / n - CAST(tx AS DOUBLE) / tn)
+               / sqrt((CAST(tx AS DOUBLE) / tn) * (1 - CAST(tx AS DOUBLE) / tn) / n)
+               AS zval
+      FROM g CROSS JOIN t
+    ),
+    xh_ AS (SELECT grp, dow, n, x, m, zval, abs(zval) / sqrt(2.0e0) AS xh FROM z),
+    p AS (
+      SELECT grp, dow, n, x, m, round(zval, 6) AS z,
+             round({_P_TWO_SIDED}, 6) AS p_value
+      FROM xh_
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_value, grp, dow) AS BIGINT)
+                  AS rk
+      FROM p
+    ),
+    h AS (
+      SELECT *, sum(1.0e0 / rk) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+                  AS hcum
+      FROM r
+    ),
+    hm AS (SELECT max(hcum) AS harm FROM h),
+    cut AS (
+      SELECT COALESCE(max(CASE WHEN h.p_value * h.m * hm.harm
+                                    <= h.rk * 0.05e0
+                           THEN h.rk END), 0) AS k
+      FROM h CROSS JOIN hm
+    )
+    SELECT grp, dow, n, x, z, p_value, rk,
+           rk * 0.05e0 / (m * hm.harm) AS by_critical,
+           rk <= cut.k AS rejected
+    FROM h CROSS JOIN hm CROSS JOIN cut
+    """,
+)
+def q_stat_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benjamini-Yekutieli FDR over a 35-hypothesis family (event_type x
+    # day-of-week cells vs the global high-value rate) — the
+    # arbitrary-dependence-safe step-up that q_stat_bh_fdr's
+    # independence assumption cannot give: reject at
+    # p_(i) <= i*alpha/(m*H_m) with the harmonic penalty H_m = sum 1/j.
+    # H_m is computed as a PREFIX sum along the rank order (sequential
+    # op order identical in both engines -> bit-identical, never an
+    # unordered float reduce); p-values ride the shared erf fragment
+    # pre-rounded to 6 so the (p, grp, dow) rank order and the cutoff
+    # index are bit-stable. The dow strata reuse the epoch-day
+    # arithmetic of the mantel_haenszel lane. 100 TB: one
+    # conditional-count scan; everything after lives on the 35-row
+    # family frame.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds totals + per-cell rows
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("x").cast("bigint").alias("tx"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    z = g.crossJoin(F.broadcast(t)).selectExpr(
+        "grp",
+        "dow",
+        "n",
+        "x",
+        "m",
+        "(CAST(x AS DOUBLE) / n - CAST(tx AS DOUBLE) / tn)"
+        " / sqrt((CAST(tx AS DOUBLE) / tn) * (1 - CAST(tx AS DOUBLE) / tn) / n)"
+        " AS zval",
+    )
+    xh_ = z.withColumn("xh", F.abs(F.col("zval")) / F.sqrt(F.lit(2.0)))
+    p = xh_.selectExpr(
+        "grp",
+        "dow",
+        "n",
+        "x",
+        "m",
+        "round(zval, 6) AS z",
+        f"round({_P_TWO_SIDED}, 6) AS p_value",
+    )
+    w = Window.orderBy("p_value", "grp", "dow")
+    r = p.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    wc = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h = r.withColumn("hcum", F.sum(F.lit(1.0) / F.col("rk")).over(wc))
+    hm = h.agg(F.max("hcum").alias("harm"))
+    cut = (
+        h.crossJoin(F.broadcast(hm))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p_value") * F.col("m") * F.col("harm")
+                        <= F.col("rk") * 0.05,
+                        F.col("rk"),
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("k")
+        )
+    )
+    return (
+        h.crossJoin(F.broadcast(hm))
+        .crossJoin(F.broadcast(cut))
+        .selectExpr(
+            "grp",
+            "dow",
+            "n",
+            "x",
+            "z",
+            "p_value",
+            "rk",
+            "rk * 0.05e0 / (m * harm) AS by_critical",
+            "rk <= k AS rejected",
+        )
+    )
