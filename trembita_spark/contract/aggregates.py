@@ -12068,3 +12068,124 @@ def q_stat_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk <= k AS rejected",
         )
     )
+
+
+@register(
+    "q_ts_seasonal_mann_kendall",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+             (epoch_us(time_bucket(INTERVAL '1 hour', ts)) // 3600000000) % 24
+               AS season,
+             sum(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN a.x < c.x THEN 1
+                           WHEN a.x > c.x THEN -1 ELSE 0 END) AS BIGINT) AS mk_s
+      FROM b a JOIN b c ON a.season = c.season AND a.h < c.h
+    ),
+    ns AS (
+      SELECT season, CAST(count(*) AS BIGINT) AS n_k FROM b GROUP BY season
+    ),
+    vb AS (
+      SELECT CAST(sum(n_k * (n_k - 1) * (2 * n_k + 5)) AS BIGINT) AS base,
+             CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(n_k) AS BIGINT) AS n_total
+      FROM ns
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_adj
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM b GROUP BY season, x HAVING count(*) > 1)
+    )
+    SELECT vb.n_seasons, vb.n_total, s.mk_s,
+           round((s.mk_s - CASE WHEN s.mk_s > 0 THEN 1
+                                WHEN s.mk_s < 0 THEN -1 ELSE 0 END)
+                 / sqrt((CAST(vb.base AS DOUBLE) - ties.tie_adj) / 18.0e0), 12)
+             AS smk_z
+    FROM s, vb, ties
+    """,
+)
+def q_ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonal Mann-Kendall (Hirsch-Slack) on the hourly-total series
+    # with hour-of-day seasons: S = sum over seasons of the
+    # within-season pairwise sign sums — the trend test that is NOT
+    # fooled by the daily cycle q_ts_mann_kendall's global pairs
+    # conflate with drift. Seasons come from pure integer epoch-hour
+    # arithmetic ((epoch_us // 3600e6) % 24 — engine-identical, no
+    # timezone extraction), sign sums are exact comparisons of exact
+    # decimal bucket totals, and the variance is the per-season
+    # tie-corrected sum Var = (sum n_k(n_k-1)(2n_k+5) - ties)/18 —
+    # all exact BIGINT until one sqrt tree (continuity-corrected z,
+    # round-12, the MK rule). The within-season pair join is 24x
+    # smaller than global MK's. 100 TB: the bucket frame is bounded by
+    # the time span; the pair join is season-partitioned
+    # span-quadratic — coarsen the bucket when the span grows (the
+    # m4-downsample rationale).
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(F.window("ts", "1 hour").getField("start").alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+        .selectExpr(
+            "h",
+            "(unix_micros(h) div 3600000000) % 24 AS season",
+            "x",
+        )
+    )
+    b = b.localCheckpoint(eager=False)  # feeds pairs + counts + ties
+    a = b.select(
+        F.col("season").alias("sa"), F.col("h").alias("ha"), F.col("x").alias("xa")
+    )
+    c2 = b.select(
+        F.col("season").alias("sc"), F.col("h").alias("hc"), F.col("x").alias("xc")
+    )
+    s = (
+        a.join(
+            F.broadcast(c2),
+            (F.col("sa") == F.col("sc")) & (F.col("ha") < F.col("hc")),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("xa") < F.col("xc"), 1)
+                .when(F.col("xa") > F.col("xc"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("mk_s")
+        )
+    )
+    ns = b.groupBy("season").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    vb = ns.agg(
+        F.sum(F.col("n_k") * (F.col("n_k") - 1) * (2 * F.col("n_k") + 5))
+        .cast("bigint")
+        .alias("base"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("n_k").cast("bigint").alias("n_total"),
+    )
+    ties = (
+        b.groupBy("season", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_adj")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(vb))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n_seasons",
+            "n_total",
+            "mk_s",
+            "round((mk_s - CASE WHEN mk_s > 0 THEN 1"
+            "              WHEN mk_s < 0 THEN -1 ELSE 0 END)"
+            " / sqrt((CAST(base AS DOUBLE) - tie_adj) / 18.0e0), 12) AS smk_z",
+        )
+    )
