@@ -1115,6 +1115,15 @@ def test_no_key_degrades_to_cartesian(spark):
         # aggregate is no longer auto-benign (round-6 ADVICE), so the
         # bounded-cells case is explicit here.
         "q_similarity_ivf", "q_similarity_ivf_refined",
+        # Dunn post-hoc: the pairwise inequality join (a.g < b.g) is
+        # group-stats × group-stats — both sides the |event_type|-row
+        # moment frame (k=5, k(k-1)/2 output pairs; the Tukey HSD
+        # bound class exactly)
+        "q_stat_dunn_posthoc",
+        # AMS F2: the median-of-5 total-order rank join is the 5-row
+        # sketch-estimate frame × itself — literal d=5 rows by
+        # construction, never data-sized
+        "q_sketch_ams_f2",
     }
     skip = {
         k for k in contract.QUERIES
