@@ -91,9 +91,9 @@ def test_scale_parity_artifact_green():
 # Geary's C, Getis-Ord G, turning-points, and Bartels rank landed
 # with their 8x evidence in extra8-extra14; Breslow-Day, Dunn's
 # post-hoc, and Heaps' law in extra15-extra17; RMST in extra18 +
-# uskew4; Cucconi, Count-Min, AMS-F2, BY-FDR, and seasonal MK in
-# extra19-extra23.
-COVERAGE_FLOOR = 515
+# uskew4; Cucconi, Count-Min, AMS-F2, BY-FDR, seasonal MK, Cliff's
+# delta, and Yuen's t in extra19-extra25.
+COVERAGE_FLOOR = 517
 
 
 def test_scale_coverage_ledger_cumulative():

@@ -12189,3 +12189,271 @@ def q_ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / sqrt((CAST(base AS DOUBLE) - tie_adj) / 18.0e0), 12) AS smk_z",
         )
     )
+
+
+@register(
+    "q_stat_cliffs_delta",
+    oracle="""
+    WITH pv AS (
+      SELECT value AS v,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS np,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nn
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT np, nn,
+             CAST(sum(nn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumn
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+      FROM pv
+    ),
+    s AS (
+      SELECT n_pos, n_neg,
+             CAST(sum(CAST(np AS DECIMAL(38,0)) * (cumn - nn)) AS DECIMAL(38,0))
+               AS gt,
+             CAST(sum(CAST(np AS DECIMAL(38,0)) * (n_neg - cumn)) AS DECIMAL(38,0))
+               AS lt
+      FROM c CROSS JOIN t GROUP BY n_pos, n_neg
+    )
+    SELECT n_pos, n_neg,
+           CAST(gt AS DOUBLE) AS n_greater, CAST(lt AS DOUBLE) AS n_less,
+           CAST(gt - lt AS DOUBLE)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS cliffs_delta
+    FROM s
+    """,
+)
+def q_stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cliff's delta (purchase vs click values): the robust ordinal
+    # effect size d = (#(X>Y) - #(X<Y)) / (n m) — what
+    # q_stat_rank_biserial is to Mann-Whitney, but defined directly on
+    # dominance counts, insensitive to any monotone transform, and the
+    # standard companion to report WITH the Mann-Whitney p (significant
+    # != large). Both dominance counts come EXACTLY off the value-
+    # support prefix sum (the q_ml_auc lane: #(X>Y) = SUM np_v *
+    # cumneg_strictly_below; #(X<Y) = SUM np_v * negatives_above),
+    # accumulated in DECIMAL(38,0) (products cross BIGINT at replica
+    # scale), with ONE double division -> bit-exact, no rounding.
+    # 100 TB: one contingency agg + one support prefix sum.
+    from trembita_spark.operators.ranking import prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    pv = x.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    pv = pv.localCheckpoint(eager=False)  # feeds prefix sum + totals
+    c = prefix_sum(pv, "nn", order_by=[F.col("v")], name="cumn")
+    t = pv.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            F.sum(
+                F.col("np").cast("decimal(38,0)") * (F.col("cumn") - F.col("nn"))
+            )
+            .cast("decimal(38,0)")
+            .alias("gt"),
+            F.sum(
+                F.col("np").cast("decimal(38,0)") * (F.col("n_neg") - F.col("cumn"))
+            )
+            .cast("decimal(38,0)")
+            .alias("lt"),
+        )
+    )
+    return s.selectExpr(
+        "n_pos",
+        "n_neg",
+        "CAST(gt AS DOUBLE) AS n_greater",
+        "CAST(lt AS DOUBLE) AS n_less",
+        "CAST(gt - lt AS DOUBLE)"
+        " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS cliffs_delta",
+    )
+
+
+@register(
+    "q_stat_yuen_t",
+    oracle="""
+    WITH x AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    pv AS (
+      SELECT is_a, v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT is_a, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY is_a ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pv
+    ),
+    t AS (
+      SELECT is_a, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) // 5 AS BIGINT) AS g
+      FROM pv GROUP BY is_a
+    ),
+    j AS (
+      SELECT c.is_a, c.v, c.cnt, c.cum, t.n, t.g,
+             greatest(CAST(0 AS BIGINT),
+                      least(c.cum, t.n - t.g)
+                      - greatest(c.cum - c.cnt, t.g)) AS clip
+      FROM c JOIN t USING (is_a)
+    ),
+    mid AS (
+      SELECT is_a, max(n) AS n, max(g) AS g,
+             CAST(sum(CAST(clip AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS ms,
+             CAST(sum(CAST(clip AS DECIMAL(38,0)) * v * v) AS DECIMAL(38,0))
+               AS mss,
+             max(CASE WHEN cum - cnt < g + 1 AND cum >= g + 1 THEN v END)
+               AS v_lo,
+             max(CASE WHEN cum - cnt < n - g AND cum >= n - g THEN v END)
+               AS v_hi
+      FROM j GROUP BY is_a
+    ),
+    fin AS (
+      SELECT is_a, n, n - 2 * g AS h,
+             CAST(ms AS DOUBLE) / (n - 2 * g) AS tmean,
+             (CAST(mss AS DOUBLE) + g * CAST(v_lo AS DOUBLE) * v_lo
+              + g * CAST(v_hi AS DOUBLE) * v_hi
+              - CAST(n AS DOUBLE)
+                * ((CAST(ms AS DOUBLE) + g * CAST(v_lo AS DOUBLE)
+                    + g * CAST(v_hi AS DOUBLE)) / n)
+                * ((CAST(ms AS DOUBLE) + g * CAST(v_lo AS DOUBLE)
+                    + g * CAST(v_hi AS DOUBLE)) / n))
+               / ((CAST(n AS DOUBLE) - 2 * g)
+                  * (CAST(n AS DOUBLE) - 2 * g - 1)) AS d
+      FROM mid
+    ),
+    w AS (
+      SELECT max(CASE WHEN is_a = 1 THEN n END) AS n1,
+             max(CASE WHEN is_a = 0 THEN n END) AS n2,
+             max(CASE WHEN is_a = 1 THEN h END) AS h1,
+             max(CASE WHEN is_a = 0 THEN h END) AS h2,
+             max(CASE WHEN is_a = 1 THEN tmean END) AS tm1,
+             max(CASE WHEN is_a = 0 THEN tmean END) AS tm2,
+             max(CASE WHEN is_a = 1 THEN d END) AS d1,
+             max(CASE WHEN is_a = 0 THEN d END) AS d2
+      FROM fin
+    )
+    SELECT n1, n2, h1, h2,
+           (tm1 - tm2) / 100.0e0 AS trimmed_mean_diff,
+           (tm1 - tm2) / sqrt(d1 + d2) AS yuen_t,
+           (d1 + d2) * (d1 + d2)
+             / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1)) AS df
+    FROM w
+    """,
+)
+def q_stat_yuen_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Yuen's trimmed-means t-test (purchase vs click, 20% trim): the
+    # robust two-sample location test that survives the heavy tails
+    # and outliers that invalidate q_stat_ttest — trimmed means
+    # compared with Winsorized variances and Welch-Satterthwaite df.
+    # Everything is exact order statistics on the per-arm cent-support
+    # prefix sum: the middle-window sums clip each support run to ranks
+    # (g, n-g] (the trimmed-mean machinery), the Winsorized boundary
+    # values are the rank-(g+1) and rank-(n-g) order statistics (the
+    # qq_deciles selection), and SSW/d_i/t/df are staged double trees
+    # over exact DECIMAL(38,0) moments -> bit-exact, NO rounding (one
+    # sqrt, correctly rounded). The winsorized-mean tree is repeated
+    # verbatim where reused so both engines grow identical ASTs.
+    # 100 TB: one contingency agg + one per-arm support prefix sum
+    # (the two-arm window is the qq_deciles exemption); 2-row frames
+    # after.
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    pv = x.groupBy("is_a", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pv = pv.localCheckpoint(eager=False)  # feeds per-arm prefix + totals
+    w_ = (
+        Window.partitionBy("is_a")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pv.withColumn("cum", F.sum("cnt").over(w_).cast("bigint"))
+    t = pv.groupBy("is_a").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr("CAST(sum(cnt) div 5 AS BIGINT)").alias("g"),
+    )
+    j = c.join(F.broadcast(t), "is_a").selectExpr(
+        "is_a",
+        "v",
+        "cnt",
+        "cum",
+        "n",
+        "g",
+        "greatest(CAST(0 AS BIGINT),"
+        " least(cum, n - g) - greatest(cum - cnt, g)) AS clip",
+    )
+    mid = j.groupBy("is_a").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.sum(F.expr("CAST(clip AS DECIMAL(38,0)) * v"))
+        .cast("decimal(38,0)")
+        .alias("ms"),
+        F.sum(F.expr("CAST(clip AS DECIMAL(38,0)) * v * v"))
+        .cast("decimal(38,0)")
+        .alias("mss"),
+        F.max(
+            F.expr("CASE WHEN cum - cnt < g + 1 AND cum >= g + 1 THEN v END")
+        ).alias("v_lo"),
+        F.max(
+            F.expr("CASE WHEN cum - cnt < n - g AND cum >= n - g THEN v END")
+        ).alias("v_hi"),
+    )
+    fin = mid.selectExpr(
+        "is_a",
+        "n",
+        "n - 2 * g AS h",
+        "CAST(ms AS DOUBLE) / (n - 2 * g) AS tmean",
+        "(CAST(mss AS DOUBLE) + g * CAST(v_lo AS DOUBLE) * v_lo"
+        " + g * CAST(v_hi AS DOUBLE) * v_hi"
+        " - CAST(n AS DOUBLE)"
+        "   * ((CAST(ms AS DOUBLE) + g * CAST(v_lo AS DOUBLE)"
+        "       + g * CAST(v_hi AS DOUBLE)) / n)"
+        "   * ((CAST(ms AS DOUBLE) + g * CAST(v_lo AS DOUBLE)"
+        "       + g * CAST(v_hi AS DOUBLE)) / n))"
+        " / ((CAST(n AS DOUBLE) - 2 * g)"
+        "    * (CAST(n AS DOUBLE) - 2 * g - 1)) AS d",
+    )
+    w2 = fin.agg(
+        F.max(F.when(F.col("is_a") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("is_a") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("is_a") == 1, F.col("h"))).alias("h1"),
+        F.max(F.when(F.col("is_a") == 0, F.col("h"))).alias("h2"),
+        F.max(F.when(F.col("is_a") == 1, F.col("tmean"))).alias("tm1"),
+        F.max(F.when(F.col("is_a") == 0, F.col("tmean"))).alias("tm2"),
+        F.max(F.when(F.col("is_a") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("is_a") == 0, F.col("d"))).alias("d2"),
+    )
+    return w2.selectExpr(
+        "n1",
+        "n2",
+        "h1",
+        "h2",
+        "(tm1 - tm2) / 100.0e0 AS trimmed_mean_diff",
+        "(tm1 - tm2) / sqrt(d1 + d2) AS yuen_t",
+        "(d1 + d2) * (d1 + d2)"
+        " / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1)) AS df",
+    )
