@@ -1124,6 +1124,10 @@ def test_no_key_degrades_to_cartesian(spark):
         # sketch-estimate frame × itself — literal d=5 rows by
         # construction, never data-sized
         "q_sketch_ams_f2",
+        # periodogram: the BNLJ build sides are the 1-row span-moment
+        # aggregate and the <=4-row harmonic frame — both scalar/
+        # config-sized, never data-sized (the q_ts_hurst bound class)
+        "q_ts_periodogram",
     }
     skip = {
         k for k in contract.QUERIES

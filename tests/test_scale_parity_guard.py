@@ -92,8 +92,8 @@ def test_scale_parity_artifact_green():
 # with their 8x evidence in extra8-extra14; Breslow-Day, Dunn's
 # post-hoc, and Heaps' law in extra15-extra17; RMST in extra18 +
 # uskew4; Cucconi, Count-Min, AMS-F2, BY-FDR, seasonal MK, Cliff's
-# delta, and Yuen's t in extra19-extra25.
-COVERAGE_FLOOR = 517
+# delta, Yuen's t, and the periodogram in extra19-extra26.
+COVERAGE_FLOOR = 518
 
 
 def test_scale_coverage_ledger_cumulative():

@@ -5696,3 +5696,122 @@ def q_events_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tot",
         "round(head_area + COALESCE(CAST(tail_area AS DOUBLE), 0.0e0), 6) AS rmst",
     )
+
+
+@register(
+    "q_ts_periodogram",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+    dense AS (
+      SELECT g.hr - (SELECT lo FROM b) AS t,
+             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN c USING (hr)
+    ),
+    nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM dense
+    ),
+    ks AS (
+      SELECT DISTINCT k FROM (
+        SELECT unnest([n // 168, n // 24, n // 12, n // 8]) AS k FROM nn
+      ) WHERE k >= 1
+    ),
+    tm AS (
+      SELECT ks.k, nn.n,
+             CAST(dense.x * cos(2.0e0 * 3.141592653589793e0 * ks.k * dense.t
+                                / nn.n) AS DECIMAL(38,12)) AS tc,
+             CAST(dense.x * sin(2.0e0 * 3.141592653589793e0 * ks.k * dense.t
+                                / nn.n) AS DECIMAL(38,12)) AS ts_
+      FROM dense CROSS JOIN nn CROSS JOIN ks
+    ),
+    agg AS (
+      SELECT k, max(n) AS n, sum(tc) AS sc, sum(ts_) AS ss
+      FROM tm GROUP BY k
+    )
+    SELECT agg.k,
+           CAST(agg.n AS DOUBLE) / agg.k AS period_hours,
+           round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / agg.n, 6)
+             AS power,
+           round(((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                   + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / agg.n)
+                 / (CAST(nn.sxx AS DOUBLE)
+                    - CAST(nn.sx AS DOUBLE) * nn.sx / nn.n), 6) AS var_frac
+    FROM agg CROSS JOIN nn
+    """,
+)
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Periodogram checkpoints at the cycle frequencies that matter for
+    # event data: DFT power P(k) = (C_k^2 + S_k^2)/n at the weekly,
+    # daily, half-day, and 8-hour harmonics of the dense hourly count
+    # series (k = n//168, n//24, n//12, n//8 — integer arithmetic from
+    # the span, deterministic), plus each harmonic's share of total
+    # variance — the is-there-a-cycle readout behind
+    # q_ts_seasonal_strength without fixing the period a priori. The
+    # cos/sin projections are evaluated per SPINE row and immediately
+    # quantized to DECIMAL(38,12) for an EXACT order-insensitive sum
+    # (libm cos/sin are NOT correctly rounded, so the per-row ulp skew
+    # must not meet an engine-order float reduce); power and
+    # variance-fraction round-6 against that skew. Total variance is
+    # exact integer moments. 100 TB: one fact groupBy to the
+    # calendar-bounded spine; the harmonic dimension is a <=4-row
+    # broadcast; work = spine x harmonics column math.
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    b = c.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select("lo", F.explode(F.sequence("lo", "hi")).alias("hr"))
+    dense = (
+        spine.join(c, "hr", "left")
+        .select(
+            (F.col("hr") - F.col("lo")).alias("t"),
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=False)  # feeds moments + projections
+    )
+    nn = dense.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    ks = (
+        nn.selectExpr("explode(array(n div 168, n div 24, n div 12, n div 8)) AS k")
+        .where(F.col("k") >= 1)
+        .distinct()
+    )
+    tm = (
+        dense.crossJoin(F.broadcast(nn.select("n")))
+        .crossJoin(F.broadcast(ks))
+        .selectExpr(
+            "k",
+            "n",
+            "CAST(x * cos(2.0e0 * 3.141592653589793e0 * k * t / n)"
+            " AS DECIMAL(38,12)) AS tc",
+            "CAST(x * sin(2.0e0 * 3.141592653589793e0 * k * t / n)"
+            " AS DECIMAL(38,12)) AS ts_",
+        )
+    )
+    agg = tm.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum("tc").alias("sc"),
+        F.sum("ts_").alias("ss"),
+    )
+    return agg.crossJoin(F.broadcast(nn.select("sx", "sxx", F.col("n").alias("n2")))).selectExpr(
+        "k",
+        "CAST(n AS DOUBLE) / k AS period_hours",
+        "round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)"
+        "       + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n, 6) AS power",
+        "round(((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)"
+        "        + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n)"
+        "      / (CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * sx / n2), 6) AS var_frac",
+    )
