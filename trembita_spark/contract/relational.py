@@ -3851,3 +3851,55 @@ def q_graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in layers[1:] + [rest]:
         out = out.unionAll(fr)
     return out
+
+
+@register(
+    "q_graph_resource_alloc",
+    oracle="""
+    WITH pairs AS (
+      SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l2.l_linenumber = l1.l_linenumber + 1
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pairs),
+    adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (
+      SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z
+      HAVING count(*) <= 40
+    ),
+    centers AS (SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg USING (z)),
+    wedges AS (
+      SELECT l.n AS a, r.n AS b, l.deg
+      FROM centers l JOIN centers r ON l.z = r.z AND l.n < r.n
+    ),
+    scored AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+             CAST(sum(CAST(5342931457063200 AS BIGINT) // deg) AS DOUBLE)
+               / 5342931457063200.0e0 AS score
+      FROM wedges GROUP BY a, b
+    )
+    SELECT a, b, common, score FROM scored
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = scored.a AND e.v = scored.b)
+    ORDER BY score DESC, a, b LIMIT 100
+    """,
+)
+def q_graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Resource-allocation link prediction (operators/graph.py:
+    # resource_allocation) over the same co-basket part graph and
+    # degree-40 center cap as q_graph_adamic_adar: top-100 non-adjacent
+    # pairs by Sum 1/deg over common neighbors — the strongest of the
+    # three local similarity indices on dense graphs (Zhou-Lu-Zhang).
+    # The cap makes the score EXACT: Sum 1/deg = (Sum lcm(1..40)//deg)
+    # / lcm(1..40), an exact BIGINT wedge sum and ONE double division
+    # -> bit-identical, NO rounding (AA needs round-12 for its ln-sum;
+    # RA does not). Same |E|*cap work bound; top-100 under the unique
+    # (score desc, a, b) order.
+    from trembita_spark.operators.graph import resource_allocation
+
+    return (
+        resource_allocation(_cobasket_pairs(spark, sf_dir), max_center_degree=40)
+        .orderBy(F.col("score").desc(), "a", "b")
+        .limit(100)
+    )

@@ -432,6 +432,57 @@ def adamic_adar(
     )
 
 
+def resource_allocation(
+    edges: DataFrame, max_center_degree: int = 40
+) -> DataFrame:
+    """Resource-allocation link prediction: RA(a,b) =
+    Sum_{z in N(a) cap N(b)} 1/deg(z) — Adamic-Adar's harder-decaying
+    sibling (Zhou-Lu-Zhang 2009), empirically the strongest of the
+    three local similarity indices on dense graphs. Same wedge
+    construction and center cap as :func:`adamic_adar`, but because
+    the cap bounds deg(z) <= c, the score is EXACT RATIONAL
+    arithmetic: Sum 1/deg = (Sum lcm(1..c)/deg) / lcm(1..c) with the
+    numerator an exact BIGINT wedge sum — ONE double division, no
+    rounding, unlike AA's round-12 ln-sum. The cap is therefore part
+    of both the cost bound AND the exactness argument (mandatory
+    here, not optional).
+    """
+    import math
+
+    lcm = 1
+    for i in range(1, max_center_degree + 1):
+        lcm = lcm * i // math.gcd(lcm, i)
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: adjacency + anti join
+    )
+    adj = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.where(F.col("deg") <= max_center_degree)
+    centers = adj.join(deg, "z")
+    left = centers.select("z", F.col("n").alias("a"), "deg")
+    right = centers.select("z", F.col("n").alias("b"))
+    wedges = left.join(right, "z").where(F.col("a") < F.col("b"))
+    pairs = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"),
+        (
+            F.sum(F.expr(f"CAST({lcm} AS BIGINT) div deg")).cast("double")
+            / F.lit(float(lcm))
+        ).alias("score"),
+    )
+    return pairs.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient of an UNDIRECTED graph: the
     Pearson correlation of the endpoint degrees over the directed
