@@ -12457,3 +12457,113 @@ def q_stat_yuen_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(d1 + d2) * (d1 + d2)"
         " / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1)) AS df",
     )
+
+
+@register(
+    "q_stat_lins_ccc",
+    oracle="""
+    WITH mid AS (
+      SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS m
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) < m
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= m
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+      FROM events, mid
+      WHERE value IS NOT NULL
+      GROUP BY user_id, m
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM per
+    )
+    SELECT n,
+           (2.0e0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                + (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))) AS lins_ccc
+    FROM mo
+    """,
+)
+def q_stat_lins_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lin's concordance correlation coefficient between each user's
+    # first-half and second-half spend (the CUPED paired lane) — the
+    # agreement statistic that penalizes BOTH scatter and systematic
+    # bias, unlike Pearson r (two measurements can correlate perfectly
+    # yet disagree): CCC = 2 s_xy / (s_x^2 + s_y^2 + (xbar - ybar)^2).
+    # Multiplying through by n^2 clears every mean: CCC =
+    # 2(n Sxy - Sx Sy) / ((n Sxx - Sx^2) + (n Syy - Sy^2) + (Sx-Sy)^2)
+    # — all EXACT integer/decimal moments (cent lane; squares cross
+    # BIGINT at replica scale -> DECIMAL(38,0)), ONE double tree ->
+    # bit-exact, no rounding. 100 TB: one per-user conditional agg +
+    # one scalar moment reduce.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mid = ev.agg(
+        (
+            F.expr("unix_micros(min(ts))")
+            + (F.expr("unix_micros(max(ts))") - F.expr("unix_micros(min(ts))"))
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id", "m")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts)") < F.col("m"),
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts)") >= F.col("m"),
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    mo = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    return mo.selectExpr(
+        "n",
+        "(2.0e0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    + (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "    + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))"
+        "      * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))) AS lins_ccc",
+    )
