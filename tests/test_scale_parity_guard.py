@@ -92,9 +92,9 @@ def test_scale_parity_artifact_green():
 # with their 8x evidence in extra8-extra14; Breslow-Day, Dunn's
 # post-hoc, and Heaps' law in extra15-extra17; RMST in extra18 +
 # uskew4; Cucconi, Count-Min, AMS-F2, BY-FDR, seasonal MK, Cliff's
-# delta, Yuen's t, the periodogram, resource-allocation, and Lin's
-# CCC in extra19-extra28.
-COVERAGE_FLOOR = 520
+# delta, Yuen's t, the periodogram, resource-allocation, Lin's CCC,
+# and the jackknife ratio in extra19-extra29.
+COVERAGE_FLOOR = 521
 
 
 def test_scale_coverage_ledger_cumulative():

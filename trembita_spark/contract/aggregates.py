@@ -12567,3 +12567,102 @@ def q_stat_lins_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))"
         "      * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))) AS lins_ccc",
     )
+
+
+@register(
+    "q_stat_jackknife_ratio",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM per
+    ),
+    loo AS (
+      SELECT t.n, t.sx, t.sy,
+             CAST((CAST(t.sy - per.y AS DOUBLE) / (t.sx - per.x))
+                  AS DECIMAL(38,12)) AS th,
+             CAST((CAST(t.sy - per.y AS DOUBLE) / (t.sx - per.x))
+                  * (CAST(t.sy - per.y AS DOUBLE) / (t.sx - per.x))
+                  AS DECIMAL(38,12)) AS th2
+      FROM per CROSS JOIN t
+    ),
+    mo AS (
+      SELECT max(n) AS n, max(sx) AS sx, max(sy) AS sy,
+             sum(th) AS sth, sum(th2) AS sth2
+      FROM loo
+    )
+    SELECT n,
+           CAST(sy AS DOUBLE) / sx / 100.0e0 AS ratio,
+           round((n - 1) * (CAST(sth AS DOUBLE) / n - CAST(sy AS DOUBLE) / sx)
+                 / 100.0e0, 6) AS jack_bias,
+           round(sqrt((CAST(n AS DOUBLE) - 1) / n
+                      * (CAST(sth2 AS DOUBLE)
+                         - n * (CAST(sth AS DOUBLE) / n)
+                             * (CAST(sth AS DOUBLE) / n))) / 100.0e0, 6)
+             AS jack_se
+    FROM mo
+    """,
+)
+def q_stat_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delete-one-group jackknife for the ratio estimator theta =
+    # total spend / total events (the nonlinear statistic whose SE has
+    # no closed form — the inference tool the bootstrap/permutation
+    # keys don't cover, and THE standard survey-sampling variance
+    # method): each leave-one-user-out replicate is CLOSED FORM from
+    # the broadcast totals, theta_i = (Sy - y_i)/(Sx - x_i), so the
+    # whole jackknife is one per-user pass — never n re-aggregations.
+    # SE = sqrt((n-1)/n Sum (theta_i - thetabar)^2), bias =
+    # (n-1)(thetabar - theta). The replicate values are identical
+    # doubles in both engines (one shared division tree); their
+    # DECIMAL(38,12) quantizations make the replicate sums
+    # order-insensitive, but a replicate landing ON the 1e-12
+    # half-grid rounds HALF_UP in Spark vs HALF_EVEN in DuckDB
+    # (observed at sf0.001), so bias/SE are round-6 against that
+    # tie-mode skew. 100 TB: one per-user agg + one broadcast + one scalar
+    # reduce — the delete-a-group jackknife shape used on real
+    # pipelines.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    per = per.localCheckpoint(eager=False)  # feeds totals + replicates
+    t = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    loo = per.crossJoin(F.broadcast(t)).selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "CAST((CAST(sy - y AS DOUBLE) / (sx - x)) AS DECIMAL(38,12)) AS th",
+        "CAST((CAST(sy - y AS DOUBLE) / (sx - x))"
+        " * (CAST(sy - y AS DOUBLE) / (sx - x)) AS DECIMAL(38,12)) AS th2",
+    )
+    mo = loo.agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sy").alias("sy"),
+        F.sum("th").alias("sth"),
+        F.sum("th2").alias("sth2"),
+    )
+    return mo.selectExpr(
+        "n",
+        "CAST(sy AS DOUBLE) / sx / 100.0e0 AS ratio",
+        "round((n - 1) * (CAST(sth AS DOUBLE) / n - CAST(sy AS DOUBLE) / sx)"
+        " / 100.0e0, 6) AS jack_bias",
+        "round(sqrt((CAST(n AS DOUBLE) - 1) / n"
+        "     * (CAST(sth2 AS DOUBLE)"
+        "        - n * (CAST(sth AS DOUBLE) / n)"
+        "            * (CAST(sth AS DOUBLE) / n))) / 100.0e0, 6) AS jack_se",
+    )
