@@ -448,6 +448,14 @@ USKEW_TARGET_KEYS = [
     "q_events_cohort_ltv",
     "q_events_burstiness",
     "q_events_rmst",      # survival area with a hot user's history
+    # r12 rotation 3: the final event-family lanes — the hot user
+    # dominates one cohort row / the transition matrix / the funnel
+    # and island windows.
+    "q_cohort_retention",
+    "q_events_markov_absorbing",
+    "q_events_markov_stationary",
+    "q_funnel",
+    "q_sequence_islands",
 ]
 
 SKEW_TARGET_KEYS = [
