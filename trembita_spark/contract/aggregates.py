@@ -2236,6 +2236,7 @@ def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_quantity AS x, l_linenumber AS y, CAST(count(*) AS BIGINT) AS c
       FROM lineitem
       WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+        AND l_linenumber IN (1, 2, 3, 4, 5, 6, 7)
       GROUP BY 1, 2
     ),
     p AS (
@@ -2271,7 +2272,12 @@ def q_stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays the statistic from the quadratic CELL join (350 rows —
     # fine in SQL, wrong shape at scale). Pair/tie moments ride the
     # exact decimal lane; only the final tau is double with the
-    # identical tree (parity rule 2 — no rounding).
+    # identical tree (parity rule 2 — no rounding). The oracle pins the
+    # SAME y-domain the operator enumerates (IN (1..7)): the operator
+    # silently drops out-of-domain y, and the r12 hot-orderkey skew
+    # rotation (linenumber + 10*rep) caught the unfiltered oracle
+    # diverging — the ordinal_assoc ADVICE-r11 trap, now closed here
+    # too.
     from trembita_spark.operators.stats import kendall_tau_b
 
     li = table(spark, sf_dir, "lineitem")
