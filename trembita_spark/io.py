@@ -10,6 +10,7 @@ predicate pushdown on the columnar formats for free.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 from typing import Any
 
@@ -102,6 +103,62 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All testdata tables as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread_scan(df: DataFrame, *cols: str, partitions: int | None = None) -> DataFrame:
+    """Fan an under-split scan out across the session's cores before
+    compute-heavy narrow work.
+
+    A parquet scan parallelizes at most one task per input split, and a
+    single small file (or one giant unsplittable one) caps the whole
+    scan-pipelined stage — filter, projection expressions, hashing,
+    partial aggregation — at ONE core no matter how wide the machine
+    is. The standard remedy is to repartition immediately after the
+    read so the expensive per-row work runs cluster-wide.
+
+    Scale-adaptive, never a constant: this is a NO-OP whenever the
+    input's own split count (Spark's byte-based estimate,
+    total_bytes / maxPartitionBytes per file) already reaches the
+    session's default parallelism — i.e. at production scale, where a
+    table is many files/row groups, no extra exchange is ever added.
+    It only fires when the layout genuinely under-parallelizes the
+    scan, and then hash-partitions on the DETERMINISTIC ``cols``
+    (retried/speculated tasks reproduce the same placement; round-robin
+    would also pay a per-task sort before the exchange).
+
+    ``cols`` should be high-cardinality (ideally a row key) so the
+    hash spreads evenly across ``partitions`` (default: the session's
+    default parallelism).
+    """
+    if not cols:
+        raise ValueError("spread_scan needs at least one deterministic column")
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df  # in-memory / post-shuffle lineage: nothing to spread
+    from urllib.parse import urlparse
+
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower().removesuffix("b")
+    )
+    est_splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return df  # remote storage: trust the scan's own splits
+        try:
+            size = os.path.getsize(parsed.path)
+        except OSError:
+            return df
+        est_splits += max(1, -(-size // max_split))
+    if est_splits >= cores:
+        return df  # the scan already parallelizes; don't add a shuffle
+    return df.repartition(partitions or cores, *cols)
 
 
 def from_collection(
