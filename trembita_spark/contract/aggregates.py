@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trembita_spark.contract import dsum, dsum_sql, register, table
+from trembita_spark.io import spread_scan
 from trembita_spark.query import Query, agg
 
 
@@ -80,8 +81,11 @@ def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `.product` AggFunc (reference: ql/AggFunc.scala instances, unverified).
     # Quantities are small integral doubles → products stay exact in f64.
+    # Spread on the group key: the inserted exchange satisfies the
+    # aggregation's distribution, so the 150k-group product runs as one
+    # 32-way stage instead of a single-task partial agg (guide §2.5).
     return (
-        Query(table(spark, sf_dir, "lineitem"))
+        Query(spread_scan(table(spark, sf_dir, "lineitem"), "l_orderkey"))
         .group_by(l_orderkey="l_orderkey")
         .aggregate(qty_product=F.product("l_quantity"))
         .to_df()
@@ -298,6 +302,10 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured: spreading the scan here REGRESSES (0.28s -> 0.39s noop):
+    # grouping-sets distribution is never satisfied by a pre-spread, so
+    # the spread becomes a second full shuffle while Expand+partial-agg
+    # are too cheap to win it back. Left on the single-exchange plan.
     return (
         Query(table(spark, sf_dir, "lineitem"))
         .rollup(l_returnflag="l_returnflag", l_linestatus="l_linestatus")

@@ -244,7 +244,12 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change results, and the driver verifies exactly that.
     from trembita_spark.operators.skew import salted_join
 
-    li = table(spark, sf_dir, "lineitem")
+    # Project the big side to the two columns the query uses BEFORE
+    # salting: the salt is a hash of the surviving row, so hashing the
+    # full 11-column row forced an 11-column ReadSchema (measured in
+    # plans/r12/q_join_salted_before.txt) where 2 suffice (guide §2.3
+    # "project before the exchange" / §6 column pruning).
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trembita_spark.contract import dsum, dsum_sql, register, run_tmp, table
+from trembita_spark.io import spread_scan
 from trembita_spark.pipeline import Pipeline
 from trembita_spark.query import Query
 
@@ -46,7 +47,11 @@ from trembita_spark.query import Query
     """,
 )
 def q_flagship_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # Single-file local layout caps the scan at one task; spread the
+    # compute-heavy decimal partial-agg across the session's cores
+    # (guide §2.5 — no-op at production split counts). Keyed on a column
+    # the agg already reads so column pruning is unaffected.
+    li = spread_scan(table(spark, sf_dir, "lineitem"), "l_extendedprice")
     price = F.col("l_extendedprice")
     disc = F.col("l_discount")
     tax = F.col("l_tax")
@@ -341,9 +346,17 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_distinct_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic representative: cheapest line per part (full tiebreak).
+    # Spread on the dedup key itself: the hash exchange this inserts IS
+    # the distribution distinct_by's aggregation needs, so the planner
+    # runs partial+final min_by in one 32-way stage with no second
+    # shuffle — vs. the baseline's single-task local sort of the whole
+    # scan feeding a partial SortAggregate (guide §2.4/§2.5).
     li = Pipeline(
-        table(spark, sf_dir, "lineitem").select(
-            "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+        spread_scan(
+            table(spark, sf_dir, "lineitem").select(
+                "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+            ),
+            "l_partkey",
         )
     )
     return li.distinct_by(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trembita_spark.contract import register, table
+from trembita_spark.io import spread_scan
 
 
 @register(
@@ -29,7 +30,12 @@ from trembita_spark.contract import register, table
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # Spread on the window's own partition key: the explicit exchange
+    # both parallelizes the single-task scan AND satisfies the window's
+    # required distribution, so no second shuffle is added and AQE
+    # cannot coalesce the tiny local shuffle below session parallelism
+    # (guide §2.4 "two operations keyed the same way share one exchange").
+    li = spread_scan(table(spark, sf_dir, "lineitem"), "l_suppkey")
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
     )

@@ -76,9 +76,17 @@ def minhash_signatures(
     32-bit band keys keep random bucket collisions negligible
     (~n²·bands/2³³ false pairs — <1 even at n=20k)."""
     sh = shingles_expr(text_col, k)
-    base = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
-        F.size("sh") > 0
+    # md5-per-shingle dominates this stage; spread the under-split local
+    # scan BEFORE the shingle projection so the hashing runs on every
+    # core, not inside the one scan task (guide §2.5 / §1.2 step 1 —
+    # no-op at production split counts). Shuffling (id, raw text) is
+    # cheap next to the per-shingle md5 work it parallelizes.
+    from trembita_spark.io import spread_scan
+
+    src = spread_scan(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id"
     )
+    base = src.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
     groups = (bands + 3) // 4
 
     def salted(g: int):

@@ -76,6 +76,13 @@ def sessionize(
     One shuffle on ``key``; scales to any number of keys (per-key data
     streams through the window operator sorted, never materialized as a
     Python object)."""
+    # Under-split local inputs run the whole scan single-task; spreading
+    # on the window key parallelizes it and doubles as the window's
+    # required hash distribution (no extra exchange; no-op at production
+    # split counts — see io.spread_scan).
+    from trembita_spark.io import spread_scan
+
+    df = spread_scan(df, key)
     w = Window.partitionBy(key).orderBy(ts, "event_id") if "event_id" in df.columns else Window.partitionBy(key).orderBy(ts)
     prev_ts = F.lag(ts).over(w)
     gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev_ts)

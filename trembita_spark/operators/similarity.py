@@ -84,7 +84,12 @@ def cosine_topk(
             F.col("norm").alias("q_norm"),
         )
     )
-    c = with_norm(corpus, vec_col).select(
+    # Spread the corpus so the per-row dot products run across the
+    # session's cores instead of inside the one scan task of an
+    # under-split local file (no-op at production split counts).
+    from trembita_spark.io import spread_scan
+
+    c = with_norm(spread_scan(corpus, id_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), F.col("norm").alias("c_norm")
     )
     scored = (

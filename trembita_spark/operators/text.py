@@ -35,7 +35,14 @@ def tokens(text_col: str = "text") -> Column:
 def word_counts(df: DataFrame, text_col: str = "text", by: list[str] | None = None) -> DataFrame:
     """Corpus word counts, optionally keyed (e.g. per language)."""
     keys = by or []
-    ex = df.select(*keys, F.explode(tokens(text_col)).alias("token"))
+    # Spread the under-split local scan so tokenize+explode+partial-agg
+    # run across the session's cores, not inside the one scan task
+    # (no-op at production split counts — see io.spread_scan).
+    from trembita_spark.io import spread_scan
+
+    ex = spread_scan(df.select(*keys, text_col), text_col).select(
+        *keys, F.explode(tokens(text_col)).alias("token")
+    )
     return ex.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -46,8 +53,13 @@ def tf_idf_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     at 100 TB the token→df side is the small one (vocabulary), so it
     broadcasts. Rational idf keeps it oracle-exact; multiply by
     ``ln`` downstream if you need the log-scaled variant."""
+    # Spread the under-split local scan so tokenize+explode+partial-agg
+    # run across the session's cores (no-op at production split counts).
+    from trembita_spark.io import spread_scan
+
     tf = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+        spread_scan(df.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+        .select("doc_id", F.explode(tokens(text_col)).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
