@@ -51,12 +51,43 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floor: with the default 1 MB floor and
+        # parallelismFirst, the sub-32 MB local shuffles coalesce to
+        # ~10 partitions, idling 2/3 of the cores mid-query. 64 KB keeps
+        # local parallelism at the session's width; at production shuffle
+        # sizes (>= advisory 256 MB partitions) the floor is never the
+        # binding constraint, so this is local-only in effect and
+        # env-overridable for cluster tuning. Measured (noop, same box):
+        # fsm 0.61->0.52, dedup_near 1.50->1.24, tfidf 0.78->0.65,
+        # asof 0.48->0.35.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 8 MB broadcast threshold, applied to BOTH the static planner and
+        # AQE's runtime re-plan (which otherwise converts shuffle joins
+        # back to broadcast from actual shuffle sizes). The previous 64 MB
+        # let the 10.8 MB-file lineitem FACT table broadcast in the
+        # sf0.1 star joins — a serial 600k-row broadcast build per query
+        # that no production scale would ever plan (guide §3.1: broadcast
+        # the side that fits, i.e. true dimensions; every dim here is
+        # <3 MB at sf0.1 and stays broadcast). Measured on the SQL join
+        # family: q5 0.89->0.77, q18 1.17->0.97, q21 1.12->0.84,
+        # q9 0.78->0.64 (noop sink, quiet box). Env-overridable for
+        # cluster tuning.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(8 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(8 * 1024 * 1024)),
+        )
         # managed-table warehouse (bucketed tables) — keep out of the repo;
         # env-overridable so concurrent gauntlet shards (tools/
         # run_gauntlet.py) don't race each other's fixed-name tables.
