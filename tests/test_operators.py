@@ -816,6 +816,36 @@ def test_interpolate_linear_blends(spark):
     assert out[(2, "2024-01-01 05:00:00")] == 7.0
 
 
+def test_interpolate_linear_grid_bounds_and_segments(spark):
+    # The grid must span exactly [min observed bucket, max observed
+    # bucket] per key — no leading/trailing extension — and each gap
+    # must blend between ITS OWN surrounding observations, including
+    # consecutive gaps of different spans and multi-bucket means.
+    from trembita_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        (1, "2024-01-01 02:10:00", 2.0),
+        (1, "2024-01-01 02:50:00", 4.0),   # bucket 02: mean 3.0
+        (1, "2024-01-01 04:00:00", 9.0),   # gap 03 -> (3+9)/2 = 6.0
+        (1, "2024-01-01 08:00:00", 1.0),   # gaps 05,06,07 -> 7, 5, 3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    got = sorted(
+        (str(r.hour), r.value) for r in interpolate_linear(df).collect()
+    )
+    assert got == [
+        ("2024-01-01 02:00:00", 3.0),
+        ("2024-01-01 03:00:00", 6.0),
+        ("2024-01-01 04:00:00", 9.0),
+        ("2024-01-01 05:00:00", 7.0),
+        ("2024-01-01 06:00:00", 5.0),
+        ("2024-01-01 07:00:00", 3.0),
+        ("2024-01-01 08:00:00", 1.0),
+    ]
+
+
 def test_pca_project_deterministic_and_ordered(spark):
     import numpy as np
 

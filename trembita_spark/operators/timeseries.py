@@ -101,53 +101,57 @@ def interpolate_linear(
     trailing gaps extend the nearest observed value flat.
 
     The measure on observed buckets is the bucket MEAN (decimal-exact
-    sum / count). Two windows per key (last-non-null looking back,
-    first-non-null looking forward) over the same partitioning — one
-    shuffle total, same scale posture as rollup_gapfill.
+    sum / count).
+
+    The dense grid spans each key's [min observed bucket, max observed
+    bucket], so every grid bucket lies on or between two OBSERVED
+    buckets — the flat leading/trailing extension is vacuous and the
+    whole fill is expressible segment-wise: pair each observed bucket
+    with its next observed bucket (one ``lead`` window over the rollup,
+    |buckets| rows, not |grid| rows) and explode the hours in between.
+    Single lineage — no self-join, no bounds pass, no checkpoint — and
+    every op downstream of the rollup is clustered on the key, so the
+    scan spread is the only shuffle in the plan.
     """
+    from trembita_spark.io import spread_scan
+
+    step = F.expr(f"INTERVAL 1 {grain}")
     bucket = F.date_trunc(grain, F.col(ts_col))
-    hourly = df.groupBy(F.col(key_col), bucket.alias("h")).agg(
+    hourly = spread_scan(df, key_col).groupBy(
+        F.col(key_col), bucket.alias("h")
+    ).agg(
         (
             F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("v")
-    ).localCheckpoint(eager=True)  # feeds bounds AND the grid join: one rollup pass
-    bounds = hourly.groupBy(key_col).agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
     )
-    grid = bounds.select(
+    w = Window.partitionBy(key_col).orderBy("h")
+    seg = hourly.select(
         key_col,
-        F.explode(F.sequence("h0", "h1", F.expr(f"INTERVAL 1 {grain}"))).alias("h"),
+        "h",
+        "v",
+        F.lead("h").over(w).alias("nh"),
+        F.lead("v").over(w).alias("nv"),
     )
-    joined = grid.join(hourly, [key_col, "h"], "left")
-    wb = (
-        Window.partitionBy(key_col)
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # [h, nh) per segment; the final observed bucket (nh null) emits itself.
+    g = seg.select(
+        key_col,
+        "h",
+        "v",
+        "nh",
+        "nv",
+        F.explode(
+            F.sequence("h", F.coalesce(F.col("nh") - step, F.col("h")), step)
+        ).alias("g"),
     )
-    wf = (
-        Window.partitionBy(key_col)
-        .orderBy("h")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
-    prev_v = F.last("v", ignorenulls=True).over(wb)
-    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
-    next_v = F.first("v", ignorenulls=True).over(wf)
-    next_h = F.first(obs_h, ignorenulls=True).over(wf)
-    t, tp, tn = (F.unix_timestamp(c) for c in (F.col("h"), prev_h, next_h))
-    interp = prev_v + (next_v - prev_v) * (
+    t, tp, tn = (F.unix_timestamp(c) for c in (F.col("g"), F.col("h"), F.col("nh")))
+    interp = F.col("v") + (F.col("nv") - F.col("v")) * (
         (t - tp).cast("double") / (tn - tp).cast("double")
     )
-    filled = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
-        .otherwise(F.coalesce(prev_v, next_v))
-    )
-    return joined.select(
+    return g.select(
         F.col(key_col),
-        F.col("h").alias("hour"),
-        filled.alias("value"),
+        F.col("g").alias("hour"),
+        F.when(F.col("g") == F.col("h"), F.col("v")).otherwise(interp).alias("value"),
     )
 
 
