@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trembita_spark.contract import dsum, register, table
+from trembita_spark.io import local_rows
 from trembita_spark.pipeline import Pipeline
 
 
@@ -175,7 +176,8 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are big, bucketize the range key into an equi-join prefilter.
     li = table(spark, sf_dir, "lineitem")
     bands = F.broadcast(
-        spark.createDataFrame(
+        local_rows(
+            spark,
             [("small", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("large", 60000.0, 1e18)],
             "band string, lo double, hi double",
         )

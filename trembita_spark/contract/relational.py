@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trembita_spark.contract import dsum, dsum_sql, register, run_tmp, table
-from trembita_spark.io import spread_scan
+from trembita_spark.io import local_rows, spread_scan
 from trembita_spark.pipeline import Pipeline
 from trembita_spark.query import Query
 
@@ -2695,8 +2695,6 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer into one double division, NO rounding. 100 TB: one
     # degree agg + two club-membership hash joins (the club frame is
     # high-degree nodes only — small by definition) per threshold.
-    from pyspark.sql import Row
-
     li = table(spark, sf_dir, "lineitem")
     od = table(spark, sf_dir, "orders")
     fwd = (
@@ -2714,7 +2712,7 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
-    ks = spark.createDataFrame([Row(k=4), Row(k=8), Row(k=16)])
+    ks = local_rows(spark, [(4,), (8,), (16,)], "k bigint")
     club = ks.join(deg, deg.d > ks.k).select("k", "node")
     club = club.localCheckpoint(eager=False)  # feeds counts + both joins
     nk = club.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))

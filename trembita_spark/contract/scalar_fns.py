@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trembita_spark.contract import register, table
+from trembita_spark.io import local_rows
 
 
 @register(
@@ -449,7 +450,7 @@ def q_fn_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
     )
     stations = F.broadcast(
-        spark.createDataFrame(_STATIONS, "station_id int, s_lat double, s_lon double")
+        local_rows(spark, _STATIONS, "station_id int, s_lat double, s_lon double")
     )
     d = cust.crossJoin(stations).withColumn(
         "dist",
@@ -627,7 +628,7 @@ def q_fn_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c_custkey") * 73) % 360 - 180).cast("double") + 0.5).alias("lon"),
     )
     stations = F.broadcast(
-        spark.createDataFrame(_STATIONS, "station_id int, s_lat double, s_lon double")
+        local_rows(spark, _STATIONS, "station_id int, s_lat double, s_lon double")
     )
     d = cust.crossJoin(stations).withColumn(
         "dist",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trembita_spark.contract import register, table
+from trembita_spark.io import local_rows
 from trembita_spark.operators.fsm import sessionize, sessionize_fsm
 from trembita_spark.operators import timeseries as TS
 from trembita_spark.streaming.sources import events_stream, run_to_completion
@@ -411,7 +412,8 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sent_ts = max_ts + timedelta(hours=10)
-    sentinels = spark.createDataFrame(
+    sentinels = local_rows(
+        spark,
         [(-1, sent_ts, -1, "purchase", 0.0), (-2, sent_ts, -2, "click", 0.0)],
         schema=ev.schema,
     )
@@ -488,7 +490,8 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sent_ts = max_ts + timedelta(hours=10)
-    sentinels = spark.createDataFrame(
+    sentinels = local_rows(
+        spark,
         [(-1, sent_ts, -1, "purchase", 0.0), (-2, sent_ts, -2, "click", 0.0)],
         schema=ev.schema,
     )
@@ -658,7 +661,8 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    sentinels = spark.createDataFrame(
+    sentinels = local_rows(
+        spark,
         [(-1, max_ts + timedelta(hours=10), -1, "view", 0.0)], schema=ev.schema
     )
     base = run_tmp("stream_session_append")
@@ -2215,7 +2219,8 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sent_ts = max_ts + timedelta(hours=10)
-    sentinels = spark.createDataFrame(
+    sentinels = local_rows(
+        spark,
         [(-1, sent_ts, -1, "view", 0.0)], schema=ev.schema
     )
     base = run_tmp("stream_distinct_users")
@@ -3031,7 +3036,8 @@ def q_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sent_ts = max_ts + timedelta(hours=10)
-    sentinels = spark.createDataFrame(
+    sentinels = local_rows(
+        spark,
         [(-1, sent_ts, -1, "purchase", 0.0), (-2, sent_ts, -2, "click", 0.0)],
         schema=ev.schema,
     )
@@ -4486,7 +4492,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posture; a mutable dim becomes a Delta/parquet path Spark re-reads
     # per micro-batch, same plan shape.
     name = f"stream_static_join_{next(_STREAM_SEQ)}"
-    dim = spark.createDataFrame(
+    dim = local_rows(
+        spark,
         [
             ("click", "engagement", 0.5),
             ("purchase", "revenue", 2.0),
@@ -4554,7 +4561,8 @@ def q_stream_tws_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     if tws_available(spark):
         max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
         sent_ts = max_ts + timedelta(hours=10)
-        sentinels = spark.createDataFrame(
+        sentinels = local_rows(
+        spark,
             [(-1, sent_ts, -1, "view", 0.0)], schema=ev.schema
         )
         base = run_tmp("stream_tws_chained")

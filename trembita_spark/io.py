@@ -161,6 +161,42 @@ def spread_scan(df: DataFrame, *cols: str, partitions: int | None = None) -> Dat
     return df.repartition(partitions or cores, *cols)
 
 
+def local_rows(spark: SparkSession, rows: Iterable[Any], schema: Any) -> DataFrame:
+    """Lift a SMALL in-memory collection as a JVM-side ``LocalRelation``.
+
+    ``spark.createDataFrame(list)`` parks the rows behind a pickled
+    Python RDD, so every downstream action that reads the frame pays a
+    Python-worker round trip — measured at 2–6 s per action locally,
+    and repeated per micro-batch for stream-static joins and per
+    iteration for loop frames. Routing the same rows through pandas +
+    Arrow yields a ``LocalRelation`` evaluated wholly in the JVM (one
+    Arrow batch at build time, zero Python at action time).
+
+    ``schema`` is required (StructType or DDL string): explicit types,
+    positional columns. Falls back to the classic path for rows the
+    Arrow bridge can't carry (exotic nested types, nulls in numeric
+    columns — pandas would coerce them to NaN)."""
+    from pyspark.sql import types as T
+
+    rows = list(rows)
+    st = (
+        schema
+        if isinstance(schema, T.StructType)
+        else T._parse_datatype_string(schema)
+    )
+    try:
+        import pandas as pd
+
+        if not rows or any(
+            v is None for row in rows for v in row
+        ):
+            raise ValueError("fallback: empty or null-bearing rows")
+        pdf = pd.DataFrame.from_records(rows, columns=st.names)
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, schema=st)
+
+
 def from_collection(
     spark: SparkSession, rows: Iterable[Any], schema: Any = None
 ) -> DataFrame:

@@ -259,8 +259,11 @@ def unimax_select(
     for lang in sorted(lang_counts):
         offsets[lang] = off
         off += lang_counts[lang]
+    from trembita_spark.io import local_rows
+
     spark = docs.sparkSession
-    qf = spark.createDataFrame(
+    qf = local_rows(
+        spark,
         [
             (
                 lang,
