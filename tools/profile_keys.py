@@ -32,7 +32,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         contract.QUERIES[key](spark, sf_dir).collect()
         times[key] = time.perf_counter() - t0
     print(f"total {sum(times.values()):.1f}s for {len(times)} keys at {sf_dir}")
-    for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{k:40s} {v:6.2f}s")
 
 

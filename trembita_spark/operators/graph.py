@@ -14,9 +14,14 @@ order error ~1e-16 ≪ the 5e-13 half-grid of round-12).
 
 Scale posture: each iteration is one join edges⨝scores on src (both
 sides hash-partition on node id — co-partitioned across iterations) +
-one groupBy dst. k is small and fixed → the unrolled plan is fine
-without checkpointing; for large k reuse connected_components' periodic
-parquet-cut pattern (dedup.py).
+one groupBy dst. The iteration-invariant frames (edges, nodes, outdeg)
+are LAZILY localCheckpoint-ed: the unrolled plan consumes each of them
+several times per iteration (the normalizing/dangling totals broadcast
+through their own jobs), and without the lineage cut every consumer
+re-executes the whole derivation subtree — measured 3x the runtime at
+sf0.1. One materialization of |E| / |V| rows each, the standard
+iterative-graph posture (same as connected_components / ktruss); for
+large k add the CC module's periodic parquet cut (dedup.py).
 
 Dangling nodes (no out-edges) leak their mass by default — the simple,
 consistent-across-engines convention. ``redistribute_dangling=True``
@@ -47,16 +52,17 @@ def pagerank(
     The dangling mass is a single-row aggregate (anti join scores ⟕̸
     outdeg → sum) broadcast back onto the update — one extra tiny-side
     shuffle per iteration, nothing proportional to |E|."""
-    edges = edges.select("src", "dst")
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     outdeg = edges.groupBy(F.col("src").alias("o_node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint(eager=False)
     scores = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", "n", (F.lit(1.0) / F.col("n")).alias("score")
     )
@@ -120,6 +126,9 @@ def bfs(edges: DataFrame, sources: DataFrame, max_hops: int = 4) -> DataFrame:
     parquet lineage cut; for hop caps this small the checkpoint chain is
     flat already.
     """
+    # Every hop joins the frontier to edges; the lazy cut stops each
+    # level's eager checkpoint job from re-running the edge derivation.
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     dist = (
         sources.select("node")
         .distinct()
@@ -592,11 +601,15 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     """
     if iters < 1:
         raise ValueError(f"hits() requires iters >= 1, got {iters}")
-    e = edges.select("src", "dst")
+    # Lazy lineage cuts: every iteration reads e twice and nodes twice,
+    # and each normalizing total is a broadcast job that would otherwise
+    # re-execute the whole derivation subtree (module docstring).
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     h = nodes.select("node", F.lit(1.0).alias("hub"))
     a = None
@@ -903,7 +916,9 @@ def seeded_bfs(
 ) -> DataFrame:
     """Per-seed BFS distance frame (seed, node, dist) to ``max_hops`` —
     the ``bfs`` frontier loop lifted to (seed, node) keys; shared by
-    closeness and eccentricity."""
+    closeness and eccentricity. Edges are lazily localCheckpoint-ed —
+    every hop re-reads them (bfs's rationale)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     dist = (
         seeds.select(F.col("node").alias("seed"))
         .distinct()
@@ -1007,7 +1022,10 @@ def betweenness_sample(
     Shape: forward = the bfs frontier loop on (seed, node) keys with a
     sigma sum folded into the level aggregate; backward = one
     co-partitioned join per level. Everything hash-partitions on the
-    expansion key; per-level frames are |reached| rows."""
+    expansion key; per-level frames are |reached| rows. Edges are
+    lazily localCheckpoint-ed — both passes re-read them every level
+    (bfs's rationale)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     l0 = (
         seeds.select(F.col("node").alias("seed"))
         .distinct()
@@ -1125,17 +1143,20 @@ def personalized_pagerank(
     """
     if iters < 1:
         raise ValueError("personalized_pagerank requires iters >= 1")
-    edges = edges.select("src", "dst")
+    # Lazy lineage cuts on the per-iteration-reused frames (module
+    # docstring).
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     seeds = seeds.select("node").distinct()
     ns = seeds.agg(F.count(F.lit(1)).alias("ns"))
     outdeg = edges.groupBy(F.col("src").alias("o_node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint(eager=False)
     flagged = (
         nodes.join(
             F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "node", "left"
@@ -1199,11 +1220,14 @@ def katz_centrality(
     """
     if iters < 1:
         raise ValueError("katz_centrality requires iters >= 1")
-    edges = edges.select("src", "dst")
+    # Lazy lineage cuts on the per-iteration-reused frames (module
+    # docstring).
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     scores = nodes.select("node", F.lit(1.0).alias("score"))
     for _ in range(iters):
