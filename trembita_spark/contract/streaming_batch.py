@@ -23,7 +23,11 @@ from trembita_spark.contract import register, table
 from trembita_spark.io import local_rows
 from trembita_spark.operators.fsm import sessionize, sessionize_fsm
 from trembita_spark.operators import timeseries as TS
-from trembita_spark.streaming.sources import events_stream, run_to_completion
+from trembita_spark.streaming.sources import (
+    events_stream,
+    run_to_completion,
+    tws_state_partitions,
+)
 from trembita_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -246,7 +250,12 @@ def q_stream_fsm_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             out = sessionize_tws(events_stream(spark, sf_dir), gap_minutes=30)
-            return run_to_completion(out, name, output_mode="append")
+            return run_to_completion(
+                out,
+                name,
+                output_mode="append",
+                state_partitions=tws_state_partitions(spark),
+            )
         except Exception:
             pass  # env-shaped failure (protobuf-less worker): fall back
         finally:
@@ -3121,7 +3130,12 @@ def q_stream_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             out = first_occurrence_tws(events_stream(spark, sf_dir))
-            return run_to_completion(out, name, output_mode="append")
+            return run_to_completion(
+                out,
+                name,
+                output_mode="append",
+                state_partitions=tws_state_partitions(spark),
+            )
         except Exception:
             pass  # env-shaped failure: fall through to the batch path
         finally:
@@ -3185,7 +3199,12 @@ def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             out = running_topk_entries_tws(events_stream(spark, sf_dir), k=3)
-            return run_to_completion(out, name, output_mode="append")
+            return run_to_completion(
+                out,
+                name,
+                output_mode="append",
+                state_partitions=tws_state_partitions(spark),
+            )
         except Exception:
             pass  # env-shaped failure: fall through to the batch path
         finally:
@@ -4586,7 +4605,12 @@ def q_stream_tws_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_first"))
                 .select(F.col("w.start").alias("wstart"), "n_first")
             )
-            out = run_to_completion(agg, name, output_mode="append")
+            out = run_to_completion(
+                agg,
+                name,
+                output_mode="append",
+                state_partitions=tws_state_partitions(spark),
+            )
             return out.where(
                 F.col("wstart") < F.lit(sent_ts) - F.expr("INTERVAL 2 HOURS")
             )

@@ -129,30 +129,64 @@ def sessionize_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # Per-key cost discipline: every ValueState/timer call is a
+            # round trip to the JVM state server, so this path makes a
+            # FIXED number of them per key per batch — one get (None ⇔
+            # absent, so no separate exists()), one update, at most one
+            # deleteTimer (the old expiry is derivable from the stored
+            # session, no listTimers scan), one registerTimer — and the
+            # per-row session split runs vectorized in pandas instead of
+            # a Python loop with a state emission per boundary.
             batch = pd.concat(list(rows)).sort_values("ts")
-            if self.state.exists():
-                start, last, n = self.state.get()
-            else:
-                start = last = None
-                n = 0
-            for t in batch["ts"]:
-                t = t.to_pydatetime()
-                if last is not None and (t - last).total_seconds() > gap_s:
-                    yield self._emit(key, start, last, n)
-                    start, n = t, 0
-                if start is None:
-                    start = t
-                last = t
-                n += 1
-            self.state.update((start, last, n))
-            # event-time timer: close the session gap_s after its last event
-            for old in self.handle.listTimers():
-                self.handle.deleteTimer(old)
+            prev = self.state.get()
+            ts = batch["ts"].reset_index(drop=True)
+            gap_ns = gap_s * 1_000_000_000
+            # boundary[i] ⇔ gap before row i strictly exceeds gap_s
+            boundary = ts.diff().gt(pd.Timedelta(gap_ns, unit="ns"))
+            seg = boundary.cumsum()
+            grouped = ts.groupby(seg)
+            starts = list(grouped.first())
+            lasts = list(grouped.last())
+            counts = list(grouped.size())
+            closed = []  # (start, last, n) in chronological order
+            if prev is not None:
+                p_start, p_last, p_n = prev
+                if (ts.iloc[0] - p_last).value > gap_ns:
+                    closed.append((p_start, p_last, p_n))
+                else:  # first segment continues the stored session
+                    starts[0] = p_start
+                    counts[0] += p_n
+            for i in range(len(starts) - 1):
+                closed.append((starts[i], lasts[i], counts[i]))
+            if closed:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "user_id": key[0],
+                            "n_events": n,
+                            "session_start": s,
+                            "session_end": e,
+                        }
+                        for s, e, n in closed
+                    ]
+                )
+            last = lasts[-1].to_pydatetime()
+            s_start = starts[-1]
+            if isinstance(s_start, pd.Timestamp):
+                s_start = s_start.to_pydatetime()
+            self.state.update((s_start, last, int(counts[-1])))
+            # event-time timer: close the session gap_s after its last
+            # event. The only timer that can be live is the previous
+            # batch's (fired timers are engine-removed) — delete it by
+            # its known expiry instead of a listTimers round trip.
+            if prev is not None:
+                self.handle.deleteTimer(_epoch_ms(p_last) + gap_s * 1000)
             self.handle.registerTimer(_epoch_ms(last) + gap_s * 1000)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self.state.exists():
-                start, last, n = self.state.get()
+            prev = self.state.get()
+            if prev is not None:
+                start, last, n = prev
                 self.state.clear()
                 yield self._emit(key, start, last, n)
 
@@ -214,11 +248,20 @@ def first_occurrence_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # One map-keys scan per key per batch instead of a
+            # containsKey round trip PER ROW (the state server is an
+            # RPC boundary — per-row calls cost more than the whole
+            # batch's compute), plus a vectorized first-per-type cut:
+            # only the batch's first (ts, event_id) row of each type
+            # can possibly be new, so at most |new types| updateValue
+            # calls follow.
             batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            firsts = batch.drop_duplicates(subset=["event_type"], keep="first")
+            seen = {k[0] for k in self.seen.keys()}
             out = []
-            for r in batch.itertuples():
+            for r in firsts.itertuples():
                 et = r.event_type
-                if not self.seen.containsKey((et,)):
+                if et not in seen:
                     self.seen.updateValue((et,), (True,))
                     out.append(
                         {
