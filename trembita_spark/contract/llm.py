@@ -23,6 +23,7 @@ from trembita_spark.operators import multimodal as M
 from trembita_spark.operators import similarity as S
 from trembita_spark.operators import sampling as SMP
 from trembita_spark.operators import text as TX
+from trembita_spark.io import spread_scan
 
 # DuckDB fragment: 60-bit int from md5 (shared; contract/__init__.py).
 from trembita_spark.contract import HEX60_SQL as _HEX60
@@ -1323,20 +1324,17 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic only; two partial-agg groupBys + one join on w1 (the
     # unigram side is vocabulary-sized → broadcast at scale).
     docs = table(spark, sf_dir, "documents")
-    bigrams = docs.select(
-        F.explode(
-            F.expr(
-                # guarded like text.repetition_signals: single-token docs
-                # would generate a descending [1,0] sequence and index
-                # out of bounds under ANSI
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    # Tokenize once into a materialized array; TX.bigram_structs zips
+    # two slices of it (the inline-split HOF it replaces re-split the
+    # string per element — interpreted lambdas get no codegen). The
+    # spread fans the single-split local scan across cores (no-op at
+    # production split counts).
+    bigrams = (
+        spread_scan(docs.select("doc_id", "text"), "doc_id")
+        .select(F.split(F.col("text"), " ").alias("__toks"))
+        .select(F.explode(TX.bigram_structs(F.col("__toks"))).alias("b"))
+        .select("b.w1", "b.w2")
+    )
     bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
@@ -1889,17 +1887,17 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # touched ONCE at 100 TB. ln() may differ by 1 ulp across engines
     # (parity rule 5) → round 6.
     docs = table(spark, sf_dir, "documents")
-    bigrams = docs.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    # Tokenize once into a materialized array; TX.bigram_structs zips
+    # two slices of it (the inline-split HOF it replaces re-split the
+    # string per element — interpreted lambdas get no codegen). The
+    # spread fans the single-split local scan across cores (no-op at
+    # production split counts).
+    bigrams = (
+        spread_scan(docs.select("doc_id", "text"), "doc_id")
+        .select(F.split(F.col("text"), " ").alias("__toks"))
+        .select(F.explode(TX.bigram_structs(F.col("__toks"))).alias("b"))
+        .select("b.w1", "b.w2")
+    )
     # Materialize the (tiny, vocab²-bounded) bigram-count table once:
     # Catalyst does not share a common subtree across the four readers,
     # so without the cut the corpus would be scanned + exploded +
@@ -2004,18 +2002,13 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle of bigram positions, and AQE broadcasts the LM side when
     # the vocabulary is small. ln-sum is merge-order float → round 6.
     docs = table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    # materialized-array bigrams + scan spread: see q_text_bigram_lm
+    bg = (
+        spread_scan(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select("doc_id", F.explode(TX.bigram_structs(F.col("__toks"))).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
     bc = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
@@ -3703,18 +3696,13 @@ def q_text_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB: still one bigram-position shuffle; both LM sides are
     # vocabulary-sized and broadcast under AQE.
     docs = table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    # materialized-array bigrams + scan spread: see q_text_bigram_lm
+    bg = (
+        spread_scan(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select("doc_id", F.explode(TX.bigram_structs(F.col("__toks"))).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
     bc = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))

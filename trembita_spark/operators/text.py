@@ -32,6 +32,24 @@ def tokens(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), TOKEN_SPLIT)
 
 
+def bigram_structs(toks: Column) -> Column:
+    """Array of adjacent-pair structs (w1, w2) over a MATERIALIZED
+    token-array column — a zip of two slices of the one array. Callers
+    must bind ``toks`` to a projected column (not an inline split):
+    higher-order lambdas are interpreted (no codegen), so an inline
+    split would re-split the whole string per element — O(tokens²)
+    string work per row (measured 10x on q_text_repetition)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)"))
+
+
 def word_counts(df: DataFrame, text_col: str = "text", by: list[str] | None = None) -> DataFrame:
     """Corpus word counts, optionally keyed (e.g. per language)."""
     keys = by or []
@@ -312,23 +330,32 @@ def repetition_signals(
     token) counts, one explode + two partial-agg groupBys on doc_id.
     Both signals are integer-ratio arithmetic → bit-deterministic.
     """
-    toks = tokens(text_col)
-    # bigram i = tokens[i] + ' ' + tokens[i+1]; sequence is 1-based like
-    # element_at. Explicit single-arg lambda (HOF arity trap — see
-    # PySpark gotchas): transform(sequence(...), i -> ...).
-    # Guarded for <2 tokens: sequence(1, 0) generates a DESCENDING [1,0]
-    # (not empty), and element_at then indexes out of bounds under ANSI —
-    # single-token docs crashed here before the guard.
-    bigrams = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
-        f"element_at(split({text_col}, ' '), i + 1))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
-    per_row = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
+    from trembita_spark.io import spread_scan
+
+    # Tokenize ONCE into a materialized array column. The previous
+    # bigram expression re-ran split() inside an interpreted HOF lambda
+    # (higher-order functions get no codegen), so every element access
+    # re-split the whole string — O(tokens²) splits per document. The
+    # bigram list is now a zip of two slices of the one array.
+    # Spreading the under-split scan on doc_id also lets BOTH signal
+    # branches and the final join reuse a single exchange: hash(doc_id)
+    # satisfies groupBy(doc_id, tok), groupBy(doc_id), and the join.
+    base = spread_scan(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    ).select("doc_id", F.split(F.col("__text"), " ").alias("__toks"))
+    n = F.size("__toks")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("__toks", F.lit(1), n - 1),
+            F.slice("__toks", F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    per_row = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
         F.when(
             F.size(bigrams) > 0,
             1.0
@@ -336,7 +363,7 @@ def repetition_signals(
         ).alias("dup_bigram_frac"),
     )
     top = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        base.select("doc_id", F.explode("__toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
