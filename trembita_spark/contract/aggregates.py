@@ -4191,9 +4191,16 @@ def q_stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial agg) — no extra shuffle over the plain mean, which is the
     # whole point of Poisson bootstrapping a distributed scan.
     ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    x = ev.select(
+    # spread the under-split scan: the 32-replica explode multiplies the
+    # md5 work x32 INSIDE the scan-pipelined stage, so a single-split
+    # local file would hash 3.2M rows on one core (io.spread_scan;
+    # no-op at production split counts)
+    x = spread_scan(
+        ev.select(
+            "event_id",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+        ),
         "event_id",
-        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
     )
     reps = x.select(
         "v",

@@ -3967,7 +3967,9 @@ def q_eval_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D2.minhash_lsh_candidates(docs, bands=4, k=3).localCheckpoint(
         eager=False
     )  # reused: signature match + exact-jaccard restriction
-    sig16 = D2.minhash_signatures(docs, bands=16, k=3)
+    sig16 = D2.minhash_signatures(docs, bands=16, k=3).localCheckpoint(
+        eager=False
+    )  # reused: both sides of the signature match
     sa = sig16.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
     )

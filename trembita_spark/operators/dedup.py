@@ -544,10 +544,21 @@ def duplicated_span_report(
     join, no extra shuffle of the big side); the per-doc rollup is one
     final partial agg. Nothing is ever corpus x corpus.
     """
-    spans = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_expr(text_col, k)).alias("gram"),
-    ).select("doc_id", _md5_int60(F.md5(F.col("gram"))).alias("h"))
+    from trembita_spark.io import spread_scan
+
+    # Spread the under-split scan so explode+md5 run cluster-wide
+    # (no-op at production split counts), then cut lineage: three
+    # consumers (dup-span agg, per-doc total, the semi-join probe)
+    # would each re-run the whole shingle+hash derivation otherwise.
+    spans = (
+        spread_scan(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+            "doc_id",
+        )
+        .select("doc_id", F.explode(shingles_expr("__t", k)).alias("gram"))
+        .select("doc_id", _md5_int60(F.md5(F.col("gram"))).alias("h"))
+        .localCheckpoint(eager=False)
+    )
     # distinct-doc count per span hash (within-doc repeats do not count)
     dup_h = (
         spans.groupBy("h")

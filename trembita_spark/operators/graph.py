@@ -325,9 +325,12 @@ def sssp(
         .select("node", F.lit(0.0).alias("dist"))
         .localCheckpoint(eager=False)
     )
+    # Lazy lineage cut: every relaxation round re-reads e, and without
+    # the cut each round re-executes the caller's whole edge derivation
+    # (module docstring).
     e = edges.select(
         "src", "dst", F.col(weight_col).cast("double").alias("w")
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         relax = dist.join(e, dist.node == e.src).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")

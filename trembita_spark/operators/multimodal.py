@@ -303,8 +303,15 @@ def attach_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: real decodable image bytes per row (format
     alternates png/bmp by id parity; dims and pixel content are
     deterministic functions of the id) via Arrow-batched mapInPandas."""
+    from trembita_spark.io import spread_scan
+
     cols = df.columns
     in_schema = df.schema
+    # Spread the under-split local scan BEFORE the Python boundary: the
+    # synthesis (and every downstream decode pipelined with it)
+    # otherwise runs inside the one scan task / one Python worker
+    # (io.spread_scan; no-op at production split counts).
+    df = spread_scan(df, id_col)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -366,8 +373,15 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     and dimensions derived from the id), built with ``synth_image`` via
     Arrow-batched mapInPandas. Keeps all non-payload columns."""
     fmts = ["png", "jpeg", "gif", "bmp"]
+    from trembita_spark.io import spread_scan
+
     cols = df.columns
     in_schema = df.schema
+    # Spread the under-split local scan BEFORE the Python boundary: the
+    # synthesis (and every downstream decode pipelined with it)
+    # otherwise runs inside the one scan task / one Python worker
+    # (io.spread_scan; no-op at production split counts).
+    df = spread_scan(df, id_col)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -520,8 +534,15 @@ def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
 def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: real WAV bytes per row (length and seed derived
     from the id) via Arrow-batched mapInPandas."""
+    from trembita_spark.io import spread_scan
+
     cols = df.columns
     in_schema = df.schema
+    # Spread the under-split local scan BEFORE the Python boundary: the
+    # synthesis (and every downstream decode pipelined with it)
+    # otherwise runs inside the one scan task / one Python worker
+    # (io.spread_scan; no-op at production split counts).
+    df = spread_scan(df, id_col)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
