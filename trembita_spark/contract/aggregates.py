@@ -268,8 +268,14 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd = 0.02
     approx = F.approx_count_distinct("l_partkey", rsd=rsd)
     exact = F.countDistinct("l_partkey")
+    # spread the under-split scan (same rationale as
+    # q_agg_approx_percentile; HLL merge is commutative, so the sketch
+    # value is partitioning-independent too)
     return (
-        table(spark, sf_dir, "lineitem")
+        spread_scan(
+            table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey"),
+            "l_partkey",
+        )
         .groupBy("l_returnflag")
         .agg(approx.alias("approx"), exact.alias("exact_parts"))
         .select(
@@ -399,8 +405,18 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx50 = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
     approx95 = F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000))
     tol = 0.02
+    # spread the under-split scan: the sketch+exact partial aggs are the
+    # stage's whole cost and otherwise run in the one scan task
+    # (io.spread_scan; no-op at production split counts). The emitted
+    # columns are the exact percentiles and the accuracy booleans, both
+    # partitioning-independent.
     return (
-        table(spark, sf_dir, "lineitem")
+        spread_scan(
+            table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_extendedprice"
+            ),
+            "l_extendedprice",
+        )
         .groupBy("l_returnflag")
         .agg(
             exact.getItem(0).alias("p50_exact"),
