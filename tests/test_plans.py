@@ -261,9 +261,13 @@ def test_strip_markup_zero_shuffle(spark):
 
 def test_multimodal_decode_no_shuffle(spark):
     # synth → decode are two chained mapInPandas stages over the same
-    # rows; nothing groups or joins, so no exchange may appear.
+    # rows; nothing groups or joins, so no exchange may move the image
+    # PAYLOAD: above the synthesis (once the bytes exist) the plan must
+    # be exchange-free. Below it, the scale-adaptive scan spread
+    # (io.spread_scan) may exchange the bare ids — bytes-free rows.
     plan = plan_of("q_multimodal_decode", spark)
-    assert "Exchange" not in plan, plan
+    above_synth = plan.split("MapInPandas synth")[0]
+    assert "Exchange" not in above_synth, plan
 
 
 def test_pagerank_dangling_no_cartesian_broadcast_mass(spark):
@@ -627,9 +631,12 @@ def test_attribution_single_shuffle_asof(spark):
 
 def test_multimodal_resize_no_shuffle(spark):
     # synth → decode+resize are chained mapInPandas over the same rows;
-    # nothing groups or joins, so no exchange may appear.
+    # no exchange may move the image PAYLOAD (see
+    # test_multimodal_decode_no_shuffle: the id-only scan spread below
+    # the synthesis is allowed).
     plan = plan_of("q_multimodal_resize", spark)
-    assert "Exchange" not in plan, plan
+    above_synth = plan.split("MapInPandas synth")[0]
+    assert "Exchange" not in above_synth, plan
 
 
 def test_asof_nearest_one_exchange(spark):
