@@ -154,8 +154,20 @@ def cosine_pairs_within(
     (cluster/LSH cell/label) with cosine >= threshold. The group column
     is the blocking key that avoids the all-pairs O(n²) — pair work is
     sum of per-bucket squares."""
-    n = with_norm(df, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col(group_col).alias("g"), F.col(vec_col).alias("v"), "norm"
+    from trembita_spark.io import spread_scan
+
+    # spread the under-split scan: the per-pair 64-dim dot fold is the
+    # stage's whole cost and the build side broadcasts, so the probe
+    # side otherwise grinds every bucket's pairs inside the one scan
+    # task (io.spread_scan; no-op at production split counts)
+    n = spread_scan(
+        with_norm(df, vec_col).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(group_col).alias("g"),
+            F.col(vec_col).alias("v"),
+            "norm",
+        ),
+        "vec_id",
     )
     a, b = n.alias("a"), n.alias("b")
     return (
