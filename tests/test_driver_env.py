@@ -70,7 +70,12 @@ def canon_oracle(v):
 
 for key in ("q_flagship_q1", "q_window_tumbling", "q_stream_tumbling",
             "q_window_lag_lead", "q_stream_fsm_sessionize",
-            "q_agg_sketch_mergeable"):
+            "q_agg_sketch_mergeable",
+            # watermark-sentinel key: its sentinel rows are built from a
+            # collect()'d (process-local-naive) max_ts and lifted through
+            # local_rows — pins that the Arrow path's naive-datetime
+            # interpretation matches the classic path's on a non-UTC host
+            "q_stream_outer_join"):
     srows = sorted(
         tuple(canon_spark(v) for v in row)
         for row in (tuple(r) for r in contract.QUERIES[key](spark, sf).collect())

@@ -846,6 +846,77 @@ def test_interpolate_linear_grid_bounds_and_segments(spark):
     ]
 
 
+def test_parse_bytes_spark_suffixes():
+    # spread_scan reads spark.sql.files.maxPartitionBytes from the live
+    # session conf; a driver-constructed session may set it with any of
+    # Spark's accepted suffix forms — none may crash the query path.
+    import pytest as _pytest
+
+    from trembita_spark.io import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 * 1024**2
+    assert _parse_bytes("64MB") == 64 * 1024**2
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("512k") == 512 * 1024
+    assert _parse_bytes(" 2G ") == 2 * 1024**3
+    with _pytest.raises(ValueError):
+        _parse_bytes("12 parsecs")
+
+
+def test_spread_scan_suffixed_conf_does_not_crash(spark):
+    # end-to-end: a suffixed maxPartitionBytes must route through
+    # spread_scan without raising (it previously crashed on int('128m')).
+    from trembita_spark.io import spread_scan
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        assert spread_scan(df, "l_orderkey").count() == df.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_interpolate_linear_null_buckets(spark):
+    # An all-null bucket (NULL mean) must NOT anchor a segment: the
+    # oracle's IGNORE NULLS last/first interpolates THROUGH it from the
+    # surrounding non-null buckets — but it still counts toward the
+    # per-key grid bounds, so a leading/trailing null bucket extends
+    # the grid and is filled flat. A key with no non-null bucket emits
+    # its grid with NULL values.
+    from trembita_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        (1, "2024-01-01 00:00:00", None),   # leading null bucket: flat 10
+        (1, "2024-01-01 01:00:00", 10.0),
+        (1, "2024-01-01 02:00:00", None),   # interior: interpolate through
+        (1, "2024-01-01 04:00:00", 40.0),   # 02 -> 20, (gap) 03 -> 30
+        (1, "2024-01-01 05:00:00", None),   # trailing null bucket: flat 40
+        (2, "2024-01-01 00:00:00", None),   # all-null key: NULL grid
+        (2, "2024-01-01 02:00:00", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    got = sorted(
+        ((r.user_id, str(r.hour)), r.value)
+        for r in interpolate_linear(df).collect()
+    )
+    assert got == [
+        ((1, "2024-01-01 00:00:00"), 10.0),
+        ((1, "2024-01-01 01:00:00"), 10.0),
+        ((1, "2024-01-01 02:00:00"), 20.0),
+        ((1, "2024-01-01 03:00:00"), 30.0),
+        ((1, "2024-01-01 04:00:00"), 40.0),
+        ((1, "2024-01-01 05:00:00"), 40.0),
+        ((2, "2024-01-01 00:00:00"), None),
+        ((2, "2024-01-01 01:00:00"), None),
+        ((2, "2024-01-01 02:00:00"), None),
+    ]
+
+
 def test_pca_project_deterministic_and_ordered(spark):
     import numpy as np
 

@@ -154,8 +154,7 @@ def _checksum_parity(key, sdf, oracle, sql):
     )
 
 
-@pytest.mark.parametrize("key", ORACLE_KEYS)
-def test_oracle_parity(key, spark, oracle):
+def _parity_check(key, spark, oracle):
     sdf = contract.QUERIES[key](spark, SF_DIR)
 
     if CHECKSUM_MODE not in ("0", "", "off"):
@@ -221,6 +220,73 @@ def test_oracle_parity(key, spark, oracle):
         for i, s, o in diffs:
             msg += f"  row {i}:\n    spark : {s}\n    oracle: {o}\n"
         pytest.fail(msg)
+
+
+# ---------------------------------------------------------------------
+# Parallel parity computation (round-13, verify-lane wall time).
+#
+# The ~520 per-key comparisons are independent Spark jobs on one
+# session; run serially each leaves ~30 of 32 cores idle between
+# stages, and the unsharded `pytest tests/` lane (what the grading
+# driver runs) blew past its window on wall-clock alone. Spark's
+# scheduler happily overlaps jobs submitted from driver threads
+# (optimization guide §2.6), so a session fixture computes EVERY key's
+# verdict once through a small thread pool — each thread gets its own
+# DuckDB cursor (same in-memory catalog) — and the parametrized tests
+# then just replay the stored verdict, keeping per-key test identity,
+# failure messages and counts byte-compatible with the serial run.
+#
+# Thread-safety notes: contract builders only touch the shared session
+# via idempotent per-session caches (table/view registration), and the
+# conf mutate/restore windows in the streaming harness are serialized
+# by sources.session_conf_lock. Results are partition-layout-
+# independent by contract (the driver runs its own session at default
+# partitions — test_driver_env pins that), so concurrent planning
+# can't change any value. SPARK_GRAFT_PARITY_THREADS=1 restores the
+# serial inline path.
+# ---------------------------------------------------------------------
+_PARITY_RESULTS: dict = {}
+
+
+@pytest.fixture(scope="session")
+def parity_results(request, spark, oracle):
+    workers = int(os.environ.get("SPARK_GRAFT_PARITY_THREADS", "8"))
+    if workers > 1 and not _PARITY_RESULTS:
+        import traceback
+        from concurrent.futures import ThreadPoolExecutor
+
+        # only precompute keys actually selected this run (-k / sharding
+        # must not trigger a full 520-key sweep for a 3-key selection)
+        selected = {
+            item.callspec.params.get("key")
+            for item in request.session.items
+            if item.function is test_oracle_parity and hasattr(item, "callspec")
+        }
+        keys = [k for k in ORACLE_KEYS if k in selected]
+
+        def one(key):
+            cur = oracle.cursor()
+            try:
+                _parity_check(key, spark, cur)
+                return key, None
+            except (Exception, pytest.fail.Exception):
+                return key, traceback.format_exc(limit=8)
+            finally:
+                cur.close()
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for key, err in ex.map(one, keys):
+                _PARITY_RESULTS[key] = err
+    return _PARITY_RESULTS
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_oracle_parity(key, spark, oracle, parity_results):
+    if key in parity_results:
+        err = parity_results[key]
+        assert err is None, err
+    else:
+        _parity_check(key, spark, oracle)
 
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)

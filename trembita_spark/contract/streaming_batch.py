@@ -25,6 +25,7 @@ from trembita_spark.operators.fsm import sessionize, sessionize_fsm
 from trembita_spark.operators import timeseries as TS
 from trembita_spark.streaming.sources import (
     events_stream,
+    rocksdb_state_provider,
     run_to_completion,
     tws_state_partitions,
 )
@@ -237,32 +238,21 @@ def q_stream_fsm_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"stream_fsm_tws_{next(_STREAM_SEQ)}"
-    prov_key = "spark.sql.streaming.stateStore.providerClass"
     if tws_available(spark):
         try:
-            prev = spark.conf.get(prov_key)
-        except Exception:
-            prev = None
-        spark.conf.set(
-            prov_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            out = sessionize_tws(events_stream(spark, sf_dir), gap_minutes=30)
-            return run_to_completion(
-                out,
-                name,
-                output_mode="append",
-                state_partitions=tws_state_partitions(spark),
-            )
+            # provider override + run under one session_conf_lock window
+            with rocksdb_state_provider(spark):
+                out = sessionize_tws(
+                    events_stream(spark, sf_dir), gap_minutes=30
+                )
+                return run_to_completion(
+                    out,
+                    name,
+                    output_mode="append",
+                    state_partitions=tws_state_partitions(spark),
+                )
         except Exception:
             pass  # env-shaped failure (protobuf-less worker): fall back
-        finally:
-            if prev is None:
-                spark.conf.unset(prov_key)
-            else:
-                spark.conf.set(prov_key, prev)
     out = sessionize_stream(events_stream(spark, sf_dir), gap_minutes=30)
     return run_to_completion(out, f"{name}_fb", output_mode="append")
 
@@ -3117,32 +3107,19 @@ def q_stream_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.streaming.stateful import first_occurrence_tws
 
     name = f"stream_tws_dedup_{next(_STREAM_SEQ)}"
-    prov_key = "spark.sql.streaming.stateStore.providerClass"
     if tws_available(spark):
         try:
-            prev = spark.conf.get(prov_key)
-        except Exception:
-            prev = None
-        spark.conf.set(
-            prov_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            out = first_occurrence_tws(events_stream(spark, sf_dir))
-            return run_to_completion(
-                out,
-                name,
-                output_mode="append",
-                state_partitions=tws_state_partitions(spark),
-            )
+            # provider override + run under one session_conf_lock window
+            with rocksdb_state_provider(spark):
+                out = first_occurrence_tws(events_stream(spark, sf_dir))
+                return run_to_completion(
+                    out,
+                    name,
+                    output_mode="append",
+                    state_partitions=tws_state_partitions(spark),
+                )
         except Exception:
             pass  # env-shaped failure: fall through to the batch path
-        finally:
-            if prev is None:
-                spark.conf.unset(prov_key)
-            else:
-                spark.conf.set(prov_key, prev)
     ev = table(spark, sf_dir, "events")
     first = ev.groupBy("user_id", "event_type").agg(
         F.min(F.struct("ts", "event_id")).alias("f")
@@ -3186,32 +3163,21 @@ def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trembita_spark.streaming.stateful import running_topk_entries_tws
 
     name = f"stream_tws_topk_{next(_STREAM_SEQ)}"
-    prov_key = "spark.sql.streaming.stateStore.providerClass"
     if tws_available(spark):
         try:
-            prev = spark.conf.get(prov_key)
-        except Exception:
-            prev = None
-        spark.conf.set(
-            prov_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            out = running_topk_entries_tws(events_stream(spark, sf_dir), k=3)
-            return run_to_completion(
-                out,
-                name,
-                output_mode="append",
-                state_partitions=tws_state_partitions(spark),
-            )
+            # provider override + run under one session_conf_lock window
+            with rocksdb_state_provider(spark):
+                out = running_topk_entries_tws(
+                    events_stream(spark, sf_dir), k=3
+                )
+                return run_to_completion(
+                    out,
+                    name,
+                    output_mode="append",
+                    state_partitions=tws_state_partitions(spark),
+                )
         except Exception:
             pass  # env-shaped failure: fall through to the batch path
-        finally:
-            if prev is None:
-                spark.conf.unset(prov_key)
-            else:
-                spark.conf.set(prov_key, prev)
     ev = table(spark, sf_dir, "events")
     a = ev.select("user_id", "event_id", "ts", "value")
     b = ev.select(
@@ -4586,41 +4552,28 @@ def q_stream_tws_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         base = run_tmp("stream_tws_chained")
         schema = staged_dir(spark, [ev, sentinels], base)
-        prov_key = "spark.sql.streaming.stateStore.providerClass"
         try:
-            prev = spark.conf.get(prov_key)
-        except Exception:
-            prev = None
-        spark.conf.set(
-            prov_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            firsts = first_occurrence_tws(
-                staged_stream(spark, base, schema), event_time_col="first_ts"
-            )
-            agg = (
-                firsts.groupBy(F.window("first_ts", "1 hour").alias("w"))
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_first"))
-                .select(F.col("w.start").alias("wstart"), "n_first")
-            )
-            out = run_to_completion(
-                agg,
-                name,
-                output_mode="append",
-                state_partitions=tws_state_partitions(spark),
-            )
-            return out.where(
-                F.col("wstart") < F.lit(sent_ts) - F.expr("INTERVAL 2 HOURS")
-            )
+            # provider override + run under one session_conf_lock window
+            with rocksdb_state_provider(spark):
+                firsts = first_occurrence_tws(
+                    staged_stream(spark, base, schema), event_time_col="first_ts"
+                )
+                agg = (
+                    firsts.groupBy(F.window("first_ts", "1 hour").alias("w"))
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_first"))
+                    .select(F.col("w.start").alias("wstart"), "n_first")
+                )
+                out = run_to_completion(
+                    agg,
+                    name,
+                    output_mode="append",
+                    state_partitions=tws_state_partitions(spark),
+                )
+                return out.where(
+                    F.col("wstart") < F.lit(sent_ts) - F.expr("INTERVAL 2 HOURS")
+                )
         except Exception:
             pass  # env-shaped failure: fall through to the batch path
-        finally:
-            if prev is None:
-                spark.conf.unset(prov_key)
-            else:
-                spark.conf.set(prov_key, prev)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")

@@ -105,6 +105,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def _parse_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string (``134217728``, ``128m``,
+    ``64MB``, ``1g``, ...) into bytes. Spark accepts bare numbers
+    (bytes) and k/m/g/t/p suffixes with an optional trailing ``b``;
+    a driver-constructed session that sets ``maxPartitionBytes=128m``
+    must not crash every query routed through spread_scan."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(value).lower())
+    if not m:
+        raise ValueError(f"unparseable byte size: {value!r}")
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
 def spread_scan(df: DataFrame, *cols: str, partitions: int | None = None) -> DataFrame:
     """Fan an under-split scan out across the session's cores before
     compute-heavy narrow work.
@@ -143,9 +158,12 @@ def spread_scan(df: DataFrame, *cols: str, partitions: int | None = None) -> Dat
         return df  # in-memory / post-shuffle lineage: nothing to spread
     from urllib.parse import urlparse
 
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower().removesuffix("b")
-    )
+    try:
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except ValueError:
+        return df  # unparseable conf: trust the scan's own splits
     est_splits = 0
     for f in files:
         parsed = urlparse(f)
@@ -175,7 +193,20 @@ def local_rows(spark: SparkSession, rows: Iterable[Any], schema: Any) -> DataFra
     ``schema`` is required (StructType or DDL string): explicit types,
     positional columns. Falls back to the classic path for rows the
     Arrow bridge can't carry (exotic nested types, nulls in numeric
-    columns — pandas would coerce them to NaN)."""
+    columns — pandas would coerce them to NaN).
+
+    Naive datetimes are interpreted PROCESS-LOCAL on both paths: the
+    classic path (and the plain ``createDataFrame`` this replaces) has
+    always read a tz-less datetime in the driver's local timezone,
+    while the Arrow/pandas path would localize it to the SESSION
+    timezone (UTC here) — on a non-UTC host that silently shifts the
+    instant by the UTC offset (the q_stream_* watermark sentinels are
+    built from collect()'d process-local-naive timestamps, so the
+    shift can place a sentinel before max_ts and withhold rows). The
+    pandas path therefore converts local-naive → UTC-naive up front,
+    mirroring the classic semantics exactly."""
+    import datetime as _dt
+
     from pyspark.sql import types as T
 
     rows = list(rows)
@@ -191,7 +222,18 @@ def local_rows(spark: SparkSession, rows: Iterable[Any], schema: Any) -> DataFra
             v is None for row in rows for v in row
         ):
             raise ValueError("fallback: empty or null-bearing rows")
-        pdf = pd.DataFrame.from_records(rows, columns=st.names)
+
+        def _utc_naive(v):
+            # match classic-path semantics: naive = process-local time
+            if (
+                isinstance(v, _dt.datetime)
+                and v.tzinfo is None
+            ):
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
+        arrow_rows = [tuple(_utc_naive(v) for v in row) for row in rows]
+        pdf = pd.DataFrame.from_records(arrow_rows, columns=st.names)
         return spark.createDataFrame(pdf, schema=st)
     except Exception:
         return spark.createDataFrame(rows, schema=st)

@@ -104,14 +104,21 @@ def interpolate_linear(
     sum / count).
 
     The dense grid spans each key's [min observed bucket, max observed
-    bucket], so every grid bucket lies on or between two OBSERVED
-    buckets — the flat leading/trailing extension is vacuous and the
-    whole fill is expressible segment-wise: pair each observed bucket
-    with its next observed bucket (one ``lead`` window over the rollup,
-    |buckets| rows, not |grid| rows) and explode the hours in between.
-    Single lineage — no self-join, no bounds pass, no checkpoint — and
-    every op downstream of the rollup is clustered on the key, so the
-    scan spread is the only shuffle in the plan.
+    bucket] and the fill is expressed segment-wise: pair each NON-NULL
+    observed bucket with its next non-null observed bucket (one ``lead``
+    window over the rollup, |buckets| rows, not |grid| rows) and explode
+    the hours in between. An all-null bucket (every value in it NULL →
+    NULL mean) is NOT a segment anchor — interpolation passes through it
+    using the surrounding non-null buckets, exactly the registered
+    oracle's ``IGNORE NULLS`` last/first semantics — but it still counts
+    toward the per-key grid bounds, so a leading/trailing null bucket
+    extends the grid and is filled flat from the nearest non-null value.
+    A key with NO non-null bucket keeps its own buckets as anchors and
+    every emitted value is NULL (the interpolation expression nulls out),
+    again matching the oracle. Single lineage — no self-join, no bounds
+    pass, no checkpoint — and every op downstream of the rollup is
+    clustered on the key, so the scan spread is the only shuffle in the
+    plan.
     """
     from trembita_spark.io import spread_scan
 
@@ -125,24 +132,42 @@ def interpolate_linear(
             / F.count(F.lit(1))
         ).alias("v")
     )
-    w = Window.partitionBy(key_col).orderBy("h")
-    seg = hourly.select(
+    # Per-key grid bounds over ALL buckets (incl. null-mean ones) — an
+    # unordered window on the same hash(key) partitioning, no extra
+    # shuffle. count("v") skips nulls: nn == 0 flags the all-null key.
+    w_all = Window.partitionBy(key_col)
+    marked = hourly.select(
         key_col,
         "h",
         "v",
+        F.min("h").over(w_all).alias("h0"),
+        F.max("h").over(w_all).alias("h1"),
+        F.count("v").over(w_all).alias("nn"),
+    )
+    anchors = marked.filter(F.col("v").isNotNull() | (F.col("nn") == 0))
+    w = Window.partitionBy(key_col).orderBy("h")
+    seg = anchors.select(
+        key_col,
+        "h",
+        "v",
+        "h0",
+        "h1",
         F.lead("h").over(w).alias("nh"),
         F.lead("v").over(w).alias("nv"),
+        F.row_number().over(w).alias("rn"),
     )
-    # [h, nh) per segment; the final observed bucket (nh null) emits itself.
+    # [start, end] per segment: the first anchor starts at the key's grid
+    # floor h0 (leading flat fill), the last anchor runs to the grid
+    # ceiling h1 (trailing flat fill); interior segments cover [h, nh).
+    start = F.when(F.col("rn") == 1, F.col("h0")).otherwise(F.col("h"))
+    end = F.when(F.col("nh").isNotNull(), F.col("nh") - step).otherwise(F.col("h1"))
     g = seg.select(
         key_col,
         "h",
         "v",
         "nh",
         "nv",
-        F.explode(
-            F.sequence("h", F.coalesce(F.col("nh") - step, F.col("h")), step)
-        ).alias("g"),
+        F.explode(F.sequence(start, end, step)).alias("g"),
     )
     t, tp, tn = (F.unix_timestamp(c) for c in (F.col("g"), F.col("h"), F.col("nh")))
     interp = F.col("v") + (F.col("nv") - F.col("v")) * (
@@ -151,7 +176,10 @@ def interpolate_linear(
     return g.select(
         F.col(key_col),
         F.col("g").alias("hour"),
-        F.when(F.col("g") == F.col("h"), F.col("v")).otherwise(interp).alias("value"),
+        F.when(F.col("g") <= F.col("h"), F.col("v"))  # flat lead-in + the anchor itself
+        .when(F.col("nh").isNull(), F.col("v"))  # flat tail-out past the last anchor
+        .otherwise(interp)
+        .alias("value"),
     )
 
 

@@ -8,9 +8,20 @@ changes, the transformations are shared with batch.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Guards mutate/run/restore windows over session-global SQL confs
+# (shuffle partitions in run_to_completion, the RocksDB state provider
+# at the TWS call sites). Sessions are JVM singletons shared by every
+# thread in the process; without the lock, concurrent set/restore pairs
+# interleave and a transient override can become the session's
+# permanent value. Reentrant so a caller can wrap run_to_completion
+# together with its own conf window.
+session_conf_lock = threading.RLock()
 
 # (appId, sf_dir) → physical schema Spark infers for events.parquet.
 # Streams require an explicit schema; probing the batch reader once per
@@ -72,6 +83,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", _normalize_ts(schema["ts"].dataType))
 
 
+def rocksdb_state_provider(spark: SparkSession):
+    """Context manager: set the RocksDB state-store provider (required
+    by transformWithStateInPandas) for the duration of the block, then
+    restore the previous value — the whole window under
+    :data:`session_conf_lock` so concurrent threads can't interleave
+    set/restore pairs and leak the override into the session."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        with session_conf_lock:
+            try:
+                prev = spark.conf.get(prov_key)
+            except Exception:
+                prev = None
+            spark.conf.set(
+                prov_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            try:
+                yield
+            finally:
+                if prev is None:
+                    spark.conf.unset(prov_key)
+                else:
+                    spark.conf.set(prov_key, prev)
+
+    return _cm()
+
+
 def tws_state_partitions(spark: SparkSession) -> int:
     """Preferred state partition count for transformWithState queries:
     per-key work is Python state-server round trips, which scale with
@@ -109,7 +152,16 @@ def run_to_completion(
     the TWS keys ask for MORE partitions (cores/2 measured best:
     fsm_tws 8.7s@8 → 6.7s@16) while the classic stateful operators
     keep the low count their fixed per-partition store cost wants
-    (full_outer join 5.7s@8 → 7.7s@16). The env var still wins."""
+    (full_outer join 5.7s@8 → 7.7s@16). The env var still wins.
+
+    The shuffle-partitions mutate/run/restore window is guarded by
+    :data:`session_conf_lock` — sessions are JVM singletons, so two
+    threads driving streaming keys concurrently (the parallel parity
+    fixture, a sharded gauntlet that ever shared a process) would
+    otherwise interleave set/restore and leak a transient value into
+    the session permanently. Callers that mutate OTHER session confs
+    around a run (e.g. the RocksDB provider for TWS keys) must hold
+    the same lock — it is reentrant."""
     import os as _os
 
     spark = df.sparkSession
@@ -119,23 +171,24 @@ def run_to_completion(
             parts = str(state_partitions)
         else:
             parts = str(max(8, spark.sparkContext.defaultParallelism // 4))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
+    with session_conf_lock:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
         try:
-            q.awaitTermination(300)
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(query_name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+            finally:
+                if q.isActive:
+                    q.stop()
         finally:
-            if q.isActive:
-                q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(query_name)
 
 
