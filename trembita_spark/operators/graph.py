@@ -128,28 +128,43 @@ def bfs(edges: DataFrame, sources: DataFrame, max_hops: int = 4) -> DataFrame:
     """
     # Every hop joins the frontier to edges; the lazy cut stops each
     # level's eager checkpoint job from re-running the edge derivation.
+    # Frontier/visited are broadcast-hinted via their measured counts
+    # (_known_small): checkpointed RDD scans otherwise estimate as huge
+    # and force a SortMergeJoin that re-shuffles |E| every hop. Levels
+    # stay separate checkpointed frames, unioned lazily at the end (the
+    # old shape re-materialized the whole cumulative dist per hop).
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
-    dist = (
+    l0 = (
         sources.select("node")
         .distinct()
         .select("node", F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist.select("node")
+    levels = [(l0.select("node"), l0.count())]
+    dist_parts = [l0]
+    frontier, n_frontier = levels[0]
     for hop in range(1, max_hops + 1):
+        fb = _known_small(frontier, n_frontier)
+        visited = levels[0][0]
+        for lvl, _n in levels[1:]:
+            visited = visited.unionByName(lvl)
+        n_visited = sum(n for _lvl, n in levels)
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            fb.join(edges, fb.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(_known_small(visited, n_visited), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_nxt = nxt.count()
+        if n_nxt == 0:
             break
-        dist = dist.union(
-            nxt.select("node", F.lit(hop).alias("dist"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt.select("node")
+        levels.append((nxt, n_nxt))
+        dist_parts.append(nxt.select("node", F.lit(hop).alias("dist")))
+        frontier, n_frontier = nxt, n_nxt
+    dist = dist_parts[0]
+    for part in dist_parts[1:]:
+        dist = dist.unionByName(part)
     return dist
 
 
@@ -914,35 +929,78 @@ def jaccard_link_prediction(
     )
 
 
+def _known_small(df: DataFrame, rows: int | None) -> DataFrame:
+    """Broadcast-hint ``df`` when the caller has MEASURED it small.
+
+    Iterative graph frames are localCheckpoint-ed RDD scans, whose size
+    estimate is the catalog default (``Long.Max``) — the planner
+    therefore picks SortMergeJoin and re-shuffles the |E|-row edges
+    frame on EVERY level even when the frontier is a few thousand rows,
+    and AQE cannot rescue it (RDD scans are not shuffle query stages,
+    so no runtime size ever becomes visible). The loops here already
+    materialize each level eagerly and know its exact count, so they
+    can make the size-based call the planner can't: hint broadcast
+    below the row threshold, fall back to the planner's own choice
+    (shuffle join) above it — exactly AQE's decision rule, applied
+    where AQE is blind. Scale-adaptive by construction: a 100 TB
+    frontier of hundreds of millions of rows exceeds the threshold and
+    keeps today's shuffle plan."""
+    import os
+
+    limit = int(os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_ROWS", "1000000"))
+    if rows is not None and rows <= limit:
+        return F.broadcast(df)
+    return df
+
+
 def seeded_bfs(
     edges: DataFrame, seeds: DataFrame, max_hops: int = 4
 ) -> DataFrame:
     """Per-seed BFS distance frame (seed, node, dist) to ``max_hops`` —
     the ``bfs`` frontier loop lifted to (seed, node) keys; shared by
     closeness and eccentricity. Edges are lazily localCheckpoint-ed —
-    every hop re-reads them (bfs's rationale)."""
+    every hop re-reads them (bfs's rationale).
+
+    Per-hop shape: ONE data-bearing exchange (the distinct on the
+    expansion). The frontier and the visited set are broadcast-hinted
+    via their measured counts (:func:`_known_small`), so the |E| edges
+    frame is streamed in place instead of re-shuffled per hop, and the
+    anti-join builds a hash set instead of sorting both sides. The
+    previous shape re-materialized the whole cumulative ``dist`` frame
+    every hop (O(levels²) checkpoint writes) — levels are now kept as
+    separate checkpointed frames and unioned lazily at the end."""
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
-    dist = (
+    l0 = (
         seeds.select(F.col("node").alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist.select("seed", "node")
+    levels = [(l0.select("seed", "node"), l0.count())]
+    dist_parts = [l0]
+    frontier, n_frontier = levels[0]
     for hop in range(1, max_hops + 1):
+        fb = _known_small(frontier, n_frontier)
+        visited = levels[0][0]
+        for lvl, _n in levels[1:]:
+            visited = visited.unionByName(lvl)
+        n_visited = sum(n for _lvl, n in levels)
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            fb.join(edges, fb.node == edges.src)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
-            .join(dist, ["seed", "node"], "left_anti")
+            .join(_known_small(visited, n_visited), ["seed", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_nxt = nxt.count()
+        if n_nxt == 0:
             break
-        dist = dist.union(
-            nxt.select("seed", "node", F.lit(hop).alias("dist"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt.select("seed", "node")
+        levels.append((nxt, n_nxt))
+        dist_parts.append(nxt.select("seed", "node", F.lit(hop).alias("dist")))
+        frontier, n_frontier = nxt, n_nxt
+    dist = dist_parts[0]
+    for part in dist_parts[1:]:
+        dist = dist.unionByName(part)
     return dist
 
 
@@ -1027,7 +1085,10 @@ def betweenness_sample(
     co-partitioned join per level. Everything hash-partitions on the
     expansion key; per-level frames are |reached| rows. Edges are
     lazily localCheckpoint-ed — both passes re-read them every level
-    (bfs's rationale)."""
+    (bfs's rationale). Both passes broadcast-hint the measured-small
+    per-level frames (:func:`_known_small`), so each level pays ONE
+    data-bearing exchange (its sigma/delta aggregate) instead of
+    re-shuffling the |E| edges frame per level."""
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
     l0 = (
         seeds.select(F.col("node").alias("seed"))
@@ -1035,43 +1096,46 @@ def betweenness_sample(
         .select("seed", F.col("seed").alias("node"), F.lit(1).cast("bigint").alias("sig"))
         .localCheckpoint(eager=True)
     )
-    levels = [l0]
-    visited = l0.select("seed", "node")
-    frontier = l0
+    levels = [(l0, l0.count())]
+    frontier, n_frontier = l0, levels[0][1]
     for _ in range(1, max_hops + 1):
+        fb = _known_small(frontier, n_frontier)
+        visited = levels[0][0].select("seed", "node")
+        for lvl, _n in levels[1:]:
+            visited = visited.unionByName(lvl.select("seed", "node"))
+        n_visited = sum(n for _lvl, n in levels)
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            fb.join(edges, fb.node == edges.src)
             .select("seed", F.col("dst").alias("node"), "sig")
             .groupBy("seed", "node")
             .agg(F.sum("sig").cast("bigint").alias("sig"))
-            .join(visited, ["seed", "node"], "left_anti")
+            .join(_known_small(visited, n_visited), ["seed", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_nxt = nxt.count()
+        if n_nxt == 0:
             break
-        levels.append(nxt)
-        visited = visited.union(nxt.select("seed", "node")).localCheckpoint(
-            eager=True
-        )
-        frontier = nxt
+        levels.append((nxt, n_nxt))
+        frontier, n_frontier = nxt, n_nxt
     # backward dependency accumulation
-    deep = levels[-1].select(
+    deep = levels[-1][0].select(
         "seed", "node", "sig", F.lit(0.0).alias("delta")
     )
     acc = [deep] if len(levels) > 1 else []
-    nxt_lvl = deep
+    nxt_lvl, n_nxt_lvl = deep, levels[-1][1]
     for l in range(len(levels) - 2, -1, -1):
-        cur = levels[l]
+        cur, n_cur = levels[l]
         succ = nxt_lvl.select(
             F.col("seed").alias("seed_w"),
             F.col("node").alias("w"),
             F.col("sig").alias("sig_w"),
             F.col("delta").alias("delta_w"),
         )
+        cb = _known_small(cur, n_cur)
         contrib = (
-            cur.join(edges, cur.node == edges.src)
+            cb.join(edges, cb.node == edges.src)
             .join(
-                succ,
+                _known_small(succ, n_nxt_lvl),
                 (F.col("seed") == F.col("seed_w")) & (F.col("dst") == F.col("w")),
             )
             .groupBy("seed", "node")
@@ -1083,8 +1147,13 @@ def betweenness_sample(
                 ).alias("delta")
             )
         )
+        # contrib has at most |cur| rows — the same measured bound
         cur_d = (
-            cur.join(contrib.withColumnRenamed("delta", "__d"), ["seed", "node"], "left")
+            cur.join(
+                _known_small(contrib.withColumnRenamed("delta", "__d"), n_cur),
+                ["seed", "node"],
+                "left",
+            )
             .select(
                 "seed",
                 "node",
@@ -1095,7 +1164,7 @@ def betweenness_sample(
         )
         if l > 0:
             acc.append(cur_d)
-        nxt_lvl = cur_d
+        nxt_lvl, n_nxt_lvl = cur_d, n_cur
     if not acc:
         return l0.select("node").limit(0).select(
             "node", F.lit(0.0).alias("betweenness")
