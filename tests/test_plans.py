@@ -213,6 +213,39 @@ def test_tpch_q5_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan, "nation/region must broadcast"
 
 
+def test_sql_star_joins_never_broadcast_raw_facts(spark):
+    # Round-13: at sf0.1 the pruned fact estimates slip under the 8 MB
+    # broadcast threshold and, unhinted, the planner broadcast raw
+    # lineitem/orders scans as star-join build sides — a serial 600k-row
+    # build no production scale would plan. The Spark-side texts carry
+    # surgical MERGE/SHUFFLE_HASH hints; this pins that no SQL key ever
+    # feeds a RAW fact scan into a BroadcastExchange again (aggregates
+    # of facts — semi-join sides, scalar subqueries — remain legitimate
+    # broadcasts at any scale and are not flagged).
+    contract.load_all()
+    offenders = []
+    for key in sorted(k for k in contract.QUERIES if k.startswith("q_sql")):
+        plan = plan_of(key, spark)
+        details = dict(
+            re.findall(r"\((\d+)\) Scan parquet[\s\S]*?/(\w+)\.parquet\]", plan)
+        )
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            m = re.search(r"BroadcastExchange \((\d+)\)", line)
+            if not m:
+                continue
+            for j in range(i + 1, min(i + 8, len(lines))):
+                s = re.search(r"Scan parquet\s+\((\d+)\)", lines[j])
+                if s:
+                    t = details.get(s.group(1))
+                    if t in ("lineitem", "orders", "events"):
+                        offenders.append(f"{key}: broadcasts raw {t}")
+                    break
+                if "HashAggregate" in lines[j]:
+                    break  # aggregate build side: fine at any scale
+    assert not offenders, offenders
+
+
 def test_tpch_q21_semi_anti_joins(spark):
     # EXISTS → LeftSemi, NOT EXISTS → LeftAnti; neither may degrade to a
     # cartesian product.

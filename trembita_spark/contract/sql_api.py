@@ -48,10 +48,15 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3 analogue (shipping priority): 3-way join, filtered both
     # sides, top-10 by revenue. Catalyst broadcast-joins the filtered
     # customer side; the ORDER BY+LIMIT plans TakeOrderedAndProject.
+    # MERGE(lineitem): the date-filtered fact's sf0.1 estimate slipped
+    # under the 8 MB broadcast threshold (a raw-fact broadcast no
+    # production scale would plan — the shipdate filter keeps a constant
+    # fraction, so the side grows with the data). Measured noop
+    # 1.39 -> 0.71 s; rows identical; oracle text unhinted.
     _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(
         """
-        SELECT l_orderkey,
+        SELECT /*+ MERGE(lineitem) */ l_orderkey,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer JOIN orders ON c_custkey = o_custkey
@@ -90,6 +95,15 @@ def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast; lineitem never shuffles more than once. Register only
     # the six tables this query reads — a corrupt unrelated fixture
     # (e.g. events) must not break it.
+    #
+    # MERGE(lineitem, orders): the two FACT tables must never be a
+    # broadcast build side (at sf0.1 the 4-column lineitem estimate
+    # slipped under the 8 MB threshold and the star joins broadcast a
+    # 600k-row fact — a serial build no production scale would plan).
+    # The hint pins the classic shape — dims broadcast, facts sort-merge
+    # on the order key — and is FASTER locally too (noop 2.16 -> 0.99 s:
+    # the serial broadcast build was the bottleneck). Join-strategy
+    # hints never change results; the oracle text is unhinted.
     _register_views(
         spark,
         sf_dir,
@@ -97,7 +111,7 @@ def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         """
-        SELECT n_name,
+        SELECT /*+ MERGE(lineitem, orders) */ n_name,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM customer
@@ -137,9 +151,14 @@ _Q4_SQL = """
 def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q4 analogue (order-priority checking): correlated EXISTS —
     # Catalyst rewrites it to a LEFT SEMI join on l_orderkey with the
-    # date filters pushed to both scans.
+    # date filters pushed to both scans. SHUFFLE_HASH(lineitem) inside
+    # the EXISTS block (hints are block-scoped): the semi-join's build
+    # side was the RAW 600k-row fact slipping under the 8 MB broadcast
+    # threshold. Measured noop 0.93 -> 0.82 s; oracle text unhinted.
     _register_views(spark, sf_dir, ["orders", "lineitem"])
-    return spark.sql(_Q4_SQL)
+    return spark.sql(
+        _hinted(_Q4_SQL, "SELECT 1 FROM lineitem", "/*+ SHUFFLE_HASH(lineitem) */")
+    )
 
 
 _Q18_SQL = """
@@ -165,8 +184,18 @@ def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subquery → semi join against a pre-aggregated lineitem; decimal-
     # trick sums keep qty totals bit-exact; DESC order tie-broken by the
     # unique o_orderkey (parity discipline rule 8).
+    #
+    # Spark side adds MERGE(lineitem): the RAW fact must not be a
+    # broadcast build side (its pruned sf0.1 estimate slipped under the
+    # 8 MB threshold); the semi-join sides stay broadcast — they are
+    # AGGREGATES of lineitem (few qualifying orders), the legitimate
+    # broadcast at any scale. Faster locally too (noop 1.09 -> 0.86 s —
+    # the serial 600k-row broadcast build was the bottleneck). Hints
+    # never change results; the oracle text is unhinted.
     _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
-    return spark.sql(_Q18_SQL)
+    return spark.sql(
+        _Q18_SQL.replace("SELECT c_name", "SELECT /*+ MERGE(lineitem) */ c_name", 1)
+    )
 
 
 _Q22_SQL = """
@@ -197,8 +226,15 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept NON-vacuous: 255 customers lack recent orders, 117 survive
     # the balance filter at sf0.01). Mean computed as decimal-sum /
     # count — identical double division in both engines.
+    # MERGE(orders) inside the NOT EXISTS block: the anti-join's build
+    # side was the RAW orders fact (date filter keeps a constant
+    # fraction) slipping under the 8 MB broadcast threshold — and the
+    # serial broadcast build was catastrophic locally too. Measured
+    # noop 4.69 -> 0.51 s; oracle text unhinted.
     _register_views(spark, sf_dir, ["customer", "orders"])
-    return spark.sql(_Q22_SQL)
+    return spark.sql(
+        _hinted(_Q22_SQL, "SELECT 1 FROM orders", "/*+ MERGE(orders) */")
+    )
 
 
 # Round 3: the REST of the TPC-H suite, adapted to the local schema (no
@@ -211,13 +247,41 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # executed verbatim by both engines.
 
 
-def _sql_key(key: str, tables: list, sql: str, doc: str):
+def _hinted(sql: str, marker: str, hint: str) -> str:
+    """Spark-side copy of ``sql`` with a join-strategy ``hint`` comment
+    injected right after the SELECT that ``marker`` locates (hints are
+    scoped to their query block, so the marker picks the block that
+    names the hinted relation). The oracle keeps the unhinted text;
+    hints choose the physical join, never the result."""
+    assert marker in sql, f"hint marker not found: {marker!r}"
+    return sql.replace(marker, marker.replace("SELECT", f"SELECT {hint}", 1), 1)
+
+
+def _sql_key(
+    key: str,
+    tables: list,
+    sql: str,
+    doc: str,
+    spark_sql: str | None = None,
+    hint: tuple | None = None,
+):
     """Register one shared-dialect SQL contract key (Spark executes the
-    exact text the DuckDB oracle runs)."""
+    exact text the DuckDB oracle runs).
+
+    ``spark_sql`` lets the Spark side run the SAME query text with
+    join-strategy hints added (``/*+ ... */``) while the oracle keeps
+    the unhinted text — hints only pick the physical join, never the
+    result, and keeping them off the oracle text removes any dialect
+    exposure. The two texts must stay semantically identical.
+    ``hint=(marker, '/*+ ... */')`` derives spark_sql from ``sql`` via
+    :func:`_hinted` so the texts cannot drift apart."""
+    if hint is not None:
+        assert spark_sql is None
+        spark_sql = _hinted(sql, *hint)
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_views(spark, sf_dir, tables)
-        return spark.sql(sql)
+        return spark.sql(spark_sql or sql)
 
     fn.__name__ = key
     fn.__doc__ = doc
@@ -320,6 +384,13 @@ _sql_key(
     "TPC-H Q7 (volume shipping): nation self-joined twice under a "
     "disjunctive cross-nation predicate; EXTRACT(YEAR) cast to BIGINT "
     "on both engines (Spark year() is INT32, DuckDB's BIGINT).",
+    # orders (raw fact, no filter) was the broadcast build side of the
+    # lineitem join at sf0.1 — SHUFFLE_HASH pins the per-partition hash
+    # build on the order key instead. Measured noop neutral on a warm
+    # box (0.46 base / 0.51 hinted, within trial noise; first-pass
+    # medians favored the hint 2.03 -> 0.70); the win is the 100 TB
+    # shape. Oracle text unhinted.
+    hint=("SELECT n1.n_name", "/*+ SHUFFLE_HASH(orders) */"),
 )
 
 _sql_key(
@@ -351,6 +422,15 @@ _sql_key(
     "TPC-H Q8 (national market share): 7-table star join, conditional "
     "share ratio = decimal-exact numerator / decimal-exact denominator — "
     "identical double division both engines.",
+    # orders (raw fact, date filter keeps a constant fraction) was the
+    # broadcast build side of the lineitem join at sf0.1 — MERGE pins
+    # the sort-merge on the order key; every true dim keeps its
+    # broadcast. Measured noop 4.44 -> 0.73 s (the serial 600k-row
+    # broadcast build was the bottleneck). Oracle text unhinted.
+    hint=(
+        "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year",
+        "/*+ MERGE(orders) */",
+    ),
 )
 
 _sql_key(
@@ -376,6 +456,31 @@ _sql_key(
     "TPC-H Q9 analogue (product-type profit; p_retailprice stands in for "
     "ps_supplycost — no partsupp locally): per-row IEEE profit expression "
     "is bit-deterministic (rule 2); only the SUM gets the decimal trick.",
+    # SHUFFLE_HASH(orders): orders is a FACT table — at sf0.1 its pruned
+    # 2-column estimate slipped under the 8 MB threshold and became a
+    # broadcast build side, which no production scale would plan. The
+    # hint pins lineitem⨝orders as a shuffled-hash join on the order key
+    # (build side = the narrower orders projection, the same surgical
+    # hint the salted-join operator uses); part/supplier/nation keep
+    # their broadcasts. Measured noop 1.20 -> 0.92 s (MERGE was 1.31 —
+    # per-partition hash build beats the sort here). Oracle unhinted.
+    spark_sql="""
+    SELECT nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT /*+ SHUFFLE_HASH(orders) */ n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
 )
 
 _sql_key(
@@ -398,6 +503,14 @@ _sql_key(
     """,
     "TPC-H Q10 (returned items): revenue-ranked top-20 with the unique "
     "c_custkey tiebreak (parity rule 8) so LIMIT is deterministic.",
+    # lineitem (fact; the returnflag filter keeps ~1/3 of it at ANY
+    # scale) was the broadcast build side at sf0.1 — MERGE pins the
+    # sort-merge on the order key. Costs ~0.2 s locally (0.39 -> 0.58
+    # noop: a 200k-row broadcast genuinely beats a shuffle at this SF)
+    # — accepted and disclosed, because a third of the fact as a
+    # broadcast build is exactly the plan that cannot exist at 100 TB.
+    # Oracle text unhinted.
+    hint=("SELECT c_custkey", "/*+ MERGE(lineitem) */"),
 )
 
 _sql_key(
@@ -449,6 +562,11 @@ _sql_key(
     "in for the absent l_shipmode, ship-after-order for the absent "
     "commit/receipt dates): CASE-sum pivot counts, cast BIGINT both "
     "sides (DuckDB integer sum is HUGEINT — parity trap).",
+    # orders (raw fact, unfiltered) was the broadcast build side of the
+    # lineitem join at sf0.1 — SHUFFLE_HASH pins the per-partition hash
+    # build on the order key. Measured noop 0.84 -> 0.70 s. Oracle
+    # text unhinted.
+    hint=("SELECT l_returnflag", "/*+ SHUFFLE_HASH(orders) */"),
 )
 
 _sql_key(
@@ -468,6 +586,15 @@ _sql_key(
     "TPC-H Q13 (customer order-count distribution): LEFT JOIN with a "
     "filter inside the ON clause (customers with zero qualifying orders "
     "count as c_count=0), then a count-of-counts re-aggregation.",
+    # orders (raw fact; the ON-clause priority filter keeps ~4/5 at any
+    # scale) was the broadcast build side of the outer join at sf0.1 —
+    # MERGE pins the sort-merge on the customer key. Measured noop
+    # 7.74 -> 0.36 s (the 1.4M-row broadcast build dominated the whole
+    # query). Oracle text unhinted.
+    hint=(
+        "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count",
+        "/*+ MERGE(orders) */",
+    ),
 )
 
 _sql_key(
@@ -628,6 +755,35 @@ _sql_key(
     "both correlated to the fact row AND the outer orders row — semi and "
     "anti self-joins on the same key. s_name is unique → the DESC "
     "numwait LIMIT is a total order (parity rule 8).",
+    # Three FACT-side broadcasts at sf0.1 (l1 under supplier's join,
+    # orders, and the l2/l3 semi/anti sides — raw 600k-row lineitem
+    # builds no production scale would plan): MERGE(orders) pins
+    # l1⨝orders sort-merge on the order key, SHUFFLE_HASH(l2/l3) pins
+    # the semi/anti self-joins as per-partition hash builds on the same
+    # key; supplier/nation keep their broadcasts. Measured noop
+    # 1.35 -> 0.84 s — the serial broadcast builds were the bottleneck.
+    # Oracle unhinted.
+    spark_sql="""
+    SELECT /*+ MERGE(orders) */ s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT /*+ SHUFFLE_HASH(l2) */ 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT /*+ SHUFFLE_HASH(l3) */ 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
 )
 
 
