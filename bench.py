@@ -28,6 +28,15 @@ from trembita_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# Optional noop-sink lane (round-12 verdict item 5): with
+# SPARK_GRAFT_BENCH_SINK=noop the timed action becomes
+# df.write.format("noop") (computes every column, no driver transfer —
+# guide §1.4), so the PLAN's parallelism is measurable at all: the
+# default collect() lane is dominated by row-pickling driver transfer
+# at sf0.1, which is why the driver's 8-vs-32-core ratios sit at ~1.
+# DEFAULT BEHAVIOR AND THE JSON CONTRACT LINE ARE UNCHANGED when the
+# env var is unset; the noop lane tags its output with "sink": "noop".
+SINK = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
 # Floor cost of the calibration probe: min of 30 back-to-back samples
 # (2026-08-15, guest loadavg 5 — min-of-many lands between co-tenant
 # spikes, so this approximates the quiet cost from a loaded box;
@@ -86,8 +95,16 @@ def main() -> None:
     # 1/5/15-min loadavg makes the judge's ratio call mechanical.
     load_before = [round(x, 2) for x in os.getloadavg()]
     spark = get_session(app_name="trembita_spark_bench")
+
+    if SINK == "noop":
+        def action(df):
+            df.write.format("noop").mode("overwrite").save()
+    else:
+        def action(df):
+            df.collect()
+
     for key in keys:  # warm-up trip (JIT, file listing, broadcast) — discarded
-        contract.QUERIES[key](spark, SF_DIR).collect()
+        action(contract.QUERIES[key](spark, SF_DIR))
     cal_df = _calibration_frame(spark)
     _calibrate(cal_df)  # warm the probe's codegen path too
     samples: dict[str, list[float]] = {k: [] for k in keys}
@@ -101,7 +118,7 @@ def main() -> None:
         calibration_sec.append(round(_calibrate(cal_df), 4))
         for key in keys:
             t0 = time.perf_counter()
-            contract.QUERIES[key](spark, SF_DIR).collect()
+            action(contract.QUERIES[key](spark, SF_DIR))
             samples[key].append(time.perf_counter() - t0)
         # Dual report (round-11 verdict item 4): the same plan ended in
         # the in-engine 3-scalar checksum fold instead of a driver
@@ -166,6 +183,7 @@ def main() -> None:
                 "load_before": load_before,
                 "load_after": [round(x, 2) for x in os.getloadavg()],
                 "ncpus": os.cpu_count(),
+                **({"sink": "noop"} if SINK == "noop" else {}),
             }
         )
     )

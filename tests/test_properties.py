@@ -517,6 +517,27 @@ def test_prefix_sum_multi_matches_sequential(spark, vals):
 
 
 @given(
+    n=st.integers(min_value=1, max_value=400),
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_prefix_sum_range_key_matches_generic(spark, n, vals):
+    """The dense-integer range_key specialization (one arithmetic-bucket
+    exchange instead of range + __pid shuffles) must return exactly the
+    generic path's rows for any [lo, hi) span — including spans smaller
+    than the parallelism (empty buckets) and negative values."""
+    from trembita_spark.operators.ranking import prefix_sum
+
+    lo = vals[0]  # arbitrary non-zero origin exercises the (key−lo) shift
+    df = spark.range(lo, lo + n).selectExpr("id AS i", "id % 7 - 3 AS v")
+    generic = prefix_sum(df, "v", [F.col("i")], name="c")
+    ranged = prefix_sum(df, "v", [F.col("i")], name="c", range_key=(lo, lo + n))
+    g = sorted((r.i, r.c) for r in generic.collect())
+    r = sorted((r.i, r.c) for r in ranged.collect())
+    assert g == r
+
+
+@given(
     ivs=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=1),    # key

@@ -71,6 +71,7 @@ def prefix_sum(
     value_col: str,
     order_by: Sequence[Column | str],
     name: str = "cum",
+    range_key: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Distributed EXACT prefix sum of ``value_col`` under a unique total
     order — the general-value sibling of ``Pipeline.zip_with_index``
@@ -85,7 +86,7 @@ def prefix_sum(
     are order-defined but partial-offset composition reorders the
     additions across partitions.
     """
-    return prefix_sum_multi(df, [value_col], order_by, [name])
+    return prefix_sum_multi(df, [value_col], order_by, [name], range_key=range_key)
 
 
 def prefix_sum_multi(
@@ -93,17 +94,48 @@ def prefix_sum_multi(
     value_cols: Sequence[str],
     order_by: Sequence[Column | str],
     names: Sequence[str],
+    range_key: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Prefix sums of SEVERAL value columns under one shared total order
     — one range shuffle, one local-window pass, and one tiny offsets
     frame for all of them (a two-sample ECDF comparison needs the
     running count of each arm; running them as two prefix_sum calls
-    would pay the range shuffle twice)."""
+    would pay the range shuffle twice).
+
+    ``range_key=(lo, hi)`` is the DENSE-INTEGER specialization (round-13
+    verdict item 6): the caller guarantees ``order_by`` is one integer
+    column covering exactly [lo, hi). The generic path pays TWO full
+    data shuffles — rangepartitioning (plus its hidden key-sampling
+    pass) and then hashpartitioning(__pid), because the window's
+    clustering requirement cannot be proven satisfied by the range
+    exchange. With known bounds the bucket is ARITHMETIC —
+    floor((key−lo)·P/span) — monotone in the key (offset composition
+    order = key order) and perfectly balanced by construction, so one
+    hash exchange replaces both, and no sampling job runs. The bucket
+    is a data column, so the two consumers can never misalign the way
+    physical __pid spaces could under AQE."""
     from pyspark.sql.window import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    out = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    out = out.withColumn("__pid", F.spark_partition_id())
+    if range_key is not None:
+        lo, hi = range_key
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        span = max(hi - lo, 1)
+        # 32x more buckets than partitions (guide §2.5: hashing exactly P
+        # distinct values into P partitions leaves ~1/3 of them empty and
+        # others with 2-3 buckets); the offsets frame stays <= 32*P rows.
+        n_buckets = min(32 * parallelism, span)
+        bucket = F.floor(
+            (cols[0] - F.lit(lo)) * F.lit(n_buckets) / F.lit(span)
+        ).cast("int")
+        # column-only repartition (REPARTITION_BY_COL): AQE may coalesce
+        # the post-shuffle partitions by size, exactly like the generic
+        # path's range exchange — an explicit count would pin every
+        # downstream consumer of the checkpointed frame to P tasks.
+        out = df.withColumn("__pid", bucket).repartition("__pid")
+    else:
+        out = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        out = out.withColumn("__pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*cols)

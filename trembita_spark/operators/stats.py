@@ -1004,7 +1004,12 @@ def fisher_exact_2x2(
         F.col("id").alias("i"),
         F.log(F.col("id").cast("double")).cast("decimal(32,12)").alias("lnl"),
     )
-    lf = prefix_sum(lf, "lnl", [F.col("i")], name="lf").select("i", "lf")
+    # range_key: the input is spark.range(1, n+1) — the dense-integer
+    # specialization replaces the range shuffle + sampling pass + the
+    # hash(__pid) re-shuffle with ONE arithmetic-bucket exchange.
+    lf = prefix_sum(lf, "lnl", [F.col("i")], name="lf", range_key=(1, n + 1)).select(
+        "i", "lf"
+    )
     zero = F.lit(0).cast("decimal(38,12)")
 
     def pick(idx: int) -> Column:
@@ -1155,7 +1160,11 @@ def barnard_exact_2x2(
         F.col("id").alias("i"),
         F.log(F.col("id").cast("double")).cast("decimal(32,12)").alias("lnl"),
     )
-    lf = prefix_sum(lf, "lnl", [F.col("i")], name="lf").select("i", "lf")
+    # dense-integer specialization: one arithmetic-bucket exchange, no
+    # range sampling pass, no hash(__pid) re-shuffle (see prefix_sum).
+    lf = prefix_sum(lf, "lnl", [F.col("i")], name="lf", range_key=(1, m + 1)).select(
+        "i", "lf"
+    )
     zlf = F.lit(0).cast("decimal(38,12)")
 
     def pick(idx: int) -> Column:
