@@ -28,18 +28,16 @@ def plan_of(key: str, spark) -> str:
     pins keep auditing what production actually executes."""
     from trembita_spark import plan_debug
 
-    plan_debug.ENABLED = True
-    plan_debug.CAPTURED.clear()
+    plan_debug.enable()
     try:
         df = contract.QUERIES[key](spark, SF_DIR)
         plans = [df._jdf.queryExecution().executedPlan().toString()]
         plans += [
             d._jdf.queryExecution().executedPlan().toString()
-            for d in plan_debug.CAPTURED
+            for d in plan_debug.captured()
         ]
     finally:
-        plan_debug.ENABLED = False
-        plan_debug.CAPTURED.clear()
+        plan_debug.disable()
     return "\n".join(plans)
 
 
@@ -1232,11 +1230,19 @@ def test_driver_sample_plans_pinned(spark):
     pins_path = os.path.join(REPO, "tests", "driver_plan_pins.json")
     with open(os.path.join(REPO, "CORRECTNESS_r11.json")) as f:
         sample = sorted(json.load(f))
-    got = {}
-    for key in sample:
-        if key not in contract.QUERIES:  # renamed upstream — ledger guards
-            continue
-        got[key] = _plan_fingerprint(plan_of(key, spark))
+    # Plan builds are independent Spark jobs (the graph keys execute
+    # their eager-checkpoint traversals during build — this was the
+    # verify lane's single slowest test when serial); plan_debug's
+    # capture state is thread-local, so a small pool is safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    keys = [k for k in sample if k in contract.QUERIES]
+
+    def fp(key):
+        return key, _plan_fingerprint(plan_of(key, spark))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = dict(ex.map(fp, keys))
     if os.environ.get("SPARK_GRAFT_REGEN_PLAN_PINS") == "1":
         with open(pins_path, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)

@@ -12,19 +12,52 @@ pin the phase-1 shape (data rides a rangepartitioning exchange,
 no longer see it from the consumer's ``explain``.
 
 This hook lets the audits inspect exactly what production executes: when
-``ENABLED``, the prefix machinery appends the pre-checkpoint DataFrame
-(whose plan IS the plan the barrier materializes) to ``CAPTURED`` just
-before checkpointing. Off by default — production keeps no references.
+enabled, the prefix machinery appends the pre-checkpoint DataFrame
+(whose plan IS the plan the barrier materializes) to the capture list
+just before checkpointing. Off by default — production keeps no
+references.
+
+State is THREAD-LOCAL (round 13): the plan-pin test builds 50 keys'
+plans through a small thread pool (the graph keys execute their
+eager-checkpoint traversals during build, so serial plan building was
+the verify lane's single slowest test), and a shared list would
+interleave captures across keys. The module-level ``ENABLED`` /
+``CAPTURED`` names are kept as thread-local views via __getattr__ for
+any external readers; writers should use :func:`enable` /
+:func:`disable`.
 """
 
 from __future__ import annotations
 
-ENABLED = False
-CAPTURED: list = []
+import threading
+
+_TLS = threading.local()
+
+
+def enable() -> None:
+    _TLS.enabled = True
+    _TLS.captured = []
+
+
+def disable() -> None:
+    _TLS.enabled = False
+    _TLS.captured = []
+
+
+def captured() -> list:
+    return getattr(_TLS, "captured", [])
 
 
 def capture(df):
     """Record ``df`` for plan inspection when enabled; always returns it."""
-    if ENABLED:
-        CAPTURED.append(df)
+    if getattr(_TLS, "enabled", False):
+        _TLS.captured.append(df)
     return df
+
+
+def __getattr__(name: str):
+    if name == "ENABLED":
+        return getattr(_TLS, "enabled", False)
+    if name == "CAPTURED":
+        return captured()
+    raise AttributeError(name)
