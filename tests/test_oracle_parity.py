@@ -303,19 +303,29 @@ def test_no_vacuous_oracles(oracle):
     passes the hash gate trivially (0 == 0) while proving nothing, and
     can appear silently as data grows (q_sql_q11's fixed-fraction HAVING
     went empty at sf0.1 — round-3 incident). DuckDB-only, so the sweep
-    is cheap at any scale factor."""
-    empty = []
-    for key, sql in contract.ORACLES.items():
+    is cheap at any scale factor (and parallel: ~520 independent native
+    queries over per-thread cursors of the shared in-memory catalog)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        key, sql = item
+        cur = oracle.cursor()
         try:
-            rows = oracle.execute(sql).fetchall()
+            rows = cur.execute(sql).fetchall()
         except Exception:
             # round-trip keys whose oracle references fixture views only
             # are all coverable; anything unrunnable here is covered by
             # the main parity test.
-            continue
+            return None
+        finally:
+            cur.close()
         # 0 rows, or rows that are entirely NULL (a sum() over an empty
         # filter yields one all-NULL row — q_sql_q17's failure mode at
         # sf0.001), both certify nothing.
         if not rows or all(v is None for r in rows for v in r):
-            empty.append(key)
+            return key
+        return None
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        empty = sorted(k for k in ex.map(check, contract.ORACLES.items()) if k)
     assert not empty, f"vacuous (0-row or all-NULL) oracle results: {empty}"

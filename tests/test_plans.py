@@ -1054,7 +1054,59 @@ def test_low_card_window_audit_catches_planted_regression(spark):
     assert not _low_card_window_violations(benign_plan), benign_plan
 
 
-def test_no_key_runs_low_cardinality_window(spark):
+# ---------------------------------------------------------------------
+# Registry-wide plan cache (round 13, verify-lane wall time): the two
+# sweeping audits below each built ALL ~490 non-stream keys' plans
+# serially (the eager-checkpoint graph keys execute their traversals
+# during build) — 290 s + 160 s in the unsharded lane. Plans are
+# independent Spark jobs and plan_debug's capture is thread-local, so
+# one session fixture builds every plan once through a small pool and
+# both audits read the cache. Same plan text, same assertions.
+# ---------------------------------------------------------------------
+_REGISTRY_PLANS: dict = {}
+
+
+@pytest.fixture(scope="session")
+def registry_plans(spark):
+    if not _REGISTRY_PLANS:
+        from concurrent.futures import ThreadPoolExecutor
+
+        keys = [
+            k for k in sorted(contract.QUERIES) if not k.startswith("q_stream_")
+        ]
+
+        def one(key):
+            # (final_plan, final+captured_phase1, error): the cartesian
+            # audit scopes the FINAL plan exactly as before (phase-1
+            # scalar-bounds cross joins were never in its scope — the
+            # barrier hid them); the low-card audit reads the full text
+            # as before via plan_of.
+            from trembita_spark import plan_debug
+
+            plan_debug.enable()
+            try:
+                df = contract.QUERIES[key](spark, SF_DIR)
+                final = df._jdf.queryExecution().executedPlan().toString()
+                full = "\n".join(
+                    [final]
+                    + [
+                        d._jdf.queryExecution().executedPlan().toString()
+                        for d in plan_debug.captured()
+                    ]
+                )
+                return key, (final, full, None)
+            except Exception as e:
+                return key, (None, None, str(e))
+            finally:
+                plan_debug.disable()
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for key, v in ex.map(one, keys):
+                _REGISTRY_PLANS[key] = v
+    return _REGISTRY_PLANS
+
+
+def test_no_key_runs_low_cardinality_window(spark, registry_plans):
     """Registry-wide audit: no contract key may run a data-bearing
     window partitioned solely by a constant-cardinality column (see
     _low_card_window_violations). Keys whose window INPUT is already
@@ -1070,22 +1122,19 @@ def test_no_key_runs_low_cardinality_window(spark):
         # frame (<= |event_type|*7 rows after the data-touching groupBy)
         "q_stat_cramers_v_corrected",
     }
-    skip = {k for k in contract.QUERIES if k.startswith("q_stream_")}
     bad = []
-    for key in sorted(contract.QUERIES):
-        if key in skip or key in allow:
+    for key, (_final, plan, err) in sorted(registry_plans.items()):
+        if key in allow:
             continue
-        try:
-            plan = plan_of(key, spark)
-        except Exception as e:  # pragma: no cover - surface builder breakage
-            bad.append(f"{key}: failed to plan: {e}")
+        if err is not None:  # pragma: no cover - surface builder breakage
+            bad.append(f"{key}: failed to plan: {err}")
             continue
         for off in _low_card_window_violations(plan):
             bad.append(f"{key}: low-cardinality window: {off}")
     assert not bad, "\n".join(bad)
 
 
-def test_no_key_degrades_to_cartesian(spark):
+def test_no_key_degrades_to_cartesian(spark, registry_plans):
     """Sweeping plan-smell audit: EVERY registered contract key's
     physical plan is checked for the two silent scale-killers —
     CartesianProduct and BroadcastNestedLoopJoin — with an explicit
@@ -1167,19 +1216,13 @@ def test_no_key_degrades_to_cartesian(spark):
         # config-sized, never data-sized (the q_ts_hurst bound class)
         "q_ts_periodogram",
     }
-    skip = {
-        k for k in contract.QUERIES
-        if k.startswith("q_stream_")  # plans are post-sink memory scans
-    }
+    # (stream keys are excluded from the cache — plans are post-sink
+    # memory scans. The cached plan text includes the pre-checkpoint
+    # phase-1 captures, a strict superset of the old raw executedPlan.)
     bad = []
-    for key in sorted(contract.QUERIES):
-        if key in skip:
-            continue
-        try:
-            df = contract.QUERIES[key](spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as e:  # pragma: no cover - surface builder breakage
-            bad.append(f"{key}: failed to plan: {e}")
+    for key, (plan, _full, err) in sorted(registry_plans.items()):
+        if err is not None:  # pragma: no cover - surface builder breakage
+            bad.append(f"{key}: failed to plan: {err}")
             continue
         if "CartesianProduct" in plan:
             bad.append(f"{key}: CartesianProduct in plan")

@@ -740,10 +740,16 @@ def test_tws_processing_time_timer_flushes_idle_keys(spark):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
+        # idle_stop=2: with 2 staged files the availableNow flush batch
+        # is batchId 2 — the query itself never terminates (batch-2
+        # users' pending processing-time timers keep it active), so the
+        # plain await burned its full 300 s timeout for a test whose
+        # content is fixed once the flush batch commits.
         out = run_to_completion(
             idle_flush_tws(stream, idle_ms=1),
             "t_tws_proc_timer",
             output_mode="append",
+            idle_stop=2,
         ).collect()
     finally:
         if prev is None:

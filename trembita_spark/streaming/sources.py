@@ -129,6 +129,7 @@ def run_to_completion(
     query_name: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    idle_stop: int | None = None,
 ):
     """Drive a streaming DataFrame over the (finite) local fixture to
     completion into a memory sink; returns the result as a batch
@@ -161,8 +162,20 @@ def run_to_completion(
     otherwise interleave set/restore and leak a transient value into
     the session permanently. Callers that mutate OTHER session confs
     around a run (e.g. the RocksDB provider for TWS keys) must hold
-    the same lock — it is reentrant."""
+    the same lock — it is reentrant.
+
+    ``idle_stop``: a query with REGISTERED processing-time timers never
+    self-terminates under availableNow (pending timers keep it active),
+    so ``awaitTermination(300)`` burns the full timeout doing nothing.
+    When set, the driver instead polls ``lastProgress`` and stops the
+    query as soon as a ZERO-input batch with batchId >= ``idle_stop``
+    has committed — i.e. the availableNow flush batch ran after every
+    staged data batch, which is exactly the state the 300-second wait
+    would have stopped in. Content-deterministic: nothing after the
+    flush batch can emit (no new data arrives and the timers that could
+    still fire are, by the caller's construction, content-irrelevant)."""
     import os as _os
+    import time as _time
 
     spark = df.sparkSession
     parts = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
@@ -183,7 +196,19 @@ def run_to_completion(
                 .start()
             )
             try:
-                q.awaitTermination(300)
+                if idle_stop is not None:
+                    deadline = _time.time() + 300
+                    while q.isActive and _time.time() < deadline:
+                        lp = q.lastProgress
+                        if (
+                            lp is not None
+                            and lp["numInputRows"] == 0
+                            and lp["batchId"] >= idle_stop
+                        ):
+                            break
+                        _time.sleep(0.25)
+                else:
+                    q.awaitTermination(300)
             finally:
                 if q.isActive:
                     q.stop()
